@@ -1,0 +1,257 @@
+"""Deduplication operators over ``documents`` (north-star, BASELINE.json):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup
+(the last one in operators/similarity.py).
+
+Scale design (the whole point of these operators at 100 TB):
+  - exact dedup: group on a 128-bit fingerprint, never on the raw text —
+    the shuffle moves 16-byte keys, not documents.
+  - n-gram Jaccard is the EXACT answer but is quadratic in the worst case
+    (shingle-join blowup on common shingles); it is the small-scale oracle.
+  - MinHash+LSH is the scale path: k min-hashes per doc (one pass), band
+    into buckets, only same-bucket pairs are candidates → the shuffle is
+    O(docs × bands), candidate verification touches a tiny pair subset.
+  - SimHash: one 32-bit signature per doc; near-dups collide on at least
+    one 16-bit half (pigeonhole for hamming distance ≤ its guarantee), so
+    candidate generation is two equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+
+# Shared doc -> distinct word-bigram shingles (dialect-twin pair).
+_SHINGLES_SQL = """
+shingles AS (
+    SELECT DISTINCT doc_id,
+        CONCAT(t[i], ' ', t[i + 1]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+        UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+)"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-bigram shingles per document, built with native array
+    functions (sequence + transform + explode — all codegen, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise Jaccard over distinct shingle sets via shingle equi-join.
+    Exact; quadratic on hot shingles — see module docstring."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id, lang, source, n_chars, md5(text) AS fingerprint FROM documents
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+)
+SELECT doc_id, lang, source, n_chars, fingerprint FROM ranked WHERE rn = 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest-doc_id representative per content
+    fingerprint. Hash-groupBy on md5(text) (16-byte shuffle key) — the
+    100 TB-safe form of dropDuplicates(['text'])."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.col("text"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "fingerprint")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="WITH "
+    + _SHINGLES_SQL.lstrip()
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingles a
+    JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+    ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by exact word-bigram Jaccard >= 0.5. Integer
+    set arithmetic throughout → the jaccard double is bit-identical to the
+    oracle's. This is the small-scale exact baseline; q_dedup_minhash_lsh
+    is the sub-quadratic scale path."""
+    return exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+# --- MinHash + LSH (scale path; rows-only check + pytest recall asserts) ---
+
+MINHASH_K = 32  # signatures per doc
+LSH_BANDS = 8  # 8 bands x 4 rows
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k min-hashes per doc in ONE aggregation pass: xxhash64(shingle, seed)
+    is the permutation family; min() per seed is the signature row."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Band the signature (bands x rows), bucket-join per band, union the
+    candidate pairs. Each band join is an equi-join on a 64-bit bucket key,
+    so the shuffle stays O(docs x bands) — never all-pairs."""
+    rows = k // bands
+    out: DataFrame | None = None
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
+        banded = sig.select(
+            "doc_id", F.xxhash64(*[F.col(c) for c in cols]).alias("bucket")
+        )
+        x = banded.alias("x")
+        y = banded.alias("y")
+        pairs = x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        out = pairs if out is None else out.unionByName(pairs)
+    assert out is not None
+    return out.distinct()
+
+
+@query("q_dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands x 4) candidates, then EXACT Jaccard
+    verification of only the candidate pairs. Same output schema as
+    q_dedup_ngram_jaccard; recall vs the exact operator is asserted in
+    tests (no SQL oracle — hash family is engine-specific)."""
+    sh = shingles(spark, sf_dir)
+    candidates = lsh_candidate_pairs(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash (rows-only; pytest invariants) ---------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sign of the per-bit vote sum over shingle hashes.
+    One groupBy with `bits` conditional-sum aggregates — single pass,
+    all codegen."""
+    h = F.xxhash64("shingle")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    sig = sh.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return sig.select("doc_id", acc.alias("simhash"))
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: docs whose 32-bit signatures share at
+    least one 16-bit half (pigeonhole ⇒ catches all pairs with hamming
+    distance ≤ 1 and most small distances), reporting the exact hamming
+    distance. Candidate join is two equi-joins on 16-bit keys — no
+    all-pairs comparison."""
+    sig = simhash_signatures(shingles(spark, sf_dir))
+    lo = (F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))).alias("half")
+    hi = F.shiftright(F.col("simhash"), 16).alias("half")
+    out: DataFrame | None = None
+    for half in (lo, hi):
+        banded = sig.select("doc_id", "simhash", half)
+        x = banded.alias("x")
+        y = banded.alias("y")
+        pairs = x.join(
+            y,
+            (F.col("x.half") == F.col("y.half")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    assert out is not None
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        out.distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table (north-star,
+BASELINE.json): brute-force cosine top-k as the exact baseline, an
+LSH-bucketed variant as the scale path, and embedding-cosine near-dup.
+
+Vector math is native `zip_with` + `aggregate` (JVM-side fold, left to
+right — deterministic and bit-identical to DuckDB's sequential loop once
+both sides compute in double).
+
+Scale design: brute force is a broadcast nested-loop join (queries
+replicate, corpus streams — correct physical plan for few-queries x huge
+corpus). The LSH variant buckets the corpus by random-hyperplane signature
+so each query probes one bucket: candidate set shrinks by ~2^bits, the
+standard recall/throughput trade; both variants share the exact re-rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+TOPK = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+NEARDUP_COSINE = 0.8
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with double-precision vectors and precomputed norms.
+    Precomputing the norm once per row halves the per-pair flops."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("vnorm", norm(F.col("vec")))
+
+
+_ORACLE_EMB_CTE = """
+emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS vnorm
+    FROM embeddings
+)"""
+
+
+@query(
+    "q_similarity_topk",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + f"""
+SELECT query_id, vec_id, cosine, rnk FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        ROUND(list_dot_product(q.vec, c.vec) / (q.vnorm * c.vnorm), 6) AS cosine,
+        ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_dot_product(q.vec, c.vec) / (q.vnorm * c.vnorm) DESC, c.vec_id
+        ) AS rnk
+    FROM emb q, emb c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+) t WHERE rnk <= {TOPK}""",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact ANN baseline. Physical plan:
+    broadcast the query set, stream the corpus once, per-partition top-k
+    heap via the rank window (at true scale: aggregate per-partition
+    top-k then merge, which TakeOrderedAndProject-style planning gives)."""
+    emb = embeddings_d(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("query_id"))
+    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    scored = pairs.select("query_id", "vec_id", cosine.alias("raw_cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ROUND(list_dot_product(a.vec, b.vec) / (a.vnorm * b.vnorm), 6) AS cosine
+FROM emb a, emb b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.vec, b.vec) / (a.vnorm * b.vnorm) >= {NEARDUP_COSINE}""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.8), brute force.
+    Exact answer at test scale; at 100 TB the LSH bucketing below prunes
+    the pair space first."""
+    emb = embeddings_d(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("vnorm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("vnorm").alias("nb")
+    )
+    cosine = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("raw_cosine", cosine)
+        .filter(F.col("raw_cosine") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round("raw_cosine", 6).alias("cosine"))
+    )
+
+
+# --- LSH-bucketed ANN (scale path; rows-only + pytest recall asserts) -------
+
+LSH_PLANES = 8
+
+
+def _hyperplanes(dim: int, n_planes: int = LSH_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, driver-side tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec . plane_i). Planes are
+    literal arrays — broadcast as part of the plan, no closure pickling."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc
+
+
+@query("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket corpus by 8-bit signature,
+    each query probes only its own bucket, exact cosine re-rank inside.
+    ~2^8 x less comparison work than brute force; recall vs
+    q_similarity_topk asserted in tests (no SQL oracle: bucketing is
+    engine-side)."""
+    emb = embeddings_d(spark, sf_dir)
+    dim = 64
+    planes = _hyperplanes(dim)
+    sig = emb.withColumn("bucket", signature_col(F.col("vec"), planes))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("bucket"),
+    )
+    pairs = F.broadcast(q).join(sig, "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    scored = pairs.select("query_id", "vec_id", cosine.alias("raw_cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine"), "rnk")
+    )

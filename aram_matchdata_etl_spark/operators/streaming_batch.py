@@ -1,0 +1,173 @@
+"""Batch-checkable re-expressions of the reference's streaming semantics
+(SURVEY.md §2.9): the Redis dedup queues, TTL-bounded dedup, idempotent
+upsert, and event-time windowing — each as a deterministic batch query
+with a DuckDB oracle. The live Structured Streaming forms (with real
+watermarks and state stores) live in `streaming/crawl.py`; these batch
+twins define the semantics the streams must converge to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+TTL_SECONDS = 6 * 3600  # the reference's 6 h user-dedup TTL (tasks.py:125-129)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "q_event_window_agg",
+    oracle="""
+SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 600) AS BIGINT) * 600 * 1000000)
+        AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2""",
+)
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (capability row, §2.9): 10-minute
+    windows, count + sum per event type. Streaming form: identical
+    groupBy(F.window(...)) plus withWatermark — see streaming/crawl.py."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_dedup_stream",
+    oracle="""
+SELECT event_id, ts, user_id, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+) t WHERE rn = 1""",
+)
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: permanent stream dedup (the match-id Redis SET,
+    match/queue.py:24-25) — first event per key, deterministic
+    (ts, event_id) arrival order. Streaming twin: dropDuplicates on an
+    unbounded stream (state grows like the Redis SET grows)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "q_dedup_ttl",
+    oracle=f"""
+SELECT event_id, ts, user_id, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, CAST(FLOOR(epoch(ts) / {TTL_SECONDS}) AS BIGINT)
+        ORDER BY ts, event_id) AS rn
+    FROM events
+) t WHERE rn = 1""",
+)
+def q_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: TTL-bounded dedup (the 6 h Redis SETEX on user ids,
+    redis.py:48-64) — first event per (key, 6 h epoch window). The
+    streaming twin is withWatermark('ts','6 hours') +
+    dropDuplicatesWithinWatermark (streaming/crawl.py); this batch form
+    pins deterministic semantics the oracle can check."""
+    bucket = F.floor(F.unix_timestamp("ts") / TTL_SECONDS).cast("bigint")
+    w = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "q_idempotent_upsert",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) t WHERE rn = 1""",
+)
+def q_idempotent_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/S7: idempotent upsert (replace_one(upsert=True) keyed by _id,
+    db/mongodb.py:52-56) — last-writer-wins per key. Streaming form:
+    foreachBatch + MERGE INTO (Delta); emulated here as the
+    latest-row-per-key window, which is also the batch backfill plan."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+             OR LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, event_id,
+        SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+    COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_no""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30 min inactivity gap) — the batch equivalent of
+    streaming session_window. Gap test on exact integer microseconds so
+    both engines agree. One exchange on user_id serves both windows and
+    the final group-by."""
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(order_w)
+    is_new = F.when(
+        prev_us.isNull() | ((F.unix_micros(F.col("ts")) - prev_us) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(run_w))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_no", "n_events", "session_start", "session_end")
+    )

@@ -1,0 +1,53 @@
+"""Parquet table loaders for the driver-generated fixtures.
+
+Mirrors the reference's MongoDB scan layer
+(/root/reference/transformer/ranking/data_extractor.py:42-67) — there the
+"source" is a filtered+projected Mongo cursor; here it is
+``spark.read.parquet`` where Catalyst pushes filters into the scan and
+prunes columns automatically (DataSource V2 pushdown), so every downstream
+operator gets predicate pushdown / column pruning for free.
+
+At 100 TB the same code path applies: parquet (or Delta/Iceberg) tables,
+partitioned on ingest date / match region, read with pushed filters —
+nothing here materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long (see session
+        # config spark.sql.legacy.parquet.nanosAsLong) and convert; fixture
+        # values are microsecond-aligned so ns -> us is lossless.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: epoch-ns exceeds 2^53, double math loses 1us
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views (for the SQL-API operators)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,84 @@
+"""Differential-test harness: run a registry query on Spark and its oracle
+SQL on DuckDB over the same parquet fixtures, compare as multisets
+(column-name-sorted, row-order-insensitive) — a local replica of the
+driver's correctness gate."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from aram_matchdata_etl_spark.sources.tables import TABLES
+
+
+def duckdb_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        if v == int(v) and abs(v) < 2**52:
+            # exact integral floats normalize to int (duckdb HUGEINT->float64)
+            return int(v)
+        return f"{v:.12g}"
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, (bool,)):
+        return bool(v)
+    if isinstance(v, (int,)):
+        return int(v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return _norm_cell(float(v))
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, np.ndarray):
+            return tuple(_norm_cell(x) for x in v)
+    except ImportError:
+        pass
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=repr)
+
+
+def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
+    got = spark_df.toPandas()
+    want = duckdb_df(oracle, sf_dir)
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch spark={sorted(got.columns)} duck={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count spark={len(got)} duck={len(want)}"
+    g = normalize(got)
+    w = normalize(want)
+    if g != w:
+        diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")

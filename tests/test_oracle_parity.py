@@ -1,0 +1,47 @@
+"""The main correctness gate, run locally: every registry query with an
+oracle must match DuckDB on the sf0.01 fixtures (mirrors the driver's
+CORRECTNESS check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+def _keys():
+    from aram_matchdata_etl_spark.registry import all_oracles
+
+    return sorted(all_oracles())
+
+
+@pytest.mark.parametrize("name", _keys())
+def test_oracle_parity(spark, name):
+    from aram_matchdata_etl_spark.registry import all_oracles, all_queries
+
+    from .oracle_utils import assert_matches_oracle
+
+    fn = all_queries()[name]
+    df = fn(spark, SF_ORACLE)
+    assert_matches_oracle(df, all_oracles()[name], SF_ORACLE, name)
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a stable schema."""
+    from aram_matchdata_etl_spark.registry import all_oracles, all_queries
+
+    oracles = all_oracles()
+    for name, fn in sorted(all_queries().items()):
+        if name in oracles:
+            continue
+        df = fn(spark, SF_ORACLE)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "rank_in_match" in df.columns
