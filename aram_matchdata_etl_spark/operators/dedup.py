@@ -38,7 +38,11 @@ shingles AS (
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-bigram shingles per document, built with native array
     functions (sequence + transform + explode — all codegen, no UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fixture files are single-row-group → 1 input partition; spread the
+    # shingle fan-out across the cluster before the explode
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.col("text"), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -146,26 +150,31 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
 def lsh_candidate_pairs(
     sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """Band the signature (bands x rows), bucket-join per band, union the
-    candidate pairs. Each band join is an equi-join on a 64-bit bucket key,
-    so the shuffle stays O(docs x bands) — never all-pairs."""
+    """Band the signature (bands x rows) and bucket-join: posexplode the
+    band hashes so ONE equi-join on (band, bucket) produces all candidate
+    pairs — instead of `bands` separate self-joins each re-running the
+    signature lineage. The shuffle stays O(docs x bands) — never
+    all-pairs."""
     rows = k // bands
-    out: DataFrame | None = None
-    for b in range(bands):
-        cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
-        banded = sig.select(
-            "doc_id", F.xxhash64(*[F.col(c) for c in cols]).alias("bucket")
-        )
-        x = banded.alias("x")
-        y = banded.alias("y")
-        pairs = x.join(
+    band_hashes = [
+        F.xxhash64(*[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)])
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    return (
+        x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket"))
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
-        ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        out = pairs if out is None else out.unionByName(pairs)
-    assert out is not None
-    return out.distinct()
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 @query("q_dedup_minhash_lsh")
@@ -174,7 +183,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of only the candidate pairs. Same output schema as
     q_dedup_ngram_jaccard; recall vs the exact operator is asserted in
     tests (no SQL oracle — hash family is engine-specific)."""
-    sh = shingles(spark, sf_dir)
+    # The shingle set feeds three consumers (signatures, both verification
+    # sides): persist it once instead of re-deriving from the raw text.
+    sh = shingles(spark, sf_dir).persist()
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))

@@ -43,7 +43,11 @@ def norm(a: Column) -> Column:
 def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with double-precision vectors and precomputed norms.
     Precomputing the norm once per row halves the per-pair flops."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # single-row-group fixture → 1 input partition; repartition so the
+    # O(n^2) cosine work downstream parallelizes across all cores
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return emb.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("vnorm", norm(F.col("vec")))

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the `noop` sink (exercises the
+whole plan — scan, shuffles, codegen — without driver-side collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aram_matchdata_etl_spark.registry import all_queries
+from aram_matchdata_etl_spark.session import default_sf_dir, get_spark
+
+# Representative, scale-relevant subset: the flagship, the shuffle-heavy
+# relational ops, the north-star ops on documents/embeddings, and the
+# streaming-semantics windows. (q_dedup_ngram_jaccard is intentionally
+# excluded: it is the quadratic exact baseline; q_dedup_minhash_lsh is its
+# scale path and IS benched.)
+HEADLINE = [
+    "q_player_rank",
+    "q_groupby_sum",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_topk",
+    "q_count_distinct",
+    "q_quantile",
+    "q_rollup",
+    "q_window_lag",
+    "q_sessionize",
+    "q_event_window_agg",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_embedding_neardup",
+    "q_text_stats",
+    "q_quality_score",
+    "q_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="aram-etl-bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # one untimed warmup: first execution pays whole-stage-codegen JIT
+        # for the query's expression tree (10-20s for the big ones), which
+        # on a real cluster amortizes across the job; measure steady state
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
