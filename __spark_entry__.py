@@ -17,7 +17,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python UDF workers (mapInPandas in the crawl/multimodal operators) import
+# this package by name; they inherit PYTHONPATH, not the driver's sys.path.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO}{os.pathsep}{os.environ['PYTHONPATH']}"
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from aram_matchdata_etl_spark.registry import all_oracles, all_queries  # noqa: E402
 

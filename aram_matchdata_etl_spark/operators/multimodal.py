@@ -1,0 +1,151 @@
+"""Multimodal column plumbing (north-star, BASELINE.json): image/audio/
+video as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The container ships no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features, or NotImplementedError for real codecs —
+clearly marked below). Everything Spark-side is real and tested: schema,
+binary column handling, batch iteration shape, partitioning, and the
+metadata join pattern.
+
+Scale design: binary payloads never pass through a shuffle — derive
+features first (narrow mapInPandas), shuffle only the small feature rows.
+Partition count governs decode parallelism; Arrow batches amortize the
+Python crossing (spark.sql.execution.arrow.maxRecordsPerBatch bounds
+per-batch memory for fat blobs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, payload binary"
+)
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table: each document's text bytes stand in
+    for an encoded image payload, with typed metadata. In production this
+    is `spark.read.format('binaryFile')` or a parquet table with a binary
+    column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """REAL DECODE STUB: the container has no PIL/cv2/ffmpeg. At
+    deployment, swap in the actual codec behind this seam."""
+    raise NotImplementedError(
+        "image/audio decode requires codec libraries not present in this "
+        "environment; extract_features() uses a deterministic fake instead"
+    )
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: the real
+    Arrow-batched plumbing with a deterministic fake featurizer (byte
+    histogram + length) standing in for the codec + model forward pass."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload: bytes = row["payload"]
+                # deterministic fake: 4-bin byte histogram, normalized.
+                # Real path: decode_image(payload) -> resize -> embed.
+                hist = [0, 0, 0, 0]
+                for b in payload:
+                    hist[b >> 6] += 1
+                n = max(len(payload), 1)
+                feats.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": len(payload),
+                        "h0": hist[0] / n,
+                        "h1": hist[1] / n,
+                        "h2": hist[2] / n,
+                        "h3": hist[3] / n,
+                    }
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=["doc_id", "media_type", "n_bytes", "h0", "h1", "h2", "h3"],
+            )
+
+    return media.mapInPandas(
+        featurize,
+        schema=(
+            "doc_id long, media_type string, n_bytes long, "
+            "h0 double, h1 double, h2 double, h3 double"
+        ),
+    )
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' shape for video payloads: explode each payload into
+    fixed-stride chunk offsets (the real op samples frames; the plumbing —
+    one row in, many typed rows out — is identical)."""
+    video = media.filter(F.col("media_type") == "video/mp4")
+    n_frames = F.greatest(
+        (F.length("payload") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    return video.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "offset_idx"),
+    ).select(
+        "doc_id", "frame_no", (F.col("offset_idx") * every_n_bytes).alias("byte_offset")
+    )
+
+
+@query("q_media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction end-to-end (binary column -> mapInPandas ->
+    typed features). Rows-only check: the fake featurizer is engine-side;
+    invariants (histogram sums to 1, n_bytes == n_chars) are asserted in
+    tests/test_northstar.py."""
+    return extract_features(synthetic_media(spark, sf_dir))
+
+
+@query(
+    "q_media_metadata",
+    oracle="""
+SELECT
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS media_type,
+    COUNT(*) AS n_items,
+    CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+    CAST(MIN(doc_id % 640 + 32) AS INTEGER) AS min_width,
+    CAST(MAX(doc_id % 640 + 32) AS INTEGER) AS max_width
+FROM documents GROUP BY 1""",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata profile of the media table (the catalog query a
+    multimodal pipeline runs before scheduling decode work). Payload bytes
+    == text chars in the synthetic table, so the oracle is exact."""
+    media = synthetic_media(spark, sf_dir)
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+    )

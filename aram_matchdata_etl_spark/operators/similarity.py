@@ -133,14 +133,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-bucketed ANN (scale path; rows-only + pytest recall asserts) -------
 
-LSH_PLANES = 8
+LSH_TABLES = 4  # independent hash tables (recall amplification)
+LSH_BITS = 4  # bits per table (bucket granularity)
 
 
-def _hyperplanes(dim: int, n_planes: int = LSH_PLANES) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded, driver-side tiny)."""
     import numpy as np
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
@@ -159,24 +160,42 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
 
 @query("q_ann_lsh")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket corpus by 8-bit signature,
-    each query probes only its own bucket, exact cosine re-rank inside.
-    ~2^8 x less comparison work than brute force; recall vs
-    q_similarity_topk asserted in tests (no SQL oracle: bucketing is
-    engine-side)."""
+    """ANN via multi-table random-hyperplane LSH: 4 independent 4-bit
+    tables; a (query, candidate) pair is probed if they share a bucket in
+    ANY table (posexplode over per-table buckets + equi-join), then exact
+    cosine re-ranks the union. Multi-table is the classic recall
+    amplification: per-table collision prob p^bits, overall
+    1-(1-p^bits)^tables, at a fraction of brute-force comparisons.
+    Recall vs q_similarity_topk asserted in tests (no SQL oracle: the
+    hash family is engine-side)."""
     emb = embeddings_d(spark, sf_dir)
     dim = 64
-    planes = _hyperplanes(dim)
-    sig = emb.withColumn("bucket", signature_col(F.col("vec"), planes))
+    table_sigs = [
+        signature_col(F.col("vec"), _hyperplanes(dim, LSH_BITS, seed=42 + t))
+        for t in range(LSH_TABLES)
+    ]
+    sig = emb.select(
+        "vec_id",
+        "vec",
+        "vnorm",
+        F.posexplode(F.array(*table_sigs)).alias("table_id", "bucket"),
+    )
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("vnorm").alias("qnorm"),
-        F.col("bucket"),
+        "table_id",
+        "bucket",
     )
-    pairs = F.broadcast(q).join(sig, "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cand = (
+        F.broadcast(q)
+        .join(sig, ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "qnorm", "vec_id", "vec", "vnorm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
-    scored = pairs.select("query_id", "vec_id", cosine.alias("raw_cosine"))
+    scored = cand.select("query_id", "vec_id", cosine.alias("raw_cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))

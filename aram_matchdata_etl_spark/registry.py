@@ -40,6 +40,7 @@ def _load_operator_modules() -> None:
     from .operators import (  # noqa: F401
         dedup,
         match_pipeline,
+        multimodal,
         relational,
         similarity,
         streaming_batch,

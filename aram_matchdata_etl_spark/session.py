@@ -28,11 +28,24 @@ def default_cpus() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _export_pythonpath() -> None:
+    """Python UDF workers resolve this package by module reference
+    (cloudpickle pickles mapInPandas closures by name): the repo root must
+    be importable in the worker processes, which inherit PYTHONPATH."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
+
 def get_spark(
     app_name: str = "aram-matchdata-etl-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _export_pythonpath()
     cpus = default_cpus()
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

@@ -1,0 +1,132 @@
+"""Structured Streaming re-expression of the reference's crawl loop
+(SURVEY.md §2.9, EP1/EP2): Celery-beat micro-batches + Redis dedup queues
++ Mongo upsert become stream triggers + state-store dedup + foreachBatch
+merge.
+
+Topology (mirrors the two Redis queues, tasks.py:187-254 / 28-180):
+
+    users table ──(stream A: fetch match ids, dedup forever)──▶ match_ids
+    match_ids  ──(stream B: fetch detail+timeline, ARAM filter,
+                  idempotent upsert)──▶ bronze matches
+                └─(side output: participant puuids, 6 h TTL dedup)──▶ users
+
+Spark cannot cycle one query, so — like the reference's two queues — the
+loop is two independent streams bridged by durable storage (T6).
+
+Scale: dedup state lives in the state store (RocksDB on a real cluster),
+partitioned by key — the distributed form of the Redis SET. Throughput
+ceilings (2,000 ids / 2 min, tasks.py:18) are trigger config:
+``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` + processingTime
+trigger, not hand-rolled sleeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TTL = "6 hours"  # the reference's user-dedup TTL (tasks.py:125-129)
+
+
+def events_stream(spark: SparkSession, source_dir: str, schema_file: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files (stands
+    in for the Kafka topic of ids the reference drains from Redis). The
+    file source requires a DIRECTORY; schema comes from a sample file —
+    streaming sources require an explicit schema."""
+    raw = (
+        spark.readStream.schema(spark.read.parquet(schema_file).schema)
+        .option("maxFilesPerTrigger", 1)  # T2: bounded batch per trigger
+        .parquet(source_dir)
+    )
+    # same ns->us conversion as the batch loader
+    from pyspark.sql import types as T
+
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def dedup_forever(stream: DataFrame, key: str) -> DataFrame:
+    """T4: permanent dedup — the match-id Redis SET (match/queue.py:24-25).
+    State grows unboundedly, exactly as the reference's SET does."""
+    return stream.dropDuplicates([key])
+
+
+def dedup_with_ttl(stream: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+    """T5: TTL dedup — the 6 h SETEX on user ids (redis.py:48-64).
+    Watermark evicts state older than the TTL, like Redis key expiry."""
+    return stream.withWatermark(ts_col, TTL).dropDuplicatesWithinWatermark([key])
+
+
+def windowed_counts(stream: DataFrame) -> DataFrame:
+    """Event-time tumbling window aggregation (capability row §2.9);
+    batch twin with DuckDB oracle: operators/streaming_batch.py
+    q_event_window_agg."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def upsert_sink(target_dir: str, key_cols: list[str]):
+    """T3/S7: idempotent foreachBatch upsert — replace_one(upsert=True)
+    keyed by _id (db/mongodb.py:52-56). Without Delta's MERGE INTO in this
+    environment, emulate last-writer-wins: union the batch with the
+    current table, keep the newest row per key, atomically replace.
+    On Delta/Iceberg this function body becomes a single MERGE statement
+    (and the read-modify-write below is transactional instead of
+    best-effort)."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        from pyspark.sql import Window
+
+        try:
+            current = spark.read.parquet(target_dir)
+            merged = current.unionByName(batch)
+        except Exception:
+            merged = batch
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # materialize before overwrite (source and target overlap)
+        latest.cache()
+        latest.count()
+        latest.write.mode("overwrite").parquet(target_dir)
+        latest.unpersist()
+
+    return apply
+
+
+def run_to_completion(
+    stream_df: DataFrame, sink_fn=None, query_name: str = "out", output_mode: str = "append"
+):
+    """Drive a stream over the (finite) fixture synchronously: memory sink
+    for assertions, or foreachBatch when sink_fn is given."""
+    if sink_fn is not None:
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .foreachBatch(sink_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,117 @@
+"""North-star operator invariants that the DuckDB oracle can't check:
+LSH recall vs the exact operator, sketch error bounds, ANN recall,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates (verified by exact Jaccard) vs the exact quadratic
+    operator: precision is 1.0 by construction (candidates are re-verified)
+    and recall must be high at the 0.5 threshold."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = _pairs(qs["q_dedup_ngram_jaccard"](spark, SF_ORACLE))
+    lsh = _pairs(qs["q_dedup_minhash_lsh"](spark, SF_ORACLE))
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.6, f"LSH recall too low: {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_close_pairs_have_similar_sets(spark):
+    """SimHash pairs at small hamming distance should overlap heavily with
+    exact near-dups — sanity, not a tight bound."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    sim = qs["q_dedup_simhash"](spark, SF_ORACLE)
+    # schema and determinism: same result on re-run
+    a = _pairs(sim)
+    b = _pairs(qs["q_dedup_simhash"](spark, SF_ORACLE))
+    assert a == b
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL sketch within its configured 1% relative error (x5 safety)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r.l_returnflag: (r.n_parts, r.n_supps)
+        for r in qs["q_count_distinct"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.n_parts_approx, r.n_supps_approx)
+        for r in qs["q_approx_distinct"](spark, SF_ORACLE).collect()
+    }
+    for flag, (p, s) in exact.items():
+        ap, as_ = approx[flag]
+        assert abs(ap - p) / p < 0.05
+        assert abs(as_ - s) / s < 0.05
+
+
+def test_ann_lsh_recall(spark):
+    """Bucketed ANN: every hit it returns must be a true neighbor ranking
+    (cosine computed exactly), and recall@10 vs brute force is reported ≥
+    a loose floor (single 8-bit probe ⇒ recall is limited by design)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in qs["q_similarity_topk"](spark, SF_ORACLE).collect()
+    }
+    ann = {(r.query_id, r.vec_id) for r in qs["q_ann_lsh"](spark, SF_ORACLE).collect()}
+    inter = len(ann & exact)
+    assert inter / len(exact) >= 0.2, f"ANN recall@10 too low: {inter}/{len(exact)}"
+
+
+def test_media_features_invariants(spark):
+    """Multimodal plumbing: histogram is a distribution, byte length
+    matches the catalog metadata, every media type flows through."""
+    from aram_matchdata_etl_spark.registry import all_queries
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    feats = all_queries()["q_media_features"](spark, SF_SMOKE)
+    bad_hist = feats.filter(
+        F.abs(F.col("h0") + F.col("h1") + F.col("h2") + F.col("h3") - 1.0) > 1e-9
+    )
+    assert bad_hist.count() == 0
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    joined = feats.join(docs, "doc_id").filter(F.col("n_bytes") != F.col("n_chars"))
+    assert joined.count() == 0
+    assert feats.select("media_type").distinct().count() == 3
+
+
+def test_decode_stub_raises(spark):
+    from aram_matchdata_etl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_shape(spark):
+    from aram_matchdata_etl_spark.operators.multimodal import (
+        frame_sample,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, SF_SMOKE)
+    frames = frame_sample(media)
+    assert frames.columns == ["doc_id", "frame_no", "byte_offset"]
+    # frame numbering starts at 0 and offsets are stride-aligned
+    bad = frames.filter((F.col("byte_offset") % 64 != 0) | (F.col("frame_no") < 0))
+    assert bad.count() == 0
+    assert frames.count() > 0
