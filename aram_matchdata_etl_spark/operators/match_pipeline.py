@@ -129,6 +129,12 @@ def player_features(df: DataFrame) -> DataFrame:
     """
     team_w = Window.partitionBy("match_id", "team_id")
     dur_min = F.col("game_duration") / F.lit(60.0)
+    # ONE shuffle for the whole pipeline: hash-partitioning on match_id
+    # co-locates every (match_id, team_id) group too (subset clustering),
+    # so both this window and the downstream per-match rank window reuse
+    # this single exchange instead of shuffling twice (verified by
+    # tests/test_plans.py::test_flagship_single_exchange).
+    df = df.repartition("match_id")
     df = df.withColumn("team_deaths", F.sum("deaths").over(team_w))
     df = df.select(
         "match_id",

@@ -1,0 +1,214 @@
+"""Second relational sweep: fitted-statistic ops (label encode, quantile
+clip), metric aggregates, JSON shredding, cube/ntile capability rows, and
+the salted group-by skew pattern (SURVEY §2.4/§2.8, §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.match_view import oracle_player_base_cte, player_base
+from ..sources.tables import load_table
+
+
+@query(
+    "q_label_encode",
+    oracle=oracle_player_base_cte()
+    + """,
+vocab AS (
+    SELECT champion, CAST(ROW_NUMBER() OVER (ORDER BY champion) - 1 AS INT) AS champion_code
+    FROM (SELECT DISTINCT champion FROM player_base) d
+)
+SELECT p.match_id, p.puuid, p.champion,
+    COALESCE(v.champion_code, -1) AS champion_code
+FROM player_base p LEFT JOIN vocab v ON p.champion = v.champion""",
+)
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: categorical -> int encode with unseen -> -1
+    (feature_factory.py:254-263). Deterministic vocabulary (alphabetical)
+    instead of first-seen order so the oracle agrees; the vocab is tiny ->
+    broadcast map-side join, no fact shuffle. StringIndexer covers the
+    ML-pipeline variant (ml/ranking.py)."""
+    base = player_base(spark, sf_dir)
+    vocab_w = Window.orderBy("champion")
+    vocab = (
+        base.select("champion")
+        .distinct()
+        .withColumn("champion_code", (F.row_number().over(vocab_w) - 1).cast("int"))
+    )
+    return (
+        base.join(F.broadcast(vocab), "champion", "left")
+        .select(
+            "match_id",
+            "puuid",
+            "champion",
+            F.coalesce("champion_code", F.lit(-1)).alias("champion_code"),
+        )
+    )
+
+
+@query(
+    "q_quantile_clip",
+    oracle="""
+WITH bounds AS (
+    SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+           quantile_cont(l_extendedprice, 0.99) AS hi
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+    LEAST(GREATEST(l_extendedprice, b.lo), b.hi) AS price_clipped
+FROM lineitem, bounds b""",
+)
+def q_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+F8: winsorize to the global [q01, q99] (feature_factory.py:230-238).
+    Quantiles computed in one pass, then broadcast as a 1-row dimension —
+    the fit-once/apply-everywhere shape that ml/ranking.py uses per split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    return li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias(
+            "price_clipped"
+        ),
+    )
+
+
+@query(
+    "q_error_metrics",
+    oracle="""
+SELECT
+    ROUND(AVG((l_extendedprice - l_quantity * p_retailprice)
+        * (l_extendedprice - l_quantity * p_retailprice)), 4) AS mse,
+    ROUND(SQRT(AVG((l_extendedprice - l_quantity * p_retailprice)
+        * (l_extendedprice - l_quantity * p_retailprice))), 4) AS rmse,
+    ROUND(AVG(ABS(l_extendedprice - l_quantity * p_retailprice)), 4) AS mae,
+    ROUND(MEDIAN(ABS(l_extendedprice - l_quantity * p_retailprice)), 4) AS median_ae
+FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def q_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: MSE/RMSE/MAE/median-AE (test_modeling.py:81-86,118-120) as one
+    distributed aggregation — here 'prediction' is the list-price estimate
+    quantity*retailprice vs the actual extended price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    err = F.col("l_extendedprice") - F.col("l_quantity") * F.col("p_retailprice")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(F.avg(err * err), 4).alias("mse"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.median(F.abs(err)), 4).alias("median_ae"),
+    )
+
+
+@query(
+    "q_json_shred",
+    oracle="""
+SELECT event_id, event_type,
+    CAST(json_extract(props, '$.k') AS INTEGER) AS k
+FROM events""",
+)
+def q_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: full JSON shred against an explicit schema (from_json — the
+    schema-on-write bronze parse, SURVEY §1.3), not per-path string
+    extraction like q_json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+    COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE capability row (SURVEY §2.4): all 4 grouping sets in one pass
+    (Spark expands grouping sets without rescanning)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+    NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+FROM customer""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile capability row (SURVEY §2.5). Deterministic tie-break via the
+    unique key. Single unpartitioned window: fine for a 1.5k-row dim; on a
+    fact table use bucketed approxQuantile boundaries instead."""
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@query(
+    "q_groupby_salted",
+    oracle="""
+SELECT l_returnflag, ROUND(SUM(l_extendedprice), 4) AS total_price, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern (SURVEY §4 / guide): two-stage salted aggregation.
+    l_returnflag has only ~3 values — the worst-case skew for a direct
+    groupBy (3 reducers own everything). Stage 1 groups on
+    (key, salt=hash%16) spreading each hot key over 16 reducers; stage 2
+    merges the 48 partials. Oracle = the plain GROUP BY it must equal.
+    Sums are integer-free doubles, so stage order matters: both stages sum
+    the same partitions' partials — ROUND(4) absorbs the reorder."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = (
+        li.withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("l_extendedprice").alias("partial_sum"), F.count("*").alias("partial_n"))
+    )
+    return salted.groupBy("l_returnflag").agg(
+        F.round(F.sum("partial_sum"), 4).alias("total_price"),
+        F.sum("partial_n").alias("n"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+SELECT doc_id,
+    list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_words,
+    CAST(len(list_filter(string_split(text, ' '), w -> LENGTH(w) > 5)) AS INTEGER)
+        AS n_long_words,
+    ROUND(list_sum(list_transform(string_split(text, ' '),
+        w -> CAST(LENGTH(w) AS DOUBLE))) / len(string_split(text, ' ')), 6)
+        AS avg_word_len
+FROM documents""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order function surface (SURVEY §2.8 'free' row):
+    sort/distinct/slice, lambda filter, transform+aggregate — all
+    JVM-evaluated, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    word_lens = F.transform(words, lambda w: F.length(w).cast("double"))
+    return docs.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(words)), 1, 5).alias("first_words"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
+        F.round(
+            F.aggregate(word_lens, F.lit(0.0), lambda acc, x: acc + x) / F.size(words), 6
+        ).alias("avg_word_len"),
+    )

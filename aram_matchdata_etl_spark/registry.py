@@ -42,6 +42,7 @@ def _load_operator_modules() -> None:
         match_pipeline,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         streaming_batch,
         text,

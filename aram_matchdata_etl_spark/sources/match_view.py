@@ -110,3 +110,61 @@ def player_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_player_base_cte(alias: str = "player_base") -> str:
     """The same view as a DuckDB CTE fragment: ``WITH <alias> AS (...)``."""
     return f"WITH {alias} AS ({PLAYER_BASE_SQL})"
+
+
+def matches_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze match DOCUMENTS: the reference's nested Mongo shape
+    (SURVEY §1.1 — {match_id, game_*, participants: array<struct x10>})
+    rebuilt from the flat view via sort_array(collect_list(struct)).
+    sort_array pins participant order (slot asc) because collect_list is
+    arrival-ordered, hence nondeterministic under parallelism."""
+    from pyspark.sql import functions as F
+
+    pb = player_base(spark, sf_dir)
+    participant = F.struct(
+        (F.col("row_uid") % 10).cast("int").alias("slot"),
+        "puuid",
+        "champion",
+        "team_id",
+        "win",
+        "kills",
+        "deaths",
+        "assists",
+        "total_damage_to_champions",
+        "gold_earned",
+        "kill_participation",
+    )
+    return (
+        pb.groupBy("match_id", "game_mode", "game_duration", "game_version")
+        .agg(F.sort_array(F.collect_list(participant)).alias("participants"))
+    )
+
+
+def explode_matches(nested: DataFrame) -> DataFrame:
+    """Inverse of matches_nested: the 10-participant fan-out (P5,
+    data_extractor.py:84-91) over the true nested document shape."""
+    from pyspark.sql import functions as F
+
+    return nested.select(
+        "match_id",
+        "game_mode",
+        "game_duration",
+        "game_version",
+        F.explode("participants").alias("p"),
+    ).select(
+        "match_id",
+        "game_mode",
+        "game_duration",
+        "game_version",
+        "p.slot",
+        "p.puuid",
+        "p.champion",
+        "p.team_id",
+        "p.win",
+        "p.kills",
+        "p.deaths",
+        "p.assists",
+        "p.total_damage_to_champions",
+        "p.gold_earned",
+        "p.kill_participation",
+    )

@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast strategy, minimal exchanges) are
+asserted against `.explain` output so a refactor can't silently lose them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2: the equality predicate must appear in the parquet scan's
+    PushedFilters, not as a post-scan Filter only."""
+    plan = _plan(spark, "q_filter_eq")
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "").replace(
+        "c_mktsegment#", "c_mktsegment,"
+    ) or "c_mktsegment" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    """P1: projection prunes the parquet ReadSchema to the 3 selected
+    columns — no full-row scan for a 3-column query."""
+    plan = _plan(spark, "q_project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema and "o_orderstatus" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    """Small dims must broadcast (hash join), never sort-merge."""
+    plan = _plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_single_exchange(spark):
+    """The whole flagship pipeline (team window + rank window) runs on ONE
+    hash exchange: partitioning by match_id satisfies both windows'
+    clustering requirements."""
+    plan = _plan(spark, "q_player_rank")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """O2: ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    heaps, O(k) memory), not a global sort."""
+    plan = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    """J3: the EXISTS shape plans as a semi join (no row multiplication)."""
+    plan = _plan(spark, "q_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    """The feature expressions must run inside whole-stage codegen, not
+    interpreted projection. AQE only materializes codegen stages in the
+    FINAL plan, so execute first."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_player_rank"](spark, SF_ORACLE)
+    df.collect()  # .write would spawn a separate QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen stages render as "*(n)" markers in the final plan
+    assert "*(" in plan
+
+
+def test_no_cartesian_in_registry_except_intended(spark):
+    """Guardrail: nothing plans an accidental CartesianProduct. The
+    intended brute-force similarity scans use broadcast nested-loop (small
+    side broadcast), which is fine; a CartesianProduct of two big sides is
+    always a bug."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
