@@ -214,7 +214,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle(
         f"""
 SELECT {_FLAGSHIP_COLS},
-    RANK() OVER (PARTITION BY match_id ORDER BY performance_score DESC) AS rank_in_match
+    CAST(RANK() OVER (PARTITION BY match_id ORDER BY performance_score DESC) AS INTEGER) AS rank_in_match
 FROM labeled"""
     ),
 )
@@ -227,7 +227,8 @@ def q_player_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle(
         """
 SELECT match_id, puuid, performance_score,
-    RANK() OVER (PARTITION BY match_id ORDER BY performance_score DESC) AS rank_in_match
+    CAST(RANK() OVER (PARTITION BY match_id ORDER BY performance_score DESC) AS INTEGER)
+        AS rank_in_match
 FROM labeled"""
     ),
 )
@@ -246,9 +247,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle(
         """
 SELECT match_id, puuid, performance_score,
-    ROW_NUMBER() OVER (
+    CAST(ROW_NUMBER() OVER (
         PARTITION BY match_id ORDER BY performance_score DESC, puuid, row_uid
-    ) AS pred_rank
+    ) AS INTEGER) AS pred_rank
 FROM labeled"""
     ),
 )
@@ -272,7 +273,7 @@ def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _FILTERED_CTE
     + """
 SELECT match_id, team_id, puuid, deaths,
-    SUM(deaths) OVER (PARTITION BY match_id, team_id) AS team_deaths
+    CAST(SUM(deaths) OVER (PARTITION BY match_id, team_id) AS BIGINT) AS team_deaths
 FROM filtered""",
 )
 def q_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -591,8 +591,8 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
-        ROW_NUMBER() OVER (
-            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
     FROM orders
 ) t WHERE rn <= 3""",
 )

@@ -146,7 +146,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_ntile",
     oracle="""
 SELECT c_custkey, c_acctbal,
-    NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS balance_quartile
 FROM customer""",
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,6 +182,38 @@ def q_groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted.groupBy("l_returnflag").agg(
         F.round(F.sum("partial_sum"), 4).alias("total_price"),
         F.sum("partial_n").alias("n"),
+    )
+
+
+@query(
+    "q_dead_letter",
+    oracle="""
+SELECT event_id,
+    (event_id % 13 = 0) AS is_corrupt,
+    CASE WHEN event_id % 13 = 0 THEN NULL
+         ELSE CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+FROM events""",
+)
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: per-record error isolation (the reference's
+    return_exceptions=True skip-and-continue, tasks.py:86-115). Corrupt
+    payloads are synthesized deterministically, parsed in PERMISSIVE mode
+    (from_json -> NULL on malformed input), and flagged — the flagged rows
+    are the dead-letter stream, the rest continue. The ORACLE derives
+    corruptness from construction, so it cross-checks Spark's permissive
+    parser against ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 13 == 0, F.concat(F.lit("{bad"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields a struct of NULL fields (not a NULL
+    # struct) on malformed input; k is always present in valid payloads,
+    # so a null k IS the corruption signal.
+    parsed = F.from_json(corrupted, "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").isNull().alias("is_corrupt"),
+        parsed.getField("k").alias("k"),
     )
 
 

@@ -69,10 +69,10 @@ emb AS (
 SELECT query_id, vec_id, cosine, rnk FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         ROUND(list_dot_product(q.vec, c.vec) / (q.vnorm * c.vnorm), 6) AS cosine,
-        ROW_NUMBER() OVER (
+        CAST(ROW_NUMBER() OVER (
             PARTITION BY q.vec_id
             ORDER BY list_dot_product(q.vec, c.vec) / (q.vnorm * c.vnorm) DESC, c.vec_id
-        ) AS rnk
+        ) AS INTEGER) AS rnk
     FROM emb q, emb c
     WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
 ) t WHERE rnk <= {TOPK}""",

@@ -1,0 +1,61 @@
+"""Storage-layout scale properties: partition pruning and shuffle-free
+bucketed joins, asserted against the physical plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_partition_pruning(spark, tmp_path):
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.sources.warehouse import write_partitioned
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["o_orderpriority"])
+
+    filtered = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    # semantics unchanged
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert filtered.count() == want
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.sources.warehouse import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey")
+    write_bucketed(li, "lineitem_b", "l_orderkey")
+
+    # the fixture tables are broadcast-size, which would bypass bucketing;
+    # disable broadcast to demonstrate the co-located sort-merge join the
+    # layout buys at real scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = read_table(spark, "orders_b")
+        b = read_table(spark, "lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # same answer as the unbucketed join
+        plain = orders.select("o_orderkey", "o_totalprice").join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
