@@ -27,6 +27,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.evaluation import RegressionEvaluator
 from pyspark.ml.feature import RobustScaler, StringIndexer, VectorAssembler
@@ -236,6 +239,57 @@ def train_ensemble(
     # final fit on the full training set with the chosen weights
     final = {name: build_pipeline(models[name]).fit(train) for name in models}
     return RankingEnsemble(models=final, weights=weights, clip_bounds=clip_bounds)
+
+
+def cross_validate_linear(train: DataFrame, n_folds: int = 3):
+    """U4: CrossValidator (the reference's 5-fold cross_val_score,
+    modeling.py:94-101) over the regularization strength of the linear
+    stage. Folds are Spark-managed; each fit is distributed."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    lr = LinearRegression(labelCol=LABEL, featuresCol="features")
+    pipe = build_pipeline(lr)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.001, 0.01, 0.1])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            labelCol=LABEL, predictionCol="prediction", metricName="mse"
+        ),
+        numFolds=n_folds,
+        seed=SEED,
+        parallelism=4,
+    )
+    return cv.fit(train)
+
+
+def linear_pandas_udf_scorer(lr_pipeline_model: PipelineModel):
+    """U3: vectorized model inference as a Pandas UDF — the pattern for
+    models Spark ML can't host (xgb/lgb in the reference,
+    modeling.py:145-169). The model parameters are captured in the closure
+    (Spark broadcasts them with the task); scoring is numpy over Arrow
+    batches, never row-at-a-time Python.
+
+    Here the 'external model' is the linear stage's (coefficients,
+    intercept) pulled out of Spark ML — which also gives an exact parity
+    target: the UDF must reproduce PipelineModel.transform bit-for-bit
+    modulo float summation order (asserted in tests)."""
+    from pyspark.sql.functions import pandas_udf
+
+    lr_model = lr_pipeline_model.stages[-1]
+    coef = np.array(lr_model.coefficients.toArray())
+    intercept = float(lr_model.intercept)
+
+    @pandas_udf("double")
+    def score(features: pd.Series) -> pd.Series:
+        mat = np.stack(features.to_numpy())
+        return pd.Series(mat @ coef + intercept)
+
+    return score
 
 
 def evaluate(pred: DataFrame) -> dict[str, float]:

@@ -35,21 +35,31 @@ shingles AS (
 )"""
 
 
+def bigram_col(toks):
+    """Word-bigram array from a token array — zip of the array with its
+    own tail. NOTE: the naive `sequence(1, size-1)` formulation is a trap:
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not empty), so
+    single-token documents crash on element_at — found by the hypothesis
+    differential test. slice() degrades to an empty array instead."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-bigram shingles per document, built with native array
-    functions (sequence + transform + explode — all codegen, no UDF)."""
+    functions (slice + zip_with + explode — all codegen, no UDF)."""
     # fixture files are single-row-group → 1 input partition; spread the
     # shingle fan-out across the cluster before the explode
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
-    )
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("shingle"))
+        docs.select("doc_id", F.explode(bigram_col(toks)).alias("shingle"))
         .distinct()
     )
 

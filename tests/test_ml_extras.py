@@ -1,0 +1,69 @@
+"""CrossValidator and pandas_udf inference (SURVEY §2.10 U3/U4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def silver(spark):
+    from aram_matchdata_etl_spark.ml.ranking import silver_with_derived
+
+    return silver_with_derived(spark, SF_SMOKE).cache()
+
+
+def test_cross_validator_picks_a_model(spark, silver):
+    from aram_matchdata_etl_spark.ml.ranking import cross_validate_linear
+
+    cv_model = cross_validate_linear(silver)
+    assert len(cv_model.avgMetrics) == 3
+    assert all(m > 0 for m in cv_model.avgMetrics)
+    pred = cv_model.transform(silver)
+    assert pred.filter(F.isnan("prediction") | F.col("prediction").isNull()).count() == 0
+
+
+def test_pandas_udf_inference_matches_spark_ml(spark, silver):
+    """The Arrow-vectorized UDF scorer reproduces PipelineModel.transform
+    on the SAME features to float tolerance (summation-order only)."""
+    from aram_matchdata_etl_spark.ml.ranking import (
+        LABEL,
+        LinearRegression,
+        build_pipeline,
+        linear_pandas_udf_scorer,
+    )
+
+    lr = LinearRegression(labelCol=LABEL, featuresCol="features", regParam=0.01)
+    pm = build_pipeline(lr).fit(silver)
+    scored_ml = pm.transform(silver).select("row_uid", "features", "prediction")
+
+    # pandas_udf needs a plain array column, not the ML VectorUDT
+    from pyspark.ml.functions import vector_to_array
+
+    udf = linear_pandas_udf_scorer(pm)
+    scored_udf = scored_ml.withColumn(
+        "prediction_udf", udf(vector_to_array("features"))
+    )
+    diff = scored_udf.agg(
+        F.max(F.abs(F.col("prediction") - F.col("prediction_udf"))).alias("d")
+    ).first()["d"]
+    assert diff < 1e-9, diff
+
+
+def test_rank_accuracy_ordering(spark, silver):
+    """BASELINE.md ML parity target: rank-accuracy ordering
+    exact <= within-1 <= within-2 (and all well-defined)."""
+    from aram_matchdata_etl_spark.ml.ranking import (
+        evaluate,
+        match_level_split,
+        train_ensemble,
+    )
+
+    train, test = match_level_split(silver)
+    ens = train_ensemble(train)
+    m = evaluate(ens.predict(test))
+    assert 0 <= m["rank_acc_exact"] <= m["rank_acc_1"] <= m["rank_acc_2"] <= 1
+    assert m["rmse"] == pytest.approx(m["mse"] ** 0.5, rel=1e-9)

@@ -1,0 +1,158 @@
+"""Property-based differential tests (hypothesis): engine semantics vs
+pure-Python reference implementations on generated inputs — the test
+strategy upgrade over the reference's eyeball-golden-file (SURVEY §5)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+TTL = 6 * 3600
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user_id
+        st.integers(min_value=0, max_value=3 * 86400),  # ts offset seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+scores_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group
+        st.integers(min_value=0, max_value=5),  # score (small => ties)
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_ttl_dedup_matches_python_reference(spark, events):
+    """First-event-per-(user, TTL-bucket) — the q_dedup_ttl semantics —
+    equals a dict-based Python simulation of the Redis SETEX dedup."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(seconds=off)) for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    bucket = F.floor(F.unix_timestamp("ts") / TTL).cast("bigint")
+    w = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    got = {
+        r.event_id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    # python reference: first arrival per (user, epoch-bucket), arrival
+    # order = (ts, event_id)
+    seen: set[tuple[int, int]] = set()
+    want = set()
+    for i, u, ts in sorted(rows, key=lambda r: (r[2], r[0])):
+        b = int(ts.timestamp()) // TTL
+        if (u, b) not in seen:
+            seen.add((u, b))
+            want.add(i)
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scores=scores_strategy)
+def test_rank_semantics_match_pandas(spark, scores):
+    """W1/W2 duality on tied data: Spark RANK == pandas rank(method='min',
+    ascending=False); ROW_NUMBER is a strict 1..n permutation refining it."""
+    import pandas as pd
+
+    rows = [(i, g, float(s)) for i, (g, s) in enumerate(scores)]
+    df = spark.createDataFrame(rows, "rid long, grp long, score double")
+
+    rank_w = Window.partitionBy("grp").orderBy(F.desc("score"))
+    rn_w = Window.partitionBy("grp").orderBy(F.desc("score"), "rid")
+    got = {
+        r.rid: (r.rnk, r.rn)
+        for r in df.select(
+            "rid",
+            F.rank().over(rank_w).alias("rnk"),
+            F.row_number().over(rn_w).alias("rn"),
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["rid", "grp", "score"])
+    pdf["rnk"] = (
+        pdf.groupby("grp")["score"].rank(method="min", ascending=False).astype(int)
+    )
+    for rid, grp, _ in rows:
+        assert got[rid][0] == int(pdf.loc[pdf.rid == rid, "rnk"].iloc[0])
+    # ROW_NUMBER: strict permutation per group, consistent with RANK
+    per_group = defaultdict(list)
+    for rid, (rnk, rn) in got.items():
+        per_group[pdf.loc[pdf.rid == rid, "grp"].iloc[0]].append((rn, rnk))
+    for grp, pairs in per_group.items():
+        rns = sorted(p[0] for p in pairs)
+        assert rns == list(range(1, len(pairs) + 1))
+        # row_number never precedes its rank
+        for rn, rnk in pairs:
+            assert rn >= rnk
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30).map(str.strip).filter(bool),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_exact_jaccard_matches_python(spark, texts):
+    """q_dedup_ngram_jaccard's join-based set algebra == a direct Python
+    set computation on arbitrary (tiny-alphabet, tie-heavy) corpora."""
+    from aram_matchdata_etl_spark.operators.dedup import bigram_col, exact_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select("doc_id", F.explode(bigram_col(toks)).alias("shingle")).distinct()
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_jaccard_pairs(sh, threshold=0.0).collect()
+    }
+
+    def pyshingles(t):
+        ws = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    for i, ti in rows:
+        for j, tj in rows:
+            if i >= j:
+                continue
+            si, sj = pyshingles(ti), pyshingles(tj)
+            inter = len(si & sj)
+            if not si or not sj or inter == 0:
+                assert (i, j) not in got
+                continue
+            want = inter / len(si | sj)
+            assert (i, j) in got
+            assert got[(i, j)] == pytest.approx(want, abs=1e-6)
