@@ -33,6 +33,9 @@ def events_stream(spark: SparkSession, source_dir: str, schema_file: str) -> Dat
     in for the Kafka topic of ids the reference drains from Redis). The
     file source requires a DIRECTORY; schema comes from a sample file —
     streaming sources require an explicit schema."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)  # foreign sessions: nanos timestamps, UTC
     raw = (
         spark.readStream.schema(spark.read.parquet(schema_file).schema)
         .option("maxFilesPerTrigger", 1)  # T2: bounded batch per trigger

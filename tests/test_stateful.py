@@ -1,0 +1,63 @@
+"""applyInPandasWithState: per-user crawl-budget counter semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+EVENTS_FILE = f"{SF_SMOKE}/events.parquet"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    os.symlink(EVENTS_FILE, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_budget_tracker_counts_and_throttles(spark, events_dir):
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.crawl import events_stream, run_to_completion
+    from aram_matchdata_etl_spark.streaming.stateful import track_budgets
+
+    stream = events_stream(spark, events_dir, EVENTS_FILE)
+    run_to_completion(
+        track_budgets(stream, budget=5), query_name="budget_out", output_mode="append"
+    )
+    out = spark.table("budget_out")
+    batch = load_table(spark, SF_SMOKE, "events")
+
+    # one output row per input event
+    assert out.count() == batch.count()
+    # per user: seen_before is 0..n-1 (a strict counter)
+    stats = (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("seen_before").alias("lo"),
+            F.max("seen_before").alias("hi"),
+            F.countDistinct("seen_before").alias("k"),
+        )
+        .agg(
+            F.max(F.col("lo") != 0).alias("bad_lo"),
+            F.max(F.col("hi") != F.col("n") - 1).alias("bad_hi"),
+            F.max(F.col("k") != F.col("n")).alias("bad_k"),
+        )
+        .first()
+    )
+    assert not stats.bad_lo and not stats.bad_hi and not stats.bad_k
+    # throttling: exactly the events past the budget are flagged
+    flagged = out.filter("throttled != (seen_before >= 5)")
+    assert flagged.count() == 0
+    # each user contributes at most 5 unthrottled events
+    over = (
+        out.filter(~F.col("throttled"))
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") > 5)
+    )
+    assert over.count() == 0
