@@ -1,0 +1,108 @@
+"""As-of join — the canonical missing-operator composition (guide: Spark
+has no native as-of join; DuckDB does, which makes a perfect differential
+oracle: our composition vs the built-in).
+
+Semantics: for each left row (key, t), attach the greatest right-side t'
+<= t for the same key (trailing match). Composition (scale-correct — no
+range-join explosion):
+
+    tag both sides, UNION, window over (key) ORDER BY (t, side) with
+    last_value(right_value IGNORE NULLS) over the unbounded-preceding
+    frame, keep left rows.
+
+One exchange on the key, one sort — same cost as a sort-merge join; never
+materializes the O(left x right) candidate pairs a naive range join would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_t: str,
+    right_t: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Trailing as-of join: left rows get the latest right values with
+    right_t <= left_t per key. Left columns are preserved."""
+    lcols = left.columns
+    l = left.withColumn("_t", F.col(left_t)).withColumn("_side", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r = right.withColumn("_t", F.col(right_t)).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c != key and c not in right.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = [key, "_t", "_side", *[c for c in lcols if c != key], *value_cols]
+    unioned = l.select(*cols).unionByName(r.select(*cols))
+    # right rows sort BEFORE left rows at equal t (side 0 < 1) => ties are
+    # inclusive (right_t == left_t matches), like ASOF JOIN's >=
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in lcols],
+            *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+WITH l AS (
+    SELECT event_id,
+        CAST(user_id % 50 + 1 AS BIGINT) AS custkey,
+        788918400 + (event_id * 9973) % 220000000 AS t
+    FROM events
+),
+r AS (
+    SELECT o_custkey AS custkey,
+        CAST(epoch(o_orderdate) AS BIGINT) AS t,
+        MAX(o_totalprice) AS best_price
+    FROM orders GROUP BY 1, 2
+)
+SELECT l.event_id, l.custkey, l.t, r.best_price AS last_price
+FROM l ASOF LEFT JOIN r ON l.custkey = r.custkey AND l.t >= r.t""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join differential: events mapped onto the orders time axis,
+    each event picks the customer's most recent order price at or before
+    its timestamp. The oracle uses DuckDB's NATIVE ASOF JOIN — so the
+    union+window composition is checked against a first-class
+    implementation, not against itself. Right side is pre-aggregated to
+    one row per (key, t) so the pick is deterministic under date ties."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        (F.col("user_id") % 50 + 1).cast("bigint").alias("custkey"),
+        (F.lit(788918400) + (F.col("event_id") * 9973) % 220000000).alias("t"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_timestamp("o_orderdate").alias("t"),
+            "o_totalprice",
+        )
+        .groupBy("custkey", "t")
+        .agg(F.max("o_totalprice").alias("last_price"))
+    )
+    return asof_join(
+        left, right, key="custkey", left_t="t", right_t="t", value_cols=["last_price"]
+    )

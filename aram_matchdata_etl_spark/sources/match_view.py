@@ -81,9 +81,9 @@ SELECT
     CAST((vkey * 11) % 1200 AS INT)                       AS longest_time_spent_living,
     CAST(vkey % 41 AS INT)                                AS items_purchased,
     CASE WHEN vkey % 7 = 0 THEN NULL
-         ELSE ((vkey * 17) % 101) / 100.0 END             AS kill_participation,
+         ELSE ((vkey * 17) % 101) / CAST(100 AS DOUBLE) END AS kill_participation,
     CASE WHEN vkey % 11 = 0 THEN NULL
-         ELSE ((vkey * 19) % 101) / 100.0 END             AS team_damage_percentage,
+         ELSE ((vkey * 19) % 101) / CAST(100 AS DOUBLE) END AS team_damage_percentage,
     CASE WHEN vkey % 13 = 0 THEN NULL
          ELSE CAST((vkey * 23) % 201 AS INT) END          AS skillshots_hit,
     CASE WHEN vkey % 17 = 0 THEN NULL
