@@ -38,6 +38,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_operator_modules() -> None:
     # Import for registration side effects.
     from .operators import (  # noqa: F401
+        advanced,
         asof,
         dedup,
         match_pipeline,
