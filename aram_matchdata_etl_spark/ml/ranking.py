@@ -292,6 +292,30 @@ def linear_pandas_udf_scorer(lr_pipeline_model: PipelineModel):
     return score
 
 
+def feature_importances(ens: RankingEnsemble) -> "pd.DataFrame":
+    """Cross-model feature-importance matrix (modeling.py:215-243): one row
+    per feature, per-model importance + mean/std. Tree models expose
+    featureImportances; the linear stage contributes |coefficient|. The
+    matrix is (n_features x n_models) scalars — driver-side by nature."""
+    rows: dict[str, dict[str, float]] = {}
+    names = ["champion_id", *BASE_FEATURES]
+    for mname, pm in ens.models.items():
+        reg = pm.stages[-1]
+        if hasattr(reg, "featureImportances"):
+            vals = reg.featureImportances.toArray()
+        else:
+            vals = np.abs(reg.coefficients.toArray())
+        for f, v in zip(names, vals):
+            rows.setdefault(f, {})[mname] = float(v)
+    out = pd.DataFrame(
+        [{"feature": f, **per_model} for f, per_model in rows.items()]
+    )
+    model_cols = list(ens.models)
+    out["mean_importance"] = out[model_cols].mean(axis=1)
+    out["std_importance"] = out[model_cols].std(axis=1)
+    return out.sort_values("mean_importance", ascending=False).reset_index(drop=True)
+
+
 def evaluate(pred: DataFrame) -> dict[str, float]:
     """MSE/RMSE/MAE + rank accuracy (test_modeling.py:81-123) — all as ONE
     distributed aggregation; only scalars reach the driver."""

@@ -319,6 +319,32 @@ def q_groupjoin_deathshare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_champion_stats",
+    oracle=_oracle(
+        """
+SELECT champion,
+    COUNT(*) AS games,
+    AVG(CASE WHEN win THEN 1.0 ELSE 0.0 END) AS win_rate,
+    ROUND(AVG(performance_score), 4) AS avg_score,
+    ROUND(AVG(kda), 4) AS avg_kda
+FROM labeled GROUP BY champion"""
+    ),
+)
+def q_champion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain's headline aggregate: per-champion games / win rate /
+    average performance — the query an ARAM balance analyst runs over the
+    silver table (the reference prints per-cohort variants of this,
+    test_labeling.py:79-89)."""
+    df = performance_scored(player_features(filtered_players(spark, sf_dir)))
+    return df.groupBy("champion").agg(
+        F.count("*").alias("games"),
+        F.avg(F.when(F.col("win"), 1.0).otherwise(0.0)).alias("win_rate"),
+        F.round(F.avg("performance_score"), 4).alias("avg_score"),
+        F.round(F.avg("kda"), 4).alias("avg_kda"),
+    )
+
+
+@query(
     "q_derived_features",
     oracle=_oracle(
         """

@@ -107,6 +107,19 @@ def test_ensemble_trains_and_ranks(ensemble_and_eval):
     assert metrics["rank_acc_2"] > 0.3
 
 
+def test_feature_importances(ensemble_and_eval):
+    """modeling.py:215-243 analogue: per-feature cross-model importance
+    matrix with mean/std; tree importances are a distribution."""
+    from aram_matchdata_etl_spark.ml.ranking import BASE_FEATURES, feature_importances
+
+    ens, _, _ = ensemble_and_eval
+    fi = feature_importances(ens)
+    assert len(fi) == len(BASE_FEATURES) + 1  # + champion_id
+    assert set(ens.models) < set(fi.columns)
+    assert (fi["gbt"] >= 0).all() and abs(fi["gbt"].sum() - 1.0) < 1e-6
+    assert fi["mean_importance"].iloc[0] >= fi["mean_importance"].iloc[-1]
+
+
 def test_save_load_parity(spark, tmp_path, ensemble_and_eval, silver):
     """S13: persisted ensemble reproduces predictions exactly
     (test_result.txt:321 'max diff = 0.0000000000')."""
