@@ -148,14 +148,29 @@ def build_pipeline(model) -> Pipeline:
 
 
 def default_models() -> dict[str, object]:
-    """Stand-ins for the reference's xgb/lgb/rf/et/gbm quintet
-    (modeling.py:16-68) from Spark ML's stock regressors."""
+    """Five regressors mirroring the reference's xgb/lgb/rf/et/gbm quintet
+    (modeling.py:16-68) from Spark ML's stock estimators: two boosted-tree
+    configs (xgb/lgb stand-ins), a random forest, a single deep tree
+    (extra-trees stand-in), and a ridge linear model."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
     return {
         "gbt": GBTRegressor(
             labelCol=LABEL, featuresCol="features", maxIter=30, maxDepth=5, seed=SEED
         ),
+        "gbt_shallow": GBTRegressor(
+            labelCol=LABEL,
+            featuresCol="features",
+            maxIter=50,
+            maxDepth=3,
+            stepSize=0.2,
+            seed=SEED + 7,
+        ),
         "rf": RandomForestRegressor(
             labelCol=LABEL, featuresCol="features", numTrees=50, maxDepth=8, seed=SEED
+        ),
+        "dt": DecisionTreeRegressor(
+            labelCol=LABEL, featuresCol="features", maxDepth=10, seed=SEED
         ),
         "lr": LinearRegression(
             labelCol=LABEL, featuresCol="features", regParam=0.01, elasticNetParam=0.0
