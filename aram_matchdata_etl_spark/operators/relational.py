@@ -377,6 +377,23 @@ def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_quantile_approx")
+def q_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 sketch variant: percentile_approx (t-digest-style sketch, single
+    pass, fixed memory) — the 100 TB path beside exact `q_quantile`.
+    No SQL oracle (DuckDB's approx_quantile uses a different sketch);
+    bounded error vs the exact operator asserted in
+    tests/test_northstar.py."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_quantity", 0.99, 10000).alias("p99_approx"),
+        )
+    )
+
+
 @query(
     "q_null_profile",
     oracle=oracle_player_base_cte()

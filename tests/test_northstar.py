@@ -62,6 +62,23 @@ def test_approx_distinct_error_bound(spark):
         assert abs(as_ - s) / s < 0.05
 
 
+def test_approx_quantile_error_bound(spark):
+    """percentile_approx within tight relative error of the exact
+    percentile at 10k accuracy."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {r.l_linestatus: (r.q50, r.q99) for r in qs["q_quantile"](spark, SF_ORACLE).collect()}
+    approx = {
+        r.l_linestatus: (r.p50_approx, r.p99_approx)
+        for r in qs["q_quantile_approx"](spark, SF_ORACLE).collect()
+    }
+    for k, (e50, e99) in exact.items():
+        a50, a99 = approx[k]
+        assert abs(a50 - e50) / max(e50, 1) < 0.05
+        assert abs(a99 - e99) / max(e99, 1) < 0.05
+
+
 def test_ann_lsh_recall(spark):
     """Bucketed ANN: every hit it returns must be a true neighbor ranking
     (cosine computed exactly), and recall@10 vs brute force is reported ≥
