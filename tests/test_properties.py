@@ -115,6 +115,60 @@ def test_rank_semantics_match_pandas(spark, scores):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_python_reference(spark, left, right):
+    """The union+window as-of composition == a bisect-based Python as-of:
+    for each left (key, t), the value of the greatest right t' <= t."""
+    import bisect
+
+    # dedupe right on (key, t): deterministic pick = max value (like the
+    # pre-aggregation q_asof_join does)
+    rmap: dict[tuple[int, int], int] = {}
+    for k, t, v in right:
+        rmap[(k, t)] = max(rmap.get((k, t), -1), v)
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+
+    from aram_matchdata_etl_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, key long, t long"
+    )
+    rdf = spark.createDataFrame(rrows, "key long, t long, val long") if rrows else (
+        spark.createDataFrame([], "key long, t long, val long")
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join(
+            ldf, rdf, key="key", left_t="t", right_t="t", value_cols=["val"]
+        ).collect()
+    }
+
+    per_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in rrows:
+        per_key.setdefault(k, []).append((t, v))
+    for lst in per_key.values():
+        lst.sort()
+    for i, (k, t) in enumerate(left):
+        lst = per_key.get(k, [])
+        pos = bisect.bisect_right([x[0] for x in lst], t)
+        want = lst[pos - 1][1] if pos else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
