@@ -57,32 +57,35 @@ def main() -> None:
     queries = all_queries()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # one untimed warmup: first execution pays whole-stage-codegen JIT
-        # for the query's expression tree (10-20s for the big ones), which
-        # on a real cluster amortizes across the job; then best-of-2 timed
-        # runs to damp single-run GC/scheduler noise
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        try:
+            # one untimed warmup: first execution pays whole-stage-codegen
+            # JIT for the query's expression tree (10-20s for the big
+            # ones), which on a real cluster amortizes across the job;
+            # then best-of-2 timed runs to damp GC/scheduler noise
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # one broken query must not sink the suite
+            errors[name] = str(e).splitlines()[0][:160]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
