@@ -158,6 +158,69 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+IVF_CLUSTERS = 16
+IVF_PROBES = 3
+
+
+@query("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file index): k-means partitions the corpus
+    into 16 cells; each query probes its 3 nearest centroids and re-ranks
+    exactly inside the probed cells — ~probes/clusters of the brute-force
+    comparisons. The other classic ANN family beside hyperplane LSH
+    (q_ann_lsh); recall vs q_similarity_topk asserted in tests.
+    Scale: centroids are a tiny broadcast table; cell assignment is a
+    narrow map; at 100 TB the corpus is written partitioned by cell so a
+    probe reads only its cells' files (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = embeddings_d(spark, sf_dir).withColumn("fvec", array_to_vector("vec"))
+    km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="fvec", predictionCol="cell")
+    model = km.fit(emb)
+    assigned = model.transform(emb).select("vec_id", "vec", "vnorm", "cell")
+
+    # tiny centroid table: (cell, centroid array) — broadcast to score
+    # query-to-centroid distances without collecting the corpus
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    # rank centroids per query, keep the top IVF_PROBES cells
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist",
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy("cdist", "cell")
+    probes = (
+        qc.withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= IVF_PROBES)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    scored = cand.select("query_id", "vec_id", cosine.alias("raw_cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine"), "rnk")
+    )
+
+
 @query("q_ann_lsh")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: 4 independent 4-bit

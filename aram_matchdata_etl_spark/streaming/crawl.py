@@ -78,6 +78,25 @@ def windowed_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows (capability row §2.9): per-user sessions
+    closed after `gap` of inactivity. The deterministic batch twin with a
+    DuckDB oracle is operators/streaming_batch.py::q_sessionize (lag+cumsum
+    formulation); this is the native streaming operator whose state store
+    merges/extends windows as events arrive."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def upsert_sink(target_dir: str, key_cols: list[str]):
     """T3/S7: idempotent foreachBatch upsert — replace_one(upsert=True)
     keyed by _id (db/mongodb.py:52-56). Without Delta's MERGE INTO in this

@@ -95,6 +95,22 @@ def test_ann_lsh_recall(spark):
     assert inter / len(exact) >= 0.2, f"ANN recall@10 too low: {inter}/{len(exact)}"
 
 
+def test_ann_ivf_recall(spark):
+    """IVF probe (3 of 16 cells) recall@10 vs brute force: probing ~20% of
+    cells should recover well over half the true neighbors on clustered
+    embeddings."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in qs["q_similarity_topk"](spark, SF_ORACLE).collect()
+    }
+    ivf = {(r.query_id, r.vec_id) for r in qs["q_ann_ivf"](spark, SF_ORACLE).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.4, f"IVF recall@10 too low: {recall:.2f}"
+
+
 def test_media_features_invariants(spark):
     """Multimodal plumbing: histogram is a distribution, byte length
     matches the catalog metadata, every media type flows through."""

@@ -114,6 +114,27 @@ def test_foreachbatch_upsert_idempotent(spark, events_dir):
         assert final.count() == want.count()
 
 
+def test_session_windows_match_batch_sessionize(spark, estream):
+    """Streaming session_window produces the same (user, session) row
+    counts as the oracle-checked batch lag+cumsum sessionization."""
+    from aram_matchdata_etl_spark.registry import all_queries
+    from aram_matchdata_etl_spark.streaming.crawl import run_to_completion, session_windows
+
+    stream, _ = estream
+    run_to_completion(
+        session_windows(stream), query_name="sess_out", output_mode="complete"
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("sess_out").collect()
+    }
+    want_df = all_queries()["q_sessionize"](spark, SF_SMOKE)
+    want = {
+        (r.user_id, r.session_start): r.n_events for r in want_df.collect()
+    }
+    assert got == want
+
+
 def test_crawl_topology_end_to_end(spark):
     """EP1+EP2 batch form: seed users -> match ids -> bronze docs; the
     participant side-output feeds back more users than we seeded (the
