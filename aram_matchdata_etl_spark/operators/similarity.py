@@ -23,7 +23,10 @@ from ..sources.tables import load_table
 
 TOPK = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
-NEARDUP_COSINE = 0.8
+# fixture embeddings are near-orthogonal random vectors (max pairwise
+# cosine ~0.5-0.6): 0.4 keeps the operator non-vacuous; real embedding
+# spaces would use ~0.9+
+NEARDUP_COSINE = 0.4
 
 
 def _as_double(col: Column) -> Column:
@@ -156,6 +159,54 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         acc = acc + b
     return acc
+
+
+@query("q_embedding_neardup_lsh")
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table hyperplane-LSH
+    candidate generation (pairs sharing a bucket in ANY of 4 tables) +
+    exact cosine verification of candidates only — the same
+    candidates-then-verify shape as the MinHash dedup pipeline, replacing
+    the brute-force O(n^2) cross join of q_embedding_neardup. Precision is
+    1.0 by construction (exact verify); recall vs brute force asserted in
+    tests. Output schema == q_embedding_neardup."""
+    emb = embeddings_d(spark, sf_dir)
+    dim = 64
+    table_sigs = [
+        signature_col(F.col("vec"), _hyperplanes(dim, LSH_BITS, seed=42 + t))
+        for t in range(LSH_TABLES)
+    ]
+    sig = emb.select(
+        "vec_id",
+        "vec",
+        "vnorm",
+        F.posexplode(F.array(*table_sigs)).alias("table_id", "bucket"),
+    )
+    x = sig.alias("x")
+    y = sig.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("x.vec").alias("va"),
+            F.col("x.vnorm").alias("na"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("y.vec").alias("vb"),
+            F.col("y.vnorm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cosine = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("raw_cosine", cosine)
+        .filter(F.col("raw_cosine") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round("raw_cosine", 6).alias("cosine"))
+    )
 
 
 IVF_CLUSTERS = 16

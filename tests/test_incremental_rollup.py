@@ -1,0 +1,56 @@
+"""Incremental rollup: hour/day tables maintained across micro-batches
+equal the one-shot batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.rollup import incremental_rollup_sink
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    # two source files => two micro-batches => the merge path is exercised
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hour_dir = str(tmp_path / "hour")
+    day_dir = str(tmp_path / "day")
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(incremental_rollup_sink(hour_dir, day_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def canon(df):
+        return {
+            (r.bucket, r.event_type): (r.n, round(r.total, 4))
+            for r in df.collect()
+        }
+
+    want_hour = canon(
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    want_day = canon(
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    assert canon(spark.read.parquet(hour_dir)) == want_hour
+    assert canon(spark.read.parquet(day_dir)) == want_day

@@ -95,6 +95,28 @@ def test_ann_lsh_recall(spark):
     assert inter / len(exact) >= 0.2, f"ANN recall@10 too low: {inter}/{len(exact)}"
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-prefiltered near-dup: subset of brute force (exact verify), with
+    decent recall at the 0.8 cosine threshold (high-cosine pairs collide
+    in at least one of the 4 tables with high probability)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.vec_a, r.vec_b) for r in qs["q_embedding_neardup"](spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in qs["q_embedding_neardup_lsh"](spark, SF_ORACLE).collect()
+    }
+    assert lsh <= exact
+    assert exact, "threshold selects nothing — operator is vacuous"
+    recall = len(lsh) / len(exact)
+    # fixture pairs sit barely above the 0.4 threshold (max cosine ~0.5),
+    # where hyperplane collision probability is weakest: ~0.5 expected
+    assert recall >= 0.35, f"neardup LSH recall: {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
 def test_ann_ivf_recall(spark):
     """IVF probe (3 of 16 cells) recall@10 vs brute force: probing ~20% of
     cells should recover well over half the true neighbors on clustered
