@@ -114,9 +114,9 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.vec, b.vec) / (a.vnorm * b.vnorm) >= {NEARDUP_COSINE}""",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.8), brute force.
-    Exact answer at test scale; at 100 TB the LSH bucketing below prunes
-    the pair space first."""
+    """Embedding-cosine near-duplicate pairs (cosine >= NEARDUP_COSINE),
+    brute force. Exact answer at test scale; at 100 TB the LSH bucketing
+    (q_embedding_neardup_lsh) prunes the pair space first."""
     emb = embeddings_d(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("vnorm").alias("na")
@@ -224,7 +224,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map; at 100 TB the corpus is written partitioned by cell so a
     probe reads only its cells' files (partition pruning)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = embeddings_d(spark, sf_dir).withColumn("fvec", array_to_vector("vec"))
     km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="fvec", predictionCol="cell")
