@@ -223,6 +223,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroids are a tiny broadcast table; cell assignment is a
     narrow map; at 100 TB the corpus is written partitioned by cell so a
     probe reads only its cells' files (partition pruning)."""
+    return ann_ivf(spark, sf_dir, probes=IVF_PROBES)
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
+    """Parameterized IVF probe (see q_ann_ivf); `probes` trades recall for
+    comparisons — tests assert recall is monotone in probes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -252,13 +258,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wq = Window.partitionBy("query_id").orderBy("cdist", "cell")
-    probes = (
+    probed = (
         qc.withColumn("crnk", F.row_number().over(wq))
-        .filter(F.col("crnk") <= IVF_PROBES)
+        .filter(F.col("crnk") <= probes)
         .select("query_id", "qvec", "qnorm", "cell")
     )
     cand = (
-        F.broadcast(probes)
+        F.broadcast(probed)
         .join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
     )

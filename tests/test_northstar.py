@@ -133,6 +133,28 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.4, f"IVF recall@10 too low: {recall:.2f}"
 
 
+def test_ann_ivf_recall_monotone_in_probes(spark):
+    """More probed cells ⇒ recall can only grow (candidate sets nest);
+    probing ALL cells must equal brute force exactly."""
+    from aram_matchdata_etl_spark.operators.similarity import IVF_CLUSTERS, ann_ivf
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in qs["q_similarity_topk"](spark, SF_ORACLE).collect()
+    }
+    recalls = []
+    for probes in (1, 3, IVF_CLUSTERS):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_ivf(spark, SF_ORACLE, probes=probes).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls  # full probe == brute force
+
+
 def test_media_features_invariants(spark):
     """Multimodal plumbing: histogram is a distribution, byte length
     matches the catalog metadata, every media type flows through."""
