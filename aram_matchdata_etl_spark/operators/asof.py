@@ -32,16 +32,32 @@ def asof_join(
     value_cols: list[str],
 ) -> DataFrame:
     """Trailing as-of join: left rows get the latest right values with
-    right_t <= left_t per key. Left columns are preserved."""
+    right_t <= left_t per key. Left columns are preserved.
+
+    Value columns are struct-packed into ONE payload column before the
+    window: every right row contributes a non-null struct (a struct of
+    NULL fields is itself non-null), so last(ignorenulls=True) always
+    picks the LATEST matching right row — a genuine NULL value in that
+    row surfaces as NULL instead of silently falling back to an older
+    row, matching DuckDB ASOF JOIN semantics for nullable columns."""
     lcols = left.columns
-    l = left.withColumn("_t", F.col(left_t)).withColumn("_side", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r = right.withColumn("_t", F.col(right_t)).withColumn("_side", F.lit(0))
+    payload_type = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("_p")
+    ).schema["_p"].dataType
+    l = (
+        left.withColumn("_t", F.col(left_t))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_payload", F.lit(None).cast(payload_type))
+    )
+    r = (
+        right.withColumn("_t", F.col(right_t))
+        .withColumn("_side", F.lit(0))
+        .withColumn("_payload", F.struct(*[F.col(c) for c in value_cols]))
+    )
     for c in lcols:
         if c != key and c not in right.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    cols = [key, "_t", "_side", *[c for c in lcols if c != key], *value_cols]
+    cols = [key, "_t", "_side", *[c for c in lcols if c != key], "_payload"]
     unioned = l.select(*cols).unionByName(r.select(*cols))
     # right rows sort BEFORE left rows at equal t (side 0 < 1) => ties are
     # inclusive (right_t == left_t matches), like ASOF JOIN's >=
@@ -51,13 +67,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+        "*", F.last("_payload", ignorenulls=True).over(w).alias("_asof")
     )
     return (
         filled.filter(F.col("_side") == 1)
         .select(
             *[c for c in lcols],
-            *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+            *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
         )
     )
 

@@ -17,6 +17,8 @@ Scale design (the whole point of these operators at 100 TB):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,15 +149,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_K = 32  # signatures per doc
 LSH_BANDS = 8  # 8 bands x 4 rows
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Weak-keyed on the LIVE session object: entries vanish with the session
+# (no id() recycling returning a DataFrame bound to a stopped session),
+# and the persisted blocks die with that session's executors — nothing
+# leaks across sessions in a multi-session process.
+_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    sh = _SHINGLE_CACHE.get(key)
+    per_session = _SHINGLE_CACHE.setdefault(spark, {})
+    sh = per_session.get(sf_dir)
     if sh is None:
         sh = shingles(spark, sf_dir).persist()
-        _SHINGLE_CACHE[key] = sh
+        per_session[sf_dir] = sh
     return sh
 
 

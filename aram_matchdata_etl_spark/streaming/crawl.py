@@ -101,31 +101,26 @@ def upsert_sink(target_dir: str, key_cols: list[str]):
     """T3/S7: idempotent foreachBatch upsert — replace_one(upsert=True)
     keyed by _id (db/mongodb.py:52-56). Without Delta's MERGE INTO in this
     environment, emulate last-writer-wins: union the batch with the
-    current table, keep the newest row per key, atomically replace.
-    On Delta/Iceberg this function body becomes a single MERGE statement
-    (and the read-modify-write below is transactional instead of
-    best-effort)."""
+    current table version, keep the newest row per key, and commit the
+    result as a NEW version with an atomic pointer swap (streaming/
+    atomic.py) — the merge plan never overwrites the directory it reads,
+    and a crash at any point leaves one complete version readable. On
+    Delta/Iceberg this function body becomes a single MERGE statement."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
         from pyspark.sql import Window
 
-        try:
-            current = spark.read.parquet(target_dir)
-            merged = current.unionByName(batch)
-        except Exception:
-            merged = batch
+        from .atomic import commit_version, read_current
+
+        current = read_current(batch.sparkSession, target_dir)
+        merged = batch if current is None else current.unionByName(batch)
         w = Window.partitionBy(*key_cols).orderBy(F.desc("ts"), F.desc("event_id"))
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # materialize before overwrite (source and target overlap)
-        latest.cache()
-        latest.count()
-        latest.write.mode("overwrite").parquet(target_dir)
-        latest.unpersist()
+        commit_version(latest, target_dir)
 
     return apply
 

@@ -5,8 +5,8 @@ DAY grain is re-derived from the hour PARTIALS — never from raw events.
 This is the streaming complement of operators/advanced.py::q_time_rollup
 (which recomputes both grains in one batch pass and carries the DuckDB
 oracle). At 100 TB the hour table is the only state that grows, day reads
-24 partial rows per key instead of billions of events, and the
-read-merge-overwrite below becomes a transactional MERGE on a lakehouse
+24 partial rows per key instead of billions of events, and the versioned
+commit (streaming/atomic.py) becomes a transactional MERGE on a lakehouse
 table.
 """
 
@@ -33,28 +33,29 @@ def incremental_rollup_sink(hour_dir: str, day_dir: str):
     from the merged hour table (re-aggregation of partials)."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
+        from .atomic import commit_version, read_current
+
         spark = batch.sparkSession
         hour_new = _aggregate_hours(batch)
-        try:
-            hour_old = spark.read.parquet(hour_dir)
-            hour = _merge_partials(hour_old.unionByName(hour_new))
-        except Exception:
-            hour = hour_new
-        hour.cache()
-        hour.count()  # materialize before overwriting the dir it reads
-        hour.write.mode("overwrite").parquet(hour_dir)
-        hour.unpersist()
-        # derive day from a FRESH read of what was just written: the cached
-        # plan still has the old dir in its lineage, and evicted partitions
-        # would silently recompute against the overwritten (merged) data —
-        # double counting
-        hour_fresh = spark.read.parquet(hour_dir)
+        hour_old = read_current(spark, hour_dir)
+        hour = (
+            hour_new
+            if hour_old is None
+            else _merge_partials(hour_old.unionByName(hour_new))
+        )
+        # commit_version writes the merged plan to a NEW directory before
+        # pruning the old one, so the read side of the merge stays intact
+        # for the whole write — no cache pinning, no lost-history crash
+        # window (streaming/atomic.py)
+        commit_version(hour, hour_dir)
+        # derive day from a fresh read of the just-committed hour version
+        hour_fresh = read_current(spark, hour_dir)
         day = (
             hour_fresh.groupBy(
                 F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
             )
             .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
         )
-        day.write.mode("overwrite").parquet(day_dir)
+        commit_version(day, day_dir)
 
     return apply

@@ -59,8 +59,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = queries[name]
         try:
+            fn = queries[name]  # inside try: a renamed/unregistered query
+            # records as an error instead of sinking the whole run
             # one untimed warmup: first execution pays whole-stage-codegen
             # JIT for the query's expression tree (10-20s for the big
             # ones), which on a real cluster amortizes across the job;

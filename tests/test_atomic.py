@@ -1,0 +1,67 @@
+"""Versioned atomic commit (streaming/atomic.py): a crash at any point
+leaves exactly one complete readable version, and commits never delete
+the version they read from until the new one is fully swapped in."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aram_matchdata_etl_spark.streaming.atomic import (
+    POINTER,
+    commit_version,
+    current_version_path,
+    read_current,
+)
+
+
+def test_read_before_first_commit_is_none(spark, tmp_path):
+    assert read_current(spark, str(tmp_path / "nowhere")) is None
+
+
+def test_commit_then_read_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    commit_version(df, base)
+    got = read_current(spark, base)
+    assert got.count() == 10
+    assert {r.x for r in got.collect()} == {i * 2 for i in range(10)}
+
+
+def test_half_written_version_is_invisible_and_pruned(spark, tmp_path):
+    """Simulate a crash AFTER writing a new version dir but BEFORE the
+    pointer swap: readers still see the old version; the orphan dir is
+    pruned by the next successful commit."""
+    base = str(tmp_path / "tbl")
+    commit_version(spark.range(5), base)
+    good = current_version_path(base)
+
+    orphan = os.path.join(base, "v-deadbeef0000")
+    spark.range(999).write.parquet(orphan)  # crashed commit: no swap
+
+    assert current_version_path(base) == good
+    assert read_current(spark, base).count() == 5
+
+    commit_version(spark.range(7), base)
+    assert read_current(spark, base).count() == 7
+    assert not os.path.isdir(orphan)
+    assert not os.path.isdir(good)
+
+
+def test_merge_plan_may_read_previous_version(spark, tmp_path):
+    """The self-merge pattern the sinks use: the committed plan reads the
+    current version while writing the next one."""
+    base = str(tmp_path / "tbl")
+    commit_version(spark.range(3).withColumn("v", F.lit(1)), base)
+    for gen in (2, 3):
+        prev = read_current(spark, base)
+        merged = prev.unionByName(spark.range(3).withColumn("v", F.lit(gen)))
+        commit_version(merged, base)
+    final = read_current(spark, base)
+    assert final.count() == 9
+    assert {r.v for r in final.collect()} == {1, 2, 3}
+    # exactly one version dir + pointer remains
+    versions = [n for n in os.listdir(base) if n.startswith("v-")]
+    assert len(versions) == 1
+    assert os.path.isfile(os.path.join(base, POINTER))

@@ -12,6 +12,7 @@ from .conftest import SF_SMOKE
 
 def test_incremental_rollup_equals_batch(spark, tmp_path):
     from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.atomic import read_current
     from aram_matchdata_etl_spark.streaming.rollup import incremental_rollup_sink
 
     events = load_table(spark, SF_SMOKE, "events")
@@ -52,5 +53,5 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
             F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
         ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
     )
-    assert canon(spark.read.parquet(hour_dir)) == want_hour
-    assert canon(spark.read.parquet(day_dir)) == want_day
+    assert canon(read_current(spark, hour_dir)) == want_hour
+    assert canon(read_current(spark, day_dir)) == want_day

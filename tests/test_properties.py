@@ -168,6 +168,25 @@ def test_asof_join_matches_python_reference(spark, left, right):
         assert got[i] == want, (i, k, t, got[i], want)
 
 
+def test_asof_join_null_in_latest_right_row_surfaces(spark):
+    """DuckDB ASOF parity for nullable right values: when the LATEST
+    matching right row carries NULL, the result is NULL — it must NOT
+    fall back to an older non-null row (the last(ignorenulls) trap the
+    struct-packed payload exists to avoid)."""
+    from aram_matchdata_etl_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([(1, 1, 100)], "lid long, key long, t long")
+    rdf = spark.createDataFrame(
+        [(1, 10, 7), (1, 50, None)], "key long, t long, val long"
+    )
+    rows = asof_join(
+        ldf, rdf, key="key", left_t="t", right_t="t", value_cols=["val"]
+    ).collect()
+    assert len(rows) == 1
+    # latest match is t=50 whose val is NULL; older t=10 (val=7) must not leak
+    assert rows[0].val is None
+
+
 @settings(
     max_examples=8,
     deadline=None,

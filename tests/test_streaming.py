@@ -87,6 +87,7 @@ def test_foreachbatch_upsert_idempotent(spark, events_dir):
     """T3/S7: running the upsert twice yields the same table (idempotence,
     the replace_one(upsert=True) guarantee)."""
     from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.atomic import read_current
     from aram_matchdata_etl_spark.streaming.crawl import (
         events_stream,
         run_to_completion,
@@ -100,7 +101,7 @@ def test_foreachbatch_upsert_idempotent(spark, events_dir):
             run_to_completion(
                 stream, sink_fn=upsert_sink(target, ["user_id", "event_type"])
             )
-        final = spark.read.parquet(target)
+        final = read_current(spark, target)
         from pyspark.sql import functions as F
 
         dupes = (
