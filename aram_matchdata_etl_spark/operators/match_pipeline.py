@@ -219,6 +219,9 @@ FROM labeled"""
     ),
 )
 def q_player_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full silver table — scan → filter → 23 feature
+    expressions → windowed team-deaths → weighted score → per-match RANK,
+    in one plan with a single exchange on match_id (module docstring)."""
     return flagship(spark, sf_dir)
 
 

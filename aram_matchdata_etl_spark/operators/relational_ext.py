@@ -244,3 +244,78 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(word_lens, F.lit(0.0), lambda acc, x: acc + x) / F.size(words), 6
         ).alias("avg_word_len"),
     )
+
+
+_SCALAR_SUBQUERY_SQL = """
+SELECT c_custkey, c_name,
+    CAST((SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+    ROUND((SELECT COALESCE(MAX(o_totalprice), 0.0) FROM orders o
+           WHERE o.o_custkey = c.c_custkey), 4) AS max_price
+FROM customer c"""
+
+
+@query("q_scalar_subquery", oracle=_SCALAR_SUBQUERY_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (SURVEY §4 'free' row: Catalyst's
+    RewriteCorrelatedScalarSubquery). The SAME SQL text runs on both
+    engines; Spark decorrelates each subquery into an aggregate + left
+    outer join — .explain shows no per-row re-execution, which is what
+    makes the construct usable at 100 TB (a naive nested loop would be
+    O(customers x orders))."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SCALAR_SUBQUERY_SQL)
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INTEGER) AS d,
+    ROUND(SUM(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS trailing_30d
+FROM orders""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window, SURVEY §2.5 'free' row): trailing
+    30-day spend per customer. rangeBetween keys on the ORDER BY value —
+    rows 31+ days older fall out regardless of row count — unlike
+    q_running_sum's rowsBetween. One exchange on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(d).rangeBetween(-30, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        d.alias("d"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_30d"),
+    )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice,
+    ROUND(percent_rank() OVER (
+        PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 6) AS pr,
+    ROUND(cume_dist() OVER (
+        PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 6) AS cd
+FROM part""",
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (SURVEY §2.5 'free' row) — the normalized
+    rank statistics feature pipelines use for per-group percentile
+    features. Deterministic tie-break via the unique p_partkey; one
+    exchange on p_brand."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

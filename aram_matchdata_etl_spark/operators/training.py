@@ -1,0 +1,288 @@
+"""Training-data pipeline extensions over ``documents`` (north-star,
+BASELINE.json): deterministic splits/sampling, document chunking,
+vocabulary/TF-IDF statistics, PII redaction, and rolling-hash
+fingerprints — the corpus-preparation stages between raw scrape and
+tokenizer that the reference's ETL (extract → feature → label,
+/root/reference/transformer/ranking/feature_factory.py:268-287 for its
+train/test split) would need at LLM-corpus scale.
+
+Scale notes, per operator:
+  - splits/sampling are HASH-based, not RNG-based: assignment is a pure
+    function of the row key, so it is reproducible across runs, engines
+    and cluster sizes, needs no seed coordination or shuffle, and any
+    later re-run (incremental ingest) routes new rows consistently.
+    (The reference's random_state=42 train_test_split is only stable on
+    a fixed single-node row order — exactly what a cluster cannot give.)
+  - chunking is a generator expression (explode over a computed range):
+    runs inside codegen, no shuffle, output partitioning inherits input.
+  - vocab/TF-IDF shuffle once on the token — the only wide stage here —
+    with map-side partial aggregation; document frequency reuses the
+    same exchange.
+  - redaction / fingerprints are narrow per-row expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+CHUNK_TOKENS = 32
+VOCAB_K = 50
+TFIDF_TOP = 3
+ROLL_P = 1_000_000_007  # modulus keeps acc*31+code far from int64 overflow
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def hash_bucket(col, n: int = 100):
+    """Deterministic [0, n) bucket from the first 8 md5 hex chars of the
+    key — bit-identical in Spark (conv base16) and DuckDB ('0x' cast),
+    uniform enough for split/sample routing."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % n
+    )
+
+
+def _bucket_sql(expr: str, n: int = 100) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {n}"
+
+
+@query(
+    "q_hash_split",
+    oracle=f"""
+SELECT doc_id,
+    CAST({_bucket_sql('doc_id')} AS BIGINT) AS bucket,
+    CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+         WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+         ELSE 'test' END AS split
+FROM documents""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash — the
+    scale-correct form of the reference's match-level train_test_split
+    (feature_factory.py:268-287): same leak-free unit-of-split idea, but
+    reproducible under any row order, engine, or incremental re-run, and
+    computed without a shuffle."""
+    b = hash_bucket(F.col("doc_id"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT source, doc_id
+FROM documents
+WHERE {_bucket_sql("doc_id || ':' || source")} <
+    CASE WHEN source IN ('src0', 'src1') THEN 50 ELSE 10 END""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (sampleBy semantics:
+    upweight scarce high-quality sources, downsample the crawl firehose),
+    made deterministic by hashing (key, stratum) instead of drawing RNG —
+    no seed coordination across executors, stable under re-partitioning."""
+    rate = F.when(F.col("source").isin("src0", "src1"), 50).otherwise(10)
+    b = hash_bucket(F.concat_ws(":", F.col("doc_id"), F.col("source")))
+    return _docs(spark, sf_dir).filter(b < rate).select("source", "doc_id")
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+expanded AS (
+    SELECT doc_id, words,
+        unnest(generate_series(0,
+            CAST(ceil(len(words) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i
+    FROM toks
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+    array_to_string(list_slice(words, i * {CHUNK_TOKENS} + 1,
+                               i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+    CAST(len(list_slice(words, i * {CHUNK_TOKENS} + 1,
+                        i * {CHUNK_TOKENS} + {CHUNK_TOKENS})) AS INTEGER) AS chunk_tokens
+FROM expanded""",
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking (context-length packing prep):
+    each document explodes into ceil(n/{CHUNK}) chunks of {CHUNK} tokens.
+    The explode is a generator inside codegen — no shuffle, no UDF; at
+    100 TB this is a pure map stage that inherits the scan's
+    partitioning."""
+    df = _docs(spark, sf_dir).withColumn("words", F.split(F.col("text"), " "))
+    n_chunks = F.ceil(F.size("words") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    df = df.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("words"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    return df.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+SELECT word, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT {VOCAB_K}""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: token frequencies, top-{K} (the
+    vocabulary-building / tokenizer-training profile pass). One shuffle on
+    the token with map-side combine; the final top-k is a
+    TakeOrderedAndProject (per-partition heap, O(k) driver memory)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(VOCAB_K)
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+WITH tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY doc_id, word
+),
+df_ AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+        ROUND(tf.tf * ln(n.n_docs / df_.df), 6) AS tfidf
+    FROM tf JOIN df_ ON tf.word = df_.word CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+    FROM scored
+)
+SELECT doc_id, word, tfidf FROM ranked WHERE rn <= {TFIDF_TOP}""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-{TOP} terms per document. Term and
+    document frequencies come from ONE exchange on the token (tf feeds df
+    by re-aggregation, not a rescan); idf joins back broadcast (vocab is
+    small relative to the corpus); the per-doc top-k is a window over the
+    doc partition. Keeps integer math until the final ln() so the only
+    float rounding is the scored column (ROUND 6 in both dialects)."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # one scalar; the oracle's CROSS JOIN n
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q_redact",
+    oracle=f"""
+WITH pii AS (
+    SELECT doc_id,
+        text || ' contact user' || doc_id ||
+        '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+    FROM documents
+)
+SELECT doc_id,
+    regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+    CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+    CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones
+FROM pii""",
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone-shaped digit runs) — the scrub stage
+    every training corpus passes through. The fixture text has no PII, so
+    a deterministic contact line is synthesized per doc and then redacted;
+    both engines build and scrub the identical string. Pattern class is
+    kept to syntax Java regex and RE2 interpret identically. Narrow,
+    codegen, no shuffle."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    df = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
+    return df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{_EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{_PHONE_RE}', 0)")).alias("n_phones"),
+    )
+
+
+@query(
+    "q_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+    list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+                w -> CAST(ascii(w) * 256 + length(w) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % {ROLL_P}) AS fingerprint
+FROM documents""",
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: a polynomial rolling hash
+    folded over the token stream with a higher-order aggregate — entirely
+    JVM-side lambda evaluation, no UDF (contrast q_fingerprint's
+    order-insensitive-after-normalization md5). The per-token code here is
+    deliberately simple so both engines agree; production would use
+    xxhash64(token) as the code and the same fold."""
+    codes = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: (F.ascii(w) * 256 + F.length(w)).cast("long"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % ROLL_P,
+        ).alias("fingerprint"),
+    )
