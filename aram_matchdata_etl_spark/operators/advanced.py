@@ -141,3 +141,72 @@ def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         normalize, schema="event_id long, event_type string, value_z double"
     )
+
+
+ATTR_WINDOW_US = 1800 * 1_000_000  # 30 min attribution window
+
+
+@query(
+    "q_interval_join_binned",
+    oracle=f"""
+SELECT p.event_id, p.user_id,
+    COUNT(c.event_id) AS n_clicks,
+    ROUND(COALESCE(SUM(c.value), 0.0), 4) AS click_value
+FROM events p LEFT JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+    AND epoch_us(c.ts) > epoch_us(p.ts)
+    AND epoch_us(c.ts) <= epoch_us(p.ts) + {ATTR_WINDOW_US}
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id""",
+)
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join via time binning: for every purchase, count
+    and sum the same user's clicks in the following 30 minutes
+    (attribution). A naive plan for `c.ts BETWEEN p.ts AND p.ts + W` is a
+    broadcast-nested-loop join — fine for q_join_range's 4-row band table,
+    quadratic death when BOTH sides are fact tables. The scalable plan
+    makes the range condition an equi-join: with bin width == window
+    length, each probe interval overlaps exactly 2 bins, so the purchase
+    side fans out x2 into (user_id, bin) keys, the click side maps to its
+    single bin, and one hash shuffle on (user_id, bin) co-locates every
+    possibly-matching pair; the exact inequality then filters inside the
+    partition. Shuffle volume is 2|P| + |C| rows — linear, AQE-skew-
+    splittable, no driver-side anything. Exact integer microsecond math
+    (unix_micros / epoch_us) keeps both engines bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        "value",
+        F.floor(F.unix_micros("ts") / ATTR_WINDOW_US).alias("bin"),
+    )
+    p_binned = p.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_us") / ATTR_WINDOW_US),
+                F.floor(F.col("p_us") / ATTR_WINDOW_US) + 1,
+            )
+        ),
+    )
+    hits = (
+        p_binned.join(c, ["user_id", "bin"])
+        .filter(
+            (F.col("c_us") > F.col("p_us"))
+            & (F.col("c_us") <= F.col("p_us") + ATTR_WINDOW_US)
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("value"), 4).alias("click_value"),
+        )
+    )
+    return p.join(hits, ["event_id", "user_id"], "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+    )

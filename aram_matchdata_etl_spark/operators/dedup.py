@@ -144,6 +144,118 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+# Pair-generation CTE chain shared by the ngram-jaccard oracle and the
+# cluster oracle (threshold substituted at use site).
+_PAIRS_CTES = (
+    _SHINGLES_SQL.lstrip()
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingles a
+    JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+)"""
+)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _PAIRS_CTES
+    + """,
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id,
+    (u = MIN(label)) AS is_canonical
+FROM reach GROUP BY u""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise dedup output into an actionable corpus: every document
+    gets a cluster_id (the component's min doc_id) and exactly one doc per
+    cluster is flagged canonical (what you keep; the rest are the removal
+    list). The reference stops at per-key upsert dedup
+    (extractor/riot/db/mongodb.py:52-56); near-dup dedup at corpus scale
+    needs transitive closure, since A~B and B~C must collapse to one
+    cluster even when A~C misses the threshold.
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes min(own label, neighbors' labels); converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dozens of docs, not
+    chains of millions), so a handful of rounds suffice. Each round is one
+    shuffle of the edge list by dst plus a shuffle of labels by key;
+    labels are localCheckpoint()ed per round so the plan does not grow
+    with iterations (lineage truncation, not recomputation). At larger
+    diameters swap in the large-star/small-star variant (alternating
+    pointer-jumping, O(log n) rounds) — same loop shape.
+
+    Pair input here is the exact bigram-Jaccard operator (SQL-expressible
+    → full oracle); the 100 TB path feeds the identical loop from
+    lsh_candidate_pairs + exact verification (same (doc_a, doc_b)
+    schema)."""
+    pairs = exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    # edges are reused every round; singleton docs never enter the loop
+    edges = edges.localCheckpoint()
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(20):
+        nbr = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 20 rounds >> fixture component diameter
+        raise RuntimeError("label propagation did not converge in 20 rounds")
+
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # --- MinHash + LSH (scale path; rows-only check + pytest recall asserts) ---
 
 MINHASH_K = 32  # signatures per doc

@@ -211,6 +211,88 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 16
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+WITH chunks AS (
+    SELECT doc_id,
+        CAST({_bucket_sql("doc_id", PACK_SHARDS)} AS BIGINT) AS shard,
+        CAST(i AS INTEGER) AS chunk_id,
+        CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_TOKENS}) AS INTEGER) AS chunk_tokens
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents) d,
+        UNNEST(generate_series(0,
+            CAST(ceil(n / {CHUNK_TOKENS}.0) AS INT) - 1)) AS g(i)
+),
+packed AS (
+    SELECT *, SUM(chunk_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id, chunk_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM chunks
+)
+SELECT shard, doc_id, chunk_id, chunk_tokens,
+    CAST(floor((cum - chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+    CAST(cum - chunk_tokens
+        - floor((cum - chunk_tokens) / {PACK_BUDGET}.0) * {PACK_BUDGET}
+        AS BIGINT) AS pack_offset
+FROM packed""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every {CHUNK_TOKENS}-token chunk to a
+    fixed-budget training pack ({PACK_BUDGET} tokens) — the
+    concatenate-and-slice step between chunking and the tokenizer that
+    keeps context windows full (no padding waste). Packing is a running
+    token count: a chunk's pack is floor(preceding-tokens / budget), so
+    packs fill greedily in deterministic (doc_id, chunk_id) order and a
+    chunk may start mid-pack (pack_offset says where).
+
+    Scale shape: a GLOBAL running sum would serialize on one partition —
+    instead docs are sharded by key hash ({PACK_SHARDS} shards; at real
+    scale, thousands) and each shard packs independently: one exchange on
+    shard, window within shard, embarrassingly parallel across shards.
+    Pure integer arithmetic → bit-identical to the oracle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "shard",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(F.col("n") / F.lit(float(CHUNK_TOKENS))).cast("int") - 1
+            )
+        ).alias("chunk_id"),
+        "n",
+    ).select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        F.least(
+            F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_id") * CHUNK_TOKENS
+        ).alias("chunk_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    pack_id = F.floor(start / F.lit(float(PACK_BUDGET)))
+    return chunks.select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+        pack_id.alias("pack_id"),
+        (start - pack_id * PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
+
+
 _EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
 _PHONE_RE = "[0-9]{3}-[0-9]{4}"
 

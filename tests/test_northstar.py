@@ -192,3 +192,30 @@ def test_frame_sample_shape(spark):
     bad = frames.filter((F.col("byte_offset") % 64 != 0) | (F.col("frame_no") < 0))
     assert bad.count() == 0
     assert frames.count() > 0
+
+
+def test_dedup_clusters_invariants(spark):
+    """Cluster assignment is a true connected-components labeling: no
+    near-dup edge straddles two clusters, cluster_id is the component's
+    min doc_id, and exactly one canonical doc exists per cluster."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    clusters = qs["q_dedup_clusters"](spark, SF_ORACLE).cache()
+    label = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    pairs = qs["q_dedup_ngram_jaccard"](spark, SF_ORACLE).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert label[r.doc_a] == label[r.doc_b], (r.doc_a, r.doc_b)
+
+    import collections
+
+    members = collections.defaultdict(list)
+    for doc, cl in label.items():
+        members[cl].append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs), cl
+
+    canon = clusters.filter("is_canonical").count()
+    assert canon == len(members)
+    clusters.unpersist()
