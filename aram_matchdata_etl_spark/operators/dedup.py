@@ -270,22 +270,44 @@ _SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" 
 )
 
 
-def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: the distinct 64-bit shingle-hash set as a sorted
+    array. THE representation the whole MinHash pipeline runs on — the
+    shingle relation collapses to per-doc state in a single shuffle, and
+    every later step (signatures, verification) is narrow. Array size is
+    bounded by document length, not corpus size, so per-row state stays
+    small at any scale."""
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
-    sh = per_session.get(sf_dir)
-    if sh is None:
-        sh = shingles(spark, sf_dir).persist()
-        per_session[sf_dir] = sh
-    return sh
+    sets = per_session.get(sf_dir)
+    if sets is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        toks = F.split(F.col("text"), " ")
+        sets = (
+            docs.select(
+                "doc_id", F.explode(bigram_col(toks)).alias("shingle")
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+            .persist()
+        )
+        per_session[sf_dir] = sets
+    return sets
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k min-hashes per doc in ONE aggregation pass: xxhash64(shingle, seed)
-    is the permutation family; min() per seed is the signature row."""
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(k)
+def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k min-hashes per doc from the per-doc hash-set array:
+    min(xxhash64(h, seed)) re-hashes the set under k cheap permutations —
+    pure array lambdas, zero shuffle (the one shuffle already happened in
+    shingle_hash_sets)."""
+    cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sets.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -323,29 +345,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands x 4) candidates, then EXACT Jaccard
     verification of only the candidate pairs. Same output schema as
     q_dedup_ngram_jaccard; recall vs the exact operator is asserted in
-    tests (no SQL oracle — hash family is engine-specific)."""
-    # The shingle set feeds three consumers (signatures, both verification
-    # sides): persist it once instead of re-deriving from the raw text.
-    # Cached per (session, sf_dir) and REUSED across invocations — naively
+    tests (no SQL oracle — hash family is engine-specific).
+
+    Verification joins the candidate pairs to the per-doc hash-set arrays
+    (two joins on single-row-per-doc state) and intersects the arrays
+    in-row — the shingle-level join of the exact operator never happens
+    here, so post-LSH work is O(candidate pairs x doc length), not a
+    corpus-wide shuffle. Jaccard over the 64-bit hash sets equals Jaccard
+    over the string sets barring a 2^-64-scale collision."""
+    # Per-doc hash sets feed signatures and both verification sides:
+    # computed once per (session, sf_dir) and persisted — naively
     # persisting a fresh copy per call stacks caches until executor memory
     # GC-thrashes unrelated queries (observed in bench).
-    sh = _cached_shingles(spark, sf_dir)
-    candidates = lsh_candidate_pairs(minhash_signatures(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    sets = shingle_hash_sets(spark, sf_dir)
+    candidates = lsh_candidate_pairs(minhash_signatures(sets))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    n_common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    jac = n_common / (F.size("ha") + F.size("hb") - n_common)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
