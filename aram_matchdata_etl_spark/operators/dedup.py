@@ -210,13 +210,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_candidate_pairs + exact verification (same (doc_a, doc_b)
     schema)."""
     pairs = exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    return connected_components(load_table(spark, sf_dir, "documents"), pairs)
+
+
+def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over a (doc_a, doc_b) pair relation; see
+    q_dedup_clusters for the algorithm/scale discussion. Pair input is
+    pluggable: exact Jaccard for the oracle-checked form, LSH-verified
+    for the sub-quadratic scale form."""
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    # edges are reused every round; singleton docs never enter the loop
-    edges = edges.localCheckpoint()
+    # edges are reused every round; singleton docs never enter the loop.
+    # The label/edge frames are tiny relative to the corpus (near-dup
+    # graph only) — a handful of partitions keeps per-round task-launch
+    # overhead off the critical path; at real scale size this to the
+    # edge count, not the corpus.
+    n_part = max(4, min(edges.sparkSession.sparkContext.defaultParallelism, 8))
+    edges = edges.repartition(n_part, "v").localCheckpoint()
 
-    docs = load_table(spark, sf_dir, "documents")
     labels = docs.select(
         F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
     ).localCheckpoint()
@@ -227,23 +239,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # one job per round: checkpoint the merged labels, then count
+        # changed rows off the checkpointed result (no recompute)
+        merged = labels.join(nbr, "u", "left").select(
+            "u",
+            "label",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("new_label"),
+        ).localCheckpoint()
+        changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        labels = merged.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:  # pragma: no cover - 20 rounds >> fixture component diameter
@@ -353,6 +359,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, so post-LSH work is O(candidate pairs x doc length), not a
     corpus-wide shuffle. Jaccard over the 64-bit hash sets equals Jaccard
     over the string sets barring a 2^-64-scale collision."""
+    return minhash_lsh_pairs(spark, sf_dir)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc hash sets feed signatures and both verification sides:
     # computed once per (session, sf_dir) and persisted — naively
     # persisting a fresh copy per call stacks caches until executor memory
@@ -368,6 +378,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("q_dedup_clusters_lsh")
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sub-quadratic dedup pipeline end-to-end: MinHash+LSH
+    candidates → exact-Jaccard verification → connected components →
+    canonical doc per cluster. Same output schema as q_dedup_clusters;
+    that operator is the oracle-checked form over exact (quadratic) pair
+    generation, this one is what actually runs at 100 TB. Rows-only
+    check; tests assert the labeling is consistent with the LSH pair set
+    and never merges more than the exact labeling."""
+    return connected_components(
+        load_table(spark, sf_dir, "documents"), minhash_lsh_pairs(spark, sf_dir)
     )
 
 

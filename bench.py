@@ -41,11 +41,15 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_clusters_lsh",
     "q_similarity_topk",
     "q_embedding_neardup",
     "q_text_stats",
     "q_quality_score",
     "q_fingerprint",
+    "q_tfidf",
+    "q_pack_sequences",
+    "q_interval_join_binned",
 ]
 
 

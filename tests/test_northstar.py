@@ -219,3 +219,20 @@ def test_dedup_clusters_invariants(spark):
     canon = clusters.filter("is_canonical").count()
     assert canon == len(members)
     clusters.unpersist()
+
+
+def test_dedup_clusters_lsh_consistent(spark):
+    """The LSH-fed clustering obeys its own pair set and is never finer
+    than it nor coarser than the exact clustering allows: every verified
+    LSH pair shares a cluster, and since LSH pairs are a subset of exact
+    pairs, the LSH labeling has at least as many clusters."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    lsh = qs["q_dedup_clusters_lsh"](spark, SF_ORACLE)
+    label = {r.doc_id: r.cluster_id for r in lsh.collect()}
+    for r in qs["q_dedup_minhash_lsh"](spark, SF_ORACLE).collect():
+        assert label[r.doc_a] == label[r.doc_b]
+    n_exact = qs["q_dedup_clusters"](spark, SF_ORACLE).filter("is_canonical").count()
+    n_lsh = len(set(label.values()))
+    assert n_lsh >= n_exact
