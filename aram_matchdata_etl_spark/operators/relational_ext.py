@@ -319,3 +319,93 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+_TPCH_Q3_SQL = """
+SELECT l.l_orderkey,
+    ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority"""
+
+
+@query("q_multijoin_pushdown", oracle=_TPCH_Q3_SQL)
+def q_multijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) with
+    per-table filters — the §4 evidence row for what Catalyst does
+    unprompted: each predicate pushes into its own parquet scan
+    (PushedFilters), pruned columns never leave the scan (ReadSchema),
+    and AQE broadcasts the filtered customer side instead of shuffling
+    the fact table against it. SAME SQL text on both engines — the query
+    is declared, the physical strategy is the optimizer's."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_TPCH_Q3_SQL)
+
+
+_TPCH_Q5_SQL = """
+SELECT n.n_name,
+    ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n.n_name"""
+
+
+@query("q_multijoin_star", oracle=_TPCH_Q5_SQL)
+def q_multijoin_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join: two broadcast-size dims
+    (region, nation) chain into customer, then the orders/lineitem facts.
+    Catalyst reorders so the selective region filter prunes nation →
+    customer before any fact shuffle, and the dim joins broadcast — the
+    join tree a planner must get right at 100 TB, obtained here from
+    declarative SQL with zero hints."""
+    from ..sources.tables import register_views
+
+    register_views(
+        spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem")
+    )
+    return spark.sql(_TPCH_Q5_SQL)
+
+
+def _feature_corr_oracle() -> str:
+    from .match_pipeline import _oracle
+
+    return _oracle("""
+SELECT
+    ROUND(corr(kda, performance_score), 6) AS kda_corr,
+    ROUND(corr(damage_per_min, performance_score), 6) AS dpm_corr,
+    ROUND(corr(gold_per_min, performance_score), 6) AS gpm_corr,
+    ROUND(covar_samp(kda, damage_per_min), 6) AS kda_dpm_cov
+FROM labeled""")
+
+
+@query("q_feature_corr", oracle=_feature_corr_oracle())
+def q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature↔label correlation screen over the silver table — the
+    statistical profile a feature pipeline runs before training (the
+    reference eyeballs feature importance post-hoc, modeling.py:215-243;
+    correlating BEFORE training is the scalable first cut). Pearson corr
+    and sample covariance are single-pass streaming aggregates
+    (sum/sum-sq/cross-moment partials) — one reduce, no per-row state,
+    identical math in both engines."""
+    from .match_pipeline import filtered_players, performance_scored, player_features
+
+    base = performance_scored(player_features(filtered_players(spark, sf_dir)))
+    return base.agg(
+        F.round(F.corr("kda", "performance_score"), 6).alias("kda_corr"),
+        F.round(F.corr("damage_per_min", "performance_score"), 6).alias("dpm_corr"),
+        F.round(F.corr("gold_per_min", "performance_score"), 6).alias("gpm_corr"),
+        F.round(F.covar_samp("kda", "damage_per_min"), 6).alias("kda_dpm_cov"),
+    )

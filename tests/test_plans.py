@@ -92,3 +92,36 @@ def test_no_cartesian_in_registry_except_intended(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_multijoin_pushdown_and_broadcast(spark):
+    """TPC-H Q3 shape: every per-table predicate reaches its scan, and the
+    filtered customer dim broadcasts instead of shuffling the fact."""
+    plan = _plan(spark, "q_multijoin_pushdown")
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("c_mktsegment" in s for s in pushed), pushed
+    assert any("o_orderdate" in s for s in pushed), pushed
+    assert any("l_shipdate" in s for s in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multijoin_star_all_dims_broadcast(spark):
+    """TPC-H Q5 shape: region/nation/customer chain must broadcast; the
+    only sort-merge-eligible join is fact-to-fact (orders-lineitem)."""
+    plan = _plan(spark, "q_multijoin_star")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_interval_join_is_equi_not_bnlj(spark):
+    """The binned interval join must plan as a hash/sort-merge equi-join
+    on (user_id, bin) — never BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "q_interval_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Sharded packing: one exchange on shard serves the window; the
+    explode and arithmetic stay narrow."""
+    plan = _plan(spark, "q_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
