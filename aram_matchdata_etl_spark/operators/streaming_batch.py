@@ -171,3 +171,58 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_no", "n_events", "session_start", "session_end")
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+SELECT user_id, event_type, value, ts AS valid_from,
+    LEAD(ts) OVER w AS valid_to,
+    (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: each observation of a (user_id,
+    event_type) attribute becomes a versioned row with a validity
+    interval — valid_from = its timestamp, valid_to = the next
+    observation's (NULL ⇒ current). This is the batch backfill of the
+    upsert sink's history (the reference's replace_one keeps only the
+    last state, db/mongodb.py:52-56; SCD2 keeps them all, which is what
+    time-travel joins like the as-of operator consume). One exchange on
+    the key; lead() is the interval close — no self-join."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query("q_hll_rollup")
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    unioned upward for the all-time estimate WITHOUT rescanning raw data —
+    the 100 TB distinct-count pattern (store a few-KB sketch per
+    partition/day; any rollup level is a cheap sketch union, where exact
+    countDistinct would re-shuffle every row every time). Spark's
+    DataSketches hll_sketch_agg partials merge associatively, so map-side
+    combine does most of the work. Rows-only check (sketch estimates are
+    engine-specific); the error-bound test compares against exact."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit(None).cast("timestamp").alias("day"), "distinct_users", "n_events")
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("distinct_users"), "n_events"
+    )
+    return per_day.unionByName(total)

@@ -236,3 +236,21 @@ def test_dedup_clusters_lsh_consistent(spark):
     n_exact = qs["q_dedup_clusters"](spark, SF_ORACLE).filter("is_canonical").count()
     n_lsh = len(set(label.values()))
     assert n_lsh >= n_exact
+
+
+def test_hll_rollup_error_bound(spark):
+    """The unioned all-time sketch estimate must sit within HLL error of
+    the exact distinct count, and per-day estimates within 5%."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_hll_rollup"](spark, SF_ORACLE).collect()
+    total = [r for r in rows if r.day is None]
+    assert len(total) == 1
+    exact = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total[0].distinct_users - exact) / exact < 0.05
+    assert sum(r.n_events for r in rows if r.day is not None) == total[0].n_events
