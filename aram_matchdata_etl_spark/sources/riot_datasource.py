@@ -1,0 +1,134 @@
+"""Custom PySpark DataSource for the match-crawl API — the reference's
+REST extractor (S3-S6, /root/reference/extractor/riot/match/api.py:7-122,
+extractor/riot/tasks.py:61-164) surfaced as a first-class Spark source:
+
+    spark.dataSource.register(RiotMatchDataSource)
+    spark.read.format("riot_matches").option("n_users", 50).load()
+    spark.readStream.format("riot_matches")
+         .option("users_per_batch", 20).load()
+
+Batch reads partition the user-id space across executors (one
+InputPartition per slice — the fan-out the reference got from asyncio
+batches of 200, tasks.py:70-90). The streaming reader tracks a durable
+cursor offset over the user space, advancing at most ``users_per_batch``
+users per micro-batch — the 2,000-ids-per-2-minute throughput ceiling
+(tasks.py:18,45) expressed as offset-range admission control, replayable
+from the checkpoint like any Spark source (the fake fetch is a pure
+function of the key, so replay is deterministic by construction; a live
+HTTP client would sit in exactly the same ``read`` method, one client per
+partition).
+
+Rows come out flat and typed (match/user keys + the raw JSON payloads);
+downstream parses payloads with from_json against the explicit bronze
+schema (SURVEY §1.3) — see operators/crawl-based queries in
+streaming/crawl.py and sources/crawl_api.py.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .crawl_api import fake_match_detail, fake_match_ids, fake_match_timeline
+
+SCHEMA = (
+    "user_id bigint, match_id string, game_mode string, "
+    "game_duration bigint, detail_json string, timeline_json string"
+)
+
+DEFAULT_N_USERS = 20
+DEFAULT_USERS_PER_BATCH = 10
+DEFAULT_SLICE = 8  # users per input partition (per-task fetch batch)
+
+
+def _rows_for_users(users: Sequence[int]) -> Iterator[tuple]:
+    """Pure fetch: user page -> match ids -> detail + timeline (dedup of
+    match ids repeated across users happens downstream, like the Redis
+    SET did — the source reports what the API returned)."""
+    for u in users:
+        for mid in fake_match_ids(u):
+            detail = fake_match_detail(mid)
+            timeline = fake_match_timeline(mid)
+            yield (
+                u,
+                mid,
+                detail["info"]["gameMode"],
+                detail["info"]["gameDuration"],
+                json.dumps(detail, sort_keys=True),
+                json.dumps(timeline, sort_keys=True),
+            )
+
+
+class _UserSlice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class RiotBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_users = int(options.get("n_users", DEFAULT_N_USERS))
+        self.slice = int(options.get("slice", DEFAULT_SLICE))
+
+    def partitions(self):
+        return [
+            _UserSlice(lo, min(lo + self.slice, self.n_users))
+            for lo in range(0, self.n_users, self.slice)
+        ]
+
+    def read(self, partition: _UserSlice):
+        return _rows_for_users(range(partition.start, partition.end))
+
+
+class RiotStreamReader(DataSourceStreamReader):
+    """Offset = how far through the user-id space the crawl has advanced.
+    latestOffset() admits at most users_per_batch new users per trigger
+    (T2 rate limiting); partitions() re-slices any [start, end) range, so
+    checkpoint replay of an old range yields identical rows."""
+
+    def __init__(self, options):
+        self.n_users = int(options.get("n_users", DEFAULT_N_USERS))
+        self.per_batch = int(options.get("users_per_batch", DEFAULT_USERS_PER_BATCH))
+        self.slice = int(options.get("slice", DEFAULT_SLICE))
+        self._cursor = 0
+
+    def initialOffset(self):
+        return {"user": 0}
+
+    def latestOffset(self):
+        self._cursor = min(self._cursor + self.per_batch, self.n_users)
+        return {"user": self._cursor}
+
+    def partitions(self, start, end):
+        lo, hi = start["user"], end["user"]
+        return [
+            _UserSlice(a, min(a + self.slice, hi)) for a in range(lo, hi, self.slice)
+        ]
+
+    def read(self, partition: _UserSlice):
+        return _rows_for_users(range(partition.start, partition.end))
+
+    def commit(self, end):
+        pass
+
+
+class RiotMatchDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "riot_matches"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return RiotBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return RiotStreamReader(self.options)

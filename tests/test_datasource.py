@@ -1,0 +1,93 @@
+"""Custom Python DataSource (riot_matches): batch partitioning, schema,
+determinism, and streaming offset/rate-limit/replay semantics."""
+
+from __future__ import annotations
+
+import time
+
+
+def _register(spark):
+    from aram_matchdata_etl_spark.sources.riot_datasource import RiotMatchDataSource
+
+    spark.dataSource.register(RiotMatchDataSource)
+
+
+def test_batch_read_schema_and_partitioning(spark):
+    from aram_matchdata_etl_spark.sources.crawl_api import MATCHES_PER_USER
+
+    _register(spark)
+    df = (
+        spark.read.format("riot_matches")
+        .option("n_users", 20)
+        .option("slice", 8)
+        .load()
+    )
+    assert df.columns == [
+        "user_id",
+        "match_id",
+        "game_mode",
+        "game_duration",
+        "detail_json",
+        "timeline_json",
+    ]
+    assert df.count() == 20 * MATCHES_PER_USER
+    # fan-out is distributed: ceil(20/8) = 3 input partitions
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_batch_read_deterministic(spark):
+    _register(spark)
+    read = lambda: sorted(
+        (r.user_id, r.match_id, r.detail_json)
+        for r in spark.read.format("riot_matches").option("n_users", 5).load().collect()
+    )
+    assert read() == read()
+
+
+def test_batch_source_predicate_prunes_rows(spark):
+    _register(spark)
+    df = (
+        spark.read.format("riot_matches")
+        .option("n_users", 20)
+        .load()
+        .filter("game_mode = 'ARAM'")
+    )
+    modes = {r.game_mode for r in df.collect()}
+    assert modes == {"ARAM"}
+
+
+def test_stream_rate_limit_and_replay(spark, tmp_path):
+    """Each micro-batch admits at most users_per_batch users, the stream
+    drains the whole user space, and rows are never duplicated — the
+    reference's beat-bounded crawl (tasks.py:18,45) as offset ranges."""
+    from aram_matchdata_etl_spark.sources.crawl_api import MATCHES_PER_USER
+
+    _register(spark)
+    stream = (
+        spark.readStream.format("riot_matches")
+        .option("n_users", 12)
+        .option("users_per_batch", 5)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("riot_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) c FROM riot_stream_sink").first().c
+            if n >= 12 * MATCHES_PER_USER:
+                break
+            time.sleep(1)
+        out = spark.sql(
+            "SELECT user_id, match_id FROM riot_stream_sink"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(out) == 12 * MATCHES_PER_USER
+    assert len({(r.user_id, r.match_id) for r in out}) == len(out)
+    assert {r.user_id for r in out} == set(range(12))
