@@ -409,3 +409,56 @@ def q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("gold_per_min", "performance_score"), 6).alias("gpm_corr"),
         F.round(F.covar_samp("kda", "damage_per_min"), 6).alias("kda_dpm_cov"),
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+    CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+    CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+    COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+
+
+@query("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation (SURVEY §2.4
+    'free' row, beyond q_rollup/q_cube's fixed hierarchies): two
+    independent one-dimension sets plus the grand total in ONE pass —
+    Spark expands the sets over a single scan (Expand + one aggregate
+    exchange), where hand-running three group-bys would scan three times.
+    Identical SQL on both engines; GROUPING() tells a NULL group key from
+    a NULL data value."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+SELECT o_custkey, o_orderpriority AS priority, COUNT(*) AS n
+FROM orders
+GROUP BY o_custkey, o_orderpriority""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (SURVEY §2.8 'free' row): per-customer
+    order counts carried as a map<priority, count> column
+    (map_from_entries over collected per-group structs), then unpacked
+    with explode(map) — proving the build/carry/unpack round-trip is
+    lossless against the plain GROUP BY oracle. The map stage is where a
+    document-shaped gold table would keep per-key aggregates; everything
+    is JVM-side (no UDF) and adds no exchange beyond the group-by's."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    as_map = per_key.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("o_orderpriority"), F.col("n")))
+        ).alias("by_priority")
+    )
+    return as_map.select(
+        "o_custkey", F.explode("by_priority").alias("priority", "n")
+    )

@@ -36,6 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 POINTER = "_CURRENT"
+LOG = "_LOG"  # append-only commit order (one version name per line)
 
 
 def current_version_path(base_dir: str) -> str | None:
@@ -56,14 +57,47 @@ def read_current(spark: SparkSession, base_dir: str) -> DataFrame | None:
     return None if path is None else spark.read.parquet(path)
 
 
-def commit_version(df: DataFrame, base_dir: str) -> str:
+def list_versions(base_dir: str) -> list[str]:
+    """Commit-ordered version names that still exist on disk (oldest
+    first). The append-only log records every commit; retention may have
+    pruned older directories."""
+    try:
+        with open(os.path.join(base_dir, LOG)) as fh:
+            logged = [line.strip() for line in fh if line.strip()]
+    except FileNotFoundError:
+        return []
+    return [v for v in logged if os.path.isdir(os.path.join(base_dir, v))]
+
+
+def read_version(spark: SparkSession, base_dir: str, n_back: int = 0) -> DataFrame | None:
+    """Time travel: the current snapshot (n_back=0) or an earlier retained
+    one (n_back=1 is the previous commit). None if not retained — retention
+    is bounded by commit_version's keep_versions."""
+    versions = list_versions(base_dir)
+    if n_back >= len(versions):
+        return None
+    return spark.read.parquet(os.path.join(base_dir, versions[-1 - n_back]))
+
+
+def commit_version(df: DataFrame, base_dir: str, keep_versions: int = 1) -> str:
     """Write ``df`` as a new immutable version and atomically swap the
     pointer to it. Returns the new version path. ``df`` may freely read
-    from the previous version — it is pruned only after the swap."""
+    from the previous version — it is pruned only after the swap.
+
+    ``keep_versions`` retains that many committed snapshots (newest
+    included) for time travel / incremental-consumer catch-up — the poor
+    man's form of a lakehouse table's snapshot retention; 1 keeps only
+    the current version (the streaming sinks' default)."""
     os.makedirs(base_dir, exist_ok=True)
     version = f"v-{uuid.uuid4().hex[:12]}"
     path = os.path.join(base_dir, version)
     df.write.mode("overwrite").parquet(path)
+
+    log_path = os.path.join(base_dir, LOG)
+    with open(log_path, "a") as fh:
+        fh.write(version + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
 
     tmp = os.path.join(base_dir, f".{POINTER}.tmp")
     with open(tmp, "w") as fh:
@@ -72,8 +106,9 @@ def commit_version(df: DataFrame, base_dir: str) -> str:
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(base_dir, POINTER))
 
+    keep = set(list_versions(base_dir)[-max(keep_versions, 1):]) | {version}
     for name in os.listdir(base_dir):
         stale = os.path.join(base_dir, name)
-        if name.startswith("v-") and name != version and os.path.isdir(stale):
+        if name.startswith("v-") and name not in keep and os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
     return path

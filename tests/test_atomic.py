@@ -65,3 +65,25 @@ def test_merge_plan_may_read_previous_version(spark, tmp_path):
     versions = [n for n in os.listdir(base) if n.startswith("v-")]
     assert len(versions) == 1
     assert os.path.isfile(os.path.join(base, POINTER))
+
+
+def test_time_travel_retention(spark, tmp_path):
+    """keep_versions retains snapshots for time travel; older ones are
+    pruned; the pointer always names the newest."""
+    from aram_matchdata_etl_spark.streaming.atomic import (
+        commit_version,
+        list_versions,
+        read_current,
+        read_version,
+    )
+
+    base = str(tmp_path / "tt")
+    for i in range(3):
+        df = spark.range(i + 1).withColumnRenamed("id", "x")
+        commit_version(df, base, keep_versions=2)
+
+    assert len(list_versions(base)) == 2
+    assert read_current(spark, base).count() == 3
+    assert read_version(spark, base, 0).count() == 3
+    assert read_version(spark, base, 1).count() == 2
+    assert read_version(spark, base, 2) is None  # pruned by retention
