@@ -97,7 +97,7 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def upsert_sink(target_dir: str, key_cols: list[str]):
+def upsert_sink(target_dir: str, key_cols: list[str], order_cols: tuple[str, ...] = ("ts", "event_id")):
     """T3/S7: idempotent foreachBatch upsert — replace_one(upsert=True)
     keyed by _id (db/mongodb.py:52-56). Without Delta's MERGE INTO in this
     environment, emulate last-writer-wins: union the batch with the
@@ -114,7 +114,7 @@ def upsert_sink(target_dir: str, key_cols: list[str]):
 
         current = read_current(batch.sparkSession, target_dir)
         merged = batch if current is None else current.unionByName(batch)
-        w = Window.partitionBy(*key_cols).orderBy(F.desc("ts"), F.desc("event_id"))
+        w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

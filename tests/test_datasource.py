@@ -91,3 +91,68 @@ def test_stream_rate_limit_and_replay(spark, tmp_path):
     assert len(out) == 12 * MATCHES_PER_USER
     assert len({(r.user_id, r.match_id) for r in out}) == len(out)
     assert {r.user_id for r in out} == set(range(12))
+
+
+def test_stream_source_to_bronze_upsert(spark, tmp_path):
+    """EP2 end-to-end on the custom source: stream riot_matches → parse
+    detail JSON against the bronze schema → ARAM filter → idempotent
+    versioned upsert keyed by match_id. The final table must equal the
+    batch-computed bronze from the same source (streaming/batch parity),
+    with exactly one row per match id despite ids repeating across users."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.sources.crawl_api import DETAIL_SCHEMA
+    from aram_matchdata_etl_spark.streaming.atomic import read_current
+    from aram_matchdata_etl_spark.streaming.crawl import upsert_sink
+
+    _register(spark)
+    target = str(tmp_path / "bronze")
+
+    def bronze(df):
+        parsed = df.withColumn("doc", F.from_json("detail_json", DETAIL_SCHEMA))
+        return parsed.filter(F.col("doc.info.gameMode") == "ARAM").select(
+            F.col("doc.metadata.matchId").alias("match_id"),
+            F.col("doc.info.gameDuration").alias("game_duration"),
+            F.size("doc.info.participants").alias("n_participants"),
+            "detail_json",
+            "timeline_json",
+        )
+
+    stream = (
+        spark.readStream.format("riot_matches")
+        .option("n_users", 8)
+        .option("users_per_batch", 3)
+        .load()
+    )
+    q = (
+        bronze(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert_sink(target, ["match_id"], order_cols=("match_id",)))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    batch = bronze(
+        spark.read.format("riot_matches").option("n_users", 8).load()
+    ).dropDuplicates(["match_id"])
+    want = batch.count()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            cur = read_current(spark, target)
+            if cur is not None and cur.count() == want:
+                break
+            time.sleep(1)
+        final = read_current(spark, target)
+        got = {
+            (r.match_id, r.game_duration, r.n_participants)
+            for r in final.collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == want
+    assert got == {
+        (r.match_id, r.game_duration, r.n_participants) for r in batch.collect()
+    }
