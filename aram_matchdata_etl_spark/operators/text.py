@@ -180,3 +180,46 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s.i) - 1 AS INTEGER)
+        AS sent_no,
+    trim(s.sent) AS sentence,
+    CAST(len(string_split(trim(s.sent), ' ')) AS INTEGER) AS n_words
+FROM documents,
+    LATERAL (SELECT unnest(string_split(text, '.')) AS sent,
+                    generate_subscripts(string_split(text, '.'), 1) AS i) s
+WHERE trim(s.sent) <> ''""",
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10 — the reference has none; this
+    is the one table-function shape explode cannot express: multiple
+    OUTPUT COLUMNS computed per emitted row from arbitrary Python).
+    Splits each document into sentences and emits (sent_no, sentence,
+    n_words) rows. UDTFs evaluate per-partition with no shuffle; the
+    lateral join keeps the doc_id correlation. For pure single-column
+    splits prefer explode(split(...)) (codegen); the UDTF is the escape
+    hatch when the per-row expansion needs real Python."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sent_no int, sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            n = 0
+            for piece in (text or "").split("."):
+                piece = piece.strip()
+                if piece:
+                    yield n, piece, len(piece.split(" "))
+                    n += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_no, s.sentence, s.n_words "
+        "FROM udtf_docs d, LATERAL sentence_split(d.text) s"
+    )

@@ -155,3 +155,23 @@ def test_crawl_topology_end_to_end(spark):
     assert users.count() > len(seeds)
     # idempotent key: one row per match id
     assert bronze.select("match_id").distinct().count() == rows
+
+
+def test_observe_pipeline_counters(spark):
+    """The reference's per-run counter dicts (tasks.py:174-180) as
+    df.observe() metrics: counters ride the job, no second pass."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.match_pipeline import filtered_players
+    from .conftest import SF_SMOKE
+
+    obs = Observation("crawl_counters")
+    df = filtered_players(spark, SF_SMOKE).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("match_id").alias("n_matches"),
+    )
+    n = df.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["n_matches"] > 0
