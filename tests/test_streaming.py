@@ -167,10 +167,12 @@ def test_observe_pipeline_counters(spark):
     from .conftest import SF_SMOKE
 
     obs = Observation("crawl_counters")
+    # DISTINCT aggregates are disallowed in observed metrics; the HLL
+    # sketch is the observable (and scale-correct) distinct counter
     df = filtered_players(spark, SF_SMOKE).observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("match_id").alias("n_matches"),
+        F.approx_count_distinct("match_id").alias("n_matches"),
     )
     n = df.count()
     assert obs.get["n_rows"] == n
