@@ -222,12 +222,13 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
     # edges are reused every round; singleton docs never enter the loop.
-    # The label/edge frames are tiny relative to the corpus (near-dup
-    # graph only) — a handful of partitions keeps per-round task-launch
-    # overhead off the critical path; at real scale size this to the
-    # edge count, not the corpus.
-    n_part = max(4, min(edges.sparkSession.sparkContext.defaultParallelism, 8))
-    edges = edges.repartition(n_part, "v").localCheckpoint()
+    # Deliberately NOT pre-partitioned to a fixed count: the per-round
+    # join shuffles both sides at the session's shuffle parallelism, and
+    # forcing a different fixed partitioning on one side makes Spark
+    # re-shuffle the edge list EVERY round to reconcile the mismatch
+    # (measured 20x slower at 250k edges). localCheckpoint only cuts the
+    # lineage so round N's plan doesn't replay rounds 0..N-1.
+    edges = edges.localCheckpoint()
 
     labels = docs.select(
         F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
