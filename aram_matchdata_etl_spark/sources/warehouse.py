@@ -49,3 +49,44 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in. Streaming
+    sinks and frequent upserts accrete many small files; at scale the
+    scan's task count (and the namenode/listing load) tracks file count,
+    not data size, so compaction is routine table maintenance (what
+    OPTIMIZE does on a lakehouse table). Returns the new file count.
+
+    The rewrite is one coalesce-free repartition(n) pass — a full shuffle,
+    chosen over coalesce() because coalesce at small n would also shrink
+    the PARALLELISM of the read stage, while repartition keeps the scan
+    wide and only narrows the write. Swap via a temp dir + os.replace of
+    the directory name keeps a complete table visible at every instant
+    (same single-writer story as streaming/atomic.py)."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

@@ -147,3 +147,30 @@ def run_to_completion(
         )
     q.awaitTermination()
     return q
+
+
+def attribution_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks within 30 min after a
+    purchase by the same user — the native streaming twin of the batch
+    q_interval_join_binned (operators/advanced.py), which pins the
+    deterministic semantics with a DuckDB oracle. Both sides carry a
+    watermark so the state store can discard a buffered row once no
+    future match can arrive (purchase state expires 30 min past the
+    click watermark and vice versa); without the time-range condition in
+    the join predicate, stream-stream state would grow forever."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_ts", "1 hour")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_id", "p_user", "c_ts", "click_value")

@@ -177,3 +177,39 @@ def test_observe_pipeline_counters(spark):
     n = df.count()
     assert obs.get["n_rows"] == n
     assert obs.get["n_matches"] > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    """The watermarked stream-stream join must produce exactly the
+    matched (purchase, click) pairs the batch interval join computes."""
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.registry import all_queries
+    from aram_matchdata_etl_spark.streaming.crawl import (
+        attribution_join,
+        events_stream,
+        run_to_completion,
+    )
+    from .conftest import SF_SMOKE
+
+    stream = events_stream(spark, events_dir, EVENTS_FILE)
+    out = attribution_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    run_to_completion(out, query_name="attrib_sink")
+    got = {
+        (r.p_id, r.p_user, r.c_ts)
+        for r in spark.sql("SELECT * FROM attrib_sink").collect()
+    }
+
+    batch = all_queries()["q_interval_join_binned"](spark, SF_SMOKE)
+    want_counts = {
+        (r.event_id, r.user_id): r.n_clicks
+        for r in batch.filter("n_clicks > 0").collect()
+    }
+    # same purchases matched, same per-purchase click multiplicity
+    from collections import Counter
+
+    got_counts = Counter((p, u) for p, u, _ in got)
+    assert dict(got_counts) == want_counts

@@ -59,3 +59,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    import os
+
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.sources.warehouse import compact
+
+    path = str(tmp_path / "many_small")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(64).write.parquet(path)  # simulate sink accretion
+    before_files = sum(f.endswith(".parquet") for f in os.listdir(path))
+    before = orders.count()
+
+    n = compact(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after_files = sum(f.endswith(".parquet") for f in os.listdir(path))
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert after_files == n < before_files
+    # content identical, not just counts
+    assert after_df.exceptAll(orders).count() == 0
