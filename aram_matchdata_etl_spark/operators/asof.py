@@ -122,3 +122,163 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         left, right, key="custkey", left_t="t", right_t="t", value_cols=["last_price"]
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_t: str,
+    right_t: str,
+    value_cols: list[str],
+    bucket_width: int,
+) -> DataFrame:
+    """Skew-robust as-of join: identical semantics to asof_join, but the
+    per-key window is split into time buckets of ``bucket_width`` so a hot
+    key's rows spread over (key, bucket) partitions instead of serializing
+    on one reducer — the worst case asof_join cannot parallelize.
+
+    Three passes, all linear:
+      1. per (key, bucket) LAST right payload (one aggregation);
+      2. bucket-level carry-in: for every left bucket, the latest
+         right payload from any STRICTLY EARLIER bucket — an as-of join
+         at bucket granularity (rows per key = touched buckets, tiny);
+      3. in-bucket union+window partitioned by (key, bucket): left rows
+         resolve against same-bucket right rows plus the carry-in row.
+    The left columns and tie semantics (right_t == left_t matches) are
+    exactly asof_join's; differential equality is pinned in tests."""
+    lcols = left.columns
+    payload_type = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("_p")
+    ).schema["_p"].dataType
+    bucket = lambda c: F.floor(F.col(c) / F.lit(bucket_width))  # noqa: E731
+
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_t).alias("_t"),
+        bucket(right_t).alias("_b"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),
+    )
+    # 1. last payload per (key, bucket) — max_by keeps the latest row's
+    # struct; deterministic because (key, t) collisions were the caller's
+    # to resolve, same as asof_join
+    per_bucket = r.groupBy("_k", "_b").agg(
+        F.max_by("_payload", "_t").alias("_payload"),
+        F.max("_t").alias("_t_last"),
+    )
+
+    # 2. carry-in per left bucket: probes sort BEFORE data rows of the
+    # same bucket (probe _side=0 < data _side=1), so last() sees only
+    # strictly-earlier buckets' payloads
+    probes = left.select(
+        F.col(key).alias("_k"), bucket(left_t).alias("_b")
+    ).distinct()
+    cw = (
+        Window.partitionBy("_k")
+        .orderBy("_b", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        probes.select("_k", "_b", F.lit(0).alias("_side"), F.lit(None).cast(payload_type).alias("_payload"))
+        .unionByName(per_bucket.select("_k", "_b", F.lit(1).alias("_side"), "_payload"))
+        .select("*", F.last("_payload", ignorenulls=True).over(cw).alias("_carry"))
+        .filter(F.col("_side") == 0)
+        .select("_k", "_b", "_carry")
+    )
+
+    # 3. in-bucket resolution: carry rows order before everything in the
+    # bucket (_pre=0), right rows before left at equal t (side 0 < 1)
+    l3 = left.select(
+        F.col(key).alias("_k"),
+        bucket(left_t).alias("_b"),
+        F.lit(1).alias("_pre"),
+        F.col(left_t).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_type).alias("_payload"),
+        *[F.col(c) for c in lcols if c != key],
+    )
+    pad = [
+        F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in lcols
+        if c != key
+    ]
+    r3 = r.select(
+        "_k", "_b", F.lit(1).alias("_pre"), "_t", F.lit(0).alias("_side"), "_payload", *pad
+    )
+    c3 = carry.select(
+        "_k",
+        "_b",
+        F.lit(0).alias("_pre"),
+        F.lit(0).cast(r.schema["_t"].dataType).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col("_carry").alias("_payload"),
+        *pad,
+    )
+    w = (
+        Window.partitionBy("_k", "_b")
+        .orderBy("_pre", "_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l3.unionByName(r3)
+        .unionByName(c3)
+        .select("*", F.last("_payload", ignorenulls=True).over(w).alias("_asof"))
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        F.col("_k").alias(key),
+        *[c for c in lcols if c != key],
+        *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
+    )
+
+
+ASOF_BUCKET_WIDTH = 1 << 23  # ~97 days on an epoch-seconds axis
+
+
+@query(
+    "q_asof_join_bucketed",
+    oracle="""
+WITH l AS (
+    SELECT event_id,
+        CAST(user_id % 50 + 1 AS BIGINT) AS custkey,
+        788918400 + (event_id * 9973) % 220000000 AS t
+    FROM events
+),
+r AS (
+    SELECT o_custkey AS custkey,
+        CAST(epoch(o_orderdate) AS BIGINT) AS t,
+        MAX(o_totalprice) AS best_price
+    FROM orders GROUP BY 1, 2
+)
+SELECT l.event_id, l.custkey, l.t, r.best_price AS last_price
+FROM l ASOF LEFT JOIN r ON l.custkey = r.custkey AND l.t >= r.t""",
+)
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-robust as-of variant on the same inputs and the same
+    native DuckDB ASOF oracle as q_asof_join — two independent
+    implementations (per-key window vs time-bucketed with carry-in)
+    checked against a third engine's built-in."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        (F.col("user_id") % 50 + 1).cast("bigint").alias("custkey"),
+        (F.lit(788918400) + (F.col("event_id") * 9973) % 220000000).alias("t"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_timestamp("o_orderdate").alias("t"),
+            "o_totalprice",
+        )
+        .groupBy("custkey", "t")
+        .agg(F.max("o_totalprice").alias("last_price"))
+    )
+    return asof_join_bucketed(
+        left,
+        right,
+        key="custkey",
+        left_t="t",
+        right_t="t",
+        value_cols=["last_price"],
+        bucket_width=ASOF_BUCKET_WIDTH,
+    )

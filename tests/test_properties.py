@@ -229,3 +229,62 @@ def test_exact_jaccard_matches_python(spark, texts):
             want = inter / len(si | sj)
             assert (i, j) in got
             assert got[(i, j)] == pytest.approx(want, abs=1e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=20,
+    ),
+    width=st.sampled_from([1, 7, 13, 1000]),
+)
+def test_asof_bucketed_matches_plain(spark, left, right, width):
+    """The skew-robust time-bucketed as-of must equal the per-key-window
+    composition for every bucket width — width 1 forces a carry-in for
+    nearly every bucket, width 1000 degenerates to one bucket per key."""
+    from aram_matchdata_etl_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rmap: dict[tuple[int, int], int] = {}
+    for k, t, v in right:
+        rmap[(k, t)] = max(rmap.get((k, t), -1), v)
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, key long, t long"
+    )
+    rdf = spark.createDataFrame(rrows, "key long, t long, val long") if rrows else (
+        spark.createDataFrame([], "key long, t long, val long")
+    )
+    kwargs = dict(key="key", left_t="t", right_t="t", value_cols=["val"])
+    want = {r.lid: r.val for r in asof_join(ldf, rdf, **kwargs).collect()}
+    got = {
+        r.lid: r.val
+        for r in asof_join_bucketed(ldf, rdf, bucket_width=width, **kwargs).collect()
+    }
+    assert got == want
+
+
+def test_asof_bucketed_null_in_latest_right_row_surfaces(spark):
+    """Same nullable-payload guarantee as the plain composition, including
+    when the NULL-carrying row arrives via the carry-in path."""
+    from aram_matchdata_etl_spark.operators.asof import asof_join_bucketed
+
+    ldf = spark.createDataFrame([(1, 1, 100)], "lid long, key long, t long")
+    rdf = spark.createDataFrame(
+        [(1, 10, 7), (1, 50, None)], "key long, t long, val long"
+    )
+    rows = asof_join_bucketed(
+        ldf, rdf, key="key", left_t="t", right_t="t", value_cols=["val"],
+        bucket_width=20,  # 10 and 50 land in different buckets than 100
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].val is None
