@@ -210,3 +210,55 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
         F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
     )
+
+
+COGROUP_SHARDS = 64
+
+
+@query(
+    "q_cogroup_enrich",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice,
+    CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+    ROUND(COALESCE(SUM(l.l_quantity), 0.0), 4) AS sum_qty
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice""",
+)
+def q_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the two-table grouped-map surface, SURVEY
+    §2.10): orders and lineitems cogrouped on a hash shard, merged with a
+    pandas join inside each shard. This is the escape hatch for per-key
+    logic that needs BOTH sides as materialized frames (custom conflation,
+    per-entity reconciliation) — for a plain aggregate join like this the
+    declarative form is strictly better (see the oracle); the operator
+    exists to pin the API's semantics and its scale shape: sharding keys
+    by hash keeps Python invocations O(shards), not O(keys), and each
+    shard's pair of Arrow batches bounds memory."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "shard", F.pmod(F.col("o_orderkey"), F.lit(COGROUP_SHARDS))
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "shard", F.pmod(F.col("l_orderkey"), F.lit(COGROUP_SHARDS))
+    )
+
+    def merge(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            ldf.groupby("l_orderkey")
+            .agg(n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+        out = odf[["o_orderkey", "o_totalprice"]].merge(
+            agg, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
+        out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
+        out["sum_qty"] = out["sum_qty"].fillna(0.0).round(4)
+        return out[["o_orderkey", "o_totalprice", "n_lines", "sum_qty"]]
+
+    return (
+        orders.groupBy("shard")
+        .cogroup(li.groupBy("shard"))
+        .applyInPandas(
+            merge,
+            schema="o_orderkey bigint, o_totalprice double, n_lines bigint, sum_qty double",
+        )
+    )
