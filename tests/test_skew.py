@@ -40,3 +40,50 @@ def test_salted_agg_equals_plain_on_skew(spark):
     # the hot key really is hot (the test would be vacuous otherwise)
     hot_n = plain[0][0]
     assert hot_n > 0.7 * sum(n for n, _ in plain.values())
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """§4 evidence: AQE's OptimizeSkewedJoin splits the hot key's shuffle
+    partition at runtime — the built-in mechanism that complements the
+    manual salting patterns (q_join_salted) when skew is discovered, not
+    known up front. Asserted on the adaptive final plan ('skew=true') and
+    on result equality with the skew-oblivious plan."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+        fact = _zipfish(spark, n=400_000)
+        dim = spark.range(1000).select(
+            F.col("id").alias("key"), (F.col("id") * 2.0).alias("w")
+        )
+        joined = fact.join(dim, "key").agg(
+            F.count("*").alias("n"), F.round(F.sum(F.col("v") * F.col("w")), 4).alias("s")
+        )
+        row = joined.collect()[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+        # equality with the same join under default (no forced-skew) config
+        for k, v in saved.items():
+            conf.set(k, v)
+        want = fact.join(dim, "key").agg(
+            F.count("*").alias("n"), F.round(F.sum(F.col("v") * F.col("w")), 4).alias("s")
+        ).collect()[0]
+        assert (row.n, row.s) == (want.n, want.s)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
