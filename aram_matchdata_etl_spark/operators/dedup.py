@@ -234,6 +234,7 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(20):
         nbr = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -250,10 +251,17 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("new_label"),
         ).localCheckpoint()
         changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        # the superseded round's checkpoint blocks are dead weight in the
+        # block manager — free them eagerly instead of waiting for GC
+        # (left pinned, they degrade UNRELATED queries later in the
+        # session via memory pressure; observed in bench)
+        labels.unpersist()
         labels = merged.select("u", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
-    else:  # pragma: no cover - 20 rounds >> fixture component diameter
+    edges.unpersist()
+    if not converged:  # pragma: no cover - 20 rounds >> component diameter
         raise RuntimeError("label propagation did not converge in 20 rounds")
 
     return labels.select(
