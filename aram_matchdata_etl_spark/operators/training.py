@@ -191,17 +191,23 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc partition. Keeps integer math until the final ln() so the only
     float rounding is the scored column (ROUND 6 in both dialects)."""
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # one scalar; the oracle's CROSS JOIN n
+    # the oracle's CROSS JOIN n, kept lazy: a broadcast 1-row count frame
+    # instead of an eager .count() per invocation
+    n = docs.agg(F.count("*").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_), "word").select(
-        "doc_id",
-        "word",
-        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
     return (

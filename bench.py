@@ -39,6 +39,7 @@ HEADLINE = [
     "q_sessionize",
     "q_event_window_agg",
     "q_asof_join",
+    "q_asof_join_bucketed",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_clusters_lsh",
