@@ -48,6 +48,7 @@ def _load_operator_modules() -> None:
         similarity,
         streaming_batch,
         text,
+        tpch,
         training,
     )
 

@@ -51,6 +51,14 @@ HEADLINE = [
     "q_tfidf",
     "q_pack_sequences",
     "q_interval_join_binned",
+    # adapted TPC-H: the shuffle/join-heavy representatives (Q1 scan-agg,
+    # Q3/Q9 big joins, Q18 double agg on orderkey, Q21 decorrelated
+    # exists/not-exists)
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q9",
+    "q_tpch_q18",
+    "q_tpch_q21",
 ]
 
 
