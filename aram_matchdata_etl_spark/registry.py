@@ -41,6 +41,7 @@ def _load_operator_modules() -> None:
         advanced,
         asof,
         dedup,
+        functions_ext,
         match_pipeline,
         multimodal,
         relational,
