@@ -211,51 +211,78 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CLUSTERS = 16
 IVF_PROBES = 3
+# multi-assignment factor: each corpus vector is indexed into its 2
+# nearest cells (FAISS-style IVF spill). Near-boundary vectors — the ones
+# single-assignment IVF loses — appear in both adjacent cells, so a probe
+# finds them from either side. Index size grows ~2x; probe cost grows with
+# actual cell sizes, not with the assignment factor.
+IVF_ASSIGN = 2
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 @query("q_ann_ivf")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file index): k-means partitions the corpus
-    into 16 cells; each query probes its 3 nearest centroids and re-ranks
-    exactly inside the probed cells — ~probes/clusters of the brute-force
-    comparisons. The other classic ANN family beside hyperplane LSH
-    (q_ann_lsh); recall vs q_similarity_topk asserted in tests.
+    into 16 cells with 2-way multi-assignment; each query probes its 3
+    nearest centroids and re-ranks exactly inside the probed cells —
+    ~assign*probes/clusters of the brute-force comparisons. The other
+    classic ANN family beside hyperplane LSH (q_ann_lsh); recall vs
+    q_similarity_topk asserted in tests (monotone in BOTH probes and
+    assignment factor).
     Scale: centroids are a tiny broadcast table; cell assignment is a
     narrow map; at 100 TB the corpus is written partitioned by cell so a
     probe reads only its cells' files (partition pruning)."""
-    return ann_ivf(spark, sf_dir, probes=IVF_PROBES)
+    return ann_ivf(spark, sf_dir, probes=IVF_PROBES, assign=IVF_ASSIGN)
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
-    """Parameterized IVF probe (see q_ann_ivf); `probes` trades recall for
-    comparisons — tests assert recall is monotone in probes."""
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, probes: int, assign: int = 1
+) -> DataFrame:
+    """Parameterized IVF probe (see q_ann_ivf). `probes` = cells examined
+    per query, `assign` = cells each corpus vector is indexed into; recall
+    is monotone in both (candidate sets nest), and probing every cell is
+    exact regardless of `assign`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = embeddings_d(spark, sf_dir).withColumn("fvec", array_to_vector("vec"))
     km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="fvec", predictionCol="cell")
     model = km.fit(emb)
-    assigned = model.transform(emb).select("vec_id", "vec", "vnorm", "cell")
 
     # tiny centroid table: (cell, centroid array) — broadcast to score
-    # query-to-centroid distances without collecting the corpus
+    # vector-to-centroid distances without collecting the corpus
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    base = emb.select("vec_id", "vec", "vnorm")
+    # multi-assignment: rank all centroids per corpus vector, index the
+    # vector into its `assign` nearest cells (assign=1 == KMeans.transform)
+    ic = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", _sq_dist(F.col("vec"), F.col("centroid"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("cdist", "cell")
+    assigned = (
+        ic.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= assign)
+        .select("vec_id", "vec", "vnorm", "cell")
+    )
+
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("vnorm").alias("qnorm"),
     )
-    # rank centroids per query, keep the top IVF_PROBES cells
+    # rank centroids per query, keep the top `probes` cells
     qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist",
-        F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+        "cdist", _sq_dist(F.col("qvec"), F.col("centroid"))
     )
     wq = Window.partitionBy("query_id").orderBy("cdist", "cell")
     probed = (
@@ -267,6 +294,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
         F.broadcast(probed)
         .join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
+        # a vector assigned to 2 probed cells must score once, not twice
+        # (duplicates would occupy two top-k slots)
+        .dropDuplicates(["query_id", "vec_id"])
     )
     cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
     scored = cand.select("query_id", "vec_id", cosine.alias("raw_cosine"))
