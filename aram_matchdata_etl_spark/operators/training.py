@@ -374,3 +374,57 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, c: (acc * 31 + c) % ROLL_P,
         ).alias("fingerprint"),
     )
+
+
+_EVAL_SOURCES = ("src0", "src1", "src2", "src3")
+_NGRAM = 8
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+grams AS (
+    SELECT doc_id, source,
+           UNNEST(list_transform(range(1, greatest(len(t) - {_NGRAM - 1}, 0) + 1),
+                                 i -> array_to_string(t[i:i + {_NGRAM - 1}], ' '))) AS gram
+    FROM toks),
+ev AS (SELECT doc_id, gram FROM grams WHERE source IN {_EVAL_SOURCES!r}),
+tr AS (SELECT doc_id, gram FROM grams WHERE source NOT IN {_EVAL_SOURCES!r})
+SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS shared_grams
+FROM tr JOIN ev ON tr.gram = ev.gram
+GROUP BY 1, 2""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training documents sharing any
+    8-token n-gram with a held-out eval set (the standard decontamination
+    pass a training-data pipeline runs before a model sees the corpus;
+    the reference has no analogue — north-star scope per BASELINE.json).
+
+    Joins on the gram STRING, not a hash, so the DuckDB oracle needs no
+    cross-engine hash agreement. Scale: eval benchmarks are tiny next to
+    a 100 TB corpus, so the eval gram set broadcasts and the corpus
+    streams once — no shuffle of the training side; at extreme eval sizes
+    swap to xxhash64(gram) equi-join (shuffle on the 8-byte hash instead
+    of the string). Sliding grams are JVM-side lambdas (sequence +
+    slice + array_join), no UDF."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_NGRAM - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, _NGRAM), " "),
+    )
+    exploded = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    ev = exploded.filter(F.col("source").isin(*_EVAL_SOURCES)).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    tr = exploded.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.countDistinct("gram").cast("bigint").alias("shared_grams"))
+    )
