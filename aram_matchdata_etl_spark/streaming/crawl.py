@@ -99,28 +99,17 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def upsert_sink(target_dir: str, key_cols: list[str], order_cols: tuple[str, ...] = ("ts", "event_id")):
     """T3/S7: idempotent foreachBatch upsert — replace_one(upsert=True)
-    keyed by _id (db/mongodb.py:52-56). Without Delta's MERGE INTO in this
-    environment, emulate last-writer-wins: union the batch with the
-    current table version, keep the newest row per key, and commit the
-    result as a NEW version with an atomic pointer swap (streaming/
-    atomic.py) — the merge plan never overwrites the directory it reads,
-    and a crash at any point leaves one complete version readable. On
-    Delta/Iceberg this function body becomes a single MERGE statement."""
+    keyed by _id (db/mongodb.py:52-56). Routed through
+    streaming/lakehouse.py: a transactional Delta MERGE INTO where the
+    package is installed, else last-writer-wins merge committed as a NEW
+    version with an atomic pointer swap (streaming/atomic.py) — the merge
+    plan never overwrites the directory it reads, and a crash at any
+    point leaves one complete version readable."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import Window
+        from .lakehouse import merge_upsert
 
-        from .atomic import commit_version, read_current
-
-        current = read_current(batch.sparkSession, target_dir)
-        merged = batch if current is None else current.unionByName(batch)
-        w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
-        latest = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        commit_version(latest, target_dir)
+        merge_upsert(batch, target_dir, key_cols, order_cols)
 
     return apply
 

@@ -87,3 +87,38 @@ def test_time_travel_retention(spark, tmp_path):
     assert read_version(spark, base, 0).count() == 3
     assert read_version(spark, base, 1).count() == 2
     assert read_version(spark, base, 2) is None  # pruned by retention
+
+
+def test_merge_upsert_dispatch_and_semantics(spark, tmp_path):
+    """lakehouse.merge_upsert: in this image (no delta package) it must
+    take the versioned-parquet fallback, with last-writer-wins semantics
+    identical to the Delta MERGE body."""
+    from aram_matchdata_etl_spark.streaming.lakehouse import (
+        delta_available,
+        merge_upsert,
+    )
+    from aram_matchdata_etl_spark.streaming.atomic import read_current
+
+    base = str(tmp_path / "mu")
+    b1 = spark.createDataFrame(
+        [("m1", 1, "a"), ("m2", 1, "b")], "match_id string, ts int, payload string"
+    )
+    engine = merge_upsert(b1, base, ["match_id"], order_cols=("ts",))
+    assert engine == ("delta" if delta_available(spark) else "versioned")
+    # second batch updates m1 (newer ts) and inserts m3
+    b2 = spark.createDataFrame(
+        [("m1", 2, "a2"), ("m3", 1, "c")], "match_id string, ts int, payload string"
+    )
+    merge_upsert(b2, base, ["match_id"], order_cols=("ts",))
+    got = {
+        (r.match_id, r.ts, r.payload) for r in read_current(spark, base).collect()
+    }
+    assert got == {("m1", 2, "a2"), ("m2", 1, "b"), ("m3", 1, "c")}
+
+
+def test_delta_merge_body(spark, tmp_path):
+    """Exercises the Delta MERGE path itself — skipped where delta-spark
+    is not installed (this image)."""
+    import pytest
+
+    pytest.importorskip("delta")
