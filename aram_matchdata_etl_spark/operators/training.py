@@ -410,10 +410,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the string). Sliding grams are JVM-side lambdas (sequence +
     slice + array_join), no UDF."""
     toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_NGRAM - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, _NGRAM), " "),
-    )
+    # Guard short docs: for size(toks) < _NGRAM the window count is <= 0 and
+    # sequence(1, 0) would produce a DESCENDING [1, 0] whose 0 index makes
+    # slice() raise (SQL arrays are 1-based) — emit no grams instead, matching
+    # the oracle's empty range(1, 1).
+    n_windows = F.size(toks) - (_NGRAM - 1)
+    grams = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_join(F.slice(toks, i, _NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     exploded = _docs(spark, sf_dir).select(
         "doc_id", "source", F.explode(grams).alias("gram")
     )

@@ -1,0 +1,67 @@
+"""Unit tests for the training-data prep operators that the sf fixtures
+can't exercise (all fixture docs are >= 8 tokens, so the short-document
+edge of the contamination scan is invisible to the oracle gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def tiny_docs_dir(spark, tmp_path):
+    """A documents table with docs shorter than the 8-token n-gram window,
+    one exactly at it, and an eval/train pair sharing a gram."""
+    rows = [
+        # eval doc (src0) with >= 8 tokens
+        (0, "a b c d e f g h i j", "en", "src0", 19),
+        # train doc sharing the 8-gram "a b c d e f g h"
+        (1, "z a b c d e f g h", "en", "web", 17),
+        # short train docs: 1 and 7 tokens -> must emit no grams, not crash
+        (2, "tiny", "en", "web", 4),
+        (3, "one two three four five six seven", "en", "web", 33),
+        # exactly 8 tokens -> one gram, no overlap with eval
+        (4, "p q r s t u v w", "en", "web", 15),
+        # short EVAL doc too
+        (5, "short eval", "en", "src1", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_contamination_handles_short_docs(spark, tiny_docs_dir):
+    """Docs with fewer than 8 tokens must contribute zero grams (sequence(1,0)
+    would otherwise produce [1, 0] and slice(_, 0, 8) raises at runtime)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    out = all_queries()["q_contamination"](spark, tiny_docs_dir).collect()
+    hits = {(r["train_doc"], r["eval_doc"]): r["shared_grams"] for r in out}
+    assert hits == {(1, 0): 1}
+
+
+def test_contamination_short_docs_match_duckdb_oracle(spark, tiny_docs_dir):
+    """The same tiny fixture through the registered DuckDB oracle — the
+    engines must agree on the short-doc edge, not just not-crash."""
+    import duckdb
+
+    from aram_matchdata_etl_spark.registry import all_oracles, all_queries
+
+    spark_rows = {
+        tuple(r)
+        for r in all_queries()["q_contamination"](spark, tiny_docs_dir)
+        .select("train_doc", "eval_doc", "shared_grams")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{tiny_docs_dir}/documents.parquet/*.parquet'"
+    )
+    oracle_rows = {
+        tuple(r)
+        for r in con.execute(all_oracles()["q_contamination"]).fetchall()
+    }
+    assert spark_rows == oracle_rows
