@@ -116,12 +116,11 @@ def match_level_split(
 
 def fit_clip_bounds(train: DataFrame, cols: tuple[str, ...] = CLIP_COLS) -> dict[str, tuple[float, float]]:
     """1%/99% winsorization bounds fit on TRAIN only
-    (feature_factory.py:230-238); approxQuantile = single distributed pass."""
-    bounds = {}
-    for c in cols:
-        q1, q99 = train.approxQuantile(c, [0.01, 0.99], 0.001)
-        bounds[c] = (q1, q99)
-    return bounds
+    (feature_factory.py:230-238). One approxQuantile call over ALL clip
+    columns = ONE distributed pass (per-column calls would each rescan
+    the train set)."""
+    quantiles = train.approxQuantile(list(cols), [0.01, 0.99], 0.001)
+    return {c: (q1, q99) for c, (q1, q99) in zip(cols, quantiles)}
 
 
 def apply_clip(df: DataFrame, bounds: dict[str, tuple[float, float]]) -> DataFrame:

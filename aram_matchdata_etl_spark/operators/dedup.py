@@ -213,6 +213,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(load_table(spark, sf_dir, "documents"), pairs)
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint()ed DataFrame's block-manager blocks.
+
+    ``DataFrame.unpersist()`` only clears cacheManager entries (persist/
+    cache) — a local checkpoint's blocks belong to the underlying
+    checkpointed RDD, reachable through the plan's LogicalRDD node. Only
+    call this on SUPERSEDED checkpoints: a locally-checkpointed RDD cannot
+    be recomputed after unpersist."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internals moved; GC reclaims later
+        pass
+
+
 def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Min-label propagation over a (doc_a, doc_b) pair relation; see
     q_dedup_clusters for the algorithm/scale discussion. Pair input is
@@ -235,6 +249,7 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     ).localCheckpoint()
 
     converged = False
+    prev_ckpt = labels  # the round's live checkpoint; freed once superseded
     for _ in range(20):
         nbr = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -254,13 +269,15 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         # the superseded round's checkpoint blocks are dead weight in the
         # block manager — free them eagerly instead of waiting for GC
         # (left pinned, they degrade UNRELATED queries later in the
-        # session via memory pressure; observed in bench)
-        labels.unpersist()
+        # session via memory pressure; observed in bench). The final
+        # round's checkpoint stays: the returned plan reads from it.
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = merged
         labels = merged.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    _free_checkpoint(edges)
     if not converged:  # pragma: no cover - 20 rounds >> component diameter
         raise RuntimeError("label propagation did not converge in 20 rounds")
 

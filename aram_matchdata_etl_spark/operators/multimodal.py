@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,29 +67,35 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload: bytes = row["payload"]
-                # deterministic fake: 4-bin byte histogram, normalized.
-                # Real path: decode_image(payload) -> resize -> embed.
-                hist = [0, 0, 0, 0]
-                for b in payload:
-                    hist[b >> 6] += 1
-                n = max(len(payload), 1)
-                feats.append(
-                    {
-                        "doc_id": row["doc_id"],
-                        "media_type": row["media_type"],
-                        "n_bytes": len(payload),
-                        "h0": hist[0] / n,
-                        "h1": hist[1] / n,
-                        "h2": hist[2] / n,
-                        "h3": hist[3] / n,
-                    }
-                )
+            # Vectorized across the whole Arrow batch: concatenate payloads
+            # into one uint8 buffer, bucket every byte (>> 6 -> 4 bins), and
+            # histogram per row with a single bincount over
+            # row_index * 4 + bin. No per-row Python loop — this is the
+            # pattern a real decode -> embed forward pass must follow
+            # (batched tensor in, batched features out).
+            # Real path: decode_image(payload) -> resize -> embed.
+            payloads = pdf["payload"]
+            lengths = payloads.str.len().to_numpy(dtype=np.int64)
+            if lengths.sum() == 0:
+                counts = np.zeros((len(pdf), 4), dtype=np.int64)
+            else:
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                row_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lengths)
+                counts = np.bincount(
+                    row_idx * 4 + (buf >> 6), minlength=len(pdf) * 4
+                ).reshape(len(pdf), 4)
+            denom = np.maximum(lengths, 1).astype(np.float64)[:, None]
+            hist = counts / denom
             yield pd.DataFrame(
-                feats,
-                columns=["doc_id", "media_type", "n_bytes", "h0", "h1", "h2", "h3"],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": lengths,
+                    "h0": hist[:, 0],
+                    "h1": hist[:, 1],
+                    "h2": hist[:, 2],
+                    "h3": hist[:, 3],
+                }
             )
 
     return media.mapInPandas(

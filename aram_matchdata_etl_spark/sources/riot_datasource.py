@@ -48,14 +48,66 @@ DEFAULT_USERS_PER_BATCH = 10
 DEFAULT_SLICE = 8  # users per input partition (per-task fetch batch)
 
 
-def _rows_for_users(users: Sequence[int]) -> Iterator[tuple]:
+class Transport:
+    """The HTTP seam: one instance per input-partition read, mirroring the
+    reference's API wrapper surface (get_matches / get_match_detail /
+    get_match_timeline, extractor/riot/match/api.py:7-122). A live
+    implementation holds an httpx client and honors the 2,000-req/2-min cap
+    (tasks.py:18-19) — the cap's admission control already lives in the
+    stream reader's offset ranges, so a transport only needs per-request
+    pacing/retries. Implementations must be picklable (constructed on the
+    driver, shipped to executors inside the reader)."""
+
+    def match_ids(self, user_id: int) -> Sequence[str]:
+        raise NotImplementedError
+
+    def match_detail(self, match_id: str) -> dict:
+        raise NotImplementedError
+
+    def match_timeline(self, match_id: str) -> dict:
+        raise NotImplementedError
+
+
+class FakeTransport(Transport):
+    """Deterministic stand-in (pure function of the key): replay-safe by
+    construction, so checkpoint recovery tests are exact."""
+
+    def match_ids(self, user_id: int) -> Sequence[str]:
+        return fake_match_ids(user_id)
+
+    def match_detail(self, match_id: str) -> dict:
+        return fake_match_detail(match_id)
+
+    def match_timeline(self, match_id: str) -> dict:
+        return fake_match_timeline(match_id)
+
+
+def _load_transport(options) -> Transport:
+    """Resolve the ``transport`` option ('pkg.module:ClassName') to an
+    instance; default FakeTransport. A dotted path (not a live object)
+    keeps the option serializable through Spark's string-only option map
+    and importable on executors."""
+    spec = options.get("transport")
+    if not spec:
+        return FakeTransport()
+    import importlib
+
+    mod_name, _, cls_name = spec.partition(":")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    transport = cls()
+    if not isinstance(transport, Transport):
+        raise TypeError(f"{spec} is not a Transport")
+    return transport
+
+
+def _rows_for_users(users: Sequence[int], transport: Transport) -> Iterator[tuple]:
     """Pure fetch: user page -> match ids -> detail + timeline (dedup of
     match ids repeated across users happens downstream, like the Redis
     SET did — the source reports what the API returned)."""
     for u in users:
-        for mid in fake_match_ids(u):
-            detail = fake_match_detail(mid)
-            timeline = fake_match_timeline(mid)
+        for mid in transport.match_ids(u):
+            detail = transport.match_detail(mid)
+            timeline = transport.match_timeline(mid)
             yield (
                 u,
                 mid,
@@ -76,6 +128,7 @@ class RiotBatchReader(DataSourceReader):
     def __init__(self, options):
         self.n_users = int(options.get("n_users", DEFAULT_N_USERS))
         self.slice = int(options.get("slice", DEFAULT_SLICE))
+        self.transport = _load_transport(options)
 
     def partitions(self):
         return [
@@ -84,7 +137,7 @@ class RiotBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _UserSlice):
-        return _rows_for_users(range(partition.start, partition.end))
+        return _rows_for_users(range(partition.start, partition.end), self.transport)
 
 
 class RiotStreamReader(DataSourceStreamReader):
@@ -97,6 +150,7 @@ class RiotStreamReader(DataSourceStreamReader):
         self.n_users = int(options.get("n_users", DEFAULT_N_USERS))
         self.per_batch = int(options.get("users_per_batch", DEFAULT_USERS_PER_BATCH))
         self.slice = int(options.get("slice", DEFAULT_SLICE))
+        self.transport = _load_transport(options)
         self._cursor = 0
 
     def initialOffset(self):
@@ -107,16 +161,24 @@ class RiotStreamReader(DataSourceStreamReader):
         return {"user": self._cursor}
 
     def partitions(self, start, end):
+        # Restart recovery: after a checkpoint restore the engine plans
+        # batches from its committed offsets while self._cursor restarted
+        # at 0 — clamp it forward so latestOffset() stays monotone and
+        # never re-admits offset ranges that were already committed
+        # (duplicate rows at a non-idempotent sink otherwise).
+        self._cursor = max(self._cursor, end["user"])
         lo, hi = start["user"], end["user"]
         return [
             _UserSlice(a, min(a + self.slice, hi)) for a in range(lo, hi, self.slice)
         ]
 
     def read(self, partition: _UserSlice):
-        return _rows_for_users(range(partition.start, partition.end))
+        return _rows_for_users(range(partition.start, partition.end), self.transport)
 
     def commit(self, end):
-        pass
+        # Same clamp on the commit path: commit(end) can arrive for a
+        # batch planned before this reader instance existed.
+        self._cursor = max(self._cursor, end["user"])
 
 
 class RiotMatchDataSource(DataSource):

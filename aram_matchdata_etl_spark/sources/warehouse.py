@@ -66,19 +66,45 @@ def compact(
     The rewrite is one coalesce-free repartition(n) pass — a full shuffle,
     chosen over coalesce() because coalesce at small n would also shrink
     the PARALLELISM of the read stage, while repartition keeps the scan
-    wide and only narrows the write. Swap via a temp dir + os.replace of
-    the directory name keeps a complete table visible at every instant
-    (same single-writer story as streaming/atomic.py)."""
+    wide and only narrows the write.
+
+    Swap semantics by layout:
+
+    * **versioned table** (a streaming/atomic.py ``_CURRENT`` pointer is
+      present): the compacted data is committed as a fresh version via the
+      pointer swap — truly atomic, a complete table is visible at every
+      instant (``os.replace`` of the pointer file).
+    * **plain parquet directory**: POSIX cannot atomically exchange two
+      directories, so the swap is rename(path → .old) then
+      rename(.compacting → path). There IS a window (and a crash state)
+      with no directory at ``path``; ``.old`` stays complete throughout,
+      and ``recover_compact()`` (called here on entry) rolls an
+      interrupted swap back. Single-writer, maintenance-window operation —
+      for always-readable compaction store the table versioned."""
     import math
     import os
     import shutil
 
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
+    from ..streaming.atomic import (
+        POINTER,
+        commit_version,
+        current_version_path,
+        read_current,
     )
+
+    pointer_present = os.path.isfile(os.path.join(path, POINTER))
+    recover_compact(path)
+
+    if pointer_present:
+        current = read_current(spark, path)
+        total = _parquet_bytes(current_version_path(path))
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        # keep_versions=2: in-flight readers of the pre-compaction version
+        # keep their files through one more commit (see lakehouse.merge_upsert)
+        commit_version(current.repartition(n_files), path, keep_versions=2)
+        return n_files
+
+    total = _parquet_bytes(path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
@@ -90,3 +116,30 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_files
+
+
+def _parquet_bytes(path: str) -> int:
+    import os
+
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def recover_compact(path: str) -> bool:
+    """Roll back a plain-directory compact() interrupted between its two
+    renames: if nothing exists at ``path`` but a complete ``.old`` does,
+    restore it (and drop any half-written ``.compacting``). Returns True
+    when a recovery was performed."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
+        os.rename(old, path)
+        return True
+    return False

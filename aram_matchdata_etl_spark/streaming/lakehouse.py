@@ -38,6 +38,36 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+def dedup_newest_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Keep the newest row per key (``order_cols`` descending, lexicographic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def source_wins_condition(order_cols: tuple[str, ...]) -> str:
+    """SQL condition 'source (s) is at least as new as target (t)' under the
+    lexicographic ordering of ``order_cols``. Gates whenMatchedUpdate so a
+    replayed OLDER micro-batch cannot regress target rows — the MERGE path
+    must be idempotent exactly like the fallback's row_number dedup. The
+    all-equal term is included: re-applying the same batch rewrites the row
+    with identical values (harmless, keeps replay a no-op observably)."""
+    terms: list[str] = []
+    eq_prefix: list[str] = []
+    for c in order_cols:
+        terms.append(" AND ".join([*eq_prefix, f"s.{c} > t.{c}"]))
+        eq_prefix.append(f"s.{c} = t.{c}")
+    terms.append(" AND ".join(eq_prefix))
+    return "(" + ") OR (".join(terms) + ")"
+
+
 def merge_upsert(
     batch: DataFrame,
     target_dir: str,
@@ -52,8 +82,13 @@ def merge_upsert(
     key is the partition/Z-ORDER column so the merge rewrites only
     touched files. Fallback path: union-with-current + window row_number
     + atomic pointer swap (streaming/atomic.py), same observable state.
+
+    Either way the batch is first deduplicated to one (newest) row per key:
+    Delta's MERGE throws on multiple source rows matching one target row,
+    and the initial-overwrite branch must not persist intra-batch dupes.
     """
     spark = batch.sparkSession
+    batch = dedup_newest_per_key(batch, key_cols, order_cols)
     if delta_available(spark):
         from delta.tables import DeltaTable
 
@@ -65,23 +100,20 @@ def merge_upsert(
             DeltaTable.forPath(spark, target_dir)
             .alias("t")
             .merge(batch.alias("s"), cond)
-            .whenMatchedUpdateAll()
+            .whenMatchedUpdateAll(condition=source_wins_condition(order_cols))
             .whenNotMatchedInsertAll()
             .execute()
         )
         return "delta"
 
-    from pyspark.sql import Window
-
     from .atomic import commit_version, read_current
 
     current = read_current(spark, target_dir)
     merged = batch if current is None else current.unionByName(batch)
-    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
-    latest = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    commit_version(latest, target_dir)
+    latest = dedup_newest_per_key(merged, key_cols, order_cols)
+    # keep_versions=2: a concurrent reader that resolved the pointer just
+    # before this swap still finds its version's files for one more commit
+    # (the poor man's snapshot-retention window; with keep_versions=1 a
+    # slow reader hits FAILED_READ_FILE when its version is pruned mid-scan).
+    commit_version(latest, target_dir, keep_versions=2)
     return "versioned"

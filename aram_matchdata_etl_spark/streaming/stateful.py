@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -37,23 +38,32 @@ def budget_tracker(budget: int = DEFAULT_BUDGET):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         seen = state.get[0] if state.exists else 0
-        out = []
+        frames = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                out.append(
+            # vectorized: each row's ordinal is the carried count plus its
+            # position within the (sorted) batch — no per-row Python loop
+            seen_before = seen + np.arange(len(pdf), dtype=np.int64)
+            frames.append(
+                pd.DataFrame(
                     {
-                        "user_id": int(user_id),
-                        "event_id": int(row["event_id"]),
-                        "seen_before": seen,
-                        "throttled": seen >= budget,
+                        "user_id": np.full(len(pdf), int(user_id), dtype=np.int64),
+                        "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                        "seen_before": seen_before,
+                        "throttled": seen_before >= budget,
                     }
                 )
-                seen += 1
+            )
+            seen += len(pdf)
         state.update((seen,))
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_id", "seen_before", "throttled"]
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                columns=["user_id", "event_id", "seen_before", "throttled"]
+            )
         )
+        yield out
 
     return fn
 

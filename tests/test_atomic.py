@@ -116,6 +116,59 @@ def test_merge_upsert_dispatch_and_semantics(spark, tmp_path):
     assert got == {("m1", 2, "a2"), ("m2", 1, "b"), ("m3", 1, "c")}
 
 
+def test_merge_upsert_intra_batch_dupes_and_stale_replay(spark, tmp_path):
+    """A batch carrying several rows for one key keeps only the newest, and
+    replaying an OLDER batch after a newer one landed is a no-op — the two
+    idempotency properties the Delta MERGE body needs (source pre-dedup +
+    gated whenMatchedUpdate) and the fallback must share."""
+    from aram_matchdata_etl_spark.streaming.atomic import read_current
+    from aram_matchdata_etl_spark.streaming.lakehouse import merge_upsert
+
+    base = str(tmp_path / "mu2")
+    dup_batch = spark.createDataFrame(
+        [("m1", 1, "old"), ("m1", 3, "new"), ("m1", 2, "mid")],
+        "match_id string, ts int, payload string",
+    )
+    merge_upsert(dup_batch, base, ["match_id"], order_cols=("ts",))
+    assert [
+        (r.match_id, r.ts, r.payload) for r in read_current(spark, base).collect()
+    ] == [("m1", 3, "new")]
+
+    stale = spark.createDataFrame(
+        [("m1", 2, "stale-replay")], "match_id string, ts int, payload string"
+    )
+    merge_upsert(stale, base, ["match_id"], order_cols=("ts",))
+    assert [
+        (r.match_id, r.ts, r.payload) for r in read_current(spark, base).collect()
+    ] == [("m1", 3, "new")]
+
+
+def test_source_wins_condition_is_lexicographic():
+    """The MERGE update gate must be the lexicographic 's at least as new as
+    t' predicate over order_cols — checked by brute-force evaluation over
+    all orderings of a two-column key."""
+    import duckdb
+
+    from aram_matchdata_etl_spark.streaming.lakehouse import source_wins_condition
+
+    cond = source_wins_condition(("ts", "event_id"))
+    con = duckdb.connect()
+    for s_ts, s_ev, t_ts, t_ev in (
+        (2, 0, 1, 9),  # s newer on ts -> wins
+        (1, 9, 2, 0),  # s older on ts -> loses
+        (1, 5, 1, 4),  # ts tie, s newer on event_id -> wins
+        (1, 4, 1, 5),  # ts tie, s older on event_id -> loses
+        (1, 4, 1, 4),  # identical -> wins (idempotent rewrite)
+    ):
+        expected = (s_ts, s_ev) >= (t_ts, t_ev)
+        got = con.execute(
+            f"SELECT {cond} FROM (SELECT ? AS ts, ? AS event_id) s, "
+            "(SELECT ? AS ts, ? AS event_id) t",
+            [s_ts, s_ev, t_ts, t_ev],
+        ).fetchone()[0]
+        assert got == expected, (s_ts, s_ev, t_ts, t_ev)
+
+
 def test_delta_merge_body(spark, tmp_path):
     """Exercises the Delta MERGE path itself — skipped where delta-spark
     is not installed (this image)."""

@@ -156,3 +156,64 @@ def test_stream_source_to_bronze_upsert(spark, tmp_path):
     assert got == {
         (r.match_id, r.game_duration, r.n_participants) for r in batch.collect()
     }
+
+
+from aram_matchdata_etl_spark.sources.riot_datasource import Transport
+
+
+class InjectedTransport(Transport):
+    """Injectable transport double: two users, one shared match — proves the
+    source calls through the seam (not the module-level fakes) and that a
+    live client would slot in as one constructor/option change. Must be a
+    module-level class: the Python data source initializes its reader in a
+    separate worker process that re-imports this module by dotted path."""
+
+    def match_ids(self, user_id):
+        return [f"INJ_{user_id}", "INJ_SHARED"]
+
+    def match_detail(self, match_id):
+        return {
+            "metadata": {"matchId": match_id},
+            "info": {"gameMode": "ARAM", "gameDuration": 1234},
+        }
+
+    def match_timeline(self, match_id):
+        return {"metadata": {"matchId": match_id}, "info": {"frames": []}}
+
+
+def test_batch_read_with_injected_transport(spark):
+    """The transport option swaps the fetch implementation end-to-end:
+    rows coming back are the double's, not the default fake's."""
+    _register(spark)
+    df = (
+        spark.read.format("riot_matches")
+        .option("n_users", 2)
+        .option("transport", f"{__name__}:InjectedTransport")
+        .load()
+    )
+    rows = sorted((r.user_id, r.match_id, r.game_duration) for r in df.collect())
+    assert rows == [
+        (0, "INJ_0", 1234),
+        (0, "INJ_SHARED", 1234),
+        (1, "INJ_1", 1234),
+        (1, "INJ_SHARED", 1234),
+    ]
+
+
+def test_stream_cursor_monotone_across_restart():
+    """Restart-from-checkpoint semantics (unit-level, no engine): a fresh
+    reader whose in-memory cursor restarted at 0 must clamp forward when
+    the engine replays/commits batches planned from the checkpoint, so
+    latestOffset never goes backwards and never re-admits committed
+    ranges."""
+    from aram_matchdata_etl_spark.sources.riot_datasource import RiotStreamReader
+
+    opts = {"n_users": "20", "users_per_batch": "5"}
+    # engine restored a checkpoint with committed end offset {"user": 10}
+    r = RiotStreamReader(opts)
+    r.partitions({"user": 5}, {"user": 10})  # pending-batch replay
+    assert r.latestOffset() == {"user": 15}  # monotone: 10 + 5, not 0 + 5
+
+    r2 = RiotStreamReader(opts)
+    r2.commit({"user": 10})  # commit arrives before any planning
+    assert r2.latestOffset() == {"user": 15}

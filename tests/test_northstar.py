@@ -248,6 +248,30 @@ def test_dedup_clusters_invariants(spark):
     clusters.unpersist()
 
 
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Each propagation round localCheckpoint()s the labels; superseded
+    rounds' blocks must actually leave the block manager (plain
+    DataFrame.unpersist does NOT free checkpoint blocks — regression
+    guard for the _free_checkpoint fix). Only the final round's labels
+    checkpoint may remain per call."""
+    from aram_matchdata_etl_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    # a 15-link chain => ~16 propagation rounds => many checkpoints
+    # (min-label propagation moves one hop per round; stay under the
+    # 20-round convergence cap)
+    pairs = spark.range(15).selectExpr("id as doc_a", "id + 1 as doc_b")
+
+    before = jsc.getPersistentRDDs().size()
+    result = connected_components(docs, pairs)
+    assert result.filter("cluster_id = 0").count() == 16
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"checkpoint blocks leaked: {before} -> {after} persistent RDDs"
+    )
+
+
 def test_dedup_clusters_lsh_consistent(spark):
     """The LSH-fed clustering obeys its own pair set and is never finer
     than it nor coarser than the exact clustering allows: every verified

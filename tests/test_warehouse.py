@@ -80,3 +80,60 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     assert after_files == n < before_files
     # content identical, not just counts
     assert after_df.exceptAll(orders).count() == 0
+
+
+def test_compaction_of_versioned_table_is_pointer_atomic(spark, tmp_path):
+    """When the path is a streaming/atomic.py versioned table, compact()
+    must go through commit_version (pointer swap) — the base dir keeps a
+    resolvable _CURRENT pointer at every step and the live directory is
+    never renamed."""
+    import os
+
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.sources.warehouse import compact
+    from aram_matchdata_etl_spark.streaming.atomic import (
+        POINTER,
+        commit_version,
+        current_version_path,
+        read_current,
+    )
+
+    base = str(tmp_path / "versioned")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    commit_version(orders.repartition(64), base)
+    before = orders.count()
+    v_before = current_version_path(base)
+
+    n = compact(spark, base, target_file_bytes=64 * 1024 * 1024)
+    assert os.path.isfile(os.path.join(base, POINTER))
+    v_after = current_version_path(base)
+    assert v_after != v_before  # fresh version dir, old one pruned
+    got = read_current(spark, base)
+    assert got.count() == before
+    files = sum(f.endswith(".parquet") for f in os.listdir(v_after))
+    assert files == n < 64
+
+
+def test_compact_recovery_after_crash_between_renames(spark, tmp_path):
+    """Plain-directory swap crash state: path gone, .old complete.
+    recover_compact (invoked by compact() on entry) must restore the
+    table before proceeding."""
+    import os
+
+    from aram_matchdata_etl_spark.sources.warehouse import compact, recover_compact
+
+    path = str(tmp_path / "plain")
+    spark.range(100).write.parquet(path)
+    # simulate the crash window: first rename done, second never happened
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".compacting")
+
+    assert recover_compact(path) is True
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".compacting")
+
+    # and compact() itself self-recovers when entered in the crash state
+    os.rename(path, path + ".old")
+    compact(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".old")
