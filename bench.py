@@ -51,6 +51,16 @@ HEADLINE = [
     "q_tfidf",
     "q_pack_sequences",
     "q_interval_join_binned",
+    # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
+    # enrich — regressions in the Python<->JVM batch transfer show here
+    "q_group_normalize",
+    "q_cogroup_enrich",
+    # exact connected-components (iterative; q_dedup_clusters_lsh above is
+    # the LSH-fed twin) and one pure-JVM text family representative
+    "q_dedup_clusters",
+    "q_vocab_topk",
+    # media featurizer: mapInPandas over binary payloads (vectorized)
+    "q_media_features",
     # adapted TPC-H: the shuffle/join-heavy representatives (Q1 scan-agg,
     # Q3/Q9 big joins, Q18 double agg on orderkey, Q21 decorrelated
     # exists/not-exists)

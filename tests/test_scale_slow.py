@@ -1,0 +1,102 @@
+"""Slow scale-regression guards (round-2 evidence, SCALE.md): re-runs the
+50k-doc / ~225k-edge connected-components measurement as an assertion so
+the 65.7s -> 3.0s partition-mismatch fix can't silently regress.
+
+Marked slow: ~1-2 min wall. The corpus is the sf0.01 documents table
+replicated 100x in 10 salt groups — every token is suffixed with the salt
+so cross-group Jaccard is exactly 0 (no mega-cliques), while the 10
+identical copies within a group form size-10 cliques: 500 docs x 10 groups
+x C(10,2) = 225k verified pairs, component diameter 1.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_ORACLE
+
+
+@pytest.mark.slow
+def test_cc_wall_time_tracks_lsh_verify_at_50k_docs(spark):
+    from aram_matchdata_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        bigram_col,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    replicas = spark.range(100).select(
+        F.col("id").alias("replica"), (F.col("id") / 10).cast("int").alias("salt")
+    )
+    corpus = (
+        base.crossJoin(F.broadcast(replicas))
+        .select(
+            (F.col("doc_id") + F.col("replica") * 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit("_g"), F.col("salt")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n_docs = corpus.count()
+    assert n_docs == 50_000
+
+    # --- LSH stage: shingle sets -> signatures -> banded candidates ->
+    # exact Jaccard verification (the scale path, timed end-to-end)
+    t0 = time.perf_counter()
+    toks = F.split(F.col("text"), " ")
+    sets = (
+        corpus.select("doc_id", F.explode(bigram_col(toks)).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+        .persist()
+    )
+    candidates = lsh_candidate_pairs(minhash_signatures(sets))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    n_common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    jac = n_common / (F.size("ha") + F.size("hb") - n_common)
+    pairs = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_pairs = pairs.count()
+    t_lsh = time.perf_counter() - t0
+
+    # 10 identical copies per (doc, salt-group) guarantee >= 45 pairs each;
+    # intra-group near-dups between different base docs add more
+    assert n_pairs >= 500 * 10 * 45, n_pairs
+
+    # --- CC stage over the materialized pair relation
+    t0 = time.perf_counter()
+    clusters = connected_components(corpus.select("doc_id"), pairs)
+    n_canonical = clusters.filter("is_canonical").count()
+    t_cc = time.perf_counter() - t0
+
+    # every size-10 clique collapses to one canonical: <= 500 x 10 clusters
+    # for the replicated docs (near-dup merges within a group reduce further),
+    # plus nothing else — total canonicals strictly below the doc count / 9
+    assert n_canonical <= 500 * 10, n_canonical
+
+    # THE regression guard: with the edge list NOT force-partitioned, the
+    # per-round join reuses the session's shuffle parallelism and the loop
+    # stays within a small multiple of the LSH stage (measured ~3s vs ~8s
+    # at this scale; the partition-mismatch bug made CC alone 65.7s)
+    assert t_cc < 4 * t_lsh, f"CC {t_cc:.1f}s vs LSH {t_lsh:.1f}s"
+
+    sets.unpersist()
