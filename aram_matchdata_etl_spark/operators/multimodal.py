@@ -156,3 +156,63 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("width").alias("max_width"),
     )
+
+
+FRAME_STRIDE = 64  # bytes between sampled "frames" in the synthetic payload
+FRAME_PREVIEW = 16  # bytes of each frame surfaced for inspection
+
+
+@query(
+    "q_frame_sample",
+    oracle=f"""
+WITH video AS (
+    SELECT doc_id, text, LENGTH(text) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+    SELECT doc_id, text,
+        unnest(generate_series(0,
+            GREATEST(n_bytes // {FRAME_STRIDE}, 1) - 1)) AS frame_no
+    FROM video
+)
+SELECT doc_id,
+    CAST(frame_no AS INTEGER) AS frame_no,
+    CAST(frame_no * {FRAME_STRIDE} AS BIGINT) AS byte_offset,
+    substring(text, CAST(frame_no * {FRAME_STRIDE} + 1 AS INTEGER),
+              {FRAME_PREVIEW}) AS frame_preview
+FROM frames""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, the Spark-side plumbing: one binary payload
+    row explodes into fixed-stride frame rows (offset + a byte-slice
+    preview), all in codegen (sequence + posexplode + binary substring) —
+    no UDF, no shuffle; partitioning inherits the scan. The decode of each
+    frame slice into pixels is the disclosed codec seam (decode_image);
+    here the slice itself is surfaced, which the oracle can check exactly
+    because the synthetic payload is the UTF-8 text (byte == char for
+    this all-ASCII fixture). At 100 TB: frames fan out ~n_bytes/stride
+    rows per video but carry only offsets + small previews — the payload
+    itself never crosses a shuffle (SCALE.md multimodal posture)."""
+    video = synthetic_media(spark, sf_dir).filter(
+        F.col("media_type") == "video/mp4"
+    )
+    n_frames = F.greatest(F.expr(f"length(payload) div {FRAME_STRIDE}"), F.lit(1))
+    frames = video.select(
+        "doc_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"))).alias(
+            "frame_no"
+        ),
+    )
+    offset = F.col("frame_no").cast("bigint") * FRAME_STRIDE
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        offset.alias("byte_offset"),
+        F.decode(
+            F.expr(
+                f"substring(payload, frame_no * {FRAME_STRIDE} + 1, {FRAME_PREVIEW})"
+            ),
+            "UTF-8",
+        ).alias("frame_preview"),
+    )

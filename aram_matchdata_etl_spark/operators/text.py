@@ -223,3 +223,105 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.sent_no, s.sentence, s.n_words "
         "FROM udtf_docs d, LATERAL sentence_split(d.text) s"
     )
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+        len(string_split(text, ' ')) AS n_words,
+        LENGTH(text) AS n_chars,
+        len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
+        len(regexp_extract_all(text, '[^a-z ]')) AS n_symbols
+    FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    ROUND((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE), 6)
+        AS mean_word_len,
+    CAST(n_stop AS BIGINT) AS n_stopwords,
+    ROUND(n_symbols / CAST(n_chars AS DOUBLE), 6) AS symbol_ratio,
+    (n_words BETWEEN 20 AND 10000)
+        AND ((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) BETWEEN 3 AND 10)
+        AND n_stop >= 2
+        AND n_symbols / CAST(n_chars AS DOUBLE) <= 0.1 AS keep
+FROM s""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, public paper): the
+    pre-training corpus gate built from cheap per-document statistics —
+    word-count bounds, mean word length in [3, 10], minimum stopword
+    evidence, and a symbol-ratio cap. Every rule is a narrow JVM
+    expression over one row; at 100 TB this is a single scan with the
+    keep-filter pushed into downstream reads (partition by `keep` on
+    write to make the reject set auditable). Mean word length uses the
+    identity (n_chars - (n_words - 1)) / n_words for single-space-joined
+    text so both engines evaluate the identical formula."""
+    df = with_words(_docs(spark, sf_dir))
+    n_words = F.size("words")
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(F.col("words"), lambda w: w.isin(*STOPWORDS)))
+    n_symbols = F.size(F.expr("regexp_extract_all(text, '[^a-z ]', 0)"))
+    mean_wl = (n_chars - (n_words - F.lit(1))) / n_words.cast("double")
+    symbol_ratio = n_symbols / n_chars.cast("double")
+    return df.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        (
+            n_words.between(20, 10000)
+            & mean_wl.between(3, 10)
+            & (n_stop >= 2)
+            & (symbol_ratio <= 0.1)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "q_repetition_ratio",
+    oracle="""
+WITH grams AS (
+    SELECT doc_id, CONCAT(t[i], ' ', t[i + 1]) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+        UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS total_grams,
+    CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+    ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_ratio,
+    ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_frac
+FROM counts GROUP BY doc_id""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition statistics (the Gopher repetition
+    filters): fraction of duplicated word-bigrams and the share of the
+    most frequent bigram. Boilerplate/templated/looping documents light
+    up on these.
+
+    Two-level aggregation — (doc, gram) counts, then per-doc rollup; the
+    only shuffle key is (doc_id, gram) with map-side partial counts, and
+    the second aggregation reuses the first's partitioning on the
+    doc_id prefix. Bigrams come from the same zip_with construction as
+    the dedup shinglers (operators/dedup.py:bigram_col) — single-token
+    docs yield zero grams and drop out in both engines."""
+    from .dedup import bigram_col
+
+    df = with_words(_docs(spark, sf_dir))
+    counts = (
+        df.select("doc_id", F.explode(bigram_col(F.col("words"))).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c")
+    distinct = F.count("*")
+    return counts.groupBy("doc_id").agg(
+        total.cast("bigint").alias("total_grams"),
+        distinct.cast("bigint").alias("distinct_grams"),
+        F.round(F.lit(1) - distinct / total.cast("double"), 6).alias(
+            "dup_gram_ratio"
+        ),
+        F.round(F.max("c") / total.cast("double"), 6).alias("top_gram_frac"),
+    )

@@ -436,3 +436,81 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.countDistinct("gram").cast("bigint").alias("shared_grams"))
     )
+
+
+# Example mixture: up-weight curated sources, down-sample the torso, crawl
+# tail at 10% — the per-source sampling-rate table an LLM data recipe
+# specifies (e.g. the LLaMA/GPT-3 papers' dataset-mixture tables).
+MIX_WEIGHTS = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5}
+MIX_DEFAULT = 0.1
+_MIX_N = 1000
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE source {cases} ELSE {MIX_DEFAULT} END"
+
+
+@query(
+    "q_source_mix",
+    oracle=f"""
+SELECT doc_id, source,
+    {_mix_weight_sql()} AS mix_weight
+FROM documents
+WHERE {_bucket_sql('doc_id', _MIX_N)} < {_mix_weight_sql()} * {_MIX_N}""",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source is sampled at its recipe
+    weight via the deterministic hash bucket (not RNG — see the module
+    docstring: reproducible across runs, engines and cluster sizes, and
+    incremental re-runs route new docs consistently). One narrow scan,
+    zero shuffle; the weight table is a literal CASE (broadcast-join a
+    real mixture table at production size). Rows keep their weight so a
+    downstream loader can renormalize or oversample."""
+    weight = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(w))
+            for s, w in sorted(MIX_WEIGHTS.items())
+        ],
+        F.lit(MIX_DEFAULT),
+    )
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "source", weight.alias("mix_weight")
+    ).filter(hash_bucket(F.col("doc_id"), _MIX_N) < weight * _MIX_N)
+
+
+_SHUFFLE_SHARDS = 32
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=f"""
+SELECT doc_id,
+    CAST({_bucket_sql('doc_id', _SHUFFLE_SHARDS)} AS BIGINT) AS shard,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY {_bucket_sql('doc_id', _SHUFFLE_SHARDS)}
+        ORDER BY md5(CAST(doc_id AS VARCHAR))
+    ) AS BIGINT) AS rank_in_shard
+FROM documents""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle, sharded: every doc gets a stable
+    (shard, rank_in_shard) position from hashes of its id — the layout a
+    training run actually consumes (N shard files, each internally
+    shuffled; readers interleave shards). A single global ORDER BY
+    md5(id) would funnel the corpus through one range-sort; partitioning
+    the rank window by shard keeps every shard's sort independent and
+    parallel (window exchange on shard only), and writing
+    partitionBy(shard) afterwards gives sequential readers their files.
+    Hash-ordering is free of the seed-coordination problem RNG shuffles
+    have on a cluster."""
+    docs = _docs(spark, sf_dir)
+    shard = hash_bucket(F.col("doc_id"), _SHUFFLE_SHARDS)
+    w = Window.partitionBy("shard").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", shard.cast("bigint").alias("shard"))
+        .withColumn("rank_in_shard", F.row_number().over(w).cast("bigint"))
+    )
