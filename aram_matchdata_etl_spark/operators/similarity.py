@@ -352,3 +352,101 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK)
         .select("query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine"), "rnk")
     )
+
+
+@query(
+    "q_dedup_clusters_semantic",
+    oracle="WITH RECURSIVE "
+    + _ORACLE_EMB_CTE.lstrip()
+    + f""",
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM emb a, emb b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.vec, b.vec) / (a.vnorm * b.vnorm)
+          >= {NEARDUP_COSINE}
+),
+edges AS (
+    SELECT vec_a AS u, vec_b AS v FROM pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM pairs
+),
+reach(u, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id,
+    (u = MIN(label)) AS is_canonical
+FROM reach GROUP BY u""",
+)
+def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs ->
+    connected components -> (cluster_id, canonical) per vector — the
+    'semdedup' pipeline (near-duplicate meaning, not near-duplicate
+    bytes; catches translations/paraphrases MinHash cannot). Reuses the
+    identical min-label-propagation loop as the lexical form
+    (operators/dedup.py:connected_components) — pair relations are
+    pluggable by design. Pair input here is the exact cosine join (full
+    DuckDB oracle incl. the recursive-CTE closure); the 100 TB path
+    feeds the same loop from the hyperplane-LSH bucketed pairs
+    (q_embedding_neardup_lsh), exactly as the lexical clusters swap
+    exact Jaccard for MinHash-LSH."""
+    from .dedup import connected_components
+
+    emb = embeddings_d(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    cosine = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine >= NEARDUP_COSINE)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    universe = emb.select(F.col("vec_id").alias("doc_id"))
+    return connected_components(universe, pairs)
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + """
+SELECT label, CAST(dim AS INTEGER) AS dim,
+    ROUND(AVG(val), 6) AS centroid_val,
+    CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (
+    SELECT label,
+        generate_subscripts(vec, 1) - 1 AS dim,
+        unnest(vec) AS val
+    FROM emb
+)
+GROUP BY label, dim""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long form (label, dim, mean) — the k-means /
+    IVF-training primitive (operators/similarity.py:ivf builds its cells
+    from exactly this aggregation) and the class-prototype diagnostic for
+    embedding quality. posexplode + one (label, dim) hash aggregation
+    with map-side partials: shuffle volume is n_labels x dim scalars, not
+    vectors; at 100 TB this is THE way to average vectors (never
+    collect(), never array-sum in the driver). Long form deliberately:
+    re-assembling the array is one collect_list keyed by label if a
+    consumer needs it, and long form is what both engines can hash-compare
+    exactly."""
+    emb = embeddings_d(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("vec").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
