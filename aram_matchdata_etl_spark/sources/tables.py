@@ -51,10 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # inferTimestampNTZ=false: fixture timestamps carry no zone annotation
+    # (isAdjustedToUTC unset), and Spark 4 would otherwise read them as
+    # TIMESTAMP_NTZ — which unix_micros()/window() reject or shift under a
+    # non-UTC session. Reading them as LTZ takes the stored micros verbatim
+    # as UTC-epoch micros: timezone-independent and equal to the DuckDB
+    # oracle's naive-timestamp epoch values.
+    df = spark.read.option("inferTimestampNTZ", "false").parquet(
+        f"{sf_dir}/{name}.parquet"
+    )
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long (see session
-        # config spark.sql.legacy.parquet.nanosAsLong) and convert; fixture
+        # Older fixture generations wrote events.ts as parquet
+        # TIMESTAMP(NANOS): read as long (see session config
+        # spark.sql.legacy.parquet.nanosAsLong) and convert; fixture
         # values are microsecond-aligned so ns -> us is lossless.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
