@@ -210,7 +210,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_candidate_pairs + exact verification (same (doc_a, doc_b)
     schema)."""
     pairs = exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
-    return connected_components(load_table(spark, sf_dir, "documents"), pairs)
+    return connected_components(
+        load_table(spark, sf_dir, "documents"), pairs, tag="exact"
+    )
 
 
 def _free_checkpoint(df: DataFrame) -> None:
@@ -227,11 +229,63 @@ def _free_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over a (doc_a, doc_b) pair relation; see
+# Telemetry from the most recent connected_components() run per tag
+# (VERDICT r3 item 4): per-round changed-counts + partition counts, so a
+# bench-to-bench regression decomposes into "extra convergence round" vs
+# "partition/checkpoint pressure" without rerunning under instrumentation.
+# bench.py folds this into its JSON output.
+CC_TELEMETRY: dict[str, dict] = {}
+
+# auto-escalation: min-label propagates one hop per round, so a component
+# still changing after this many rounds has diameter > ESCALATE_ROUNDS —
+# restart on the O(log n)-round star-contraction path. Near-dup clusters
+# are shallow (converge in 2-4 rounds); escalation only fires on
+# chain/mesh-shaped graphs where min-label is the wrong tool.
+ESCALATE_ROUNDS = 8
+
+
+def connected_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    algorithm: str = "auto",
+    tag: str = "default",
+) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair relation; see
     q_dedup_clusters for the algorithm/scale discussion. Pair input is
     pluggable: exact Jaccard for the oracle-checked form, LSH-verified
-    for the sub-quadratic scale form."""
+    for the sub-quadratic scale form.
+
+    algorithm:
+      - 'min_label' — one-hop min-label propagation, O(diameter) rounds.
+        Cheapest per round; right for the shallow components near-dup
+        graphs produce.
+      - 'star' — alternating large-star/small-star contraction (Kiveris
+        et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+        O(log n) rounds regardless of diameter; each round shuffles the
+        edge list twice. Right for deep (chain/mesh) graphs.
+      - 'auto' (default) — min_label, escalating to star if still
+        unconverged after ESCALATE_ROUNDS (a runtime diameter probe: one
+        hop per round means an unconverged round-k graph has diameter>k).
+    """
+    telemetry: dict = {"algorithm": None, "rounds": 0, "changed_per_round": []}
+    CC_TELEMETRY[tag] = telemetry
+    if algorithm not in ("auto", "min_label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm in ("auto", "min_label"):
+        max_rounds = ESCALATE_ROUNDS if algorithm == "auto" else 20
+        labels = _cc_min_label(docs, pairs, max_rounds, telemetry)
+        if labels is not None:
+            return labels
+        if algorithm == "min_label":  # pragma: no cover - cap >> diameter
+            raise RuntimeError("label propagation did not converge in 20 rounds")
+        telemetry["escalated"] = True
+    return _cc_star(docs, pairs, telemetry)
+
+
+def _cc_min_label(docs, pairs, max_rounds: int, telemetry: dict):
+    """One-hop min-label propagation; returns None if not converged within
+    max_rounds (caller escalates)."""
+    telemetry["algorithm"] = "min_label"
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -243,14 +297,16 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # (measured 20x slower at 250k edges). localCheckpoint only cuts the
     # lineage so round N's plan doesn't replay rounds 0..N-1.
     edges = edges.localCheckpoint()
+    telemetry["edge_partitions"] = edges.rdd.getNumPartitions()
 
     labels = docs.select(
         F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
     ).localCheckpoint()
+    telemetry["label_partitions"] = labels.rdd.getNumPartitions()
 
     converged = False
     prev_ckpt = labels  # the round's live checkpoint; freed once superseded
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -266,6 +322,8 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("new_label"),
         ).localCheckpoint()
         changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        telemetry["rounds"] += 1
+        telemetry["changed_per_round"].append(changed)
         # the superseded round's checkpoint blocks are dead weight in the
         # block manager — free them eagerly instead of waiting for GC
         # (left pinned, they degrade UNRELATED queries later in the
@@ -278,13 +336,118 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             converged = True
             break
     _free_checkpoint(edges)
-    if not converged:  # pragma: no cover - 20 rounds >> component diameter
-        raise RuntimeError("label propagation did not converge in 20 rounds")
+    if not converged:
+        _free_checkpoint(prev_ckpt)
+        return None
 
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("u") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14): maintains an undirected edge set; each round every node
+    hooks its neighbors onto its neighborhood minimum, halving tree
+    heights — O(log n) rounds on any topology. At convergence the edge
+    set is a union of stars (node -> component min), which IS the label
+    mapping. Same checkpoint-per-round lineage hygiene as min-label."""
+    telemetry["algorithm"] = "star"
+    telemetry.setdefault("star_changed_per_round", [])
+    star_rounds = 0
+
+    # canonical undirected edges, self-loops dropped
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    telemetry["edge_partitions"] = edges.rdd.getNumPartitions()
+
+    def neighborhood_min(sym: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}); sym is the directed (u -> v) view
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+
+    prev_ckpt = edges
+    for _ in range(30):
+        # --- large-star: for v in Γ(u) with v > u: emit {v, m(u)} -------
+        sym = edges.select("lo", "hi").selectExpr("lo as u", "hi as v").unionByName(
+            edges.selectExpr("hi as u", "lo as v")
+        )
+        m = neighborhood_min(sym)
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # --- small-star: per node u over edges with v <= u:
+        #     emit {v, m} for v in Γ≤(u) ∪ {u} ---------------------------
+        down = large.selectExpr("hi as u", "lo as v")  # v < u by construction
+        m2 = neighborhood_min(down)  # = min neighbor (all < u) vs u
+        small = (
+            down.join(m2, "u")
+            .select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .unionByName(
+                m2.select(
+                    F.least("u", "m").alias("lo"), F.greatest("u", "m").alias("hi")
+                )
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        star_rounds += 1
+        # convergence: the edge set is a fixed point. count + endpoint-hash
+        # aggregate in ONE job over the fresh checkpoint, compared to the
+        # previous round's pair (cheap vs a symmetric-difference join).
+        # bit_xor (not sum): order-insensitive set signature over distinct
+        # edges that cannot overflow under ANSI arithmetic
+        sig = small.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        telemetry["star_changed_per_round"].append(cur_sig[0])
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = small
+        if telemetry.get("_prev_sig") == cur_sig:
+            edges = small
+            break
+        telemetry["_prev_sig"] = cur_sig
+        edges = small
+    else:  # pragma: no cover - O(log n) rounds << 30
+        raise RuntimeError("star contraction did not converge in 30 rounds")
+    telemetry.pop("_prev_sig", None)
+    telemetry["rounds"] += star_rounds
+
+    # fixed point = stars: hi -> lo IS (member -> component min)
+    mapping = edges.selectExpr("hi as doc_id", "lo as cluster_id")
+    return (
+        docs.select("doc_id")
+        .join(mapping, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 
@@ -417,7 +580,9 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; tests assert the labeling is consistent with the LSH pair set
     and never merges more than the exact labeling."""
     return connected_components(
-        load_table(spark, sf_dir, "documents"), minhash_lsh_pairs(spark, sf_dir)
+        load_table(spark, sf_dir, "documents"),
+        minhash_lsh_pairs(spark, sf_dir),
+        tag="lsh",
     )
 
 

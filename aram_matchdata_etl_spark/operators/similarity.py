@@ -411,7 +411,7 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
     universe = emb.select(F.col("vec_id").alias("doc_id"))
-    return connected_components(universe, pairs)
+    return connected_components(universe, pairs, tag="semantic")
 
 
 @query(

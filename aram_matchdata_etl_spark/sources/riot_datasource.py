@@ -82,6 +82,87 @@ class FakeTransport(Transport):
         return fake_match_timeline(match_id)
 
 
+class RateLimitedTransport(Transport):
+    """Reference ``Transport`` implementation with the reference's pacing
+    (extractor/riot/tasks.py:18-19): a sliding 2-minute window admitting at
+    most 2,000 requests (MAX_REQUESTS_PER_2MIN), and at most 200 requests
+    per 1-second burst (BATCH_SIZE — the reference's asyncio concurrency
+    batch; in a serial partition read the equivalent cap is admissions per
+    wall-second). Delegates the actual fetch to an inner transport
+    (FakeTransport by default; a live HTTP transport slots in the same way).
+
+    The clock is INJECTED (``clock()`` -> seconds, ``sleep(dt)``) so the
+    admission-control math is unit-testable without wall-clock waits —
+    tests drive a fake clock and assert exactly when request N is admitted.
+    Defaults to time.monotonic/time.sleep for live use.
+
+    Why pacing lives here AND offset ranges live in the stream reader: the
+    reader's ``users_per_batch`` bounds work per micro-batch (coarse,
+    checkpoint-replayable), while the transport bounds the instantaneous
+    request rate within a partition read (fine, protects the upstream API
+    even when one user fans out to many match fetches)."""
+
+    WINDOW_S = 120.0
+    MAX_PER_WINDOW = 2000  # tasks.py:18 MAX_REQUESTS_PER_2MIN
+    BURST_S = 1.0
+    MAX_PER_BURST = 200  # tasks.py:19 BATCH_SIZE
+
+    def __init__(self, inner: Transport | None = None, clock=None, sleep=None):
+        import time as _time
+        from collections import deque
+
+        self.inner = inner if inner is not None else FakeTransport()
+        self._clock = clock if clock is not None else _time.monotonic
+        self._sleep = sleep if sleep is not None else _time.sleep
+        self._window: deque[float] = deque()  # admission times, last 2 min
+        self._burst: deque[float] = deque()  # admission times, last 1 s
+        self.admitted = 0  # total requests admitted (telemetry)
+        self.waited_s = 0.0  # total time spent blocked (telemetry)
+
+    def _evict(self, now: float) -> None:
+        while self._window and self._window[0] <= now - self.WINDOW_S:
+            self._window.popleft()
+        while self._burst and self._burst[0] <= now - self.BURST_S:
+            self._burst.popleft()
+
+    def _acquire(self) -> None:
+        """Block until both caps admit one request, then record it."""
+        while True:
+            now = self._clock()
+            self._evict(now)
+            waits = []
+            if len(self._window) >= self.MAX_PER_WINDOW:
+                waits.append(self._window[0] + self.WINDOW_S - now)
+            if len(self._burst) >= self.MAX_PER_BURST:
+                waits.append(self._burst[0] + self.BURST_S - now)
+            if not waits:
+                self._window.append(now)
+                self._burst.append(now)
+                self.admitted += 1
+                return
+            dt = max(max(waits), 1e-4)
+            self.waited_s += dt
+            self._sleep(dt)
+
+    def match_ids(self, user_id: int) -> Sequence[str]:
+        self._acquire()
+        return self.inner.match_ids(user_id)
+
+    def match_detail(self, match_id: str) -> dict:
+        self._acquire()
+        return self.inner.match_detail(match_id)
+
+    def match_timeline(self, match_id: str) -> dict:
+        self._acquire()
+        return self.inner.match_timeline(match_id)
+
+
+class RateLimitedFakeTransport(RateLimitedTransport):
+    """Zero-arg constructible form for the string-only ``transport`` option
+    (``'aram_matchdata_etl_spark.sources.riot_datasource:RateLimitedFakeTransport'``):
+    rate-limited pacing over the deterministic fake fetch."""
+
+
 def _load_transport(options) -> Transport:
     """Resolve the ``transport`` option ('pkg.module:ClassName') to an
     instance; default FakeTransport. A dotted path (not a live object)

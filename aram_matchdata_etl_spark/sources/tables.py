@@ -30,36 +30,84 @@ TABLES = (
 )
 
 
+# Correctness-critical confs: a silent set-failure on a foreign session
+# would reintroduce wrong results (oracle drift / analysis errors) with no
+# signal, so these raise if they cannot be applied and verified.
+_CORRECTNESS_CONFS = (
+    # Fixture timestamps carry no zone annotation (isAdjustedToUTC unset);
+    # Spark 4 infers them as TIMESTAMP_NTZ by default, which unix_micros()
+    # rejects (DATATYPE_MISMATCH) and which drifts from the session-timezone
+    # design. With inference off they read as TimestampType (LTZ) taking the
+    # stored micros verbatim as UTC-epoch micros — timezone-independent and
+    # equal to the DuckDB oracle's naive-timestamp epoch values. The
+    # per-read `.option("inferTimestampNTZ", ...)` does NOT exist for
+    # parquet (it is a CSV/JSON option) — only this session conf works, and
+    # it also covers streaming schema-inference reads.
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    # Oracle comparison requires LTZ rendering pinned to UTC.
+    ("spark.sql.session.timeZone", "UTC"),
+    # Some fixture generations wrote events.ts as TIMESTAMP(NANOS), which
+    # the reader rejects without nanosAsLong.
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+)
+
+# Pure tuning confs: best-effort, never fail a query over them.
+_TUNING_CONFS = (
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defensive dynamic configs for FOREIGN sessions (the driver hands us
-    its own SparkSession): events.parquet is TIMESTAMP(NANOS) which the
-    reader rejects without nanosAsLong, and oracle comparison requires the
-    UTC session timezone. All of these are runtime-settable SQL confs."""
-    for k, v in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.adaptive.enabled", "true"),
-        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
-    ):
+    its own SparkSession). All are runtime-settable SQL confs."""
+    for k, v in _CORRECTNESS_CONFS:
+        spark.conf.set(k, v)
+        got = spark.conf.get(k)
+        if str(got).lower() != v.lower():
+            raise RuntimeError(
+                f"correctness-critical conf {k}={v!r} did not take (got {got!r})"
+            )
+    for k, v in _TUNING_CONFS:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # never fail a query over a tuning conf
+            pass
+
+
+# Schema-drift guard: expected dtype (simpleString) per critical column.
+# Fixtures can silently change generation-to-generation (the round-3 NTZ
+# incident); fail at the loader, not three operators downstream. Only
+# columns whose type semantics operators depend on are pinned.
+_EXPECTED_DTYPES = {
+    "events": {"ts": ("timestamp", "bigint")},  # bigint before ns->us conversion
+    "documents": {"doc_id": ("bigint",), "text": ("string",)},
+    "embeddings": {"embedding": ("array<float>", "array<double>")},
+    "lineitem": {"l_quantity": ("double",), "l_shipdate": ("timestamp",)},
+    "orders": {"o_orderdate": ("timestamp",)},
+}
+
+
+def _check_dtypes(name: str, df: DataFrame) -> None:
+    expected = _EXPECTED_DTYPES.get(name)
+    if not expected:
+        return
+    actual = dict(df.dtypes)
+    for col, allowed in expected.items():
+        got = actual.get(col)
+        if got not in allowed:
+            raise TypeError(
+                f"fixture schema drift: {name}.{col} is {got!r}, expected one "
+                f"of {allowed} — check parquet generation / session confs"
+            )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
-    # inferTimestampNTZ=false: fixture timestamps carry no zone annotation
-    # (isAdjustedToUTC unset), and Spark 4 would otherwise read them as
-    # TIMESTAMP_NTZ — which unix_micros()/window() reject or shift under a
-    # non-UTC session. Reading them as LTZ takes the stored micros verbatim
-    # as UTC-epoch micros: timezone-independent and equal to the DuckDB
-    # oracle's naive-timestamp epoch values.
-    df = spark.read.option("inferTimestampNTZ", "false").parquet(
-        f"{sf_dir}/{name}.parquet"
-    )
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _check_dtypes(name, df)
     if name == "events":
         # Older fixture generations wrote events.ts as parquet
         # TIMESTAMP(NANOS): read as long (see session config
@@ -71,6 +119,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer division: epoch-ns exceeds 2^53, double math loses 1us
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if not isinstance(df.schema["ts"].dataType, T.TimestampType):
+            raise TypeError(
+                f"events.ts must load as TimestampType (LTZ), got "
+                f"{df.schema['ts'].dataType} — NTZ inference conf not applied?"
+            )
     return df
 
 

@@ -138,6 +138,58 @@ def run_to_completion(
     return q
 
 
+def queue_stats(query) -> dict:
+    """S11: queue introspection — the reference's `queue_size()` (LLEN) and
+    `set_size()` (SCARD) probes (extractor/riot/db/redis.py:92-109) mapped
+    onto StreamingQuery progress telemetry:
+
+      - ``input_rows`` / ``last_batch_rows``: rows drained per trigger —
+        the LLEN drain-rate view of the upstream queue.
+      - ``state_rows``: total keys held by stateful operators (the dedup
+        state store) — exactly SCARD of the Redis dedup SET.
+      - ``batches``: triggers executed so far.
+
+    Works on any live or finished StreamingQuery; returns zeros before the
+    first progress event."""
+    import json as _json
+
+    progresses = []
+    for p in query.recentProgress:
+        if not isinstance(p, dict):
+            # PySpark returns StreamingQueryProgress objects in newer
+            # versions; normalize through their json form.
+            j = p.json
+            p = _json.loads(j if isinstance(j, str) else j())
+        progresses.append(p)
+    input_rows = 0
+    last_batch_rows = 0
+    state_rows = 0
+    for p in progresses:
+        n = int(p.get("numInputRows", 0))
+        input_rows += n
+        last_batch_rows = n
+    if progresses:
+        ops = progresses[-1].get("stateOperators") or []
+        state_rows = sum(int(op.get("numRowsTotal", 0)) for op in ops)
+    return {
+        "batches": len(progresses),
+        "input_rows": input_rows,
+        "last_batch_rows": last_batch_rows,
+        "state_rows": state_rows,
+    }
+
+
+def reset_queue(checkpoint_dir: str) -> None:
+    """S11: the reference's ``queue.clear()`` (extractor/riot/main.py:6-18,
+    db/redis.py:110-119 — delete queue + SET + TTL keys). In the Spark
+    topology the durable queue/dedup state IS the checkpoint (offsets +
+    state store), so clearing the queue = removing the checkpoint dir; the
+    next start() re-seeds from scratch (T7 cold start)."""
+    import shutil
+
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+
 def attribution_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     """Watermarked stream-stream inner join: clicks within 30 min after a
     purchase by the same user — the native streaming twin of the batch

@@ -109,6 +109,14 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # connected-components convergence telemetry (rounds, changed-counts,
+    # partition counts) from the last run per pair source — decomposes a
+    # CC-query regression into extra-rounds vs partition/checkpoint
+    # pressure without an instrumented rerun (VERDICT r3 item 4).
+    from aram_matchdata_etl_spark.operators.dedup import CC_TELEMETRY
+
+    if CC_TELEMETRY:
+        out["cc_telemetry"] = CC_TELEMETRY
     print(json.dumps(out))
 
 

@@ -100,3 +100,45 @@ def test_cc_wall_time_tracks_lsh_verify_at_50k_docs(spark):
     assert t_cc < 4 * t_lsh, f"CC {t_cc:.1f}s vs LSH {t_lsh:.1f}s"
 
     sets.unpersist()
+
+
+@pytest.mark.slow
+def test_star_contraction_beats_min_label_on_deep_chain(spark):
+    """VERDICT r3 item 8: on a chain-shaped pair graph (diameter >> star
+    depth), one-hop min-label needs diameter rounds while large-star/
+    small-star contracts in O(log n). A 16-node chain forces min-label
+    through >10 rounds; star must land the identical labeling in <=5.
+    'auto' must detect the deep graph at runtime and escalate."""
+    from aram_matchdata_etl_spark.operators.dedup import (
+        CC_TELEMETRY,
+        connected_components,
+    )
+
+    n = 16
+    # chain 0-1-2-...-15 plus a few singletons (16..19)
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    universe = spark.range(n + 4).select(F.col("id").alias("doc_id"))
+
+    expected = [(i, 0, i == 0) for i in range(n)] + [
+        (i, i, True) for i in range(n, n + 4)
+    ]
+
+    got_min = connected_components(
+        universe, pairs, algorithm="min_label", tag="chain_min"
+    )
+    assert sorted(map(tuple, got_min.collect())) == expected
+    rounds_min = CC_TELEMETRY["chain_min"]["rounds"]
+    assert rounds_min > 10, rounds_min  # one hop per round on a 16-chain
+
+    got_star = connected_components(universe, pairs, algorithm="star", tag="chain_star")
+    assert sorted(map(tuple, got_star.collect())) == expected
+    rounds_star = CC_TELEMETRY["chain_star"]["rounds"]
+    assert rounds_star <= 5, rounds_star  # O(log n) contraction
+
+    got_auto = connected_components(universe, pairs, algorithm="auto", tag="chain_auto")
+    assert sorted(map(tuple, got_auto.collect())) == expected
+    assert CC_TELEMETRY["chain_auto"]["escalated"] is True
+    assert CC_TELEMETRY["chain_auto"]["algorithm"] == "star"
