@@ -166,9 +166,8 @@ pairs AS (
 )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle="WITH RECURSIVE "
+_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
     + _PAIRS_CTES
     + """,
 edges AS (
@@ -183,8 +182,11 @@ reach(u, label) AS (
 )
 SELECT u AS doc_id, MIN(label) AS cluster_id,
     (u = MIN(label)) AS is_canonical
-FROM reach GROUP BY u""",
+FROM reach GROUP BY u"""
 )
+
+
+@query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph — the step that
     turns pairwise dedup output into an actionable corpus: every document
@@ -448,6 +450,20 @@ def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
                 "is_canonical"
             ),
         )
+    )
+
+
+@query("q_dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters computed by the large-star/small-star contraction
+    path instead of min-label propagation — the O(log n)-round algorithm
+    for deep graphs, oracle-checked here against the same recursive-CTE
+    closure so BOTH connected-components algorithms carry a driver-green
+    correctness row (the chain-shaped topology where star wins is pinned
+    separately in tests/test_scale_slow.py)."""
+    pairs = exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    return connected_components(
+        load_table(spark, sf_dir, "documents"), pairs, algorithm="star", tag="star"
     )
 
 

@@ -450,3 +450,66 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_vectors"),
         )
     )
+
+
+# --- int8 embedding quantization (storage/bandwidth path for ANN) -----------
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+    FROM embeddings
+),
+scaled AS (
+    SELECT vec_id, vec,
+        CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+    FROM base
+)
+SELECT vec_id,
+    CAST(i - 1 AS INTEGER) AS dim,
+    CAST(floor(vec[i] / scale + 0.5) AS INTEGER) AS qval,
+    ROUND(scale, 9) AS scale
+FROM scaled, UNNEST(generate_series(1, len(vec))) AS g(i)""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    path every large ANN deployment runs before indexing: scale =
+    max|x|/127, q = round(x/scale), 4x smaller vectors with ~equal
+    recall after exact re-rank in float. Output is exploded to
+    (vec_id, dim, qval) scalar rows.
+
+    Determinism across engines: floats promote to double EXACTLY, the
+    division is one IEEE double op, and rounding is the explicit
+    floor(x+0.5) (round-half-toward-+inf) in BOTH engines — no reliance
+    on either engine's round() tie-breaking. Zero vectors quantize to
+    all-zero via the scale=1 guard instead of dividing by zero.
+
+    Scale shape: embarrassingly parallel per row, all codegen; the
+    explode is for the oracle's scalar hash — the production form keeps
+    the array column (same expressions minus posexplode)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("amax", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+        .withColumn(
+            "scale",
+            F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(
+                F.col("amax") / F.lit(127.0)
+            ),
+        )
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+                )
+            ).alias("dim", "qval"),
+            F.round(F.col("scale"), 9).alias("scale"),
+        )
+    )

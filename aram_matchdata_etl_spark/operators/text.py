@@ -325,3 +325,93 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("c") / total.cast("double"), 6).alias("top_gram_frac"),
     )
+
+
+# --- boilerplate removal (CCNet/RefinedWeb-style line dedup) ----------------
+
+BOILER_CHUNK_W = 10  # tokens per pseudo-line (fixture text has no newlines)
+BOILER_MIN_DOCS = 2  # a chunk seen in >= this many distinct docs is boilerplate
+
+
+@query(
+    "q_boilerplate_removal",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+    SELECT doc_id, i AS chunk_idx,
+        array_to_string(t[i * {BOILER_CHUNK_W} + 1 : i * {BOILER_CHUNK_W} + {BOILER_CHUNK_W}], ' ') AS chunk
+    FROM toks,
+        UNNEST(generate_series(0, CAST(ceil(len(t) / {BOILER_CHUNK_W}.0) AS BIGINT) - 1)) AS g(i)
+),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY chunk),
+kept AS (
+    SELECT c.doc_id, c.chunk_idx, c.chunk
+    FROM chunks c JOIN freq f USING (chunk)
+    WHERE f.ndocs < {BOILER_MIN_DOCS}
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+        COUNT(*) AS n_chunks_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+    COALESCE(r.clean_text, '') AS clean_text,
+    CAST(COALESCE(r.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept,
+    CAST(ceil(len(t.t) / {BOILER_CHUNK_W}.0) AS BIGINT) AS n_chunks_total
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)""",
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal, the CCNet/RefinedWeb "line-level dedup" pass:
+    drop every pseudo-line (fixed 10-token chunk — fixture text carries no
+    newlines) whose exact content appears in >= BOILER_MIN_DOCS distinct
+    documents (headers, footers, license banners, nav chrome at web
+    scale), then reassemble each document from its surviving chunks in
+    order. The reference has no corpus-level text hygiene (its dedup is
+    per-key upsert, extractor/riot/db/mongodb.py:52-56); this is a
+    first-class pretraining-pipeline stage.
+
+    Scale shape: chunking is a per-row generator (codegen explode); the
+    frequency pass groups on the chunk string — at 100 TB swap the group
+    key for xxhash64(chunk) (16-byte shuffle key, same semantics barring
+    2^-64 collisions) and broadcast the resulting boilerplate set if it is
+    small (it is: boilerplate is by definition low-cardinality). Reassembly
+    groups by doc_id with an in-row sort of (idx, chunk) structs — no
+    window, no global sort."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(BOILER_CHUNK_W)))
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * BOILER_CHUNK_W + 1, BOILER_CHUNK_W), " "
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    kept = chunks.join(freq, "chunk").filter(F.col("ndocs") < BOILER_MIN_DOCS)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_chunks_kept"),
+    )
+    return (
+        docs.select("doc_id", n_chunks.cast("bigint").alias("n_chunks_total"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_chunks_kept"), F.lit(0)).cast("bigint").alias(
+                "n_chunks_kept"
+            ),
+            "n_chunks_total",
+        )
+    )

@@ -50,6 +50,8 @@ HEADLINE = [
     "q_fingerprint",
     "q_tfidf",
     "q_pack_sequences",
+    "q_boilerplate_removal",
+    "q_embedding_quantize",
     "q_interval_join_binned",
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here

@@ -305,3 +305,43 @@ def test_hll_rollup_error_bound(spark):
     )
     assert abs(total[0].distinct_users - exact) / exact < 0.05
     assert sum(r.n_events for r in rows if r.day is not None) == total[0].n_events
+
+
+def test_embedding_quantize_invariants(spark):
+    """int8 range and the reconstruction bound |x - q*scale| <= scale/2
+    (+ float32 ulp slack) — the property that makes the quantized form a
+    drop-in for candidate generation."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    q = all_queries()["q_embedding_quantize"](spark, SF_SMOKE)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    joined = q.join(emb, ["vec_id", "dim"])
+    bad_range = joined.filter((F.col("qval") > 127) | (F.col("qval") < -127)).count()
+    assert bad_range == 0
+    err = F.abs(F.col("x").cast("double") - F.col("qval") * F.col("scale"))
+    bad_err = joined.filter(err > F.col("scale") * 0.5 + 1e-6).count()
+    assert bad_err == 0
+
+
+def test_boilerplate_removal_invariants(spark):
+    """Kept chunks are a subset of the original text in original order;
+    a document's clean_text is a prefix-free subsequence of its chunks;
+    and the pass is non-vacuous on the fixture (some chunk crosses docs)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    out = all_queries()["q_boilerplate_removal"](spark, SF_ORACLE)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    j = out.join(docs, "doc_id")
+    assert j.filter(F.col("n_chunks_kept") > F.col("n_chunks_total")).count() == 0
+    # every kept doc's clean_text tokens appear in the source text
+    leftover = j.filter(
+        (F.col("clean_text") != "")
+        & ~F.expr(
+            "forall(split(clean_text, ' '), t -> array_contains(split(text, ' '), t))"
+        )
+    ).count()
+    assert leftover == 0
+    removed = j.filter(F.col("n_chunks_kept") < F.col("n_chunks_total")).count()
+    assert removed > 0  # non-vacuous: fixture contains cross-doc chunks

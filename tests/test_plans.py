@@ -125,3 +125,21 @@ def test_pack_sequences_single_exchange(spark):
     explode and arithmetic stay narrow."""
     plan = _plan(spark, "q_pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_boilerplate_freq_join_broadcasts(spark):
+    """Boilerplate removal: the chunk-frequency relation (low-cardinality
+    by definition) must broadcast to the chunk stream, and reassembly must
+    cost exactly one hash exchange group (doc_id) plus the frequency
+    aggregation's — never a sort-merge join on the chunk string."""
+    plan = _plan(spark, "q_boilerplate_removal")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_quantize_stays_narrow(spark):
+    """Per-vector quantization is embarrassingly parallel: no hash
+    exchange, no join — only the input-spread repartition."""
+    plan = _plan(spark, "q_embedding_quantize")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
