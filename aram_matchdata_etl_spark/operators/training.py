@@ -514,3 +514,97 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", shard.cast("bigint").alias("shard"))
         .withColumn("rank_in_shard", F.row_number().over(w).cast("bigint"))
     )
+
+
+# --- exact-substring repeated spans (Lee et al. 2022-style dedup) -----------
+
+SPAN_W = 8  # tokens per rolling window
+
+
+@query(
+    "q_substring_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+    SELECT doc_id, i AS start,
+        md5(array_to_string(t[i + 1 : i + {SPAN_W}], ' ')) AS h
+    FROM toks, UNNEST(generate_series(0, len(t) - {SPAN_W})) AS g(i)
+),
+freq AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+flagged AS (SELECT w.doc_id, w.start FROM wins w JOIN freq USING (h)),
+brk AS (
+    SELECT doc_id, start,
+        CASE WHEN start - LAG(start) OVER (PARTITION BY doc_id ORDER BY start)
+                  > {SPAN_W} THEN 1 ELSE 0 END AS is_break
+    FROM flagged
+),
+isl AS (
+    SELECT doc_id, start,
+        SUM(is_break) OVER (
+            PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING
+        ) AS island
+    FROM brk
+)
+SELECT doc_id,
+    CAST(MIN(start) AS BIGINT) AS span_start,
+    CAST(MAX(start) + {SPAN_W} AS BIGINT) AS span_end,
+    CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island""",
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the detection half (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any >= W-token span that occurs verbatim more than once in the
+    corpus). Suffix arrays don't distribute; the Spark-shaped equivalent
+    is rolling W-token windows -> corpus-wide window-hash frequency ->
+    flag repeated windows -> merge overlapping/adjacent flagged starts
+    into MAXIMAL token spans (gaps-and-islands: break where the gap
+    between consecutive flagged starts exceeds W, cumulative-sum the
+    breaks into island ids, min/max per island). Output is the span
+    removal list (doc_id, [span_start, span_end) token offsets).
+
+    Scale shape: windows are a per-row generator; the only corpus-wide
+    shuffle groups 16-byte window hashes (count >= 2 keeps the repeated
+    subset, which broadcast-joins back); island merging windows over
+    (doc_id, start) — state per doc is its flagged starts only. The
+    removal step itself is a per-doc array operation over the span list
+    (filter tokens by offset), left to the caller since policy varies
+    (drop span in all-but-one doc vs in every doc)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    # guard the Spark sequence() descending trap: len(t) < W must yield
+    # ZERO windows, but sequence(0, negative) yields a descending array
+    starts = F.when(
+        F.size(toks) >= SPAN_W,
+        F.sequence(F.lit(0), F.size(toks) - SPAN_W),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    # hash inside the array transform so the exploded rows carry only
+    # (doc_id, start, 16-byte hash) — never the token array itself;
+    # posexplode's position IS the window start since starts = [0..n-W]
+    win_hashes = F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SPAN_W), " ")),
+    )
+    wins = docs.select(
+        "doc_id", F.posexplode(win_hashes).alias("start", "h")
+    )
+    freq = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    flagged = wins.join(freq.select("h"), "h").select("doc_id", "start")
+    w_doc = Window.partitionBy("doc_id").orderBy("start")
+    brk = flagged.withColumn(
+        "is_break",
+        F.when(
+            F.col("start") - F.lag("start").over(w_doc) > SPAN_W, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("is_break").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("start").cast("bigint").alias("span_start"),
+        (F.max("start") + SPAN_W).cast("bigint").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

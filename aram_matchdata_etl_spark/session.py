@@ -61,6 +61,11 @@ def get_spark(
         # reader rejects; read as long and convert in the loader (lossless:
         # fixture values are microsecond-aligned)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # zone-less fixture timestamps must read as LTZ (UTC-epoch micros),
+        # not TIMESTAMP_NTZ — see sources/tables.py _CORRECTNESS_CONFS;
+        # set here too so sessions built before any load_table() call (e.g.
+        # streaming schema inference) start correct
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
