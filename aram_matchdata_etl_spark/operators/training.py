@@ -608,3 +608,98 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("start") + SPAN_W).cast("bigint").alias("span_end"),
         F.count("*").cast("bigint").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+@query(
+    "q_substring_dedup_apply",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+    SELECT doc_id, i AS start,
+        md5(array_to_string(t[i + 1 : i + {SPAN_W}], ' ')) AS h
+    FROM toks, UNNEST(generate_series(0, len(t) - {SPAN_W})) AS g(i)
+),
+freq AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+flagged AS (SELECT w.doc_id, w.start FROM wins w JOIN freq USING (h)),
+covered AS (
+    SELECT DISTINCT doc_id, start + j AS pos
+    FROM flagged, UNNEST(generate_series(0, {SPAN_W - 1})) AS u(j)
+),
+tok_pos AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tok_pos tp
+    ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+)
+SELECT t.doc_id,
+    COALESCE(k.clean_text, '') AS clean_text,
+    CAST(len(t.t) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM toks t
+LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+) k USING (doc_id)""",
+)
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: every token position
+    covered by ANY corpus-repeated >= W-token window (the q_substring_spans
+    flag set, remove-everywhere policy) is dropped, and each document's
+    surviving tokens are reassembled in order. Together with
+    q_substring_spans this is the full Lee-et-al-style pass as two
+    composable relational stages: detect -> apply.
+
+    Scale shape: the flagged (doc_id, start) relation is tiny relative to
+    the corpus (repeats only); coverage expansion is a W-wide generator on
+    that small side; the anti-join is co-partitioned on doc_id; reassembly
+    is the same one-exchange in-row sort as q_boilerplate_removal. The
+    document body is never shuffled more than once."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= SPAN_W,
+        F.sequence(F.lit(0), F.size(toks) - SPAN_W),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    win_hashes = F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SPAN_W), " ")),
+    )
+    wins = docs.select("doc_id", F.posexplode(win_hashes).alias("start", "h"))
+    freq = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    flagged = wins.join(freq.select("h"), "h").select("doc_id", "start")
+    covered = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (SPAN_W - 1))
+        ).alias("pos"),
+    ).distinct()
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
