@@ -653,11 +653,13 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_substring_spans this is the full Lee-et-al-style pass as two
     composable relational stages: detect -> apply.
 
-    Scale shape: the flagged (doc_id, start) relation is tiny relative to
-    the corpus (repeats only); coverage expansion is a W-wide generator on
-    that small side; the anti-join is co-partitioned on doc_id; reassembly
-    is the same one-exchange in-row sort as q_boilerplate_removal. The
-    document body is never shuffled more than once."""
+    Scale shape: the DOCUMENT BODY IS NEVER SHUFFLED — only the tiny
+    flagged (doc_id, start) relation (repeats only) aggregates into a
+    per-doc covered-position array, which joins back to the corpus
+    (broadcast when small, co-partitioned otherwise); the removal itself
+    is an in-row positional lambda filter over the token array. Contrast
+    the naive plan (explode every token, anti-join, re-aggregate): two
+    full-corpus shuffles vs zero here."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     starts = F.when(
@@ -671,35 +673,31 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = docs.select("doc_id", F.posexplode(win_hashes).alias("start", "h"))
     freq = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     flagged = wins.join(freq.select("h"), "h").select("doc_id", "start")
-    covered = flagged.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + (SPAN_W - 1))
-        ).alias("pos"),
-    ).distinct()
-    tok_pos = docs.select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    cov = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (SPAN_W - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
     )
-    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
+    # in-row removal: two-arg filter lambda gives each token its position
+    kept_arr = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.array_contains(F.col("cov_safe"), i),
     )
     return (
-        docs.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        docs.select("doc_id", toks.alias("t"))
+        .join(cov, "doc_id", "left")
+        .withColumn(
+            "cov_safe", F.coalesce(F.col("cov"), F.expr("array()").cast("array<int>"))
+        )
         .select(
             "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
-                "n_tokens_kept"
-            ),
+            F.array_join(kept_arr, " ").alias("clean_text"),
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size(kept_arr).cast("bigint").alias("n_tokens_kept"),
         )
     )
