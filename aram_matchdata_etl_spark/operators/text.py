@@ -373,10 +373,10 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: chunking is a per-row generator (codegen explode); the
     frequency pass groups on the chunk string — at 100 TB swap the group
     key for xxhash64(chunk) (16-byte shuffle key, same semantics barring
-    2^-64 collisions) and broadcast the resulting boilerplate set if it is
-    small (it is: boilerplate is by definition low-cardinality). Reassembly
-    groups by doc_id with an in-row sort of (idx, chunk) structs — no
-    window, no global sort."""
+    2^-64 collisions). The boilerplate set itself is low-cardinality BY
+    DEFINITION, so it collapses to one broadcast array and the removal is
+    an in-row filter over each doc's chunk array — DOCUMENT BODIES NEVER
+    SHUFFLE; the only wide stage is the chunk-frequency aggregation."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(BOILER_CHUNK_W)))
@@ -389,29 +389,25 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = docs.select(
         "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
     )
-    freq = chunks.groupBy("chunk").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .agg(F.collect_set("chunk").alias("boiler_set"))
     )
-    kept = chunks.join(freq, "chunk").filter(F.col("ndocs") < BOILER_MIN_DOCS)
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_chunks_kept"),
+    kept_arr = F.filter(
+        chunk_arr, lambda c: ~F.array_contains(F.col("bs"), c)
     )
     return (
-        docs.select("doc_id", n_chunks.cast("bigint").alias("n_chunks_total"))
-        .join(rebuilt, "doc_id", "left")
+        docs.crossJoin(F.broadcast(boiler))
+        .withColumn(
+            "bs",
+            F.coalesce(F.col("boiler_set"), F.expr("array()").cast("array<string>")),
+        )
         .select(
             "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_chunks_kept"), F.lit(0)).cast("bigint").alias(
-                "n_chunks_kept"
-            ),
-            "n_chunks_total",
+            F.array_join(kept_arr, " ").alias("clean_text"),
+            F.size(kept_arr).cast("bigint").alias("n_chunks_kept"),
+            n_chunks.cast("bigint").alias("n_chunks_total"),
         )
     )

@@ -128,13 +128,15 @@ def test_pack_sequences_single_exchange(spark):
 
 
 def test_boilerplate_freq_join_broadcasts(spark):
-    """Boilerplate removal: the chunk-frequency relation (low-cardinality
-    by definition) must broadcast to the chunk stream, and reassembly must
-    cost exactly one hash exchange group (doc_id) plus the frequency
-    aggregation's — never a sort-merge join on the chunk string."""
+    """Boilerplate removal: the boilerplate set (low-cardinality by
+    definition) collapses to ONE broadcast row and removal is an in-row
+    array filter — document bodies must never shuffle. The only hash
+    exchanges allowed are the chunk-frequency aggregation's two; the doc
+    stream joins via broadcast, never sort-merge."""
     plan = _plan(spark, "q_boilerplate_removal")
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_embedding_quantize_stays_narrow(spark):
