@@ -52,6 +52,45 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sliding_window_agg",
+    oracle="""
+WITH base AS (
+    SELECT make_timestamp(
+            (CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 - j * 300) * 1000000
+        ) AS window_start,
+        event_type, value
+    FROM events, UNNEST(generate_series(0, 1)) AS u(j)
+)
+SELECT window_start, event_type,
+    COUNT(*) AS n_events,
+    ROUND(SUM(value), 4) AS total_value
+FROM base GROUP BY 1, 2""",
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING window (capability row, §2.9): 10-minute windows
+    sliding every 5 — each event lands in exactly duration/slide = 2
+    overlapping windows. The oracle expands that membership explicitly
+    (each event joins its 2 grid-aligned window starts); Spark's window()
+    generates the same assignment inside codegen. Streaming form is the
+    identical expression under a watermark. Scale: output is ~2x the
+    tumbling rollup, shuffle key (window, type) — partials map-side."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "q_dedup_stream",
     oracle="""
 SELECT event_id, ts, user_id, event_type FROM (
@@ -170,6 +209,52 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
         .select("user_id", "session_no", "n_events", "session_start", "session_end")
+    )
+
+
+@query(
+    "q_session_window_native",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800 * 1000000
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+        SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM marked
+)
+SELECT MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+    user_id,
+    COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_no""",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (merging event-time sessions, the
+    state-store operator streaming uses) differentially pinned against the
+    independent lag+cumsum SQL formulation in the oracle — two unrelated
+    session constructions must produce identical sessions. Boundary
+    semantics encoded in the oracle: session_window's end (last event +
+    gap) is EXCLUSIVE, so an event arriving exactly gap after its
+    predecessor starts a NEW session (>= in the oracle's gap test, vs the
+    strict > of q_sessionize's 'within-gap' convention)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
     )
 
 
