@@ -142,3 +142,94 @@ def test_star_contraction_beats_min_label_on_deep_chain(spark):
     assert sorted(map(tuple, got_auto.collect())) == expected
     assert CC_TELEMETRY["chain_auto"]["escalated"] is True
     assert CC_TELEMETRY["chain_auto"]["algorithm"] == "star"
+
+
+@pytest.mark.slow
+def test_substring_apply_cheaper_than_detection_at_50k_docs(spark):
+    """Pins the 'document bodies never shuffle' claim of the exact-substring
+    pipeline: on a 50k-doc corpus the APPLY stage (covered-set broadcast +
+    in-row positional filter) must cost less wall-clock than DETECTION
+    (whose window-hash frequency shuffle is the irreducible wide stage).
+    A regression to the naive explode-every-token anti-join makes apply
+    re-shuffle the whole corpus twice and blow past detection."""
+    from aram_matchdata_etl_spark.operators.training import SPAN_W
+
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    replicas = spark.range(100).select(
+        F.col("id").alias("replica"), (F.col("id") / 10).cast("int").alias("salt")
+    )
+    corpus = (
+        base.crossJoin(F.broadcast(replicas))
+        .select(
+            (F.col("doc_id") + F.col("replica") * 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit("_g"), F.col("salt")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    assert corpus.count() == 50_000
+
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= SPAN_W, F.sequence(F.lit(0), F.size(toks) - SPAN_W)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    win_hashes = F.transform(
+        starts, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SPAN_W), " "))
+    )
+
+    # --- detection: window explode + corpus-wide frequency + flag-back
+    t0 = time.perf_counter()
+    wins = corpus.select("doc_id", F.posexplode(win_hashes).alias("start", "h"))
+    freq = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    flagged = (
+        wins.join(freq.select("h"), "h").select("doc_id", "start").localCheckpoint()
+    )
+    n_flagged = flagged.count()
+    t_detect = time.perf_counter() - t0
+    # every replicated doc repeats corpus-wide: detection must flag a lot
+    assert n_flagged > 1_000_000, n_flagged
+
+    # --- apply: covered-set aggregation + broadcast join + in-row filter
+    t0 = time.perf_counter()
+    cov = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (SPAN_W - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    kept_arr = F.filter(
+        F.col("t"), lambda tok, i: ~F.array_contains(F.col("cov_safe"), i)
+    )
+    cleaned = (
+        corpus.select("doc_id", toks.alias("t"))
+        .join(cov, "doc_id", "left")
+        .withColumn(
+            "cov_safe",
+            F.coalesce(F.col("cov"), F.expr("array()").cast("array<int>")),
+        )
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.size(kept_arr).alias("n_kept"),
+        )
+    )
+    agg = cleaned.agg(
+        F.count("*").alias("docs"), F.sum((F.col("n_kept") < F.col("n_tokens")).cast("int")).alias("touched")
+    ).collect()[0]
+    t_apply = time.perf_counter() - t0
+    assert agg["docs"] == 50_000
+    assert agg["touched"] > 40_000, agg["touched"]  # replicas are all repeated
+
+    assert t_apply < t_detect, f"apply {t_apply:.1f}s vs detect {t_detect:.1f}s"
