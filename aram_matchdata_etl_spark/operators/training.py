@@ -570,20 +570,26 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal step itself is a per-doc array operation over the span list
     (filter tokens by offset), left to the caller since policy varies
     (drop span in all-but-one doc vs in every doc)."""
-    docs = _docs(spark, sf_dir)
+    return substring_spans(_docs(spark, sf_dir))
+
+
+def substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Core of q_substring_spans over any (doc_id, text) relation — input
+    pluggable like connected_components, so the hypothesis differential
+    test drives it with generated corpora."""
     toks = F.split(F.col("text"), " ")
     # guard the Spark sequence() descending trap: len(t) < W must yield
     # ZERO windows, but sequence(0, negative) yields a descending array
     starts = F.when(
-        F.size(toks) >= SPAN_W,
-        F.sequence(F.lit(0), F.size(toks) - SPAN_W),
+        F.size(toks) >= w,
+        F.sequence(F.lit(0), F.size(toks) - w),
     ).otherwise(F.expr("array()").cast("array<int>"))
     # hash inside the array transform so the exploded rows carry only
     # (doc_id, start, 16-byte hash) — never the token array itself;
     # posexplode's position IS the window start since starts = [0..n-W]
     win_hashes = F.transform(
         starts,
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SPAN_W), " ")),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
     )
     wins = docs.select(
         "doc_id", F.posexplode(win_hashes).alias("start", "h")
@@ -594,7 +600,7 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     brk = flagged.withColumn(
         "is_break",
         F.when(
-            F.col("start") - F.lag("start").over(w_doc) > SPAN_W, F.lit(1)
+            F.col("start") - F.lag("start").over(w_doc) > w, F.lit(1)
         ).otherwise(F.lit(0)),
     )
     isl = brk.withColumn(
@@ -605,7 +611,7 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return isl.groupBy("doc_id", "island").agg(
         F.min("start").cast("bigint").alias("span_start"),
-        (F.max("start") + SPAN_W).cast("bigint").alias("span_end"),
+        (F.max("start") + w).cast("bigint").alias("span_end"),
         F.count("*").cast("bigint").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
 

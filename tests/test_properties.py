@@ -288,3 +288,64 @@ def test_asof_bucketed_null_in_latest_right_row_surfaces(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0].val is None
+
+
+# small vocab + short docs force genuine cross-doc window repeats
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_lists=corpus_strategy)
+def test_substring_spans_match_python(spark, token_lists):
+    """q_substring_spans core vs a pure-Python reference: rolling W-gram
+    corpus frequency, flag starts of repeated grams, merge flagged starts
+    into maximal spans (break when the gap between consecutive starts
+    exceeds W). W=3 here so tiny generated docs can collide."""
+    W = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+
+    # --- reference
+    from collections import Counter
+
+    grams = Counter()
+    starts_by_doc = {}
+    for doc_id, toks in enumerate(token_lists):
+        starts_by_doc[doc_id] = []
+        for s in range(len(toks) - W + 1):
+            grams[tuple(toks[s : s + W])] += 1
+    for doc_id, toks in enumerate(token_lists):
+        for s in range(len(toks) - W + 1):
+            if grams[tuple(toks[s : s + W])] >= 2:
+                starts_by_doc[doc_id].append(s)
+    expected = []
+    for doc_id, starts in starts_by_doc.items():
+        run: list[int] = []
+        for s in starts:
+            if run and s - run[-1] > W:
+                expected.append((doc_id, run[0], run[-1] + W, len(run)))
+                run = []
+            run.append(s)
+        if run:
+            expected.append((doc_id, run[0], run[-1] + W, len(run)))
+
+    # --- engine
+    from aram_matchdata_etl_spark.operators.training import substring_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in substring_spans(df, w=W).collect()
+    )
+    assert got == sorted(expected)
