@@ -349,3 +349,127 @@ def test_substring_spans_match_python(spark, token_lists):
         for r in substring_spans(df, w=W).collect()
     )
     assert got == sorted(expected)
+
+
+graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=graph_strategy)
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    """min-label AND large-star/small-star vs a Python union-find on random
+    graphs (self-loops, duplicates, singletons included): all three must
+    produce identical min-labeled components."""
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min.setdefault(r, min(u for u in range(n) if find(u) == r))
+    expected = sorted((v, comp_min[find(v)], v == comp_min[find(v)]) for v in range(n))
+
+    from aram_matchdata_etl_spark.operators.dedup import connected_components
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    ) if edges else spark.createDataFrame([], "doc_a long, doc_b long")
+
+    for algo in ("min_label", "star"):
+        got = sorted(
+            map(tuple, connected_components(docs, pairs, algorithm=algo).collect())
+        )
+        assert got == expected, (algo, got, expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_lists=corpus_strategy)
+def test_boilerplate_removal_matches_python(spark, token_lists):
+    """Boilerplate chunk removal vs a pure-Python reference: chunk each doc
+    into fixed 2-token pseudo-lines, drop chunks whose exact text appears
+    in >= 2 distinct docs, reassemble in order."""
+    CW, MIN_DOCS = 2, 2
+    texts = [" ".join(toks) for toks in token_lists if toks]
+    if not texts:
+        return
+
+    # --- reference
+    def chunks_of(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + CW]) for i in range(0, len(toks), CW)
+        ]
+
+    docs_per_chunk: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for c in chunks_of(t):
+            docs_per_chunk.setdefault(c, set()).add(i)
+    expected = []
+    for i, t in enumerate(texts):
+        kept = [c for c in chunks_of(t) if len(docs_per_chunk[c]) < MIN_DOCS]
+        expected.append(
+            (i, " ".join(kept), len(kept), len(chunks_of(t)))
+        )
+
+    # --- engine (same expression graph as q_boilerplate_removal, CW=2)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CW)))
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * CW + 1, CW), " "),
+    )
+    chunks = df.select("doc_id", F.posexplode(chunk_arr).alias("ci", "chunk"))
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= MIN_DOCS)
+        .agg(F.collect_set("chunk").alias("bset"))
+    )
+    kept_arr = F.filter(chunk_arr, lambda c: ~F.array_contains(F.col("bs"), c))
+    got = sorted(
+        map(
+            tuple,
+            df.crossJoin(F.broadcast(boiler))
+            .withColumn(
+                "bs",
+                F.coalesce(F.col("bset"), F.expr("array()").cast("array<string>")),
+            )
+            .select(
+                "doc_id",
+                F.array_join(kept_arr, " "),
+                F.size(kept_arr),
+                n_chunks.cast("int"),
+            )
+            .collect(),
+        )
+    )
+    assert got == sorted(expected)
