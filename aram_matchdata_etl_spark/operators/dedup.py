@@ -268,6 +268,14 @@ def connected_components(
       - 'auto' (default) — min_label, escalating to star if still
         unconverged after ESCALATE_ROUNDS (a runtime diameter probe: one
         hop per round means an unconverged round-k graph has diameter>k).
+        Escalation SEEDS star with the partially-contracted graph (pairs
+        mapped through the round-k labels), so the min-label rounds are
+        never wasted: shallow components are already collapsed and star
+        only contracts the deep residue.
+
+    Pair endpoints outside the docs universe never bridge components and
+    never appear as cluster ids (both algorithms agree: such edges are
+    ignored, matching min-label's natural semantics).
     """
     telemetry: dict = {"algorithm": None, "rounds": 0, "changed_per_round": []}
     CC_TELEMETRY[tag] = telemetry
@@ -275,18 +283,56 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm in ("auto", "min_label"):
         max_rounds = ESCALATE_ROUNDS if algorithm == "auto" else 20
-        labels = _cc_min_label(docs, pairs, max_rounds, telemetry)
-        if labels is not None:
-            return labels
+        result, labels = _cc_min_label(docs, pairs, max_rounds, telemetry)
+        if result is not None:
+            return result
         if algorithm == "min_label":  # pragma: no cover - cap >> diameter
             raise RuntimeError("label propagation did not converge in 20 rounds")
         telemetry["escalated"] = True
+        # Contract pairs through the round-k labels: intra-cluster edges
+        # vanish, endpoints become super-nodes (their current labels), and
+        # phantom endpoints (no label row) drop out in the inner joins.
+        # Star then runs on the much smaller residual graph; the final
+        # labeling composes doc -> min-label -> star cluster. Correctness:
+        # labels only ever decrease from self, so the global min doc of a
+        # component keeps label==itself, survives contraction as a
+        # super-node, and star returns it as the component min.
+        la = labels.select(
+            F.col("u").alias("doc_a"), F.col("label").alias("la")
+        )
+        lb = labels.select(
+            F.col("u").alias("doc_b"), F.col("label").alias("lb")
+        )
+        contracted = (
+            pairs.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        universe = labels.select(F.col("label").alias("doc_id")).distinct()
+        star = _cc_star(universe, contracted, telemetry)
+        return labels.join(
+            star.select(F.col("doc_id").alias("label"), "cluster_id"), "label"
+        ).select(
+            F.col("u").alias("doc_id"),
+            "cluster_id",
+            (F.col("u") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    # explicit star: restrict pairs to the docs universe so phantom
+    # endpoints cannot bridge components (min-label drops such edges
+    # naturally; star would otherwise contract through them) and cluster
+    # ids always reference real docs
+    ids_a = docs.select(F.col("doc_id").alias("doc_a"))
+    ids_b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = pairs.join(ids_a, "doc_a", "left_semi").join(ids_b, "doc_b", "left_semi")
     return _cc_star(docs, pairs, telemetry)
 
 
 def _cc_min_label(docs, pairs, max_rounds: int, telemetry: dict):
-    """One-hop min-label propagation; returns None if not converged within
-    max_rounds (caller escalates)."""
+    """One-hop min-label propagation; returns (result, labels) — result is
+    None if not converged within max_rounds (caller escalates using the
+    partially-propagated labels)."""
     telemetry["algorithm"] = "min_label"
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -339,13 +385,16 @@ def _cc_min_label(docs, pairs, max_rounds: int, telemetry: dict):
             break
     _free_checkpoint(edges)
     if not converged:
-        _free_checkpoint(prev_ckpt)
-        return None
+        # keep the final checkpoint alive: the caller seeds star from it
+        return None, labels
 
-    return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("u") == F.col("label")).alias("is_canonical"),
+    return (
+        labels.select(
+            F.col("u").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("u") == F.col("label")).alias("is_canonical"),
+        ),
+        labels,
     )
 
 
@@ -381,6 +430,7 @@ def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
         )
 
     prev_ckpt = edges
+    prev_sig: tuple | None = None
     for _ in range(30):
         # --- large-star: for v in Γ(u) with v > u: emit {v, m(u)} -------
         sym = edges.select("lo", "hi").selectExpr("lo as u", "hi as v").unionByName(
@@ -428,14 +478,12 @@ def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
         telemetry["star_changed_per_round"].append(cur_sig[0])
         _free_checkpoint(prev_ckpt)
         prev_ckpt = small
-        if telemetry.get("_prev_sig") == cur_sig:
-            edges = small
-            break
-        telemetry["_prev_sig"] = cur_sig
         edges = small
+        if prev_sig == cur_sig:
+            break
+        prev_sig = cur_sig
     else:  # pragma: no cover - O(log n) rounds << 30
         raise RuntimeError("star contraction did not converge in 30 rounds")
-    telemetry.pop("_prev_sig", None)
     telemetry["rounds"] += star_rounds
 
     # fixed point = stars: hi -> lo IS (member -> component min)

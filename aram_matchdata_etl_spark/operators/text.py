@@ -377,14 +377,22 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFINITION, so it collapses to one broadcast array and the removal is
     an in-row filter over each doc's chunk array — DOCUMENT BODIES NEVER
     SHUFFLE; the only wide stage is the chunk-frequency aggregation."""
-    docs = _docs(spark, sf_dir)
+    return boilerplate_removal(_docs(spark, sf_dir))
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    chunk_w: int = BOILER_CHUNK_W,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Core of q_boilerplate_removal over any (doc_id, text) relation —
+    input and thresholds pluggable so the hypothesis differential test
+    drives the SHIPPED expression graph, not a replica."""
     toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(BOILER_CHUNK_W)))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_w)))
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * BOILER_CHUNK_W + 1, BOILER_CHUNK_W), " "
-        ),
+        lambda i: F.array_join(F.slice(toks, i * chunk_w + 1, chunk_w), " "),
     )
     chunks = docs.select(
         "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
@@ -392,7 +400,7 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (
         chunks.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .filter(F.col("ndocs") >= min_docs)
         .agg(F.collect_set("chunk").alias("boiler_set"))
     )
     kept_arr = F.filter(

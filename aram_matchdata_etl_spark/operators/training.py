@@ -573,10 +573,11 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans(_docs(spark, sf_dir))
 
 
-def substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
-    """Core of q_substring_spans over any (doc_id, text) relation — input
-    pluggable like connected_components, so the hypothesis differential
-    test drives it with generated corpora."""
+def flagged_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, start) of every W-token window whose exact content occurs
+    >= 2 times corpus-wide — the SHARED detection core of
+    q_substring_spans and q_substring_dedup_apply (one definition, so the
+    detect and apply stages can never disagree about what is repeated)."""
     toks = F.split(F.col("text"), " ")
     # guard the Spark sequence() descending trap: len(t) < W must yield
     # ZERO windows, but sequence(0, negative) yields a descending array
@@ -595,7 +596,14 @@ def substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         "doc_id", F.posexplode(win_hashes).alias("start", "h")
     )
     freq = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    flagged = wins.join(freq.select("h"), "h").select("doc_id", "start")
+    return wins.join(freq.select("h"), "h").select("doc_id", "start")
+
+
+def substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Core of q_substring_spans over any (doc_id, text) relation — input
+    pluggable like connected_components, so the hypothesis differential
+    test drives it with generated corpora."""
+    flagged = flagged_windows(docs, w)
     w_doc = Window.partitionBy("doc_id").orderBy("start")
     brk = flagged.withColumn(
         "is_break",
@@ -668,17 +676,7 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus shuffles vs zero here."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    starts = F.when(
-        F.size(toks) >= SPAN_W,
-        F.sequence(F.lit(0), F.size(toks) - SPAN_W),
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    win_hashes = F.transform(
-        starts,
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SPAN_W), " ")),
-    )
-    wins = docs.select("doc_id", F.posexplode(win_hashes).alias("start", "h"))
-    freq = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    flagged = wins.join(freq.select("h"), "h").select("doc_id", "start")
+    flagged = flagged_windows(docs, SPAN_W)
     cov = (
         flagged.select(
             "doc_id",

@@ -96,6 +96,14 @@ class RateLimitedTransport(Transport):
     tests drive a fake clock and assert exactly when request N is admitted.
     Defaults to time.monotonic/time.sleep for live use.
 
+    IMPORTANT — the limiter state is PER INSTANCE, and Spark pickles one
+    transport copy into EACH parallel partition reader: with N concurrent
+    partitions the aggregate upstream rate is N x the caps. For live use,
+    construct with ``share_of=N`` (N = concurrent partition readers — e.g.
+    ceil(n_users/slice) for a batch read) so each copy enforces caps/N and
+    the FLEET stays within the reference limit; the ``transport_workers``
+    datasource option wires this through the string-only option map.
+
     Why pacing lives here AND offset ranges live in the stream reader: the
     reader's ``users_per_batch`` bounds work per micro-batch (coarse,
     checkpoint-replayable), while the transport bounds the instantaneous
@@ -107,7 +115,13 @@ class RateLimitedTransport(Transport):
     BURST_S = 1.0
     MAX_PER_BURST = 200  # tasks.py:19 BATCH_SIZE
 
-    def __init__(self, inner: Transport | None = None, clock=None, sleep=None):
+    def __init__(
+        self,
+        inner: Transport | None = None,
+        clock=None,
+        sleep=None,
+        share_of: int = 1,
+    ):
         import time as _time
         from collections import deque
 
@@ -118,6 +132,16 @@ class RateLimitedTransport(Transport):
         self._burst: deque[float] = deque()  # admission times, last 1 s
         self.admitted = 0  # total requests admitted (telemetry)
         self.waited_s = 0.0  # total time spent blocked (telemetry)
+        self.set_share(share_of)
+
+    def set_share(self, share_of: int) -> None:
+        """Divide both caps across ``share_of`` concurrent limiter copies
+        (floor, min 1) so the fleet-wide rate stays within the reference
+        caps when Spark fans the transport out to parallel partitions."""
+        if share_of < 1:
+            raise ValueError(f"share_of must be >= 1, got {share_of}")
+        self._max_per_window = max(1, self.MAX_PER_WINDOW // share_of)
+        self._max_per_burst = max(1, self.MAX_PER_BURST // share_of)
 
     def _evict(self, now: float) -> None:
         while self._window and self._window[0] <= now - self.WINDOW_S:
@@ -131,9 +155,9 @@ class RateLimitedTransport(Transport):
             now = self._clock()
             self._evict(now)
             waits = []
-            if len(self._window) >= self.MAX_PER_WINDOW:
+            if len(self._window) >= self._max_per_window:
                 waits.append(self._window[0] + self.WINDOW_S - now)
-            if len(self._burst) >= self.MAX_PER_BURST:
+            if len(self._burst) >= self._max_per_burst:
                 waits.append(self._burst[0] + self.BURST_S - now)
             if not waits:
                 self._window.append(now)
@@ -167,7 +191,9 @@ def _load_transport(options) -> Transport:
     """Resolve the ``transport`` option ('pkg.module:ClassName') to an
     instance; default FakeTransport. A dotted path (not a live object)
     keeps the option serializable through Spark's string-only option map
-    and importable on executors."""
+    and importable on executors. ``transport_workers`` (int) divides a
+    rate-limited transport's caps across that many concurrent partition
+    copies — see RateLimitedTransport.set_share."""
     spec = options.get("transport")
     if not spec:
         return FakeTransport()
@@ -178,6 +204,9 @@ def _load_transport(options) -> Transport:
     transport = cls()
     if not isinstance(transport, Transport):
         raise TypeError(f"{spec} is not a Transport")
+    workers = options.get("transport_workers")
+    if workers and isinstance(transport, RateLimitedTransport):
+        transport.set_share(int(workers))
     return transport
 
 

@@ -146,11 +146,18 @@ def queue_stats(query) -> dict:
       - ``input_rows`` / ``last_batch_rows``: rows drained per trigger —
         the LLEN drain-rate view of the upstream queue.
       - ``state_rows``: total keys held by stateful operators (the dedup
-        state store) — exactly SCARD of the Redis dedup SET.
-      - ``batches``: triggers executed so far.
+        state store) — exactly SCARD of the Redis dedup SET. Read from the
+        LATEST progress event, so it is a point-in-time gauge (accurate
+        regardless of retention).
+      - ``batches`` / ``last_batch_id``: triggers retained vs the engine's
+        monotone batch counter.
 
-    Works on any live or finished StreamingQuery; returns zeros before the
-    first progress event."""
+    CAVEAT: ``recentProgress`` is a ring buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100), so
+    ``batches``/``input_rows`` cover only the RETAINED window on
+    longer-running queries — compare ``batches`` with ``last_batch_id + 1``
+    to detect truncation before treating input_rows as a running total.
+    Returns zeros before the first progress event."""
     import json as _json
 
     progresses = []
@@ -164,6 +171,7 @@ def queue_stats(query) -> dict:
     input_rows = 0
     last_batch_rows = 0
     state_rows = 0
+    last_batch_id = -1
     for p in progresses:
         n = int(p.get("numInputRows", 0))
         input_rows += n
@@ -171,8 +179,10 @@ def queue_stats(query) -> dict:
     if progresses:
         ops = progresses[-1].get("stateOperators") or []
         state_rows = sum(int(op.get("numRowsTotal", 0)) for op in ops)
+        last_batch_id = int(progresses[-1].get("batchId", -1))
     return {
         "batches": len(progresses),
+        "last_batch_id": last_batch_id,
         "input_rows": input_rows,
         "last_batch_rows": last_batch_rows,
         "state_rows": state_rows,

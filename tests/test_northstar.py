@@ -264,11 +264,23 @@ def test_connected_components_frees_superseded_checkpoints(spark):
     pairs = spark.range(15).selectExpr("id as doc_a", "id + 1 as doc_b")
 
     before = jsc.getPersistentRDDs().size()
-    result = connected_components(docs, pairs)
+    result = connected_components(docs, pairs, algorithm="min_label")
     assert result.filter("cluster_id = 0").count() == 16
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (
         f"checkpoint blocks leaked: {before} -> {after} persistent RDDs"
+    )
+
+    # auto on this 15-chain escalates at round 8: the returned plan then
+    # legitimately reads from TWO live checkpoints (the min-label labels
+    # it seeds star with + star's fixed-point edge set) — anything above
+    # that is a leak of a superseded round
+    before = jsc.getPersistentRDDs().size()
+    result = connected_components(docs, pairs, algorithm="auto")
+    assert result.filter("cluster_id = 0").count() == 16
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (
+        f"checkpoint blocks leaked on escalation: {before} -> {after}"
     )
 
 
@@ -345,3 +357,29 @@ def test_boilerplate_removal_invariants(spark):
     assert leftover == 0
     removed = j.filter(F.col("n_chunks_kept") < F.col("n_chunks_total")).count()
     assert removed > 0  # non-vacuous: fixture contains cross-doc chunks
+
+
+def test_connected_components_ignores_phantom_endpoints(spark):
+    """Pair endpoints outside the docs universe must not bridge components
+    and must never surface as cluster ids — both algorithms, including the
+    auto-escalation seeding path, agree on the contract."""
+    from aram_matchdata_etl_spark.operators.dedup import connected_components
+
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 9), (1, 9)], "doc_a long, doc_b long")
+    expected = [(0, 0, True), (1, 1, True)]
+    for algo in ("min_label", "star", "auto"):
+        got = sorted(
+            map(tuple, connected_components(docs, pairs, algorithm=algo).collect())
+        )
+        assert got == expected, (algo, got)
+
+    # phantom as the smaller endpoint: must not become a cluster_id
+    docs2 = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    pairs2 = spark.createDataFrame([(5, 1), (5, 6)], "doc_a long, doc_b long")
+    expected2 = [(5, 5, True), (6, 5, False)]
+    for algo in ("min_label", "star"):
+        got = sorted(
+            map(tuple, connected_components(docs2, pairs2, algorithm=algo).collect())
+        )
+        assert got == expected2, (algo, got)

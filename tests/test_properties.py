@@ -437,39 +437,14 @@ def test_boilerplate_removal_matches_python(spark, token_lists):
             (i, " ".join(kept), len(kept), len(chunks_of(t)))
         )
 
-    # --- engine (same expression graph as q_boilerplate_removal, CW=2)
+    # --- engine: the SHIPPED core, not a replica
+    from aram_matchdata_etl_spark.operators.text import boilerplate_removal
+
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(CW)))
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.array_join(F.slice(toks, i * CW + 1, CW), " "),
-    )
-    chunks = df.select("doc_id", F.posexplode(chunk_arr).alias("ci", "chunk"))
-    boiler = (
-        chunks.groupBy("chunk")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= MIN_DOCS)
-        .agg(F.collect_set("chunk").alias("bset"))
-    )
-    kept_arr = F.filter(chunk_arr, lambda c: ~F.array_contains(F.col("bs"), c))
     got = sorted(
-        map(
-            tuple,
-            df.crossJoin(F.broadcast(boiler))
-            .withColumn(
-                "bs",
-                F.coalesce(F.col("bset"), F.expr("array()").cast("array<string>")),
-            )
-            .select(
-                "doc_id",
-                F.array_join(kept_arr, " "),
-                F.size(kept_arr),
-                n_chunks.cast("int"),
-            )
-            .collect(),
-        )
+        (r.doc_id, r.clean_text, r.n_chunks_kept, r.n_chunks_total)
+        for r in boilerplate_removal(df, chunk_w=CW, min_docs=MIN_DOCS).collect()
     )
     assert got == sorted(expected)

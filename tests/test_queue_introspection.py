@@ -192,3 +192,27 @@ def test_queue_stats_and_reset(spark, events_dir, tmp_path):
     q3 = run(out3)
     assert queue_stats(q3)["input_rows"] == n_rows
     assert sum(out3) == n_users
+
+
+def test_rate_limiter_share_of_divides_caps():
+    """share_of=10 (ten concurrent partition copies) must divide both caps
+    so the FLEET stays within the reference limit: each copy admits 20/s
+    and 200/2min."""
+    from aram_matchdata_etl_spark.sources.riot_datasource import (
+        FakeTransport,
+        RateLimitedTransport,
+    )
+
+    clk = FakeClock()
+    t = RateLimitedTransport(
+        inner=FakeTransport(), clock=clk.clock, sleep=clk.sleep, share_of=10
+    )
+    for _ in range(20):
+        t._acquire()
+    assert clk.t == 0.0
+    t._acquire()  # 21st: burst share (200/10) exhausted
+    assert clk.t == pytest.approx(1.0, abs=1e-3)
+    for _ in range(179):
+        t._acquire()
+    t._acquire()  # 201st: window share (2000/10) exhausted
+    assert clk.t == pytest.approx(120.0, abs=1e-2)
