@@ -387,7 +387,14 @@ def boilerplate_removal(
 ) -> DataFrame:
     """Core of q_boilerplate_removal over any (doc_id, text) relation —
     input and thresholds pluggable so the hypothesis differential test
-    drives the SHIPPED expression graph, not a replica."""
+    drives the SHIPPED expression graph, not a replica.
+
+    Membership testing happens in the broadcast HASH join of chunk rows
+    against the boilerplate set (O(1) probes), producing the per-doc
+    REMOVED chunk indices — a small relation — which joins back for an
+    in-row filter by index. (A broadcast array + per-chunk array_contains
+    scan is O(chunks x |boiler set|) and measured 2.2x slower at sf0.1;
+    document bodies stay unshuffled either way.)"""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_w)))
     chunk_arr = F.transform(
@@ -401,16 +408,21 @@ def boilerplate_removal(
         chunks.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
         .filter(F.col("ndocs") >= min_docs)
-        .agg(F.collect_set("chunk").alias("boiler_set"))
+        .select("chunk")
+    )
+    removed = (
+        chunks.join(F.broadcast(boiler), "chunk")
+        .groupBy("doc_id")
+        .agg(F.collect_set("chunk_idx").alias("rm"))
     )
     kept_arr = F.filter(
-        chunk_arr, lambda c: ~F.array_contains(F.col("bs"), c)
+        chunk_arr, lambda c, i: ~F.array_contains(F.col("rm_safe"), i)
     )
     return (
-        docs.crossJoin(F.broadcast(boiler))
+        docs.join(removed, "doc_id", "left")
         .withColumn(
-            "bs",
-            F.coalesce(F.col("boiler_set"), F.expr("array()").cast("array<string>")),
+            "rm_safe",
+            F.coalesce(F.col("rm"), F.expr("array()").cast("array<int>")),
         )
         .select(
             "doc_id",

@@ -128,15 +128,16 @@ def test_pack_sequences_single_exchange(spark):
 
 
 def test_boilerplate_freq_join_broadcasts(spark):
-    """Boilerplate removal: the boilerplate set (low-cardinality by
-    definition) collapses to ONE broadcast row and removal is an in-row
-    array filter — document bodies must never shuffle. The only hash
-    exchanges allowed are the chunk-frequency aggregation's two; the doc
-    stream joins via broadcast, never sort-merge."""
+    """Boilerplate removal: membership tests run in a broadcast HASH join
+    of chunk rows vs the (low-cardinality) boilerplate set, the per-doc
+    removed-index relation is small, and removal is an in-row filter by
+    index — document bodies must never shuffle. Allowed hash exchanges:
+    the chunk-frequency aggregation's two + the removed-index groupBy;
+    never a sort-merge join."""
     plan = _plan(spark, "q_boilerplate_removal")
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
 def test_embedding_quantize_stays_narrow(spark):
