@@ -577,7 +577,17 @@ def flagged_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     """(doc_id, start) of every W-token window whose exact content occurs
     >= 2 times corpus-wide — the SHARED detection core of
     q_substring_spans and q_substring_dedup_apply (one definition, so the
-    detect and apply stages can never disagree about what is repeated)."""
+    detect and apply stages can never disagree about what is repeated).
+
+    The window hash is a pure grouping key (never surfaced in output), so
+    the Spark side hashes the token-slice ARRAY with xxhash64 — no string
+    materialization per window, 8-byte shuffle keys — while the DuckDB
+    oracles hash the joined string with md5; outputs agree barring a
+    2^-64-scale collision (the same documented tradeoff as the MinHash
+    verification path)."""
+    # single-row-group fixture parquet -> 1 input partition; spread the
+    # per-doc window generation across the cluster before the explode
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col("text"), " ")
     # guard the Spark sequence() descending trap: len(t) < W must yield
     # ZERO windows, but sequence(0, negative) yields a descending array
@@ -586,11 +596,11 @@ def flagged_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - w),
     ).otherwise(F.expr("array()").cast("array<int>"))
     # hash inside the array transform so the exploded rows carry only
-    # (doc_id, start, 16-byte hash) — never the token array itself;
+    # (doc_id, start, 8-byte hash) — never the token array itself;
     # posexplode's position IS the window start since starts = [0..n-W]
     win_hashes = F.transform(
         starts,
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, w)),
     )
     wins = docs.select(
         "doc_id", F.posexplode(win_hashes).alias("start", "h")
@@ -674,7 +684,11 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an in-row positional lambda filter over the token array. Contrast
     the naive plan (explode every token, anti-join, re-aggregate): two
     full-corpus shuffles vs zero here."""
-    docs = _docs(spark, sf_dir)
+    # spread the single-partition fixture scan so the in-row token filter
+    # parallelizes (round-robin, NOT a key shuffle of the bodies)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.col("text"), " ")
     flagged = flagged_windows(docs, SPAN_W)
     cov = (
