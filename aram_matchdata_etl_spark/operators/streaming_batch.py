@@ -311,3 +311,65 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.hll_sketch_estimate("sk").alias("distinct_users"), "n_events"
     )
     return per_day.unionByName(total)
+
+
+# --- count-min sketch: the mergeable heavy-hitters pattern ------------------
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 1024  # cells per row
+CM_TOPK = 20
+
+
+@query("q_countmin_topk")
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over document tokens — the second
+    mergeable-sketch pattern beside q_hll_rollup (Cormode & Muthukrishnan
+    2005): the sketch is a fixed d x w grid of counters (here 4 x 1024 =
+    4096 cells regardless of corpus size), each token increments one cell
+    per hash row, and a token's estimate is the MIN over its d cells.
+    Guarantees: estimate >= true count always; overestimate <= eps * N
+    with probability 1 - (1/2)^d for w = 2/eps. At 100 TB the sketch is
+    the state you keep per partition/day — cells merge by ADDITION, so
+    any rollup level is a cheap cell-wise sum (the same
+    store-the-sketch-not-the-rows move as the HLL rollup), and streaming
+    updates are the same increment.
+
+    Everything is native exprs: cell assignment is xxhash64(word, seed)
+    mod w inside the explode projection; the sketch build is ONE groupBy
+    over (seed, cell) with map-side partials; estimation joins candidate
+    words' cells back and takes min over seeds. Rows-only check (cell
+    collisions are hash-family-specific); the invariant test asserts the
+    CM bounds against exact counts."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    # sketch build: one row per (seed, cell) — the d x w counter grid
+    seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    cells = words.select(
+        F.explode(seeds).alias("seed"),
+        (F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH))).alias("cell"),
+    )
+    sketch = cells.groupBy("seed", "cell").agg(F.count("*").alias("c"))
+
+    # candidates: the exact top-k words (what a production pipeline would
+    # feed from a sample or a prior epoch); estimate each from the sketch
+    exact_top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "word")
+        .limit(CM_TOPK)
+    )
+    cand_cells = exact_top.select(
+        "word",
+        "true_count",
+        F.explode(seeds).alias("seed"),
+    ).withColumn("cell", F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH)))
+    return (
+        cand_cells.join(F.broadcast(sketch), ["seed", "cell"])
+        .groupBy("word", "true_count")
+        .agg(F.min("c").alias("cm_estimate"))
+        .orderBy(F.desc("true_count"), "word")
+        .select("word", "true_count", "cm_estimate")
+    )

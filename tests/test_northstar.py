@@ -383,3 +383,23 @@ def test_connected_components_ignores_phantom_endpoints(spark):
             map(tuple, connected_components(docs2, pairs2, algorithm=algo).collect())
         )
         assert got == expected2, (algo, got)
+
+
+def test_countmin_bounds(spark):
+    """Count-min guarantees: estimate >= exact ALWAYS, and overestimate
+    bounded by eps*N (w.h.p.; eps = 2/width) — checked against the exact
+    counts the operator carries alongside."""
+    from aram_matchdata_etl_spark.operators.streaming_batch import CM_WIDTH
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_countmin_topk"](spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    n_tokens = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    eps_bound = 2.0 / CM_WIDTH * n_tokens
+    for r in rows:
+        assert r.cm_estimate >= r.true_count, r
+        assert r.cm_estimate <= r.true_count + eps_bound, (r, eps_bound)
