@@ -328,7 +328,11 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096 cells regardless of corpus size), each token increments one cell
     per hash row, and a token's estimate is the MIN over its d cells.
     Guarantees: estimate >= true count always; overestimate <= eps * N
-    with probability 1 - (1/2)^d for w = 2/eps. At 100 TB the sketch is
+    with probability ~1 - (1/2)^d for w = 2/eps. (The d rows here are
+    DIFFERENTLY-SEEDED xxhash64 applications, not independent hash
+    functions: two words colliding at the 64-bit level — 2^-64 per pair —
+    collide in every row at once. That correlated tail is far below the
+    sketch's own eps and is the standard engineering approximation.) At 100 TB the sketch is
     the state you keep per partition/day — cells merge by ADDITION, so
     any rollup level is a cheap cell-wise sum (the same
     store-the-sketch-not-the-rows move as the HLL rollup), and streaming
@@ -340,9 +344,9 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words' cells back and takes min over seeds. Rows-only check (cell
     collisions are hash-family-specific); the invariant test asserts the
     CM bounds against exact counts."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from ..sources.tables import spread_input
+
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
 
     # sketch build: one row per (seed, cell) — the d x w counter grid

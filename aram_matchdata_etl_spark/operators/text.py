@@ -391,10 +391,17 @@ def boilerplate_removal(
 
     Membership testing happens in the broadcast HASH join of chunk rows
     against the boilerplate set (O(1) probes), producing the per-doc
-    REMOVED chunk indices — a small relation — which joins back for an
-    in-row filter by index. (A broadcast array + per-chunk array_contains
-    scan is O(chunks x |boiler set|) and measured 2.2x slower at sf0.1;
-    document bodies stay unshuffled either way.)"""
+    REMOVED chunk indices, which join back for an in-row filter by index.
+    (A broadcast array + per-chunk array_contains scan is
+    O(chunks x |boiler set|) and measured 2.2x slower at sf0.1.)
+
+    Scale honesty on the join-back: the removed relation is tiny per row
+    (doc_id + a few ints) but O(affected docs) rows; Spark broadcasts it
+    while it fits and otherwise shuffle-joins — which would hash document
+    bodies. At web scale, where most docs carry boilerplate, the
+    zero-body-shuffle plan is storage-level: keep the corpus BUCKETED by
+    doc_id (sources/warehouse.py::write_bucketed) so this join co-locates
+    with no exchange on the doc side."""
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_w)))
     chunk_arr = F.transform(

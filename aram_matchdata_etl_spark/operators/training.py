@@ -585,9 +585,11 @@ def flagged_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     oracles hash the joined string with md5; outputs agree barring a
     2^-64-scale collision (the same documented tradeoff as the MinHash
     verification path)."""
-    # single-row-group fixture parquet -> 1 input partition; spread the
-    # per-doc window generation across the cluster before the explode
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import spread_input
+
+    # conditional: only the under-partitioned fixture scan is spread;
+    # well-partitioned production input is untouched (no hidden shuffle)
+    docs = spread_input(docs)
     toks = F.split(F.col("text"), " ")
     # guard the Spark sequence() descending trap: len(t) < W must yield
     # ZERO windows, but sequence(0, negative) yields a descending array
@@ -684,11 +686,11 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an in-row positional lambda filter over the token array. Contrast
     the naive plan (explode every token, anti-join, re-aggregate): two
     full-corpus shuffles vs zero here."""
-    # spread the single-partition fixture scan so the in-row token filter
-    # parallelizes (round-robin, NOT a key shuffle of the bodies)
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from ..sources.tables import spread_input
+
+    # spread the under-partitioned fixture scan once here; the nested
+    # flagged_windows call sees an already-spread input and no-ops
+    docs = spread_input(_docs(spark, sf_dir))
     toks = F.split(F.col("text"), " ")
     flagged = flagged_windows(docs, SPAN_W)
     cov = (

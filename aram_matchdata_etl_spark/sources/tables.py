@@ -131,3 +131,17 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register fixture tables as temp views (for the SQL-API operators)."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-partitioned
+    (the single-row-group fixture parquet arrives as 1 partition, which
+    would serialize per-row generator work on one core). Well-partitioned
+    production input passes through untouched — operators calling this do
+    NOT pay a corpus shuffle outside the fixture environment, keeping
+    their zero-shuffle claims honest."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df

@@ -399,7 +399,11 @@ def test_countmin_bounds(spark):
         .select(F.explode(F.split("text", " ")))
         .count()
     )
-    eps_bound = 2.0 / CM_WIDTH * n_tokens
+    # x3 slack: the eps*N bound is probabilistic (~94% per word at d=4);
+    # the run is deterministic for a FIXED fixture+seeds, but regenerated
+    # fixtures may legitimately push a word past the raw bound (same
+    # reasoning as the HLL test's x5 margin)
+    eps_bound = 3 * 2.0 / CM_WIDTH * n_tokens
     for r in rows:
         assert r.cm_estimate >= r.true_count, r
         assert r.cm_estimate <= r.true_count + eps_bound, (r, eps_bound)
