@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_input
 
 JACCARD_THRESHOLD = 0.5
 
@@ -56,9 +56,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (slice + zip_with + explode — all codegen, no UDF)."""
     # fixture files are single-row-group → 1 input partition; spread the
     # shingle fan-out across the cluster before the explode
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     return (
         docs.select("doc_id", F.explode(bigram_col(toks)).alias("shingle"))
@@ -539,9 +537,7 @@ def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
     sets = per_session.get(sf_dir)
     if sets is None:
-        docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        docs = spread_input(load_table(spark, sf_dir, "documents"))
         toks = F.split(F.col("text"), " ")
         sets = (
             docs.select(

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_input
 
 TOPK = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -48,9 +48,7 @@ def embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Precomputing the norm once per row halves the per-pair flops."""
     # single-row-group fixture → 1 input partition; repartition so the
     # O(n^2) cosine work downstream parallelizes across all cores
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("vnorm", norm(F.col("vec")))
@@ -490,9 +488,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: embarrassingly parallel per row, all codegen; the
     explode is for the oracle's scalar hash — the production form keeps
     the array column (same expressions minus posexplode)."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = spread_input(load_table(spark, sf_dir, "embeddings"))
     return (
         emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .withColumn("amax", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
