@@ -448,3 +448,78 @@ def test_boilerplate_removal_matches_python(spark, token_lists):
         for r in boilerplate_removal(df, chunk_w=CW, min_docs=MIN_DOCS).collect()
     )
     assert got == sorted(expected)
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vectors=vectors_strategy)
+def test_embedding_quantize_matches_numpy(spark, vectors):
+    """int8 quantization vs a numpy reference on generated float32 vectors
+    (zeros, negatives, denormal-ish magnitudes): identical qvals and the
+    same scale to 9 decimals — pins the floor(x+0.5) rounding and the
+    zero-vector guard across engines."""
+    import math
+
+    import numpy as np
+
+    expected = []
+    for vid, vec in enumerate(vectors):
+        v = np.array(vec, dtype=np.float32).astype(np.float64)
+        amax = float(np.max(np.abs(v)))
+        scale = 1.0 if amax == 0 else amax / 127.0
+        for dim, x in enumerate(v):
+            qval = int(math.floor(x / scale + 0.5))
+            expected.append((vid, dim, qval, round(scale, 9)))
+
+    # registry operator reads from the fixture table, so exercise the same
+    # expression graph over a constructed frame
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+    vec = F2.transform(F2.col("embedding"), lambda x: x.cast("double"))
+    got = sorted(
+        map(
+            tuple,
+            df.select("vec_id", vec.alias("v"))
+            .withColumn(
+                "amax", F2.array_max(F2.transform(F2.col("v"), lambda x: F2.abs(x)))
+            )
+            .withColumn(
+                "scale",
+                F2.when(F2.col("amax") == 0, F2.lit(1.0)).otherwise(
+                    F2.col("amax") / F2.lit(127.0)
+                ),
+            )
+            .select(
+                "vec_id",
+                F2.posexplode(
+                    F2.transform(
+                        F2.col("v"),
+                        lambda x: F2.floor(x / F2.col("scale") + 0.5).cast("int"),
+                    )
+                ).alias("dim", "qval"),
+                F2.round(F2.col("scale"), 9).alias("scale"),
+            )
+            .collect(),
+        )
+    )
+    assert got == sorted(expected)
