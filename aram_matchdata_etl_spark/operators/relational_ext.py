@@ -221,7 +221,8 @@ def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_funcs",
     oracle="""
 SELECT doc_id,
-    list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_words,
+    array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+        AS first_words,
     CAST(len(list_filter(string_split(text, ' '), w -> LENGTH(w) > 5)) AS INTEGER)
         AS n_long_words,
     ROUND(list_sum(list_transform(string_split(text, ' '),
@@ -232,13 +233,21 @@ FROM documents""",
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order function surface (SURVEY §2.8 'free' row):
     sort/distinct/slice, lambda filter, transform+aggregate — all
-    JVM-evaluated, no UDFs."""
+    JVM-evaluated, no UDFs.
+
+    ``first_words`` is emitted as a '|'-joined string (array_join) rather
+    than a raw array column: the driver's canonicalizer hashes sorted pandas
+    frames and cannot sort a list-typed column (r4's only red row). The
+    higher-order-function surface (array_sort/array_distinct/slice) is
+    still fully exercised upstream of the join."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     word_lens = F.transform(words, lambda w: F.length(w).cast("double"))
     return docs.select(
         "doc_id",
-        F.slice(F.array_sort(F.array_distinct(words)), 1, 5).alias("first_words"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(words)), 1, 5), "|"
+        ).alias("first_words"),
         F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
         F.round(
             F.aggregate(word_lens, F.lit(0.0), lambda acc, x: acc + x) / F.size(words), 6

@@ -64,6 +64,29 @@ def _norm_cell(v: Any) -> Any:
     return v
 
 
+def assert_driver_hashable(pdf: pd.DataFrame, name: str = "?") -> None:
+    """Replicate the driver's constraint: its canonicalizer sort_values-es
+    the result frame, and pandas cannot sort list/array-typed columns
+    (``TypeError: unhashable type: 'list'`` — r4's only red row,
+    q_array_funcs). Any oracled query whose output contains a list, tuple,
+    or ndarray cell must fail LOCALLY so local-green always implies
+    driver-green. Fix the operator by emitting array columns as joined
+    strings (F.array_join / duckdb array_to_string) in BOTH dialects."""
+    import numpy as np
+
+    for col in pdf.columns:
+        s = pdf[col].dropna()
+        if len(s) == 0:
+            continue
+        v = s.iloc[0]
+        if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+            raise AssertionError(
+                f"{name}: column {col!r} is {type(v).__name__}-typed; the "
+                "driver canonicalizer cannot sort it. Emit it as a joined "
+                "string in both dialects."
+            )
+
+
 def normalize(pdf: pd.DataFrame) -> list[tuple]:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False)]
@@ -73,6 +96,8 @@ def normalize(pdf: pd.DataFrame) -> list[tuple]:
 def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
     got = spark_df.toPandas()
     want = duckdb_df(oracle, sf_dir)
+    assert_driver_hashable(got, name)
+    assert_driver_hashable(want, name)
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column mismatch spark={sorted(got.columns)} duck={sorted(want.columns)}"
     )
