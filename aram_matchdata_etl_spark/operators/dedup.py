@@ -345,8 +345,13 @@ def _cc_min_label(docs, pairs, max_rounds: int, telemetry: dict):
     edges = edges.localCheckpoint()
     telemetry["edge_partitions"] = edges.rdd.getNumPartitions()
 
-    labels = docs.select(
-        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    # spread BEFORE the checkpoint: the docs universe arrives as the
+    # single-row-group fixture scan (1 partition), and a 1-partition
+    # checkpoint serializes every per-round join probe through one core's
+    # block. Conditional spread keeps production (well-partitioned) input
+    # untouched. (VERDICT r4 item 4: label_partitions was 1 in telemetry.)
+    labels = spread_input(
+        docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("label"))
     ).localCheckpoint()
     telemetry["label_partitions"] = labels.rdd.getNumPartitions()
 
@@ -474,11 +479,24 @@ def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
         ).collect()[0]
         cur_sig = (sig["n"], sig["h"])
         telemetry["star_changed_per_round"].append(cur_sig[0])
+        if prev_sig == cur_sig:
+            # Signature equality is one 2^-64 xxhash64 collision away from
+            # a silent early stop on an ORACLE-CHECKED path (unlike the
+            # MinHash paths, where a collision only perturbs candidate
+            # generation). Confirm the fixed point exactly: both edge sets
+            # are distinct() and same-count (from the signature), so one
+            # anti-join count == 0 iff they are equal — a single extra job
+            # at the final round only. (ADVICE r4.)
+            mismatch = edges.join(small, ["lo", "hi"], "left_anti").count()
+            if mismatch == 0:
+                _free_checkpoint(prev_ckpt)
+                prev_ckpt = small
+                edges = small
+                break
+            telemetry["sig_collisions"] = telemetry.get("sig_collisions", 0) + 1
         _free_checkpoint(prev_ckpt)
         prev_ckpt = small
         edges = small
-        if prev_sig == cur_sig:
-            break
         prev_sig = cur_sig
     else:  # pragma: no cover - O(log n) rounds << 30
         raise RuntimeError("star contraction did not converge in 30 rounds")

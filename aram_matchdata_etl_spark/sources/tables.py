@@ -133,15 +133,47 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Memoized spread_input probes: the precise probe (df.rdd.getNumPartitions)
+# forces a full DataFrame->RDD physical-plan conversion per call, which on
+# well-partitioned production input is pure waste (ADVICE r4). Keyed by
+# (session id, sorted input files) — valid because a file-scan plan's
+# partitioning is a function of its file set + session read confs, both
+# stable within a session.
+_SPREAD_PROBE_CACHE: dict[tuple, int] = {}
+
+
 def spread_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the input is under-partitioned
     (the single-row-group fixture parquet arrives as 1 partition, which
     would serialize per-row generator work on one core). Well-partitioned
     production input passes through untouched — operators calling this do
     NOT pay a corpus shuffle outside the fixture environment, keeping
-    their zero-shuffle claims honest."""
+    their zero-shuffle claims honest.
+
+    Probe cost: file-scan plans short-circuit on ``df.inputFiles()`` (a
+    logical-plan FileIndex lookup, no physical planning) — a file count at
+    or above the spread threshold already proves enough partitions (Spark
+    assigns >=1 partition per non-coalesced file at fixture sizes; large
+    multi-file production scans pass this trivially). Only small-file-count
+    plans (the fixture case) or non-file plans pay the precise RDD probe,
+    and file-backed probes are memoized per (session, fileset)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 4):
+    threshold = max(2, target // 4)
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= threshold:
+            return df
+        key = (id(df.sparkSession), tuple(files))
+        n = _SPREAD_PROBE_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_CACHE[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < threshold:
         return df.repartition(target)
     return df

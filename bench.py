@@ -74,6 +74,16 @@ HEADLINE = [
     "q_tpch_q21",
 ]
 
+# Queries that exist to ORACLE-CHECK a scale path, not to BE one: their
+# cost is dominated by intentionally-quadratic exact pair generation
+# (q_dedup_clusters feeds CC from the exact shingle self-join;
+# q_embedding_neardup is the labeled brute-force cosine baseline). They
+# stay in the suite so their correctness keeps getting exercised at sf0.1,
+# but the headline `value` tracks the SCALE-PATH total — their LSH twins
+# (q_dedup_clusters_lsh, q_dedup_minhash_lsh + q_similarity_topk) are the
+# numbers that project to 100 TB. (VERDICT r4 item 5.)
+ORACLE_BASELINES = {"q_dedup_clusters", "q_embedding_neardup"}
+
 
 def main() -> None:
     sf_dir = default_sf_dir()
@@ -88,6 +98,17 @@ def main() -> None:
         try:
             fn = queries[name]  # inside try: a renamed/unregistered query
             # records as an error instead of sinking the whole run
+            # Isolate queries from each other's session debris: the r4
+            # suite showed q_tpch_q3 at 3x its standalone time purely from
+            # in-suite pressure (accumulated broadcasts / checkpoint blocks
+            # / GC debt from the CC loop running just before the TPC-H
+            # block — SCALE.md r5). Cache clear + an untimed full GC
+            # between queries makes each number reproducible standalone.
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
             # one untimed warmup: first execution pays whole-stage-codegen
             # JIT for the query's expression tree (10-20s for the big
             # ones), which on a real cluster amortizes across the job;
@@ -102,13 +123,26 @@ def main() -> None:
         except Exception as e:  # one broken query must not sink the suite
             errors[name] = str(e).splitlines()[0][:160]
 
-    total = round(sum(timings.values()), 3)
+    scale_total = round(
+        sum(t for n, t in timings.items() if n not in ORACLE_BASELINES), 3
+    )
+    baseline_total = round(
+        sum(t for n, t in timings.items() if n in ORACLE_BASELINES), 3
+    )
     out = {
         "metric": "headline_suite_total",
-        "value": total,
+        "value": scale_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # decomposition: `value` is the scale-path total; the oracle
+        # baselines (intentionally-quadratic exact twins) are reported
+        # separately so round-over-round trends track the paths that
+        # actually project to 100 TB.
+        "scale_path_total": scale_total,
+        "oracle_baseline_total": baseline_total,
+        "oracle_baselines": sorted(ORACLE_BASELINES & set(timings)),
+        "grand_total": round(scale_total + baseline_total, 3),
     }
     if errors:
         out["errors"] = errors
