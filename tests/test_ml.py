@@ -82,7 +82,12 @@ def test_split_is_leak_free(spark, silver):
 
 def test_ensemble_trains_and_ranks(ensemble_and_eval):
     ens, pred, metrics = ensemble_and_eval
+    # five models from five DISTINCT estimator families, mirroring the
+    # reference's heterogeneous xgb/lgb/rf/et/gbm quintet (modeling.py:16-68)
+    assert len(ens.weights) == 5
     assert abs(sum(ens.weights.values()) - 1.0) < 1e-9
+    families = {type(pm.stages[-1]).__name__ for pm in ens.models.values()}
+    assert len(families) == 5, families
     assert set(ens.clip_bounds) == {"kda", "damage_per_min", "gold_per_min"}
     # predicted_rank is a strict permutation 1..n per match (ROW_NUMBER)
     stats = (
