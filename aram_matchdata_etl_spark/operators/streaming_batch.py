@@ -349,14 +349,6 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_input(load_table(spark, sf_dir, "documents"))
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
 
-    # sketch build: one row per (seed, cell) — the d x w counter grid
-    seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
-    cells = words.select(
-        F.explode(seeds).alias("seed"),
-        (F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH))).alias("cell"),
-    )
-    sketch = cells.groupBy("seed", "cell").agg(F.count("*").alias("c"))
-
     # candidates: the exact top-k words (what a production pipeline would
     # feed from a sample or a prior epoch); estimate each from the sketch
     exact_top = (
@@ -365,15 +357,42 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("true_count"), "word")
         .limit(CM_TOPK)
     )
-    cand_cells = exact_top.select(
-        "word",
-        "true_count",
-        F.explode(seeds).alias("seed"),
+    return (
+        countmin_estimates(words, exact_top)
+        .orderBy(F.desc("true_count"), "word")
+        .select("word", "true_count", "cm_estimate")
+    )
+
+
+def _cm_seeds():
+    return F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+
+
+def countmin_sketch(words: DataFrame) -> DataFrame:
+    """Build the d x w counter grid as a (seed, cell, c) frame: one groupBy
+    with map-side partials; at most CM_DEPTH * CM_WIDTH rows regardless of
+    corpus size. Cells merge by addition across partitions/days."""
+    cells = words.select(
+        F.explode(_cm_seeds()).alias("seed"),
+        (F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH))).alias("cell"),
+    )
+    return cells.groupBy("seed", "cell").agg(F.count("*").alias("c"))
+
+
+def countmin_estimates(words: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Estimate counts for an ARBITRARY candidate word set from the sketch
+    built over `words` (column `word`; extra candidate columns pass
+    through). The sketch side is tiny (<= d*w rows) and broadcast; the
+    candidate side stays distributed, so corpus-wide estimation (every
+    distinct word, as the invariant tests do) is a broadcast join, not a
+    collect."""
+    sketch = countmin_sketch(words)
+    pass_through = [c for c in candidates.columns if c != "word"]
+    cand_cells = candidates.select(
+        "word", *pass_through, F.explode(_cm_seeds()).alias("seed")
     ).withColumn("cell", F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH)))
     return (
         cand_cells.join(F.broadcast(sketch), ["seed", "cell"])
-        .groupBy("word", "true_count")
+        .groupBy("word", *pass_through)
         .agg(F.min("c").alias("cm_estimate"))
-        .orderBy(F.desc("true_count"), "word")
-        .select("word", "true_count", "cm_estimate")
     )

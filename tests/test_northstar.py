@@ -303,20 +303,34 @@ def test_dedup_clusters_lsh_consistent(spark):
 
 def test_hll_rollup_error_bound(spark):
     """The unioned all-time sketch estimate must sit within HLL error of
-    the exact distinct count, and per-day estimates within 5%."""
+    the exact distinct count, and EVERY per-day estimate within the
+    published relative standard deviation (lgConfigK=12 default ->
+    rsd ~ 1.04/sqrt(2^12) ~ 1.6%; asserted at 3x rsd ~ 4.9%, a >=99.7%
+    band) — a broken sketch that still happens to land the grand total
+    cannot pass (VERDICT r4 item 7)."""
     from aram_matchdata_etl_spark.registry import all_queries
+    from aram_matchdata_etl_spark.sources.tables import load_table
 
     rows = all_queries()["q_hll_rollup"](spark, SF_ORACLE).collect()
     total = [r for r in rows if r.day is None]
     assert len(total) == 1
-    exact = (
-        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
-        .select("user_id")
-        .distinct()
-        .count()
-    )
-    assert abs(total[0].distinct_users - exact) / exact < 0.05
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    rsd3 = 3 * 1.04 / (2**12) ** 0.5
+    assert abs(total[0].distinct_users - exact_total) / exact_total < rsd3
     assert sum(r.n_events for r in rows if r.day is not None) == total[0].n_events
+    exact_by_day = {
+        r.day: r.exact
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    per_day = [r for r in rows if r.day is not None]
+    assert len(per_day) == len(exact_by_day) > 1
+    for r in per_day:
+        exact = exact_by_day[r.day]
+        assert abs(r.distinct_users - exact) / exact < rsd3, (r, exact)
+
 
 
 def test_embedding_quantize_invariants(spark):
@@ -407,3 +421,39 @@ def test_countmin_bounds(spark):
     for r in rows:
         assert r.cm_estimate >= r.true_count, r
         assert r.cm_estimate <= r.true_count + eps_bound, (r, eps_bound)
+
+
+def test_countmin_bounds_corpus_wide(spark):
+    """CM guarantees over EVERY distinct word, not just the top-k
+    (VERDICT r4 item 7): estimate >= true for ALL words (the deterministic
+    lower-bound guarantee — one violation means the sketch is broken), and
+    overestimate <= eps*N for ~all words (the probabilistic bound: expected
+    violation rate (1/2)^d ~ 6%; asserted < 10%). All checks are Spark-side
+    aggregations over the broadcast sketch — no per-word collect."""
+    from aram_matchdata_etl_spark.operators.streaming_batch import (
+        CM_WIDTH,
+        countmin_estimates,
+    )
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    words = load_table(spark, SF_ORACLE, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    truth = words.groupBy("word").agg(F.count("*").alias("true_count"))
+    est = countmin_estimates(words, truth)
+    n_tokens = words.count()
+    eps_bound = 2.0 / CM_WIDTH * n_tokens
+    stats = est.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cm_estimate") < F.col("true_count")).cast("long")).alias(
+            "under"
+        ),
+        F.sum(
+            (F.col("cm_estimate") > F.col("true_count") + F.lit(eps_bound)).cast(
+                "long"
+            )
+        ).alias("over"),
+    ).first()
+    assert stats.n == truth.count()
+    assert stats.under == 0, f"{stats.under} words below true count"
+    assert stats.over / stats.n < 0.10, f"{stats.over}/{stats.n} beyond eps*N"
