@@ -85,6 +85,43 @@ HEADLINE = [
 ORACLE_BASELINES = {"q_dedup_clusters", "q_embedding_neardup"}
 
 
+def cc_deep_chain_microbench(spark) -> dict:
+    """Time BOTH connected-components algorithms on a deep synthetic graph
+    (50k parallel 16-node chains -> 800k nodes, diameter 15): one-hop
+    min-label needs ~diameter rounds; large-star/small-star contracts in
+    O(log n). This is the measured number behind the auto-escalation
+    claim (VERDICT r4 item 8) — the fixture near-dup graphs are shallow,
+    so the case star exists for never shows up in the headline suite."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.dedup import (
+        CC_TELEMETRY,
+        connected_components,
+    )
+
+    n_chains, chain_len = 50_000, 16
+    ids = spark.range(n_chains * chain_len, numPartitions=32)
+    universe = ids.select(F.col("id").alias("doc_id"))
+    pairs = ids.filter((F.col("id") % chain_len) != chain_len - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out: dict = {"nodes": n_chains * chain_len, "diameter": chain_len - 1}
+    for algo in ("min_label", "star"):
+        tag = f"deep_{algo}"
+        t0 = _t.perf_counter()
+        connected_components(universe, pairs, algorithm=algo, tag=tag).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[algo] = {
+            "sec": round(_t.perf_counter() - t0, 3),
+            "rounds": CC_TELEMETRY[tag]["rounds"],
+        }
+        CC_TELEMETRY.pop(tag, None)  # keep the headline telemetry clean
+    return out
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -150,6 +187,11 @@ def main() -> None:
     # partition counts) from the last run per pair source — decomposes a
     # CC-query regression into extra-rounds vs partition/checkpoint
     # pressure without an instrumented rerun (VERDICT r3 item 4).
+    try:
+        out["microbench"] = {"cc_deep_chain": cc_deep_chain_microbench(spark)}
+    except Exception as e:  # microbench failure must not sink the suite
+        out["microbench"] = {"cc_deep_chain": {"error": str(e)[:160]}}
+
     from aram_matchdata_etl_spark.operators.dedup import CC_TELEMETRY
 
     if CC_TELEMETRY:
