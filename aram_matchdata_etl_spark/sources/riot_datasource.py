@@ -97,12 +97,25 @@ class RateLimitedTransport(Transport):
     Defaults to time.monotonic/time.sleep for live use.
 
     IMPORTANT — the limiter state is PER INSTANCE, and Spark pickles one
-    transport copy into EACH parallel partition reader: with N concurrent
-    partitions the aggregate upstream rate is N x the caps. For live use,
-    construct with ``share_of=N`` (N = concurrent partition readers — e.g.
-    ceil(n_users/slice) for a batch read) so each copy enforces caps/N and
-    the FLEET stays within the reference limit; the ``transport_workers``
-    datasource option wires this through the string-only option map.
+    transport copy into EACH parallel partition reader — and RE-CREATES
+    readers (and their transports) for every partition task, every
+    micro-batch trigger, and every task retry, each starting with an empty
+    window. Two mechanisms keep the FLEET within the reference caps
+    despite that:
+
+    - ``share_of=N`` (N = concurrent partition readers — e.g.
+      ceil(n_users/slice) for a batch read) divides both caps across the
+      N concurrent copies; the ``transport_workers`` datasource option
+      wires this through the string-only option map.
+    - steady-state pacing (``amortized=True``, the default): an instance
+      may burst at most its 1-second cap (caps/N * 200/2000) up front,
+      then admits at the AMORTIZED rate caps/N / WINDOW_S — so a fresh
+      copy per trigger/retry cannot re-admit a full 2-minute quota; k
+      re-instantiations within one window overshoot by at most k bursts
+      (k * 200/N requests), not k * 2000/N. Exact cross-process
+      enforcement would need shared state (the reference is a single
+      asyncio process and has no such seam); pass ``amortized=False`` to
+      get the reference's literal single-process window semantics.
 
     Why pacing lives here AND offset ranges live in the stream reader: the
     reader's ``users_per_batch`` bounds work per micro-batch (coarse,
@@ -121,6 +134,7 @@ class RateLimitedTransport(Transport):
         clock=None,
         sleep=None,
         share_of: int = 1,
+        amortized: bool = True,
     ):
         import time as _time
         from collections import deque
@@ -132,6 +146,11 @@ class RateLimitedTransport(Transport):
         self._burst: deque[float] = deque()  # admission times, last 1 s
         self.admitted = 0  # total requests admitted (telemetry)
         self.waited_s = 0.0  # total time spent blocked (telemetry)
+        self._amortized = amortized
+        # birth time is set at FIRST acquire, not construction: the
+        # instance is pickled driver-side and unpickled on an executor
+        # whose monotonic clock is unrelated to the driver's
+        self._t0: float | None = None
         self.set_share(share_of)
 
     def set_share(self, share_of: int) -> None:
@@ -142,6 +161,8 @@ class RateLimitedTransport(Transport):
             raise ValueError(f"share_of must be >= 1, got {share_of}")
         self._max_per_window = max(1, self.MAX_PER_WINDOW // share_of)
         self._max_per_burst = max(1, self.MAX_PER_BURST // share_of)
+        # steady-state admission rate for amortized pacing
+        self._rate = self._max_per_window / self.WINDOW_S
 
     def _evict(self, now: float) -> None:
         while self._window and self._window[0] <= now - self.WINDOW_S:
@@ -159,6 +180,19 @@ class RateLimitedTransport(Transport):
                 waits.append(self._window[0] + self.WINDOW_S - now)
             if len(self._burst) >= self._max_per_burst:
                 waits.append(self._burst[0] + self.BURST_S - now)
+            if self._amortized:
+                # token bucket: capacity = the 1-s burst cap, refill at the
+                # window's amortized rate — bounds what a freshly-created
+                # copy (new task / trigger / retry) can admit to
+                # burst + rate * age, instead of a full window quota
+                if self._t0 is None:
+                    self._t0 = now
+                target = (
+                    self._t0
+                    + (self.admitted + 1 - self._max_per_burst) / self._rate
+                )
+                if target > now:
+                    waits.append(target - now)
             if not waits:
                 self._window.append(now)
                 self._burst.append(now)

@@ -60,15 +60,15 @@ def test_burst_cap_admits_200_per_second():
 
 
 def test_window_cap_admits_2000_per_2min():
-    """2,000 requests fill the 2-minute window (admitted at 200/s over
-    t=0..9s by the burst cap); request 2,001 must wait until the FIRST
-    admission ages out of the window at t=120 (MAX_REQUESTS_PER_2MIN=2000,
-    tasks.py:18)."""
+    """2,000 requests fill the 2-minute window (200 up-front burst, then
+    the amortized 2000/120s token rate -> ~108 s); request 2,001 must wait
+    until the FIRST admission ages out of the window at t=120
+    (MAX_REQUESTS_PER_2MIN=2000, tasks.py:18)."""
     clk = FakeClock()
     t = _limiter(clk)
     for _ in range(2000):
         t._acquire()
-    assert clk.t < 120.0  # burst pacing only: ~9 s
+    assert clk.t < 120.0  # amortized pacing: ~108 s, still inside window
     t._acquire()  # 2,001st: window full
     assert clk.t == pytest.approx(120.0, abs=1e-2)
     # steady state: the NEXT 199 share the burst-second at t=120
@@ -77,6 +77,55 @@ def test_window_cap_admits_2000_per_2min():
     assert clk.t == pytest.approx(120.0, abs=1e-2)
     assert t.admitted == 2200
     assert t.waited_s > 0
+
+
+def test_fresh_instances_cannot_reburst_window_quota():
+    """ADVICE r4 (medium): Spark re-creates the pickled transport for every
+    partition task and micro-batch trigger, each starting with an empty
+    window. With amortized pacing (default) a FRESH instance admits at most
+    burst + rate*T in its first T seconds — so k re-instantiations inside
+    one 2-minute window overshoot the steady-state quota by at most k
+    bursts (k*200), never k*2000. Here: two consecutive instances over one
+    120 s window stay at 2000 + 2 bursts = 2400 (vs 4000 un-amortized)."""
+    from aram_matchdata_etl_spark.sources.riot_datasource import (
+        FakeTransport,
+        RateLimitedTransport,
+    )
+
+    clk = FakeClock()
+    total = 0
+    # two instance lifetimes of 60 s each — e.g. two micro-batch triggers
+    for _ in range(2):
+        t = RateLimitedTransport(
+            inner=FakeTransport(), clock=clk.clock, sleep=clk.sleep
+        )
+        t0 = clk.t
+        while clk.t - t0 < 60.0:
+            t._acquire()
+            total += 1
+        total -= 1  # the last acquire crossed the 60 s boundary
+    # fleet-rate bound over the 120 s window: steady-state quota plus one
+    # burst PER instance — NOT 2 x 2000
+    assert total <= 2000 + 2 * 200, total
+    # and amortization does not starve: at least the steady-state rate
+    assert total >= 1800, total
+
+
+def test_legacy_mode_allows_full_window_burst():
+    """amortized=False preserves the reference's literal single-process
+    semantics: 2000 admissions in ~9 s (200/s burst pacing only)."""
+    from aram_matchdata_etl_spark.sources.riot_datasource import (
+        FakeTransport,
+        RateLimitedTransport,
+    )
+
+    clk = FakeClock()
+    t = RateLimitedTransport(
+        inner=FakeTransport(), clock=clk.clock, sleep=clk.sleep, amortized=False
+    )
+    for _ in range(2000):
+        t._acquire()
+    assert clk.t == pytest.approx(9.0, abs=0.1)
 
 
 def test_rate_limited_transport_returns_inner_results():
