@@ -373,10 +373,12 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: chunking is a per-row generator (codegen explode); the
     frequency pass groups on the chunk string — at 100 TB swap the group
     key for xxhash64(chunk) (16-byte shuffle key, same semantics barring
-    2^-64 collisions). The boilerplate set itself is low-cardinality BY
-    DEFINITION, so it collapses to one broadcast array and the removal is
-    an in-row filter over each doc's chunk array — DOCUMENT BODIES NEVER
-    SHUFFLE; the only wide stage is the chunk-frequency aggregation."""
+    2^-64 collisions). The boilerplate set is usually tiny but NOT
+    bounded (its cardinality grows with template farms / mirrored sites),
+    so the membership join's broadcast decision is AQE's, on measured
+    size; removal is an in-row filter over each doc's chunk array —
+    DOCUMENT BODIES NEVER SHUFFLE; the only wide stage is the
+    chunk-frequency aggregation."""
     return boilerplate_removal(_docs(spark, sf_dir))
 
 
@@ -389,11 +391,17 @@ def boilerplate_removal(
     input and thresholds pluggable so the hypothesis differential test
     drives the SHIPPED expression graph, not a replica.
 
-    Membership testing happens in the broadcast HASH join of chunk rows
-    against the boilerplate set (O(1) probes), producing the per-doc
-    REMOVED chunk indices, which join back for an in-row filter by index.
-    (A broadcast array + per-chunk array_contains scan is
-    O(chunks x |boiler set|) and measured 2.2x slower at sf0.1.)
+    Membership testing happens in a HASH join of chunk rows against the
+    boilerplate set (O(1) probes), producing the per-doc REMOVED chunk
+    indices, which join back for an in-row filter by index. (A broadcast
+    array + per-chunk array_contains scan is O(chunks x |boiler set|) and
+    measured 2.2x slower at sf0.1.) The broadcast decision is left to AQE
+    on the MEASURED post-aggregation size rather than forced with a hint:
+    the set is usually small, but its cardinality is "distinct chunks
+    repeated across >= min_docs docs", which grows with corpus size
+    (template farms, mirrored sites) — an unconditional broadcast hint
+    could OOM at exactly the web scale this module targets (ADVICE r4).
+    AQE broadcasts it when it fits and shuffle-joins otherwise.
 
     Scale honesty on the join-back: the removed relation is tiny per row
     (doc_id + a few ints) but O(affected docs) rows; Spark broadcasts it
@@ -418,7 +426,7 @@ def boilerplate_removal(
         .select("chunk")
     )
     removed = (
-        chunks.join(F.broadcast(boiler), "chunk")
+        chunks.join(boiler, "chunk")
         .groupBy("doc_id")
         .agg(F.collect_set("chunk_idx").alias("rm"))
     )

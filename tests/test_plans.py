@@ -128,16 +128,23 @@ def test_pack_sequences_single_exchange(spark):
 
 
 def test_boilerplate_freq_join_broadcasts(spark):
-    """Boilerplate removal: membership tests run in a broadcast HASH join
-    of chunk rows vs the (low-cardinality) boilerplate set, the per-doc
-    removed-index relation is small, and removal is an in-row filter by
-    index — document bodies must never shuffle. Allowed hash exchanges:
-    the chunk-frequency aggregation's two + the removed-index groupBy;
-    never a sort-merge join."""
-    plan = _plan(spark, "q_boilerplate_removal")
+    """Boilerplate removal: on the fixture, AQE must broadcast the
+    (measured-small) boilerplate set — membership tests run in a hash
+    join, never a sort-merge join — and the wide stages stay bounded by
+    the chunk-frequency aggregation + removed-index groupBy. Invariants
+    only (no exact exchange census: that count shifts across Spark
+    minors/AQE planning without any semantic regression — ADVICE r4).
+    The broadcast is asserted on the FINAL adaptive plan because the hint
+    is gone by design: at web scale the set can outgrow a broadcast, and
+    AQE decides from runtime sizes."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_boilerplate_removal"](spark, SF_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    assert "BroadcastExchange" in plan
-    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
 def test_embedding_quantize_stays_narrow(spark):
