@@ -160,6 +160,100 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_lm_score",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+    SELECT doc_id, CONCAT(t[i], ' ', t[i + 1]) AS bg
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+bgc AS (SELECT bg, COUNT(*) AS c_bg FROM big GROUP BY bg),
+pfx AS (
+    SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_prefix
+    FROM bgc GROUP BY 1
+),
+voc AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+),
+scored AS (
+    SELECT b.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        ROUND(AVG(LN((c_bg + 1.0) / (c_prefix + v))), 6) AS avg_logp
+    FROM big b
+    JOIN bgc USING (bg)
+    JOIN pfx ON split_part(b.bg, ' ', 1) = pfx.w1
+    CROSS JOIN voc
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+    COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+    s.avg_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet/RefinedWeb
+    perplexity-filter stage (Wenzek et al. 2020 train a KenLM and drop
+    high-perplexity docs; with no LM library in the image, the LM here is
+    a bigram model with add-one smoothing TRAINED ON THE CORPUS ITSELF,
+    which is the same filter shape: docs whose word transitions are
+    unusual for the corpus score low).
+
+    score(doc) = mean over its bigrams of ln P(w2 | w1), with
+    P(w2 | w1) = (c(w1 w2) + 1) / (c_prefix(w1) + V); c_prefix counts w1's
+    appearances as a bigram prefix so P is a proper conditional, and V is
+    the distinct-vocabulary size. Docs with < 2 tokens carry NULL score
+    and 0 bigrams.
+
+    Scale shape: training IS the two count aggregations (map-side combine;
+    one shuffle keyed by bigram, one by prefix — at 100 TB swap the string
+    keys for xxhash64 as with the other text ops); V is a 1-row broadcast
+    cross join, never a collect; scoring joins each doc position to the
+    count tables on the same keys — no driver-side model object at any
+    point, unlike a fit-then-broadcast design, so the "model" scales with
+    the corpus. Bigrams are built in-row with slice+zip_with (codegen)."""
+    from .dedup import bigram_col
+
+    from ..sources.tables import spread_input
+
+    docs = spread_input(_docs(spark, sf_dir))
+    toks = F.split(F.col("text"), " ")
+    big = docs.select("doc_id", F.explode(bigram_col(toks)).alias("bg"))
+    bgc = big.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    pfx = bgc.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c_bg").alias("c_prefix")
+    )
+    voc = docs.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    scored = (
+        big.join(bgc, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pfx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c_bg") + 1.0) / (F.col("c_prefix") + F.col("v")))),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
+                "n_bigrams"
+            ),
+            "avg_logp",
+        )
+    )
+
+
+@query(
     "q_tfidf",
     oracle=f"""
 WITH tf AS (
