@@ -159,6 +159,114 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 8
+
+
+def bpe_train(word_counts: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) over a
+    (word, n) frequency table — the tokenizer-training stage of an LLM
+    data pipeline. Greedy: each round counts adjacent symbol pairs
+    (weighted by word frequency), merges the globally most frequent pair
+    (ties broken lexicographically for determinism), and rewrites the
+    vocabulary in-row. Returns [(rank, left, right, merged, pair_count)].
+
+    Scale shape — the crucial property: after the first aggregation the
+    loop state is the DISTINCT-WORD vocabulary (millions of rows), never
+    the corpus (the trillions of tokens the word counts came from), so
+    each round is one map-side-combined aggregation over the vocab plus a
+    1-row argmax collect (same driver-scalar pattern as the CC
+    convergence counts) and a narrow in-row rewrite. localCheckpoint per
+    round cuts the O(rounds) lineage like the CC loops. The in-row merge
+    is a left-to-right greedy fold (F.aggregate) matching the reference
+    algorithm on overlapping pairs ('a a a' + merge(a,a) -> ['aa','a'])."""
+    vocab = word_counts.select(
+        "n",
+        F.filter(F.split("word", "(?!^)"), lambda c: c != "").alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        k = F.size("syms")
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, k - 1),
+                    F.slice("syms", 2, k - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["cnt"]
+        merges.append((rank, left, right, left + right, int(cnt)))
+        # left-to-right greedy merge: fold each symbol into an accumulator
+        # of (emitted symbols, pending symbol); adjacent (left, right)
+        # collapses into the merged token, consuming the pending slot
+        merged_lit, l_lit, r_lit = F.lit(left + right), F.lit(left), F.lit(right)
+        folded = F.aggregate(
+            "syms",
+            F.struct(
+                F.expr("array()").cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, s: F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == l_lit) & (s == r_lit),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged_lit)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNull(), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+        nxt = vocab.select("n", folded.alias("syms")).localCheckpoint()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+@query("q_bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge table learned from the documents corpus (see
+    bpe_train). Iterative + argmax-per-round -> not SQL-expressible; the
+    correctness signal is the hypothesis differential against a pure-
+    Python reference BPE (tests/test_properties.py) plus the rows-only
+    driver check. The returned frame is the learned merge table itself
+    (n_merges rows — tokenizer-sized, not corpus-sized)."""
+    from ..sources.tables import spread_input
+
+    counts = (
+        spread_input(_docs(spark, sf_dir))
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(counts, BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
 @query(
     "q_bigram_lm_score",
     oracle="""

@@ -523,3 +523,59 @@ def test_embedding_quantize_matches_numpy(spark, vectors):
         )
     )
     assert got == sorted(expected)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_merges_match_python_reference(spark, words):
+    """bpe_train vs a pure-Python reference BPE (Sennrich et al. 2016):
+    same greedy argmax (count desc, then lexicographic pair), same
+    left-to-right overlapplication semantics ('aaa' + merge(a,a) ->
+    ['aa','a']). Drives the SHIPPED fold expression, not a replica."""
+    from aram_matchdata_etl_spark.operators.training import bpe_train
+
+    N_MERGES = 4
+
+    # --- reference
+    vocab = {tuple(w): n for w, n in words}
+    expected = []
+    for rank in range(N_MERGES):
+        counts: dict[tuple, int] = defaultdict(int)
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l, r, l + r, cnt))
+        new_vocab: dict[tuple, int] = defaultdict(int)
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+
+    # --- engine
+    df = spark.createDataFrame(words, "word string, n long")
+    got = bpe_train(df, N_MERGES)
+    assert got == expected
