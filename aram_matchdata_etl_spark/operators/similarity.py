@@ -509,3 +509,185 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("scale"), 9).alias("scale"),
         )
     )
+
+
+# --- product quantization (the memory-bound ANN scale path) -----------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
+
+
+def pq_train_encode(
+    emb: DataFrame, dim: int, m: int = PQ_M, k: int = PQ_K, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split each D-dim vector into
+    ``m`` contiguous subvectors, k-means each subspace independently
+    (Spark ML KMeans — distributed fit, m small fits), and encode every
+    vector as m code ids. Storage drops from D floats to m smallints
+    (64x4 bytes -> 4 bytes here); search runs on lookup tables (see
+    ann_pq_adc).
+
+    Returns (codebooks, codes):
+      codebooks — (sm, code, centroid array<double>): m*k rows, broadcast-
+      sized BY CONSTRUCTION (independent of corpus size).
+      codes — (vec_id, sm, code, sub_err): the encoded corpus in long
+      form; sub_err is the squared L2 distance to the chosen centroid, so
+      SUM(sub_err) per vec_id IS the total squared reconstruction error.
+
+    Scale shape: training fits m KMeans models over subvector projections
+    (narrow per-row slices); encoding is a broadcast join of the corpus's
+    m*n subvector rows against the m*k codebook with a min_by argmin —
+    one aggregation keyed by (vec_id, sm), no crossJoin blowup beyond the
+    fixed m*k factor, bodies never shuffle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    base = emb.select("vec_id", "vec")
+    cb_rows = []
+    for sm in range(m):
+        sv = base.select(
+            array_to_vector(F.slice("vec", sm * sub + 1, sub)).alias("fvec")
+        )
+        model = KMeans(
+            k=k, seed=seed + sm, featuresCol="fvec", predictionCol="code"
+        ).fit(sv)
+        cb_rows += [
+            (sm, code, [float(x) for x in c])
+            for code, c in enumerate(model.clusterCenters())
+        ]
+    codebooks = emb.sparkSession.createDataFrame(
+        cb_rows, "sm int, code int, centroid array<double>"
+    )
+
+    subvecs = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sm).alias("sm"),
+                        F.slice("vec", sm * sub + 1, sub).alias("subvec"),
+                    )
+                    for sm in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sm", "s.subvec")
+    scored = subvecs.join(F.broadcast(codebooks), "sm").withColumn(
+        "sqd", _sq_dist(F.col("subvec"), F.col("centroid"))
+    )
+    codes = scored.groupBy("vec_id", "sm").agg(
+        F.min_by("code", F.struct("sqd", "code")).alias("code"),
+        F.min("sqd").alias("sub_err"),
+    )
+    return codebooks, codes
+
+
+@query("q_embedding_pq")
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encoded corpus: per vector, the m-code word (joined as a string
+    so the driver canonicalizer can hash it) and the total squared
+    reconstruction error. Rows-only by design (k-means initialization is
+    engine-specific); the invariant tests assert code ranges, the
+    reconstruction-error ordering vs the 1-code codebook, and ADC recall
+    (tests/test_northstar.py)."""
+    emb = embeddings_d(spark, sf_dir)
+    _, codes = pq_train_encode(emb, dim=64)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sm", "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+                "|",
+            ).alias("pq_code"),
+            F.round(F.sum("sub_err"), 6).alias("recon_err"),
+        )
+        .select("vec_id", "pq_code", "recon_err")
+    )
+
+
+@query("q_ann_pq")
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k by PQ asymmetric distance computation (ADC, Jégou et al.
+    2011): the query stays in float; its squared distance to each corpus
+    vector is approximated as the SUM over subspaces of the query-to-
+    centroid distance of that vector's code — a table lookup, never a
+    float-vector read of the corpus.
+
+    Production shape (and the shape here): ADC is the SHORTLIST stage —
+    the compressed scan keeps the top PQ_SHORTLIST candidates per query,
+    and only those (a few dozen vec_ids) join back to the float corpus
+    for an exact L2 re-rank. The expensive representation is touched for
+    O(queries x shortlist) rows, never the whole corpus.
+
+    Scale shape: the per-query distance TABLE (n_queries x m x k rows) is
+    tiny and broadcast; the corpus side joins it on (sm, code) — the
+    corpus contributes only its code columns (m smallints/vector), so the
+    scan is of the compressed representation, and the only wide stage is
+    the (query_id, vec_id) partial-sum aggregation. Both top-k cuts are
+    row_number windows. Rows-only; recall vs exact L2 is asserted in
+    tests/test_northstar.py."""
+    emb = embeddings_d(spark, sf_dir)
+    codebooks, codes = pq_train_encode(emb, dim=64)
+    sub = 64 // PQ_M
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sm).alias("sm"),
+                        F.slice("qvec", sm * sub + 1, sub).alias("qsub"),
+                    )
+                    for sm in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "s.sm", "s.qsub")
+    # per-query lookup table: distance to EVERY codebook centroid
+    dist_tab = qsub.join(F.broadcast(codebooks), "sm").select(
+        "query_id", "sm", "code", _sq_dist(F.col("qsub"), F.col("centroid")).alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dist_tab), ["sm", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"), F.count("*").alias("n_sub"))
+        # a vector scores only if ALL m of its subspaces were looked up
+        # (always true here; guards against a filtered codebook upstream)
+        .filter(F.col("n_sub") == PQ_M)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank: fetch float vectors for the shortlist only
+    cand = (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "vec"), "vec_id")
+        .join(q, "query_id")
+        .withColumn("l2_dist", _sq_dist(F.col("qvec"), F.col("vec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2_dist", "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "vec_id", F.round("l2_dist", 6).alias("l2_dist"), "rnk")
+    )

@@ -457,3 +457,66 @@ def test_countmin_bounds_corpus_wide(spark):
     assert stats.n == truth.count()
     assert stats.under == 0, f"{stats.under} words below true count"
     assert stats.over / stats.n < 0.10, f"{stats.over}/{stats.n} beyond eps*N"
+
+
+def test_pq_codes_and_reconstruction(spark):
+    """PQ invariants: every code word has PQ_M codes each in [0, PQ_K);
+    reconstruction error is non-negative; and the PQ_K-codebook
+    reconstructs strictly better on average than the degenerate 1-code
+    codebook (whose centroids are the subspace means, so its mean error
+    is exactly the summed per-dimension population variance) — a broken
+    assignment or fit fails one of these."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        embeddings_d,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_embedding_pq"](spark, SF_ORACLE).collect()
+    n_vecs = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        codes = [int(c) for c in r.pq_code.split("|")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes), r
+        assert r.recon_err >= 0
+    mean_err = sum(r.recon_err for r in rows) / len(rows)
+
+    emb = embeddings_d(spark, SF_ORACLE)
+    mean_err_k1 = (
+        emb.select(F.posexplode("vec").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.sum("v"))
+        .first()[0]
+    )
+    assert mean_err < 0.9 * mean_err_k1, (mean_err, mean_err_k1)
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC-shortlist + exact-re-rank top-10 vs brute-force L2 top-10:
+    measured 0.7 mean recall on the fixture (M=8, K=16, shortlist 50);
+    asserted with slack (mean >= 0.5, per-query >= 0.2) so a regenerated
+    fixture passes but a broken codebook/lookup (recall ~ rand = 0.02)
+    cannot."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    from collections import defaultdict
+
+    got = defaultdict(set)
+    for r in all_queries()["q_ann_pq"](spark, SF_ORACLE).collect():
+        got[r.query_id].add(r.vec_id)
+    recalls = []
+    for q in range(5):
+        qv = V[q]
+        exact = {
+            i for _, i in sorted(((np.sum((qv - V[i]) ** 2), i) for i in V if i != q))[:10]
+        }
+        recalls.append(len(exact & got[q]) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert min(recalls) >= 0.2, recalls
