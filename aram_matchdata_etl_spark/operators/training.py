@@ -316,10 +316,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: training IS the two count aggregations (map-side combine;
     one shuffle keyed by bigram, one by prefix — at 100 TB swap the string
     keys for xxhash64 as with the other text ops); V is a 1-row broadcast
-    cross join, never a collect; scoring joins each doc position to the
-    count tables on the same keys — no driver-side model object at any
-    point, unlike a fit-then-broadcast design, so the "model" scales with
-    the corpus. Bigrams are built in-row with slice+zip_with (codegen)."""
+    cross join, never a collect. The prefix counts FOLD INTO the bigram
+    table first (distinct-bigram-sized join, orders of magnitude smaller
+    than the corpus) so the full positions frame shuffles exactly twice:
+    once joining its probability row on `bg`, once aggregating per doc —
+    no driver-side model object at any point, unlike a fit-then-broadcast
+    design, so the "model" scales with the corpus. Bigrams are built
+    in-row with slice+zip_with (codegen)."""
     from .dedup import bigram_col
 
     from ..sources.tables import spread_input
@@ -334,10 +337,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     voc = docs.select(F.explode(toks).alias("w")).agg(
         F.count_distinct("w").alias("v")
     )
-    scored = (
-        big.join(bgc, "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
+    probs = (
+        bgc.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(pfx, "w1")
+        .select("bg", "c_bg", "c_prefix")
+    )
+    scored = (
+        big.join(probs, "bg")
         .crossJoin(F.broadcast(voc))
         .groupBy("doc_id")
         .agg(
