@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, event_id long, seen_before long, throttled boolean"
@@ -75,5 +76,72 @@ def track_budgets(stream: DataFrame, budget: int = DEFAULT_BUDGET) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming count-min sketch (mergeable sketch state across triggers) ----
+
+CM_BLOCK_W = 128  # cells per state key; CM_WIDTH/CM_BLOCK_W keys per seed
+
+
+def cm_updater():
+    """applyInPandasWithState function maintaining one BLOCK of the
+    count-min grid per group key (seed, block): state is the block's cell
+    array; each micro-batch bincounts its rows into the block
+    (vectorized, no per-row Python) and emits the running block with a
+    monotone `version` (total increments so far) so a consumer — or the
+    parity test — can pick each key's latest emission.
+
+    This is the streaming twin of operators/streaming_batch.py::
+    countmin_sketch (VERDICT/ROADMAP: the mergeable-sketch property IS
+    the streaming story — cells merge by addition, so per-trigger updates
+    and cross-partition merges are the same operation). Keying by
+    (seed, block) rather than seed alone keeps the state store's
+    parallelism at depth x (width/block) keys instead of depth."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seed, block = int(key[0]), int(key[1])
+        cells = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(CM_BLOCK_W, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            local = pdf["cell"].to_numpy(dtype=np.int64) - block * CM_BLOCK_W
+            cells += np.bincount(local, minlength=CM_BLOCK_W)
+        state.update((cells.tolist(),))
+        yield pd.DataFrame(
+            {
+                "seed": [seed],
+                "block": [block],
+                "version": [int(cells.sum())],
+                "cells": [cells.tolist()],
+            }
+        )
+
+    return fn
+
+
+def streaming_countmin(words_stream: DataFrame) -> DataFrame:
+    """Count-min grid over a streaming `word` column: same cell assignment
+    as the batch operator (xxhash64(word, seed) mod width), grouped into
+    (seed, block) keys for the stateful update."""
+    from ..operators.streaming_batch import CM_DEPTH, CM_WIDTH
+
+    seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    cells = words_stream.select(
+        F.explode(seeds).alias("seed"),
+        F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH)).alias("cell"),
+    ).withColumn("block", (F.col("cell") / CM_BLOCK_W).cast("int"))
+    return cells.groupBy("seed", "block").applyInPandasWithState(
+        cm_updater(),
+        outputStructType="seed int, block int, version long, cells array<long>",
+        stateStructType="cells array<long>",
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

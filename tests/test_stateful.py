@@ -61,3 +61,56 @@ def test_budget_tracker_counts_and_throttles(spark, events_dir):
         .filter(F.col("count") > 5)
     )
     assert over.count() == 0
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
+    """Stream==batch parity for the count-min sketch: the documents corpus
+    split into 3 files (3 micro-batches under maxFilesPerTrigger=1, so
+    state genuinely carries across triggers) must converge to CELL-EXACT
+    equality with the batch countmin_sketch grid — sketches merge by
+    addition, so trigger-at-a-time accumulation is the same operator."""
+    from aram_matchdata_etl_spark.operators.streaming_batch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        countmin_sketch,
+    )
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.crawl import run_to_completion
+    from aram_matchdata_etl_spark.streaming.stateful import (
+        CM_BLOCK_W,
+        streaming_countmin,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    words_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    run_to_completion(
+        streaming_countmin(words_stream), query_name="cm_out", output_mode="update"
+    )
+    out = spark.table("cm_out").toPandas()
+    # keep each key's latest emission (version is monotone per key)
+    latest = out.sort_values("version").groupby(["seed", "block"]).tail(1)
+
+    stream_cells = {}
+    for r in latest.itertuples(index=False):
+        for i, c in enumerate(r.cells):
+            if c:
+                stream_cells[(r.seed, r.block * CM_BLOCK_W + i)] = int(c)
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    batch_cells = {
+        (r.seed, r.cell): r.c for r in countmin_sketch(words).collect()
+    }
+    assert stream_cells == batch_cells
+    # structural sanity: every seed row present, total mass = d * n_tokens
+    n_tokens = words.count()
+    assert sum(stream_cells.values()) == CM_DEPTH * n_tokens
+    assert {s for s, _ in stream_cells} == set(range(CM_DEPTH))
+    assert all(0 <= c < CM_WIDTH for _, c in stream_cells)
