@@ -59,3 +59,42 @@ def incremental_rollup_sink(hour_dir: str, day_dir: str):
         commit_version(day, day_dir)
 
     return apply
+
+
+def _day_sketches(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def incremental_hll_sink(day_dir: str):
+    """foreachBatch maintaining per-day HLL sketches across micro-batches —
+    the streaming twin of operators/streaming_batch.py::q_hll_rollup
+    (ROADMAP: the sketches' mergeability IS the streaming story). Each
+    batch folds its per-day partial sketches into the stored table with
+    hll_union (register-wise max: order-insensitive and associative, so
+    trigger-at-a-time accumulation lands on EXACTLY the batch operator's
+    sketches — asserted estimate-exact in the parity test). State growth
+    is one few-KB sketch row per day, never the raw stream; any rollup
+    level above day is a cheap sketch union at read time."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        from .atomic import commit_version, read_current
+
+        spark = batch.sparkSession
+        new = _day_sketches(batch)
+        old = read_current(spark, day_dir)
+        merged = (
+            new
+            if old is None
+            else old.unionByName(new)
+            .groupBy("day")
+            .agg(
+                F.expr("hll_union_agg(sk)").alias("sk"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+        commit_version(merged, day_dir)
+
+    return apply
