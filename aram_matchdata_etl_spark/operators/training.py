@@ -159,6 +159,89 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pretrain_pipeline",
+    oracle="""
+WITH fp AS (
+    SELECT *, md5(text) AS fingerprint
+    FROM documents
+),
+dedup AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT doc_id, source,
+        len(string_split(text, ' ')) AS n_words,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        len(list_filter(string_split(text, ' '),
+            w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+    FROM dedup
+),
+kept AS (
+    SELECT doc_id, source, n_words,
+        LEAST(n_words / 100.0, 1.0) * 0.4
+            + (1 - n_stop / n_words) * 0.3
+            + n_distinct / n_words * 0.3 AS quality_score
+    FROM scored
+    WHERE n_stop / n_words >= 0.02
+      AND LEAST(n_words / 100.0, 1.0) * 0.4
+            + (1 - n_stop / n_words) * 0.3
+            + n_distinct / n_words * 0.3 >= 0.6
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+    ROUND(AVG(quality_score), 6) AS avg_quality
+FROM kept
+GROUP BY source""",
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining corpus-prep composition — the stages every
+    LLM data pipeline chains, as ONE declarative plan: exact dedup (keep
+    lowest doc_id per md5 fingerprint) -> language gate (stopword-hit
+    heuristic, q_lang_id's rule) -> quality gate (q_quality_score's
+    formula, threshold 0.6) -> per-source token-budget accounting (what a
+    source-mixing stage consumes). Each stage exists standalone with its
+    own oracle; this key pins that they COMPOSE correctly (one plan, no
+    materialization barriers between stages — Catalyst fuses the
+    per-row scoring into the dedup window's output projection).
+
+    Scale shape: one 16-byte-key shuffle (fingerprint window), per-row
+    scoring in codegen, one tiny per-source aggregation. The filters
+    sit AFTER dedup deliberately: fingerprinting is cheaper than scoring
+    here, and the window needs every duplicate anyway."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.col("text"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    dedup = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    words = F.split(F.col("text"), " ")
+    stopwords = ("the", "a", "of", "and", "to", "in")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(*stopwords)))
+    n_distinct = F.size(F.array_distinct(words))
+    quality = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1) - n_stop / n_words) * 0.3
+        + (n_distinct / n_words) * 0.3
+    )
+    kept = (
+        dedup.withColumn("n_words", n_words)
+        .withColumn("en_ratio", n_stop / F.col("n_words"))
+        .withColumn("quality_score", quality)
+        .filter((F.col("en_ratio") >= 0.02) & (F.col("quality_score") >= 0.6))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 BPE_MERGES = 8
 
 
