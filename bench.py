@@ -54,6 +54,7 @@ HEADLINE = [
     "q_embedding_quantize",
     "q_substring_spans",
     "q_bigram_lm_score",
+    "q_pretrain_pipeline",
     "q_interval_join_binned",
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here

@@ -153,3 +153,40 @@ def test_embedding_quantize_stays_narrow(spark):
     plan = _plan(spark, "q_embedding_quantize")
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_pretrain_pipeline_stage_fusion(spark):
+    """The composed dedup->lang->quality->budget pipeline must stay ONE
+    fused plan: a single fingerprint hash exchange feeding the window,
+    one final per-source aggregation exchange, no joins at all (scoring
+    is per-row codegen on the window's output), no extra barriers."""
+    plan = _plan(spark, "q_pretrain_pipeline")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bigram_lm_no_cartesian_and_broadcast_vocab(spark):
+    """Bigram LM scoring: V is a 1-row broadcast (nested-loop join on a
+    single-row side is the broadcast scalar pattern, not a data cartesian)
+    and the count-table joins are hash joins, never sort-merge on the
+    fixture."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_bigram_lm_score"](spark, SF_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_adc_codebooks_broadcast(spark):
+    """PQ ADC search: the codebook-derived lookup table must broadcast
+    (it is m*k-sized by construction); the corpus side must never
+    sort-merge against it."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_ann_pq"](spark, SF_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
