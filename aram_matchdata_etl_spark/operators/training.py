@@ -773,6 +773,47 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(hash_bucket(F.col("doc_id"), _MIX_N) < weight * _MIX_N)
 
 
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+WITH stats AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+m AS (SELECT MIN(n) AS n_min FROM stats),
+rates AS (
+    SELECT source, sqrt(CAST(n_min AS DOUBLE) / n) AS rate
+    FROM stats CROSS JOIN m
+)
+SELECT d.doc_id, d.source, ROUND(rate, 6) AS sample_rate
+FROM documents d JOIN rates USING (source)
+WHERE {_bucket_sql('d.doc_id', _MIX_N)} < rate * {_MIX_N}""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the UNIMAX / multilingual
+    temperature-sampling pattern, tau = 0.5): unlike q_source_mix, whose
+    recipe weights are GIVEN, the rates here are computed FROM the corpus
+    itself — rate_s = sqrt(n_min / n_s) = p_s^(tau-1) normalized so the
+    RAREST source keeps everything and over-represented sources are
+    downsampled toward balance. Deterministic hash-bucket sampling (no
+    RNG) keeps the pick reproducible per doc across runs and engines.
+
+    Scale shape: source stats are one tiny aggregation; the per-source
+    rate table broadcast-joins back onto the scan (never a shuffle of the
+    corpus); the keep decision is a per-row hash — so the whole operator
+    costs one narrow pass plus a few-row agg, exactly like a production
+    mixture stage in front of a tokenizer."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("source").agg(F.count("*").alias("n"))
+    n_min = stats.agg(F.min("n").alias("n_min"))
+    rates = stats.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id"), _MIX_N) < F.col("rate") * _MIX_N)
+        .select("doc_id", "source", F.round("rate", 6).alias("sample_rate"))
+    )
+
+
 _SHUFFLE_SHARDS = 32
 
 
