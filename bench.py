@@ -55,6 +55,7 @@ HEADLINE = [
     "q_substring_spans",
     "q_bigram_lm_score",
     "q_pretrain_pipeline",
+    "q_temperature_mix",
     "q_interval_join_binned",
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here
