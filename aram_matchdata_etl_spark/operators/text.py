@@ -446,3 +446,134 @@ def boilerplate_removal(
             n_chunks.cast("bigint").alias("n_chunks_total"),
         )
     )
+
+
+# --- BM25 lexical retrieval -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+# Literal query workload: one row per (query_id, term). At production size
+# this is a real (small) table that broadcasts, exactly like here.
+BM25_QUERIES = (
+    ("q1", "spark"), ("q1", "window"), ("q1", "agg"),
+    ("q2", "dup"), ("q2", "merge"),
+    ("q3", "fast"), ("q3", "scan"), ("q3", "table"),
+)
+
+
+def _bm25_queries_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, term)"
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tf AS (
+    SELECT doc_id, dl, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+    GROUP BY doc_id, dl, term
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+qterms AS (SELECT DISTINCT query_id, term FROM {_bm25_queries_sql()}),
+df_ AS (
+    SELECT tf.term, COUNT(*) AS df
+    FROM tf JOIN (SELECT DISTINCT term FROM qterms) qt ON tf.term = qt.term
+    GROUP BY tf.term
+),
+scored AS (
+    SELECT q.query_id, tf.doc_id,
+        ROUND(SUM(
+            LN(1.0 + (s.n_docs - df_.df + 0.5) / (df_.df + 0.5))
+            * tf.tf * ({BM25_K1} + 1.0)
+            / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+        ), 6) AS score
+    FROM qterms q
+    JOIN tf ON tf.term = q.term
+    JOIN df_ ON df_.term = q.term
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score,
+    CAST(rnk AS INTEGER) AS rank
+FROM (
+    SELECT query_id, doc_id, score,
+        ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rnk
+    FROM scored
+)
+WHERE rnk <= {BM25_TOPK}""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (Robertson & Zaragoza 2009; the
+    Okapi BM25 used by Lucene/Elasticsearch and by LLM-corpus quality /
+    decontamination tooling for query-side retrieval):
+
+        score(q, d) = sum over t in q of
+            IDF(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+        IDF(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's form,
+        always positive).
+
+    Scale shape — a query-time inverted index without materializing one:
+    the corpus is shuffled exactly once (the (doc, term) tf aggregation,
+    map-side combined); the query term list and the per-term df table are
+    query-workload-sized, so they BROADCAST onto tf (the join on `term`
+    prunes the corpus to postings for queried terms — the moral
+    equivalent of reading posting lists); corpus stats (N, avgdl) are a
+    1-row broadcast. Per-query ranking partitions the window by
+    query_id, so top-k never funnels through a single task. At 100 TB
+    the tf table would be bucketed by term on disk (the materialized
+    inverted index) and this plan reads it unchanged."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = spark.createDataFrame(
+        sorted(set(BM25_QUERIES)), "query_id string, term string"
+    )
+    qdistinct = qterms.select("term").distinct()
+    df_ = (
+        tf.join(F.broadcast(qdistinct), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / norm), 6
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
