@@ -1053,3 +1053,115 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(kept_arr).cast("bigint").alias("n_tokens_kept"),
         )
     )
+
+
+# --- DSIR importance weights (Xie et al. 2023) ------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+b AS (
+    SELECT doc_id, source,
+        {_bucket_sql('w', DSIR_BUCKETS)} AS bkt
+    FROM toks
+),
+raw AS (SELECT bkt, COUNT(*) AS c_raw FROM b GROUP BY bkt),
+rawn AS (SELECT COUNT(*) AS n_raw FROM b),
+tgt AS (
+    SELECT bkt, COUNT(*) AS c_tgt FROM b
+    WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bkt
+),
+tgtn AS (
+    SELECT COUNT(*) AS n_tgt FROM b WHERE source = '{DSIR_TARGET_SOURCE}'
+),
+wt AS (
+    SELECT raw.bkt,
+        LN((COALESCE(tgt.c_tgt, 0) + 1.0) / (tgtn.n_tgt + {DSIR_BUCKETS}))
+        - LN((raw.c_raw + 1.0) / (rawn.n_raw + {DSIR_BUCKETS})) AS lr
+    FROM raw LEFT JOIN tgt USING (bkt)
+    CROSS JOIN rawn CROSS JOIN tgtn
+),
+s AS (
+    SELECT b.doc_id, COUNT(*) AS n_tokens, ROUND(SUM(wt.lr), 6) AS log_weight
+    FROM b JOIN wt USING (bkt)
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+    s.log_weight
+FROM documents d LEFT JOIN s USING (doc_id)""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw document by how much more
+    likely its hashed-feature bag is under a TARGET (in-domain)
+    distribution than under the RAW corpus distribution —
+    log w(d) = sum over tokens t of [ln p_target(b(t)) - ln p_raw(b(t))],
+    with b(t) a hash bucket (here the md5 bucket shared with the
+    split/sample operators, bit-identical in both dialects) and add-one
+    smoothing over the {DSIR_BUCKETS}-bucket feature space. The target
+    here is the docs from source '{DSIR_TARGET_SOURCE}' (in production: a
+    small trusted in-domain corpus). The resampling step itself draws
+    docs with probability proportional to w via Gumbel top-k; the
+    WEIGHTS are the engine-shaped part (the draw is one rand(seed) per
+    row over this output), so this operator returns them per doc.
+
+    Scale shape: both distributions are bucket-count aggregations with
+    map-side combine ({DSIR_BUCKETS} rows each BY CONSTRUCTION,
+    corpus-size-independent — like the PQ codebooks); their log-ratio
+    table broadcasts onto the exploded token stream, so the corpus
+    shuffles once (the per-doc sum). No driver-side model: the "trained
+    importance estimator" never exists outside the cluster."""
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id", "source", hash_bucket(F.col("w"), DSIR_BUCKETS).alias("bkt")
+    )
+    raw = b.groupBy("bkt").agg(F.count("*").alias("c_raw"))
+    rawn = b.agg(F.count("*").alias("n_raw"))
+    tgt_rows = b.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    tgt = tgt_rows.groupBy("bkt").agg(F.count("*").alias("c_tgt"))
+    tgtn = tgt_rows.agg(F.count("*").alias("n_tgt"))
+    wt = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(rawn))
+        .crossJoin(F.broadcast(tgtn))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                    / (F.col("n_tgt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(wt), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            "log_weight",
+        )
+    )
