@@ -350,10 +350,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bigram_lm_score",
-    oracle="""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared CTE chain: per-doc bigram-LM scores (used by q_bigram_lm_score
+# and the CCNet-style q_perplexity_buckets downstream of it).
+_BIGRAM_SCORED_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 big AS (
     SELECT doc_id, CONCAT(t[i], ' ', t[i + 1]) AS bg
     FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
@@ -376,7 +376,13 @@ scored AS (
     JOIN pfx ON split_part(b.bg, ' ', 1) = pfx.w1
     CROSS JOIN voc
     GROUP BY b.doc_id
-)
+)"""
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle=f"""
+WITH {_BIGRAM_SCORED_CTES}
 SELECT d.doc_id,
     COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
     s.avg_logp
@@ -406,6 +412,12 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side model object at any point, unlike a fit-then-broadcast
     design, so the "model" scales with the corpus. Bigrams are built
     in-row with slice+zip_with (codegen)."""
+    return bigram_lm_scores(spark, sf_dir)
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM scores: (doc_id, n_bigrams, avg_logp); the shared
+    engine behind q_bigram_lm_score and q_perplexity_buckets."""
     from .dedup import bigram_col
 
     from ..sources.tables import spread_input
@@ -1165,3 +1177,73 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_weight",
         )
     )
+
+
+# --- CCNet-style perplexity buckets -----------------------------------------
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle=f"""
+WITH {_BIGRAM_SCORED_CTES},
+joined AS (
+    SELECT d.doc_id, d.lang, s.avg_logp
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+),
+bucketed AS (
+    SELECT doc_id, lang, avg_logp,
+        CASE NTILE(3) OVER (
+            PARTITION BY lang ORDER BY avg_logp DESC, doc_id
+        ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM joined WHERE avg_logp IS NOT NULL
+)
+SELECT doc_id, lang, avg_logp, bucket, bucket <> 'tail' AS keep
+FROM bucketed
+UNION ALL
+SELECT doc_id, lang, avg_logp, 'unscored' AS bucket, FALSE AS keep
+FROM joined WHERE avg_logp IS NULL""",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucket filter (Wenzek et al. 2020): score every
+    doc with the corpus-trained bigram LM, then split each LANGUAGE into
+    head / middle / tail terciles by score (CCNet computes per-language
+    perplexity cutoffs at the 33rd/66th percentiles; NTILE over the
+    per-lang score order is the same cut, with doc_id as the
+    deterministic tie-break) and keep head+middle — the standard
+    pretraining-corpus quality gate. Docs too short to score (< 2
+    tokens) land in an explicit 'unscored' bucket, dropped.
+
+    Scale shape: everything up to the scores is q_bigram_lm_score's plan
+    (two corpus-wide shuffles, broadcast count tables); the bucketing
+    adds ONE window exchange partitioned by lang over the doc-level
+    frame (corpus-count rows, not token rows). A per-lang window is the
+    honest cut — per-language score distributions differ, which is
+    exactly why CCNet cuts per language. With heavily skewed language
+    mixes the window partitioning inherits that skew; the production
+    variant computes approx percentile cutoffs per lang (tiny agg) and
+    broadcast-joins them back, trading exact terciles for skew
+    immunity — same shape as q_quantile_clip."""
+    docs = _docs(spark, sf_dir)
+    scores = bigram_lm_scores(spark, sf_dir)
+    joined = docs.select("doc_id", "lang").join(
+        scores.select("doc_id", "avg_logp"), "doc_id", "left"
+    )
+    scored = joined.filter(F.col("avg_logp").isNotNull())
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id")
+    )
+    tercile = F.ntile(3).over(w)
+    bucketed = scored.withColumn(
+        "bucket",
+        F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise(
+            "tail"
+        ),
+    ).select(
+        "doc_id", "lang", "avg_logp", "bucket",
+        (F.col("bucket") != "tail").alias("keep"),
+    )
+    unscored = joined.filter(F.col("avg_logp").isNull()).select(
+        "doc_id", "lang", "avg_logp",
+        F.lit("unscored").alias("bucket"), F.lit(False).alias("keep"),
+    )
+    return bucketed.unionByName(unscored)
