@@ -54,6 +54,9 @@ HEADLINE = [
     "q_embedding_quantize",
     "q_substring_spans",
     "q_bigram_lm_score",
+    "q_perplexity_buckets",
+    "q_bm25_topk",
+    "q_dsir_weights",
     "q_pretrain_pipeline",
     "q_temperature_mix",
     "q_interval_join_binned",

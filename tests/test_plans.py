@@ -190,3 +190,31 @@ def test_pq_adc_codebooks_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_postings_prune_and_broadcast(spark):
+    """BM25: the query-term/df/stats sides are workload-sized and must all
+    broadcast onto the tf table (the posting-list read); the corpus never
+    sort-merges against them, and ranking partitions by query_id (no
+    global single-partition window)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_bm25_topk"](spark, SF_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """DSIR: the bucket-count log-ratio table is DSIR_BUCKETS rows BY
+    CONSTRUCTION and must broadcast onto the exploded token stream; the
+    corpus-side frame shuffles only for the per-doc aggregation."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_dsir_weights"](spark, SF_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan

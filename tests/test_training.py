@@ -65,3 +65,60 @@ def test_contamination_short_docs_match_duckdb_oracle(spark, tiny_docs_dir):
         for r in con.execute(all_oracles()["q_contamination"]).fetchall()
     }
     assert spark_rows == oracle_rows
+
+
+def test_dsir_weights_rank_target_domain_higher(spark):
+    """DSIR semantics (Xie et al. 2023): documents FROM the target domain
+    must, on average, get higher importance weights than the rest of the
+    raw corpus — both in total and per token (the per-token form removes
+    the doc-length confound). A broken sign, a swapped numerator, or a
+    smoothing bug flips or collapses this separation."""
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.training import DSIR_TARGET_SOURCE
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    w = all_queries()["q_dsir_weights"](spark, SF_ORACLE)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    rows = (
+        w.join(docs, "doc_id")
+        .groupBy((F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"))
+        .agg(
+            F.avg("log_weight").alias("mean_lw"),
+            F.avg(F.col("log_weight") / F.col("n_tokens")).alias("mean_lw_tok"),
+        )
+        .collect()
+    )
+    by = {r.is_target: r for r in rows}
+    assert by[True].mean_lw > by[False].mean_lw
+    assert by[True].mean_lw_tok > by[False].mean_lw_tok
+
+
+def test_perplexity_buckets_terciles_balanced_per_lang(spark):
+    """CCNet cut: within every language the head/middle/tail buckets must
+    differ in size by at most 1 (NTILE semantics), and every scored doc
+    keeps iff its bucket is not tail."""
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    df = all_queries()["q_perplexity_buckets"](spark, SF_ORACLE)
+    sizes = (
+        df.filter(F.col("bucket") != "unscored")
+        .groupBy("lang", "bucket")
+        .count()
+        .groupBy("lang")
+        .agg((F.max("count") - F.min("count")).alias("spread"))
+        .collect()
+    )
+    assert sizes and all(r.spread <= 1 for r in sizes), sizes
+    bad = df.filter(
+        (F.col("bucket").isin("head", "middle")) != F.col("keep")
+    ).count()
+    assert bad == 0
