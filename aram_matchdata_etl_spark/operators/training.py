@@ -245,6 +245,42 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
+def _bpe_fold(syms, left: str, right: str):
+    """Left-to-right greedy application of one BPE merge, as an in-row
+    column expression: fold each symbol into an accumulator of (emitted
+    symbols, pending symbol); an adjacent (left, right) collapses into
+    the merged token, consuming the pending slot — matching the reference
+    algorithm on overlapping pairs ('a a a' + merge(a,a) -> ['aa','a'])."""
+    merged_lit, l_lit, r_lit = F.lit(left + right), F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.expr("array()").cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            acc["pend"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("pend")),
+        )
+        .when(
+            (acc["pend"] == l_lit) & (s == r_lit),
+            F.struct(
+                F.concat(acc["out"], F.array(merged_lit)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+    )
+
+
 def bpe_train(word_counts: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016) over a
     (word, n) frequency table — the tokenizer-training stage of an LLM
@@ -290,38 +326,7 @@ def bpe_train(word_counts: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]
             break
         left, right, cnt = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["cnt"]
         merges.append((rank, left, right, left + right, int(cnt)))
-        # left-to-right greedy merge: fold each symbol into an accumulator
-        # of (emitted symbols, pending symbol); adjacent (left, right)
-        # collapses into the merged token, consuming the pending slot
-        merged_lit, l_lit, r_lit = F.lit(left + right), F.lit(left), F.lit(right)
-        folded = F.aggregate(
-            "syms",
-            F.struct(
-                F.expr("array()").cast("array<string>").alias("out"),
-                F.lit(None).cast("string").alias("pend"),
-            ),
-            lambda acc, s: F.when(
-                acc["pend"].isNull(),
-                F.struct(acc["out"].alias("out"), s.alias("pend")),
-            )
-            .when(
-                (acc["pend"] == l_lit) & (s == r_lit),
-                F.struct(
-                    F.concat(acc["out"], F.array(merged_lit)).alias("out"),
-                    F.lit(None).cast("string").alias("pend"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
-                    s.alias("pend"),
-                )
-            ),
-            lambda acc: F.when(
-                acc["pend"].isNull(), acc["out"]
-            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
-        )
-        nxt = vocab.select("n", folded.alias("syms")).localCheckpoint()
+        nxt = vocab.select("n", _bpe_fold("syms", left, right).alias("syms")).localCheckpoint()
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()
@@ -347,6 +352,57 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(counts, BPE_MERGES)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply a learned BPE merge table to a DISTINCT-WORD frame: adds
+    ``tokens array<string>`` next to ``word``. Each merge is one narrow
+    in-row fold (same shipped expression the trainer rewrites with), so
+    encoding is n_merges chained map stages over the vocabulary — no
+    shuffle, no UDF, and never over the corpus itself."""
+    out = words.withColumn(
+        "tokens", F.filter(F.split("word", "(?!^)"), lambda c: c != "")
+    )
+    for _, left, right, _, _ in merges:
+        out = out.withColumn("tokens", _bpe_fold("tokens", left, right))
+    return out
+
+
+@query("q_bpe_encode")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the corpus-trained BPE (the apply half of
+    the tokenizer story; q_bpe_merges is the train half). Not
+    SQL-expressible (the merge table comes from the iterative trainer);
+    correctness = the hypothesis differential driving encode vs a pure-
+    Python reference (tests/test_properties.py) + rows-only driver check.
+
+    Scale shape — encode the VOCABULARY, not the corpus: the merge table
+    is tokenizer-sized (driver list by construction); applying it is
+    n_merges narrow folds over DISTINCT words; the resulting
+    word->tokens mapping is vocabulary-sized and BROADCASTS onto the
+    exploded corpus, which then pays exactly one wide stage (the per-doc
+    aggregation). The corpus's token stream is never rewritten in place —
+    only counted per doc here; a writer would emit the mapped arrays the
+    same way."""
+    from ..sources.tables import spread_input
+
+    docs = spread_input(_docs(spark, sf_dir))
+    corpus_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = corpus_words.groupBy("word").agg(F.count("*").alias("n"))
+    merges = bpe_train(counts, BPE_MERGES)
+    mapping = bpe_encode_words(counts.select("word"), merges).select(
+        "word", F.size("tokens").alias("n_toks")
+    )
+    return (
+        corpus_words.join(F.broadcast(mapping), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
 
 

@@ -579,3 +579,56 @@ def test_bpe_merges_match_python_reference(spark, words):
     df = spark.createDataFrame(words, "word string, n long")
     got = bpe_train(df, N_MERGES)
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_encode_matches_python_reference(spark, words):
+    """bpe_encode_words vs the same pure-Python reference, applying the
+    learned merges in rank order with left-to-right greedy semantics:
+    every word's token sequence must match exactly, and re-joining the
+    tokens must reproduce the word (losslessness)."""
+    from aram_matchdata_etl_spark.operators.training import (
+        bpe_encode_words,
+        bpe_train,
+    )
+
+    N_MERGES = 4
+    df = spark.createDataFrame(words, "word string, n long")
+    merges = bpe_train(df, N_MERGES)
+
+    def py_encode(word: str) -> list[str]:
+        syms = list(word)
+        for _, l, r, m, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["word"]: r["tokens"]
+        for r in bpe_encode_words(df.select("word"), merges).collect()
+    }
+    for w, _ in words:
+        assert got[w] == py_encode(w), (w, got[w], py_encode(w))
+        assert "".join(got[w]) == w
