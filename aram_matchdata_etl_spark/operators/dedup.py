@@ -729,3 +729,87 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
+
+
+# --- quality-aware canonical selection --------------------------------------
+
+_KEEP_BEST_ORACLE: str
+
+
+def _build_keep_best_oracle() -> str:
+    from .text import QUALITY_EXPR_SQL
+
+    return (
+        "WITH RECURSIVE "
+        + _PAIRS_CTES
+        + f""",
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+clusters AS (
+    SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+),
+scored AS (
+    SELECT doc_id, ROUND({QUALITY_EXPR_SQL}, 6) AS quality_score
+    FROM documents
+)
+SELECT c.doc_id, c.cluster_id, s.quality_score,
+    (ROW_NUMBER() OVER (
+        PARTITION BY c.cluster_id
+        ORDER BY s.quality_score DESC, c.doc_id
+    ) = 1) AS keep
+FROM clusters c JOIN scored s USING (doc_id)"""
+    )
+
+
+@query("q_dedup_keep_best", oracle=_build_keep_best_oracle())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (the same CC
+    as q_dedup_clusters) where the kept document per cluster is the
+    HIGHEST-QUALITY one, not the min-id one — the RefinedWeb/FineWeb
+    retention policy (when near-dups differ, keep the best copy, e.g.
+    the least-boilerplate mirror of a page). min-id canonicalization
+    (q_dedup_clusters's is_canonical) is an arbitrary-but-stable pick;
+    this is the pick a production corpus actually ships. Ties break on
+    doc_id for determinism (scores rounded to 6 before ranking in both
+    dialects).
+
+    Scale shape: adds to the CC cost only a per-row quality expression
+    (codegen, computed on the scan) and ONE window exchange keyed by
+    cluster_id over the doc-level frame. Cluster-key skew is bounded by
+    construction — near-dup clusters are document groups, not power-law
+    join keys; a pathological mega-cluster (e.g. an empty-string class)
+    would already have been split upstream by the pair threshold. Pair
+    input here is the exact-Jaccard baseline so the whole composition
+    stays oracle-checkable; the 100 TB path swaps in
+    lsh_candidate_pairs, same downstream plan."""
+    from pyspark.sql import Window
+
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    clusters = connected_components(docs, pairs, tag="keep_best").select(
+        "doc_id", "cluster_id"
+    )
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score_col(F.split("text", " ")), 6).alias(
+            "quality_score"
+        ),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality_score", "keep")
+    )

@@ -33,6 +33,28 @@ def with_words(df: DataFrame) -> DataFrame:
     return df.withColumn("words", F.split(F.col("text"), " "))
 
 
+# Heuristic quality score as a single expression, reusable by operators
+# that rank docs by quality (q_quality_score, dedup keep-best): length
+# saturation + stopword balance + lexical diversity.
+QUALITY_EXPR_SQL = f"""LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+        + (1 - len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL}))
+            / len(string_split(text, ' '))) * 0.3
+        + len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' ')) * 0.3"""
+
+
+def quality_score_col(words):
+    """Spark twin of QUALITY_EXPR_SQL over a pre-split words array."""
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(words))
+    return (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1) - n_stop / n_words) * 0.3
+        + n_distinct / n_words * 0.3
+    )
+
+
 @query(
     "q_text_stats",
     oracle=f"""
@@ -90,11 +112,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
-        (
-            F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-            + (F.lit(1) - stop_ratio) * 0.3
-            + distinct_ratio * 0.3
-        ).alias("quality_score"),
+        quality_score_col(F.col("words")).alias("quality_score"),
     )
 
 
