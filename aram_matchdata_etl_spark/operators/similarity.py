@@ -691,3 +691,122 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK)
         .select("query_id", "vec_id", F.round("l2_dist", 6).alias("l2_dist"), "rnk")
     )
+
+
+# --- graph-based ANN: sharded kNN-graph + greedy beam search ----------------
+
+GRAPH_SHARDS = 4  # independent per-shard graphs (the FAISS-sharding shape)
+GRAPH_M = 8  # neighbors per node in the kNN graph
+GRAPH_EF = 24  # beam width during search
+
+
+def _shard_graph_search(
+    queries: list[tuple[int, list[float]]],
+    m: int,
+    ef: int,
+    topk: int,
+):
+    """Returns an applyInPandas function: build this shard's exact kNN
+    graph (ONE vectorized gram-matrix per shard — the distributed
+    stand-in for NN-descent / HNSW insertion, which are pointer-chasing
+    and hostile to data-parallel engines), then answer every query with
+    the HNSW-style greedy beam search (best-first over neighbor lists,
+    visited set, beam of `ef`), entry at the shard's min vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        n = len(ids)
+        norms = np.linalg.norm(V, axis=1)
+        # exact kNN graph, vectorized: cosine gram matrix, top-m per row
+        G = (V @ V.T) / np.outer(norms, norms)
+        np.fill_diagonal(G, -np.inf)
+        k = min(m, n - 1)
+        nbrs = np.argsort(-G, axis=1, kind="stable")[:, :k]
+        out_q, out_v, out_c = [], [], []
+        for qid, qvec in queries:
+            q = np.asarray(qvec, dtype=np.float64)
+            qn = np.linalg.norm(q)
+            sims = (V @ q) / (norms * qn)  # memoized scorer
+            visited = {0}
+            # beam: (sim, node), kept sorted ascending; entry = min vec_id
+            beam = [(float(sims[0]), 0)]
+            improved = True
+            while improved:
+                improved = False
+                frontier = [node for _, node in beam]
+                for node in frontier:
+                    for nb in nbrs[node]:
+                        nb = int(nb)
+                        if nb in visited:
+                            continue
+                        visited.add(nb)
+                        s = float(sims[nb])
+                        if len(beam) < ef or s > beam[0][0]:
+                            beam.append((s, nb))
+                            beam.sort()
+                            if len(beam) > ef:
+                                beam.pop(0)
+                            improved = True
+            best = sorted(beam, key=lambda t: (-t[0], ids[t[1]]))[:topk]
+            for s, node in best:
+                if ids[node] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(int(ids[node]))
+                out_c.append(s)
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "raw_cosine": out_c}
+        )
+
+    return fn
+
+
+@query("q_ann_graph")
+def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (the HNSW family), in the shape that actually
+    distributes: shard the corpus by hashed id, build an independent
+    proximity graph PER SHARD, search every shard with HNSW's greedy
+    beam search, and merge shard-local top-k into global top-k
+    (how FAISS/Vespa/Milvus shard graph indexes in practice — a single
+    cluster-wide navigable graph is pointer-chasing across executors and
+    a poor fit for Spark's execution model, per ROADMAP item 3).
+
+    Per shard the graph is the EXACT kNN graph from one vectorized gram
+    matrix (Arrow-batched applyInPandas, numpy matmul — no per-row
+    Python in the distance math); search is best-first beam over
+    neighbor lists with a visited set (the HNSW layer-0 algorithm).
+    Recall vs the exact baseline is asserted in tests, and beam-width
+    monotonicity makes the ef knob honest.
+
+    Scale: shard graph build is O((n/s)^2) flops but embarrassingly
+    parallel and memory-local; at 100 TB the per-shard build swaps the
+    gram matrix for NN-descent without changing the dataflow. Queries
+    are workload-sized (driver list by construction, like the PQ
+    codebooks); every shard sees every query; the merge is one window
+    keyed by query_id over s*topk rows."""
+    emb = embeddings_d(spark, sf_dir)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.vec])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "vec")
+        .collect()
+    ]
+    sharded = emb.withColumn(
+        "shard", F.pmod(F.xxhash64("vec_id"), F.lit(GRAPH_SHARDS))
+    )
+    local = sharded.groupBy("shard").applyInPandas(
+        _shard_graph_search(queries, GRAPH_M, GRAPH_EF, TOPK),
+        "query_id long, vec_id long, raw_cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine"), "rnk"
+        )
+    )

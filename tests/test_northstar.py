@@ -520,3 +520,44 @@ def test_pq_adc_recall_vs_exact(spark):
         recalls.append(len(exact & got[q]) / 10)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
     assert min(recalls) >= 0.2, recalls
+
+
+def test_ann_graph_recall_vs_exact(spark):
+    """Sharded kNN-graph + greedy beam search vs brute-force cosine
+    top-10: on the fixture (4 shards of ~125 vectors, M=8, ef=24) the
+    beam search recovers essentially the exact neighbors; asserted with
+    slack (mean >= 0.7, per-query >= 0.4) so a broken graph build or a
+    beam that never expands (recall ~ 0) cannot pass. Also pins the
+    contract: no self-matches, ranks are 1..k, cosine descending."""
+    import numpy as np
+    from collections import defaultdict
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = defaultdict(list)
+    for r in all_queries()["q_ann_graph"](spark, SF_ORACLE).collect():
+        assert r.vec_id != r.query_id
+        got[r.query_id].append((r.rnk, r.vec_id, r.cosine))
+    recalls = []
+    for q in range(5):
+        qv = V[q]
+        qn = np.linalg.norm(qv)
+        exact = {
+            i
+            for _, i in sorted(
+                (
+                    (-float(V[i] @ qv / (np.linalg.norm(V[i]) * qn)), i)
+                    for i in V
+                    if i != q
+                )
+            )[:10]
+        }
+        mine = sorted(got[q])
+        assert [r for r, _, _ in mine] == list(range(1, len(mine) + 1))
+        cosines = [c for _, _, c in mine]
+        assert cosines == sorted(cosines, reverse=True)
+        recalls.append(len(exact & {v for _, v, _ in mine}) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    assert min(recalls) >= 0.4, recalls
