@@ -213,3 +213,37 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir):
 
     got_counts = Counter((p, u) for p, u, _ in got)
     assert dict(got_counts) == want_counts
+
+
+def test_streaming_fingerprint_dedup_matches_batch_admission(spark, tmp_path):
+    """The incremental-ingest admission semantic (q_dedup_incremental)
+    holds on a LIVE stream: documents streamed through the content
+    fingerprint + dropDuplicates admit exactly one doc per fingerprint,
+    and the admitted fingerprint set equals the batch operator's — so a
+    continuously-ingesting pipeline and a batch backfill converge."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.dedup import bow_fingerprint
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.crawl import (
+        dedup_forever,
+        run_to_completion,
+    )
+
+    docs_file = f"{SF_SMOKE}/documents.parquet"
+    _os.symlink(docs_file, tmp_path / "documents.parquet")
+    batch = load_table(spark, SF_SMOKE, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(tmp_path))
+        .withColumn("fingerprint", bow_fingerprint())
+    )
+    run_to_completion(dedup_forever(stream, "fingerprint"), query_name="fp_out")
+    got = spark.table("fp_out")
+    assert got.groupBy("fingerprint").count().filter("count > 1").count() == 0
+    want = (
+        batch.select(bow_fingerprint().alias("fingerprint")).distinct().count()
+    )
+    assert got.count() == want
