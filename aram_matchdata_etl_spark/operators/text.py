@@ -536,15 +536,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         always positive).
 
     Scale shape — a query-time inverted index without materializing one:
-    the corpus is shuffled exactly once (the (doc, term) tf aggregation,
-    map-side combined); the query term list and the per-term df table are
-    query-workload-sized, so they BROADCAST onto tf (the join on `term`
-    prunes the corpus to postings for queried terms — the moral
-    equivalent of reading posting lists); corpus stats (N, avgdl) are a
-    1-row broadcast. Per-query ranking partitions the window by
-    query_id, so top-k never funnels through a single task. At 100 TB
-    the tf table would be bucketed by term on disk (the materialized
-    inverted index) and this plan reads it unchanged."""
+    the corpus pays ONE tf shuffle (the (doc, term) aggregation,
+    map-side combined) plus a narrow stats scan; the query term list
+    BROADCASTS onto tf, pruning it to postings for queried terms (the
+    moral equivalent of reading posting lists); per-term document
+    frequency is a window count OVER those pruned postings — not a
+    second corpus aggregation, which column pruning would stop Spark
+    from reusing (measured: the two-branch formulation scans the corpus
+    3x with zero ReusedExchange) — so its exchange is postings-sized;
+    corpus stats (N, avgdl) are a 1-row broadcast. Per-query ranking
+    partitions the window by query_id, so top-k never funnels through a
+    single task. At 100 TB the tf table would be bucketed by term on
+    disk (the materialized inverted index) and this plan reads it
+    unchanged."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     tf = (
@@ -563,10 +569,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(set(BM25_QUERIES)), "query_id string, term string"
     )
     qdistinct = qterms.select("term").distinct()
-    df_ = (
-        tf.join(F.broadcast(qdistinct), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    # postings rows are unique per (doc, term), so df = a window count
+    # per term over the PRUNED postings
+    wt = Window.partitionBy("term")
+    postings = tf.join(F.broadcast(qdistinct), "term").withColumn(
+        "df", F.count("*").over(wt)
     )
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -575,8 +582,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_), "term")
+        postings.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -585,8 +591,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
