@@ -1182,11 +1182,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WEIGHTS are the engine-shaped part (the draw is one rand(seed) per
     row over this output), so this operator returns them per doc.
 
-    Scale shape: both distributions are bucket-count aggregations with
-    map-side combine ({DSIR_BUCKETS} rows each BY CONSTRUCTION,
-    corpus-size-independent — like the PQ codebooks); their log-ratio
-    table broadcasts onto the exploded token stream, so the corpus
-    shuffles once (the per-doc sum). No driver-side model: the "trained
+    Scale shape: BOTH distributions come out of ONE bucket-count
+    aggregation over the exploded token stream (c_raw plus a conditional
+    c_tgt per bucket, map-side combined — a two-branch formulation would
+    scan the corpus once per distribution, and column pruning stops
+    Spark reusing the exchange, as measured on the BM25 df branch);
+    the output is {DSIR_BUCKETS} rows BY CONSTRUCTION
+    (corpus-size-independent — like the PQ codebooks), totals are a
+    1-row aggregate OF that table, and the log-ratio table broadcasts
+    onto the token stream, so the corpus pays the count pass plus one
+    wide stage (the per-doc sum). No driver-side model: the "trained
     importance estimator" never exists outside the cluster."""
     docs = _docs(spark, sf_dir)
     b = docs.select(
@@ -1194,25 +1199,21 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", hash_bucket(F.col("w"), DSIR_BUCKETS).alias("bkt")
     )
-    raw = b.groupBy("bkt").agg(F.count("*").alias("c_raw"))
-    rawn = b.agg(F.count("*").alias("n_raw"))
-    tgt_rows = b.filter(F.col("source") == DSIR_TARGET_SOURCE)
-    tgt = tgt_rows.groupBy("bkt").agg(F.count("*").alias("c_tgt"))
-    tgtn = tgt_rows.agg(F.count("*").alias("n_tgt"))
-    wt = (
-        raw.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(rawn))
-        .crossJoin(F.broadcast(tgtn))
-        .select(
-            "bkt",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
-                    / (F.col("n_tgt") + DSIR_BUCKETS)
-                )
-                - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + DSIR_BUCKETS))
-            ).alias("lr"),
-        )
+    counts = b.groupBy("bkt").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(
+            (F.col("source") == DSIR_TARGET_SOURCE).cast("bigint")
+        ).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    wt = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + DSIR_BUCKETS))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + DSIR_BUCKETS))
+        ).alias("lr"),
     )
     scored = (
         b.join(F.broadcast(wt), "bkt")
