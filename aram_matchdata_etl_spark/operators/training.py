@@ -471,9 +471,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(spark, sf_dir)
 
 
-def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc bigram-LM scores: (doc_id, n_bigrams, avg_logp); the shared
-    engine behind q_bigram_lm_score and q_perplexity_buckets."""
+def bigram_lm_scores(
+    spark: SparkSession, sf_dir: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-doc bigram-LM scores: (doc_id, *keep, n_bigrams, avg_logp);
+    the shared engine behind q_bigram_lm_score and q_perplexity_buckets.
+    ``keep`` columns ride the existing null-safety join-back, so callers
+    needing doc attributes (e.g. lang) don't pay a second corpus join."""
     from .dedup import bigram_col
 
     from ..sources.tables import spread_input
@@ -506,10 +510,11 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", *keep)
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
+            *keep,
             F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
                 "n_bigrams"
             ),
@@ -1280,10 +1285,8 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant computes approx percentile cutoffs per lang (tiny agg) and
     broadcast-joins them back, trading exact terciles for skew
     immunity — same shape as q_quantile_clip."""
-    docs = _docs(spark, sf_dir)
-    scores = bigram_lm_scores(spark, sf_dir)
-    joined = docs.select("doc_id", "lang").join(
-        scores.select("doc_id", "avg_logp"), "doc_id", "left"
+    joined = bigram_lm_scores(spark, sf_dir, keep=("lang",)).select(
+        "doc_id", "lang", "avg_logp"
     )
     scored = joined.filter(F.col("avg_logp").isNotNull())
     w = Window.partitionBy("lang").orderBy(
