@@ -1134,9 +1134,7 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_SOURCE = "src0"
 
 
-@query(
-    "q_dsir_weights",
-    oracle=f"""
+_DSIR_WEIGHTS_SQL = f"""
 WITH toks AS (
     SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
     FROM documents
@@ -1170,8 +1168,10 @@ s AS (
 SELECT d.doc_id,
     CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
     s.log_weight
-FROM documents d LEFT JOIN s USING (doc_id)""",
-)
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
+@query("q_dsir_weights", oracle=_DSIR_WEIGHTS_SQL)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, Data Selection via
     Importance Resampling): score every raw document by how much more
@@ -1237,6 +1237,55 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens"
             ),
             "log_weight",
+        )
+    )
+
+
+DSIR_U_M = 10_000  # uniform-grid resolution for the deterministic Gumbel
+DSIR_SAMPLE_K = 100
+
+
+@query(
+    "q_dsir_resample",
+    oracle=f"""
+WITH w AS ({{}}),
+keyed AS (
+    SELECT doc_id, log_weight,
+        log_weight - LN(-LN(({_bucket_sql('doc_id', DSIR_U_M)} + 0.5)
+            / {DSIR_U_M})) AS gkey
+    FROM w WHERE log_weight IS NOT NULL
+)
+SELECT doc_id, log_weight, ROUND(gkey, 6) AS gumbel_key
+FROM keyed
+ORDER BY gkey DESC, doc_id
+LIMIT {DSIR_SAMPLE_K}""".format(_DSIR_WEIGHTS_SQL),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: draw {DSIR_SAMPLE_K} docs with
+    probability proportional to their importance weight via the Gumbel
+    top-k trick — argmax_k(log w + Gumbel noise) is a weighted sample
+    without replacement (Vieira 2014). The noise here is DETERMINISTIC:
+    u(doc) = (md5bucket(doc_id) + 0.5) / {DSIR_U_M} gives a reproducible
+    uniform per doc (bit-identical in both dialects, same rationale as
+    the hash splits — no RNG seed coordination across executors, stable
+    under re-partitioning and incremental re-runs), and
+    gumbel = -ln(-ln(u)).
+
+    Scale shape: everything up to the weights is q_dsir_weights' plan;
+    the draw adds one narrow expression and a global top-k that plans
+    TakeOrderedAndProject (per-partition heaps, O(k) driver memory) —
+    never a full sort, never a single-partition window."""
+    keyed = q_dsir_weights(spark, sf_dir).filter(
+        F.col("log_weight").isNotNull()
+    )
+    u = (hash_bucket(F.col("doc_id"), DSIR_U_M) + 0.5) / DSIR_U_M
+    gkey = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        keyed.select("doc_id", "log_weight", gkey.alias("gkey"))
+        .orderBy(F.desc("gkey"), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+        .select(
+            "doc_id", "log_weight", F.round("gkey", 6).alias("gumbel_key")
         )
     )
 

@@ -122,3 +122,34 @@ def test_perplexity_buckets_terciles_balanced_per_lang(spark):
         (F.col("bucket").isin("head", "middle")) != F.col("keep")
     ).count()
     assert bad == 0
+
+
+def test_dsir_resample_biases_toward_high_weights(spark):
+    """Gumbel top-k semantics: the resampled set must be biased toward
+    high-importance docs (mean log_weight of the sample > corpus mean)
+    but NOT identical to the deterministic top-k by weight — the noise
+    term must actually perturb the draw, else it's just a head cut."""
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.training import DSIR_SAMPLE_K
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    sample = all_queries()["q_dsir_resample"](spark, SF_ORACLE)
+    weights = all_queries()["q_dsir_weights"](spark, SF_ORACLE).filter(
+        F.col("log_weight").isNotNull()
+    )
+    assert sample.count() == DSIR_SAMPLE_K
+    mean_sample = sample.agg(F.avg("log_weight")).first()[0]
+    mean_all = weights.agg(F.avg("log_weight")).first()[0]
+    assert mean_sample > mean_all
+    top_by_weight = {
+        r.doc_id
+        for r in weights.orderBy(F.desc("log_weight"), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+        .collect()
+    }
+    sampled = {r.doc_id for r in sample.collect()}
+    overlap = len(sampled & top_by_weight)
+    assert 0 < overlap < DSIR_SAMPLE_K, overlap
