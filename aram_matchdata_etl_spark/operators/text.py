@@ -535,19 +535,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         IDF(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's form,
         always positive).
 
-    Scale shape — a query-time inverted index without materializing one:
+    Scale shape — read the corpus once, materialize the posting lists:
     the corpus pays ONE tf shuffle (the (doc, term) aggregation,
     map-side combined) plus a narrow stats scan; the query term list
     BROADCASTS onto tf, pruning it to postings for queried terms (the
-    moral equivalent of reading posting lists); per-term document
-    frequency is a window count OVER those pruned postings — not a
-    second corpus aggregation, which column pruning would stop Spark
-    from reusing (measured: the two-branch formulation scans the corpus
-    3x with zero ReusedExchange) — so its exchange is postings-sized;
-    corpus stats (N, avgdl) are a 1-row broadcast. Per-query ranking
-    partitions the window by query_id, so top-k never funnels through a
-    single task. At 100 TB the tf table would be bucketed by term on
-    disk (the materialized inverted index) and this plan reads it
+    moral equivalent of reading posting lists), and the pruned postings
+    are materialized with a lazy localCheckpoint — the in-session form
+    of the on-disk inverted index a real engine keeps — because the two
+    consumers (per-term df, per-(query,doc) scoring) prune different
+    columns, which stops Spark reusing the exchange (measured: the
+    unmaterialized two-branch form scans the corpus 3x with zero
+    ReusedExchange). df is then a map-side-combined aggregation over
+    the postings, broadcast back — NOT a window keyed by term, whose
+    count frame would colocate a common term's entire posting list in
+    one task (the skew that kills stopword-ish terms at scale); corpus
+    stats (N, avgdl) are a 1-row broadcast. Per-query ranking
+    partitions its window by query_id, so top-k never funnels through
+    a single task. At 100 TB the postings checkpoint becomes the
+    bucketed-by-term tf table on disk and this plan reads it
     unchanged."""
     from pyspark.sql import Window
 
@@ -569,12 +574,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(set(BM25_QUERIES)), "query_id string, term string"
     )
     qdistinct = qterms.select("term").distinct()
-    # postings rows are unique per (doc, term), so df = a window count
-    # per term over the PRUNED postings
-    wt = Window.partitionBy("term")
-    postings = tf.join(F.broadcast(qdistinct), "term").withColumn(
-        "df", F.count("*").over(wt)
+    postings = tf.join(F.broadcast(qdistinct), "term").localCheckpoint(
+        eager=False
     )
+    # postings rows are unique per (doc, term): df = row count per term,
+    # map-side combined over the materialized postings
+    df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -583,6 +588,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
