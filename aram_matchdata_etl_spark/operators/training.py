@@ -1356,3 +1356,48 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("unscored").alias("bucket"), F.lit(False).alias("keep"),
     )
     return bucketed.unionByName(unscored)
+
+
+GROUP_SAMPLE_K = 10
+
+
+@query(
+    "q_group_sample_exact",
+    oracle=f"""
+SELECT source, doc_id
+FROM (
+    SELECT source, doc_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rn
+    FROM documents
+)
+WHERE rn <= {GROUP_SAMPLE_K}""",
+)
+def q_group_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K per-group sampling: exactly {GROUP_SAMPLE_K} docs per
+    source (or all of a smaller source) — the eval-set / human-review
+    draw ("give me exactly 1000 docs per source"), which rate-based
+    sampling (q_stratified_sample) cannot promise. The draw is uniform
+    BY HASH ORDER (rank within group by md5(doc_id)): deterministic
+    across runs, engines and partitionings, no RNG seed coordination,
+    and stable under incremental re-runs in the same way as the hash
+    splits — a new doc displaces at most one previous pick.
+
+    Scale shape: one window exchange keyed by the group column. Per-group
+    rows colocate for the rank — fine for grouping columns with bounded
+    fan-in (sources, langs); for a heavy-hitter group key the two-phase
+    form (per-partition top-K by hash, then re-rank the s*K survivors)
+    bounds any single task at K*partitions rows, same pattern as the
+    salted aggregations."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("source", "doc_id")
+    )
