@@ -228,3 +228,12 @@ def test_dsir_weight_table_broadcasts(spark):
     # the final doc-level null-safety left join may legitimately
     # sort-merge: both sides are corpus-scale, so that IS the scale plan
     # (AQE broadcasts it at fixture size in the adaptive run).
+
+
+def test_dsir_resample_plans_take_ordered(spark):
+    """The Gumbel top-k draw must plan TakeOrderedAndProject (per-
+    partition heaps, O(k) driver memory) — never a global sort or a
+    single-partition window."""
+    plan = _plan(spark, "q_dsir_resample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0], plan
