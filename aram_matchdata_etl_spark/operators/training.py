@@ -1401,3 +1401,43 @@ def q_group_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
         .select("source", "doc_id")
     )
+
+
+@query("q_perplexity_filter_approx")
+def q_perplexity_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-immune production twin of q_perplexity_buckets: instead
+    of an exact per-language NTILE (whose window partitioning inherits
+    the language mix's skew — one task holds all of English), compute
+    the per-lang 33rd/66th percentile cutoffs with approx_percentile
+    (a tiny mergeable-sketch aggregation, rows = #languages) and
+    broadcast them back onto the scored scan — the q_quantile_clip
+    shape. Every stage is skew-free: the cutoff agg combines map-side,
+    and bucketing is a per-row comparison.
+
+    approx_percentile's cutpoints are engine-specific, so no SQL oracle;
+    correctness = the agreement test vs the exact-NTILE operator
+    (tests/test_training.py: >= 90% of scored docs land in the same
+    bucket, and every disagreement sits adjacent to a cutoff) plus the
+    rows-only driver check."""
+    joined = bigram_lm_scores(spark, sf_dir, keep=("lang",)).select(
+        "doc_id", "lang", "avg_logp"
+    )
+    scored = joined.filter(F.col("avg_logp").isNotNull())
+    cuts = scored.groupBy("lang").agg(
+        F.percentile_approx("avg_logp", [1.0 / 3, 2.0 / 3], 10_000).alias("c")
+    )
+    bucketed = scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logp",
+        # NTILE orders DESC (best first): head = above the upper cutoff
+        F.when(F.col("avg_logp") > F.col("c")[1], "head")
+        .when(F.col("avg_logp") > F.col("c")[0], "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).withColumn("keep", F.col("bucket") != "tail")
+    unscored = joined.filter(F.col("avg_logp").isNull()).select(
+        "doc_id", "lang", "avg_logp",
+        F.lit("unscored").alias("bucket"), F.lit(False).alias("keep"),
+    )
+    return bucketed.unionByName(unscored)

@@ -153,3 +153,38 @@ def test_dsir_resample_biases_toward_high_weights(spark):
     sampled = {r.doc_id for r in sample.collect()}
     overlap = len(sampled & top_by_weight)
     assert 0 < overlap < DSIR_SAMPLE_K, overlap
+
+
+def test_perplexity_approx_agrees_with_exact_buckets(spark):
+    """The skew-immune approx-cutoff filter must agree with the exact
+    per-lang NTILE buckets on >= 90% of scored docs; disagreements are
+    only ever one bucket apart (a doc sitting next to a cutoff), never
+    head<->tail."""
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    exact = (
+        all_queries()["q_perplexity_buckets"](spark, SF_ORACLE)
+        .filter(F.col("bucket") != "unscored")
+        .select("doc_id", F.col("bucket").alias("b_exact"))
+    )
+    approx = (
+        all_queries()["q_perplexity_filter_approx"](spark, SF_ORACLE)
+        .filter(F.col("bucket") != "unscored")
+        .select("doc_id", F.col("bucket").alias("b_approx"))
+    )
+    j = exact.join(approx, "doc_id")
+    n = j.count()
+    assert n > 0
+    agree = j.filter(F.col("b_exact") == F.col("b_approx")).count()
+    assert agree / n >= 0.9, f"{agree}/{n}"
+    rank = F.when(F.col("b_exact") == "head", 0).when(
+        F.col("b_exact") == "middle", 1
+    ).otherwise(2)
+    rank_a = F.when(F.col("b_approx") == "head", 0).when(
+        F.col("b_approx") == "middle", 1
+    ).otherwise(2)
+    assert j.filter(F.abs(rank - rank_a) > 1).count() == 0
