@@ -1,0 +1,220 @@
+"""Product/event analytics over the events stream: conversion funnels,
+cohort retention, and calendar gap-fill — the query family an analytics
+engine must answer once events land in the warehouse (the reference's
+match-event firehose, `extractor/riot/tasks.py`, is exactly this shape:
+a (ts, user, type, value) stream the downstream team slices by journey).
+
+Scale notes (100 TB):
+- Every operator here shuffles on ``user_id`` exactly once for the
+  per-user pass; follow-up aggregations group on low-cardinality keys
+  (stage, cohort day, calendar day) whose partial aggregation collapses
+  map-side. No joins against the raw stream except the gap-fill
+  calendar join, which joins a per-(user, day) rollup — already reduced
+  by orders of magnitude — not raw events.
+- The funnel is window-stacked, not self-joined: the classic 3-way
+  self-join funnel materializes |events|^3 candidates on hot users;
+  stacked conditional MIN windows over one user-partitioned sort keep
+  it linear with a single exchange.
+- Retention counts distinct users per (cohort, offset) — at 100 TB
+  swap ``countDistinct`` for ``approx_count_distinct`` (the
+  q_approx_distinct pattern) to avoid the per-key distinct shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(df: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k when they have an
+    event of type ``stages[k]`` at-or-after their stage-(k-1) timestamp
+    (first-touch semantics: the cascade anchors on the EARLIEST
+    qualifying timestamp per stage, the standard product-analytics
+    definition).
+
+    One exchange: every stage timestamp is a conditional MIN window over
+    the same ``user_id`` partitioning; Spark plans the stacked windows in
+    a single Window node chain after one hash exchange — no self-joins,
+    no row multiplication on hot users.
+    """
+    w = Window.partitionBy("user_id")
+    out = df
+    prev: F.Column | None = None
+    for i, stage in enumerate(stages):
+        cond = F.col("event_type") == stage
+        if prev is not None:
+            cond = cond & (F.col("ts") >= prev)
+        out = out.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = F.col(f"_t{i}")
+    aggs = [
+        F.count_distinct(
+            F.when(F.col(f"_t{i}").isNotNull(), F.col("user_id"))
+        ).alias(f"_n{i}")
+        for i in range(len(stages))
+    ]
+    counts = out.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            F.col(f"_n{i}").alias("n_users"),
+            F.round(F.col(f"_n{i}") / F.col("_n0"), 6).alias("conversion"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH anchored AS (
+    SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+    FROM events
+), a2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+    FROM anchored
+), a3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+    FROM a2
+), c AS (
+    SELECT COUNT(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS n0,
+        COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n1,
+        COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2
+    FROM a3
+)
+SELECT stage_no, stage, n_users, ROUND(n_users / (SELECT n0 FROM c), 6) AS conversion
+FROM (
+    SELECT 1 AS stage_no, 'view' AS stage, n0 AS n_users FROM c
+    UNION ALL SELECT 2, 'click', n1 FROM c
+    UNION ALL SELECT 3, 'purchase', n2 FROM c
+)""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel, first-touch anchored.
+    See ``funnel`` for the single-exchange window-cascade plan shape."""
+    return funnel(_events(spark, sf_dir))
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, ts,
+        MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS cohort_day
+    FROM events
+)
+SELECT cohort_day,
+    CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS INTEGER)
+        AS day_offset,
+    COUNT(DISTINCT user_id) AS n_users
+FROM firsts
+GROUP BY 1, 2""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day; each
+    later active day contributes to (cohort_day, day_offset). The
+    first-seen timestamp is a MIN window over the same user_id exchange
+    the final aggregation reuses (cohort/offset keys are low-cardinality,
+    so the second shuffle moves partial counts only).
+
+    100 TB: countDistinct per (cohort, offset) is the one heavy reducer —
+    the sketch swap (approx_count_distinct / HLL rollup, q_hll_rollup)
+    makes the triangle incrementally maintainable per day.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    cohort = F.min(F.date_trunc("day", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("cohort_day", cohort)
+        .select(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            ).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+        COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+    SELECT s.user_id, u.d AS day
+    FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL '1 day')) AS u(d)
+)
+SELECT c.user_id, c.day,
+    COALESCE(d.n_events, 0) AS n_events,
+    LAST_VALUE(d.avg_value IGNORE NULLS) OVER (
+        PARTITION BY c.user_id ORDER BY c.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill (the hypertable/timeseries
+    resample pattern): densify each user's daily activity over their own
+    [first, last] day span, zero-filling event counts and carrying the
+    last observed daily average forward.
+
+    Plan: raw events reduce to a per-(user, day) rollup FIRST (one
+    exchange, map-side partial agg); the generated calendar explodes from
+    the tiny per-user span table and joins the rollup — both sides
+    already hash-partitioned on user_id, so AQE plans a co-located join
+    of two reduced relations, never touching raw events again. The
+    forward-fill window rides the same user_id partitioning.
+    """
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(fill_w).alias("filled_value"),
+        )
+    )

@@ -44,9 +44,11 @@ def _load_operator_modules() -> None:
         advanced,
         asof,
         dedup,
+        events_analytics,
         functions_ext,
         match_pipeline,
         multimodal,
+        privacy,
         relational,
         relational_ext,
         similarity,

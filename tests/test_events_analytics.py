@@ -1,0 +1,110 @@
+"""Invariant tests for the events-analytics family (funnel, retention,
+gap-fill) and the PII scrubber — properties the DuckDB oracles can't
+express (monotonicity, contiguity, idempotence) plus plan-shape checks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aram_matchdata_etl_spark.operators.events_analytics import funnel
+from aram_matchdata_etl_spark.operators.privacy import pii_redact
+from aram_matchdata_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    rows = funnel(load_table(spark, SF, "events")).orderBy("stage_no").collect()
+    assert [r["stage"] for r in rows] == ["view", "click", "purchase"]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conversion"] == 1.0
+    assert all(0.0 <= r["conversion"] <= 1.0 for r in rows)
+
+
+def test_funnel_single_user_exchange_no_join(spark):
+    """The window-cascade funnel must not degrade into self-joins: one
+    hashpartitioning(user_id) exchange feeds every stage window."""
+    plan = funnel(load_table(spark, SF, "events"))._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """A user whose only click precedes every view must not convert."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "click", 0.0, "{}"),
+            (2, "2024-01-01 01:00:00", 10, "view", 0.0, "{}"),
+            (3, "2024-01-01 00:00:00", 20, "view", 0.0, "{}"),
+            (4, "2024-01-01 01:00:00", 20, "click", 0.0, "{}"),
+            (5, "2024-01-01 02:00:00", 20, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r["stage"]: r["n_users"] for r in funnel(ev).collect()}
+    assert rows == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_retention_day_zero_equals_cohort_size(spark):
+    """Every cohort is fully retained at offset 0, and no offset exceeds
+    its cohort's day-0 count."""
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        q_retention_cohorts,
+    )
+
+    pdf = q_retention_cohorts(spark, SF).toPandas()
+    day0 = pdf[pdf.day_offset == 0].set_index("cohort_day").n_users
+    for cohort, grp in pdf.groupby("cohort_day"):
+        assert (grp.n_users <= day0[cohort]).all()
+        assert (grp.day_offset >= 0).all()
+
+
+def test_gap_fill_contiguous_and_zero_filled(spark):
+    from aram_matchdata_etl_spark.operators.events_analytics import q_gap_fill
+
+    pdf = q_gap_fill(spark, SF).toPandas().sort_values(["user_id", "day"])
+    for _, grp in pdf.groupby("user_id"):
+        deltas = grp.day.diff().dropna().dt.days
+        assert (deltas == 1).all(), "calendar must be gapless per user"
+        # forward fill: once a value is seen it never goes null again
+        assert not grp.filled_value.isna().iloc[0]
+        seen = grp.filled_value.notna().cummax()
+        assert (grp.filled_value.notna() | ~seen).all()
+    # gap rows exist in the fixture and carry n_events == 0
+    assert (pdf.n_events == 0).any() or len(pdf) == pdf.n_events.astype(bool).sum()
+
+
+def test_pii_redact_unit(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@foo-bar.org or 555-1234"),
+            (2, "server 192.168.0.1 logged 555-0000 twice: 555-0000"),
+            (3, "clean text, no pii; 5551234 and 1.2.3 are not matches"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "@" not in out[1]["text_redacted"]
+    assert out[2]["n_ips"] == 1 and out[2]["n_phones"] == 2
+    assert out[2]["text_redacted"].count("<PHONE>") == 2
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ips"] == 0
+    assert out[3]["text_redacted"] == out[3]["text"]
+
+
+def test_pii_redact_idempotent(spark):
+    """Redacting already-redacted text is a no-op — placeholders never
+    re-match any pattern."""
+    df = spark.createDataFrame(
+        [(1, "x@y.com at 10.0.0.1 call 555-9999")], "doc_id long, text string"
+    )
+    once = pii_redact(df).select(
+        F.col("doc_id"), F.col("text_redacted").alias("text")
+    )
+    twice = pii_redact(once).collect()[0]
+    assert twice["text_redacted"] == twice["text"]
+    assert twice["n_emails"] == twice["n_phones"] == twice["n_ips"] == 0
