@@ -1,0 +1,156 @@
+"""Link-graph analytics: PageRank over a document link graph — the
+corpus-curation signal web-scale training pipelines use for quality
+weighting (a page's rank feeds sampling weights; see e.g. the
+CommonCrawl curation literature). Complements the two connected-
+components algorithms in `dedup.py`: CC answers "which docs are the
+same", PageRank answers "which docs matter".
+
+The fixture corpus has no hyperlinks, so ``link_graph`` synthesizes a
+deterministic directed graph from doc_id hashes (every doc emits
+OUT_LINKS edges to xxhash-derived targets, kept only if the target
+exists — so the graph has dangling nodes, asymmetric in/out degrees,
+and hash-random hub structure). The PageRank kernel itself is
+input-agnostic: point ``pagerank`` at any (src, dst) edge relation.
+
+Scale notes (100 TB / billions of edges):
+- Per iteration: one join (edges × ranks, both hash-partitioned on the
+  join key at session parallelism) + one groupBy(dst) with map-side
+  partial sums. Contribution rows are (dst, double) — 16 bytes —
+  regardless of document size; bodies never enter the loop.
+- Out-degrees are computed ONCE before the loop and folded into the
+  edge relation (edge weight = 1/out_degree), so the loop never
+  re-aggregates the edge list.
+- localCheckpoint per round cuts lineage (round N's plan must not
+  replay rounds 0..N-1); superseded checkpoints are freed eagerly —
+  the exact hygiene the CC loop measured as necessary (dedup.py).
+- The only driver-side values are two scalars per round: the dangling
+  mass (needed by the PageRank recurrence itself) and the L1 delta for
+  convergence — same cost class as CC's per-round changed-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+from .dedup import _free_checkpoint
+
+OUT_LINKS = 3
+DAMPING = 0.85
+PR_ROUNDS = 15
+
+PR_TELEMETRY: dict = {}
+
+
+def link_graph(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic (src, dst) link relation: each doc emits
+    OUT_LINKS candidate targets hashed from (doc_id, slot), kept if the
+    target id exists in the corpus (left-semi — no row duplication) and
+    is not a self-link. Modulo folds the hash into the observed id range
+    without a driver-side max(): ids are joined back against the real
+    universe, so out-of-range candidates simply drop out."""
+    cand = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[F.xxhash64("doc_id", F.lit(i)) for i in range(OUT_LINKS)])
+        ).alias("h"),
+    )
+    # fold the hash into the corpus id range without a driver-side max():
+    # the corpus count arrives as a broadcast single-row frame, and the
+    # semi-join against the real universe enforces existence even where
+    # ids are not dense
+    universe = docs.select(F.col("doc_id").alias("dst"))
+    counts = docs.agg(F.count("*").alias("n"))
+    edges = (
+        cand.crossJoin(F.broadcast(counts))
+        .select("src", F.pmod(F.col("h"), F.col("n")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .join(F.broadcast(universe), "dst", "left_semi")
+        .distinct()
+    )
+    return edges.select("src", "dst")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = PR_ROUNDS,
+    damping: float = DAMPING,
+    tol: float = 1e-9,
+    tag: str = "default",
+) -> DataFrame:
+    """Power-iteration PageRank with proper dangling-mass redistribution:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/deg(u) + dangling/N)
+
+    ``nodes`` must have a ``doc_id`` column; ``edges`` (src, dst). Ranks
+    sum to exactly 1 every round (dangling nodes donate their mass to the
+    uniform term instead of leaking it). Stops early when the L1 delta
+    falls under ``tol``.
+    """
+    telemetry: dict = {"rounds": 0, "l1_per_round": []}
+    PR_TELEMETRY[tag] = telemetry
+    n_nodes = nodes.count()  # one scalar, loop-invariant
+    if n_nodes == 0:
+        return nodes.select("doc_id", F.lit(0.0).alias("rank"))
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # weight folded into the edge ONCE: the loop joins, never re-counts
+    wedges = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    telemetry["edge_partitions"] = wedges.rdd.getNumPartitions()
+
+    ranks = nodes.select(
+        F.col("doc_id"), F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    prev_ckpt = ranks
+    for _ in range(rounds):
+        # dangling mass: rank parked on nodes with no out-edges
+        dangling = (
+            ranks.join(deg, ranks.doc_id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            wedges.join(ranks, wedges.src == ranks.doc_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        merged = (
+            ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                F.col("rank").alias("old_rank"),
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        l1 = merged.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).first()[0]
+        telemetry["rounds"] += 1
+        telemetry["l1_per_round"].append(l1)
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = merged
+        ranks = merged.select("doc_id", "rank")
+        if l1 < tol:
+            break
+    _free_checkpoint(wedges)
+    return ranks
+
+
+@query("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic doc link graph. Iterative — not
+    SQL-expressible (rows-only driver check); the hard correctness signal
+    is the numpy power-iteration differential in
+    tests/test_graph.py (same edges, |diff| < 1e-9 per node) plus the
+    mass-conservation invariant (ranks sum to 1 every round)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = pagerank(docs, link_graph(docs), tag="q_pagerank")
+    return ranks.select("doc_id", F.round("rank", 9).alias("rank"))

@@ -1,0 +1,179 @@
+"""Web-curation operators: URL canonicalization and per-domain corpus
+stats — the C4/RefinedWeb front-door passes (URL-level dedup needs
+canonical URLs; domain-level filtering/blocklists need a registered-
+domain rollup). The fixture corpus carries no URLs, so the queries
+synthesize one deterministically per document (mixed-case host, utm
+tracking params, fragments — the mess canonicalization exists for) and
+the oracle re-derives the same construction, cross-checking the whole
+string pipeline.
+
+Scale notes (100 TB): canonicalization is pure per-row codegen
+(regexp_extract + higher-order array filter — no UDFs, no shuffle);
+the domain rollup is one groupBy on a low-cardinality key with
+map-side partial aggregation. Blocklist filtering composes as a
+broadcast left-anti join against the domain column (see
+q_domain_stats' blocked flag for the in-row variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# RE2 / Java-regex common subset
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY = r"\?([^#]*)"
+
+BLOCKLIST = ("src3.example.com", "src7.example.com")
+
+
+def _synth_url() -> Column:
+    """Deterministic messy URL per doc: host case noise, tracking params
+    interleaved with real ones, fragments."""
+    d = F.col("doc_id")
+    q = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), d.cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), d.cast("string"), F.lit("&utm_campaign=x")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 4 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM/path/"),
+        d.cast("string"),
+        q,
+        frag,
+    )
+
+
+_SYNTH_URL_SQL = """'HTTPS://' || source || '.Example.COM/path/' || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+                ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"""
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, path preserved, fragment
+    dropped, ``utm_*`` tracking params stripped (other params kept in
+    order), no dangling '?'. Pure codegen — composes into any scan."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
+    host = F.lower(F.regexp_extract(url, _HOST, 1))
+    path = F.regexp_extract(url, _PATH, 1)
+    qs = F.regexp_extract(url, _QUERY, 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two host labels (example.com) — the eTLD+1 approximation the
+    fixture needs; a real pipeline swaps in the public-suffix list."""
+    host = F.lower(F.regexp_extract(url, _HOST, 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))).otherwise(host)
+
+
+_CANON_SQL = """lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+    || lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+    || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+    || CASE WHEN len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+            THEN '?' || list_aggregate(
+                list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_')), 'string_agg', '&')
+            ELSE '' END"""
+
+_HOST_SQL = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+
+
+@query(
+    "q_url_normalize",
+    oracle=f"""
+WITH raw AS (
+    SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+)
+SELECT doc_id, url AS raw_url,
+    {_CANON_SQL} AS canonical_url,
+    CASE WHEN len(string_split({_HOST_SQL}, '.')) >= 2
+         THEN array_to_string(string_split({_HOST_SQL}, '.')[-2:], '.')
+         ELSE {_HOST_SQL} END AS domain
+FROM raw""",
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: scheme/host case-folded, fragment dropped,
+    utm_* params stripped, real params preserved in order — the key an
+    URL-level dedup groups on."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "source", _synth_url().alias("url"))
+    return raw.select(
+        "doc_id",
+        F.col("url").alias("raw_url"),
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+@query(
+    "q_domain_stats",
+    oracle=f"""
+WITH raw AS (
+    SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents
+), parsed AS (
+    SELECT doc_id, n_chars,
+        CASE WHEN len(string_split({_HOST_SQL}, '.')) >= 2
+             THEN array_to_string(string_split({_HOST_SQL}, '.')[-2:], '.')
+             ELSE {_HOST_SQL} END AS domain,
+        {_HOST_SQL} AS host
+    FROM raw
+)
+SELECT host, domain,
+    host IN ('src3.example.com', 'src7.example.com') AS blocked,
+    COUNT(*) AS n_docs,
+    SUM(n_chars) AS total_chars,
+    ROUND(AVG(n_chars), 6) AS avg_chars
+FROM parsed
+GROUP BY host, domain""",
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus rollup with blocklist flag — the aggregate a
+    domain-level quality filter consumes. The blocklist is an in-row
+    membership test here (tiny literal set); a big blocklist becomes a
+    broadcast anti-join on the same column."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "n_chars", "source", _synth_url().alias("url"))
+    host = F.lower(F.regexp_extract(F.col("url"), _HOST, 1))
+    parsed = raw.select(
+        "doc_id",
+        "n_chars",
+        host.alias("host"),
+        registered_domain(F.col("url")).alias("domain"),
+    )
+    return (
+        parsed.groupBy("host", "domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            "host",
+            "domain",
+            F.col("host").isin(*BLOCKLIST).alias("blocked"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )

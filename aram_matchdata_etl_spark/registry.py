@@ -46,6 +46,7 @@ def _load_operator_modules() -> None:
         dedup,
         events_analytics,
         functions_ext,
+        graph,
         match_pipeline,
         multimodal,
         privacy,
@@ -56,6 +57,7 @@ def _load_operator_modules() -> None:
         text,
         tpch,
         training,
+        web,
     )
 
 

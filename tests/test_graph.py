@@ -1,0 +1,92 @@
+"""PageRank correctness: numpy power-iteration differential on the same
+edge list (the hard signal for this rows-only query), mass conservation,
+and loop-hygiene telemetry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aram_matchdata_etl_spark.operators.graph import (
+    DAMPING,
+    PR_TELEMETRY,
+    link_graph,
+    pagerank,
+)
+from aram_matchdata_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_pagerank(node_ids, edge_list, rounds, damping):
+    idx = {n: i for i, n in enumerate(node_ids)}
+    n = len(node_ids)
+    out_deg = np.zeros(n)
+    for s, _ in edge_list:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        dangling = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, d in edge_list:
+            contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.abs(new - r).sum() < 1e-9:
+            r = new
+            break
+        r = new
+    return {node: r[idx[node]] for node in node_ids}
+
+
+def test_pagerank_matches_numpy(spark):
+    docs = load_table(spark, SF, "documents")
+    edges_df = link_graph(docs)
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    nodes = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert len(edges) > len(nodes), "hash graph should be link-dense"
+
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(docs, edges_df, tag="test").collect()
+    }
+    want = _numpy_pagerank(nodes, edges, rounds=15, damping=DAMPING)
+    assert set(got) == set(want)
+    diffs = [abs(got[n] - want[n]) for n in nodes]
+    assert max(diffs) < 1e-9
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    docs = load_table(spark, SF, "documents")
+    ranks = pagerank(docs, link_graph(docs), tag="mass").toPandas()
+    assert abs(ranks["rank"].sum() - 1.0) < 1e-9
+    assert (ranks["rank"] > 0).all()
+    tel = PR_TELEMETRY["mass"]
+    assert tel["rounds"] >= 1
+    # L1 delta must shrink monotonically-ish (power iteration contracts)
+    l1 = tel["l1_per_round"]
+    assert l1[-1] < l1[0]
+
+
+def test_pagerank_dangling_nodes_keep_base_rank(spark):
+    """A 2-node graph a->b: b is a sink; its mass recycles uniformly.
+    Closed form fixed point (with dangling redistribution):
+      ra = (1-d)/2 + d*rb/2,  rb = (1-d)/2 + d*(ra + rb/2)."""
+    nodes = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank(nodes, edges, rounds=60).collect()}
+    d = DAMPING
+    # solve the 2x2 system
+    a = np.array([[1, -d / 2], [-d, 1 - d / 2]])
+    b = np.array([(1 - d) / 2, (1 - d) / 2])
+    ra, rb = np.linalg.solve(a, b)
+    assert abs(got[0] - ra) < 1e-6 and abs(got[1] - rb) < 1e-6
+    assert abs(got[0] + got[1] - 1.0) < 1e-9
+
+
+def test_link_graph_deterministic_and_valid(spark):
+    docs = load_table(spark, SF, "documents")
+    e1 = sorted(map(tuple, link_graph(docs).collect()))
+    e2 = sorted(map(tuple, link_graph(docs).collect()))
+    assert e1 == e2
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all(s in ids and d in ids and s != d for s, d in e1)
