@@ -47,6 +47,7 @@ def _load_operator_modules() -> None:
         events_analytics,
         functions_ext,
         graph,
+        layout,
         match_pipeline,
         multimodal,
         privacy,

@@ -60,6 +60,15 @@ HEADLINE = [
     "q_pretrain_pipeline",
     "q_temperature_mix",
     "q_interval_join_binned",
+    # events analytics: window-cascade funnel + calendar gap-fill (the
+    # timeseries resample shape), and the PII scrub (pure-codegen regex)
+    "q_funnel",
+    "q_gap_fill",
+    "q_pii_redact",
+    # iterative link-graph analytics (PageRank power iteration: per-round
+    # join + partial agg with checkpoint hygiene — the second iterative
+    # family beside CC)
+    "q_pagerank",
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here
     "q_group_normalize",
