@@ -218,3 +218,62 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(fill_w).alias("filled_value"),
         )
     )
+
+
+ZSCORE_LOOKBACK = 20
+ZSCORE_THRESHOLD = 3.0
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=f"""
+WITH scored AS (
+    SELECT event_id, user_id, ts, value,
+        AVG(value) OVER w AS mu,
+        STDDEV(value) OVER w AS sigma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+    CASE WHEN sigma IS NOT NULL AND sigma > 0
+         THEN ROUND((value - mu) / sigma, 4) END AS zscore,
+    COALESCE(sigma IS NOT NULL AND sigma > 0
+             AND ABS((value - mu) / sigma) > {ZSCORE_THRESHOLD}, FALSE)
+        AS is_anomaly
+FROM scored""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flagging: each event scored against the
+    trailing ZSCORE_LOOKBACK-event mean/stddev of ITS OWN user (the frame
+    ends at 1 PRECEDING so the current value never contaminates its own
+    baseline). One user_id exchange; the rolling moments are streaming
+    window aggregates over the per-user sort — no self-joins, no state
+    beyond the frame. The streaming twin of this shape is an
+    applyInPandasWithState keyed on user_id carrying (count, sum, sumsq).
+
+    Events with fewer than 2 prior observations (sigma undefined) or a
+    flat baseline (sigma == 0) get a NULL zscore and are never flagged.
+    """
+    return anomaly_zscore(_events(spark, sf_dir))
+
+
+def anomaly_zscore(ev: DataFrame) -> DataFrame:
+    """Reusable kernel behind q_anomaly_zscore; see its docstring."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    mu = F.avg("value").over(w)
+    sigma = F.stddev("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    ok = sigma.isNotNull() & (sigma > 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.coalesce(
+            ok & (F.abs(z) > ZSCORE_THRESHOLD), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -48,6 +48,7 @@ def _load_operator_modules() -> None:
         functions_ext,
         graph,
         layout,
+        linkage,
         match_pipeline,
         multimodal,
         privacy,

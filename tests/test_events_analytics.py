@@ -108,3 +108,42 @@ def test_pii_redact_idempotent(spark):
     twice = pii_redact(once).collect()[0]
     assert twice["text_redacted"] == twice["text"]
     assert twice["n_emails"] == twice["n_phones"] == twice["n_ips"] == 0
+
+
+def test_anomaly_zscore_invariants(spark):
+    """Injected spike is flagged; early events (thin baseline) never are."""
+    rows = []
+    for i in range(30):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "view", 10.0 + (i % 3) * 0.5, "{}"))
+    rows.append((99, "2024-01-01 00:59:00", 1, "view", 1000.0, "{}"))  # spike
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from aram_matchdata_etl_spark.operators.events_analytics import anomaly_zscore
+
+    res = {r["event_id"]: r for r in anomaly_zscore(ev).collect()}
+    assert res[99]["is_anomaly"] is True
+    assert res[0]["zscore"] is None and res[0]["is_anomaly"] is False
+    assert res[1]["zscore"] is None  # single prior row: stddev undefined
+    normal = [res[i]["is_anomaly"] for i in range(5, 30)]
+    assert not any(normal)
+
+
+def test_fuzzy_match_blocking_and_symmetry(spark):
+    """Blocked fuzzy matching: pairs only within a block, ordered, within
+    the distance cap — and blocking loses nothing the cap would keep
+    (on this fixture the block token differs => distance > cap)."""
+    from aram_matchdata_etl_spark.operators.linkage import (
+        MAX_EDIT_DISTANCE,
+        q_fuzzy_match,
+    )
+
+    pdf = q_fuzzy_match(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.dist <= MAX_EDIT_DISTANCE).all()
+    assert (pdf.name_a < pdf.name_b).all()
+    # same block == same last token
+    assert all(
+        a.split()[-1] == b.split()[-1] for a, b in zip(pdf.name_a, pdf.name_b)
+    )
