@@ -103,23 +103,31 @@ def pagerank(
     ).localCheckpoint()
     telemetry["edge_partitions"] = wedges.rdd.getNumPartitions()
 
+    # dangling membership is a FIXED set — flag it once so the per-round
+    # dangling mass folds into the same aggregation as the L1 delta
+    # (2 jobs/round: checkpoint + one agg; a separate anti-join scan per
+    # round measured ~+50% wall on fixed-overhead-dominated rounds)
     ranks = nodes.select(
-        F.col("doc_id"), F.lit(1.0 / n_nodes).alias("rank")
+        F.col("doc_id"),
+        F.lit(1.0 / n_nodes).alias("rank"),
+    ).join(
+        deg.select(F.col("src").alias("doc_id"), F.lit(False).alias("dangling")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "rank", F.coalesce("dangling", F.lit(True)).alias("dangling")
     ).localCheckpoint()
+    dangling_mass = (
+        ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).first()[0] or 0.0
+    )
     prev_ckpt = ranks
     for _ in range(rounds):
-        # dangling mass: rank parked on nodes with no out-edges
-        dangling = (
-            ranks.join(deg, ranks.doc_id == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
         contribs = (
             wedges.join(ranks, wedges.src == ranks.doc_id)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         merged = (
             ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
             .select(
@@ -129,19 +137,23 @@ def pagerank(
                     F.lit(base)
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
+                "dangling",
             )
             .localCheckpoint()
         )
-        l1 = merged.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).first()[0]
+        l1, dangling_mass = merged.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+            F.coalesce(F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)),
+        ).first()
         telemetry["rounds"] += 1
         telemetry["l1_per_round"].append(l1)
         _free_checkpoint(prev_ckpt)
         prev_ckpt = merged
-        ranks = merged.select("doc_id", "rank")
+        ranks = merged.select("doc_id", "rank", "dangling")
         if l1 < tol:
             break
     _free_checkpoint(wedges)
-    return ranks
+    return ranks.select("doc_id", "rank")
 
 
 @query("q_pagerank")

@@ -145,3 +145,74 @@ def streaming_countmin(words_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming rolling z-score (the anomaly operator's stream twin) --------
+
+
+def zscore_tracker(lookback: int | None = None, threshold: float | None = None):
+    """applyInPandasWithState function for per-user rolling z-score: state
+    is the user's trailing ``lookback`` values (a bounded tail — the only
+    state the ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING frame ever
+    needs, so the state store stays O(keys * lookback) forever). Batch
+    rows are scored vectorized via pandas rolling over (carried tail ++
+    batch), then the tail is re-trimmed — no per-row Python.
+
+    Semantics mirror operators/events_analytics.py::anomaly_zscore
+    exactly: baseline excludes the current value (shift(1)), sigma is the
+    sample stddev (ddof=1 == Spark stddev), <2 prior values or a flat
+    baseline -> NULL zscore and never flagged."""
+    from ..operators.events_analytics import ZSCORE_LOOKBACK, ZSCORE_THRESHOLD
+
+    lb = lookback or ZSCORE_LOOKBACK
+    th = threshold or ZSCORE_THRESHOLD
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        tail = list(state.get[0]) if state.exists else []
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            combined = pd.Series(np.concatenate([np.asarray(tail, np.float64), vals]))
+            prev = combined.shift(1)
+            mu = prev.rolling(window=lb, min_periods=2).mean()
+            sd = prev.rolling(window=lb, min_periods=2).std()  # ddof=1
+            z = ((combined - mu) / sd).to_numpy()[len(tail):]
+            sd_b = sd.to_numpy()[len(tail):]
+            ok = np.isfinite(z) & (sd_b > 0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                        "user_id": np.full(len(pdf), int(user_id), dtype=np.int64),
+                        "zscore": np.where(ok, np.round(z, 4), np.nan),
+                        "is_anomaly": ok & (np.abs(z) > th),
+                    }
+                )
+            )
+            tail = combined.tolist()[-lb:]
+        state.update((tail,))
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=["event_id", "user_id", "zscore", "is_anomaly"])
+        )
+
+    return fn
+
+
+def streaming_zscore(stream: DataFrame) -> DataFrame:
+    """Per-user rolling z-score over an events stream — the stateful
+    streaming twin of q_anomaly_zscore."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        zscore_tracker(),
+        outputStructType="event_id long, user_id long, zscore double, is_anomaly boolean",
+        stateStructType="tail array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

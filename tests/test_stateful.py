@@ -114,3 +114,44 @@ def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
     assert sum(stream_cells.values()) == CM_DEPTH * n_tokens
     assert {s for s, _ in stream_cells} == set(range(CM_DEPTH))
     assert all(0 <= c < CM_WIDTH for _, c in stream_cells)
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Stream==batch parity for the rolling z-score: events split into 3
+    time-ordered files (3 micro-batches, so the per-user value tail
+    genuinely carries across triggers) must reproduce the batch
+    anomaly_zscore output — zscores within float-accumulation tolerance,
+    anomaly flags identical."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.events_analytics import anomaly_zscore
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.crawl import run_to_completion
+    from aram_matchdata_etl_spark.streaming.stateful import streaming_zscore
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_stream")
+    # time-sliced files: cross-trigger order preserves each user's event
+    # order (file source processes files in discovery order)
+    ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+    ev.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")).coalesce(
+        1
+    ).write.parquet(src + "/f=1")
+    ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/f=*")
+    )
+    run_to_completion(streaming_zscore(stream), query_name="zs_out", output_mode="append")
+    got = spark.table("zs_out").toPandas().set_index("event_id").sort_index()
+    want = anomaly_zscore(ev).toPandas().set_index("event_id").sort_index()
+
+    assert len(got) == len(want)
+    assert (got.is_anomaly == want.is_anomaly).all()
+    g, w = got.zscore.to_numpy(), want.zscore.to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan == (np.isnan(g) | np.isnan(w))).all()
+    assert np.nanmax(np.abs(np.where(both_nan, 0.0, g - w))) <= 2e-4
