@@ -605,3 +605,92 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOPK)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+# --- PMI collocations ------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+WITH ws AS (
+    SELECT string_split(text, ' ') AS w FROM documents
+), bigrams AS (
+    SELECT w[CAST(t.i AS INTEGER)] AS word_a,
+           w[CAST(t.i AS INTEGER) + 1] AS word_b
+    FROM ws, UNNEST(range(1, len(w))) AS t(i)
+), uni AS (
+    SELECT word, COUNT(*) AS c FROM (
+        SELECT unnest(w) AS word FROM ws
+    ) GROUP BY word
+), bg AS (
+    SELECT word_a, word_b, COUNT(*) AS c_ab FROM bigrams GROUP BY 1, 2
+), tot AS (
+    SELECT (SELECT SUM(c) FROM uni) AS n_words,
+           (SELECT SUM(c_ab) FROM bg) AS n_bigrams
+)
+SELECT word_a, word_b, c_ab,
+    ROUND(LN((c_ab / n_bigrams) / ((ua.c / n_words) * (ub.c / n_words))), 6)
+        AS pmi
+FROM bg
+JOIN uni ua ON bg.word_a = ua.word
+JOIN uni ub ON bg.word_b = ub.word
+CROSS JOIN tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, word_a, word_b
+LIMIT {PMI_TOPK}""",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    word pairs — the classic association-mining pass (Church & Hanks
+    1990) a corpus-analysis pipeline runs to find multi-word expressions
+    worth protecting from tokenization splits.
+
+    Plan shape (100 TB): bigrams explode in-row (no self-join — the pair
+    relation is adjacency, linear in corpus size); one shuffle counts
+    bigrams, one counts unigrams; the unigram frame joins back twice on
+    the word key (broadcastable while the vocabulary fits, shuffled
+    hash-join beyond); totals ride a broadcast single-row frame; the
+    final top-k is TakeOrderedAndProject, never a global sort. PMI is
+    ordered on its ROUNDED value with a lexicographic tie-break so the
+    cutoff is deterministic across engines."""
+    docs = with_words(_docs(spark, sf_dir))
+    words = F.col("words")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(words, 1, size(words) - 1),"
+                " (x, i) -> struct(x AS word_a, element_at(words, i + 2) AS word_b))"
+            )
+        ).alias("p")
+    ).select("p.word_a", "p.word_b")
+    uni = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = bigrams.groupBy("word_a", "word_b").agg(F.count("*").alias("c_ab"))
+    tot = uni.agg(F.sum("c").alias("n_words")).crossJoin(
+        bg.agg(F.sum("c_ab").alias("n_bigrams"))
+    )
+    ua = uni.select(F.col("word").alias("word_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("word_b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bigrams"))
+            / ((F.col("ca") / F.col("n_words")) * (F.col("cb") / F.col("n_words")))
+        ),
+        6,
+    )
+    return (
+        bg.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(ua, "word_a")
+        .join(ub, "word_b")
+        .crossJoin(F.broadcast(tot))
+        .select("word_a", "word_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "word_a", "word_b")
+        .limit(PMI_TOPK)
+    )

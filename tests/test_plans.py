@@ -237,3 +237,20 @@ def test_dsir_resample_plans_take_ordered(spark):
     plan = _plan(spark, "q_dsir_resample")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_collocations_take_ordered_no_cartesian(spark):
+    """PMI top-k: bigram generation is in-row (no self-join), the final
+    cutoff plans TakeOrderedAndProject, and the only cross join is the
+    broadcast single-row totals frame."""
+    plan = _plan(spark, "q_collocations")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_plan_single_user_exchange(spark):
+    """Registry-level twin of the unit plan test: the funnel must keep
+    exactly one user_id exchange and no joins."""
+    plan = _plan(spark, "q_funnel")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
