@@ -6,6 +6,11 @@ silver layer carries only numeric per-participant aggregates
 (transformer/ranking/feature_factory.py), so redaction-before-export is
 the same contract expressed at corpus scale.
 
+Supersedes the minimal q_redact scrub in operators/training.py (which
+stays registered as the earlier two-pattern form): this module adds the
+IP class, a composable ``pii_redact(df)`` operator (counts + redacted
+column in one pass), pattern-ordering guarantees, and idempotence.
+
 The synthetic fixture text contains no PII, so — like q_dead_letter's
 corrupt-payload synthesis — the query INJECTS deterministic PII spans
 keyed on doc_id, then detects and redacts them. The oracle derives the
