@@ -139,7 +139,10 @@ def pagerank(
                 ).alias("rank"),
                 "dangling",
             )
-            .localCheckpoint()
+            # lazy checkpoint: the agg below materializes the blocks in
+            # the SAME job (eager=True would spend a separate job per
+            # round just to write them — measured ~2x total jobs)
+            .localCheckpoint(eager=False)
         )
         l1, dangling_mass = merged.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))),

@@ -17,7 +17,7 @@ q_domain_stats' blocked flag for the in-row variant).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -176,4 +176,75 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
             "avg_chars",
         )
+    )
+
+
+def _curation_oracle() -> str:
+    from .privacy import EMAIL_RE, IP_RE, PHONE_RE
+    from .text import QUALITY_EXPR_SQL
+
+    return f"""
+WITH raw AS (
+    SELECT doc_id, text, source, {_SYNTH_URL_SQL} AS url FROM documents
+), unblocked AS (
+    SELECT doc_id, text, source FROM raw
+    WHERE {_HOST_SQL} NOT IN ('src3.example.com', 'src7.example.com')
+), deduped AS (
+    SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM unblocked
+    ) WHERE rn = 1
+), gated AS (
+    SELECT doc_id, text, source,
+        ROUND({QUALITY_EXPR_SQL}, 6) AS quality
+    FROM deduped
+    WHERE {QUALITY_EXPR_SQL} >= 0.5
+)
+SELECT doc_id, source, quality,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g'),
+        '{IP_RE}', '<IP>', 'g')) AS clean_fp
+FROM gated"""
+
+
+@query("q_web_curation_pipeline", oracle=_curation_oracle())
+def q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-curation composition — the front half of a C4/
+    RefinedWeb-style pipeline fused into ONE Spark plan: domain
+    blocklist filter -> exact content dedup (keep lowest doc_id per
+    md5 fingerprint) -> quality gate (>= 0.5) -> PII scrub -> token
+    count + clean-text fingerprint.
+
+    Plan shape (pinned in test_plans): the blocklist gate and both
+    quality/scrub stages are narrow codegen; the ONLY exchange is the
+    dedup window's hash partition on the 16-byte fingerprint. No joins,
+    no second corpus scan — stage fusion is the point: at 100 TB this
+    runs as scan -> filter -> one shuffle -> filter -> project."""
+    from .privacy import pii_redact
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.lower(F.regexp_extract(_synth_url(), _HOST, 1))
+    unblocked = docs.filter(~host.isin(*BLOCKLIST)).select("doc_id", "text", "source")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        unblocked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    words = F.split(F.col("text"), " ")
+    quality = quality_score_col(words)
+    gated = deduped.filter(quality >= 0.5).withColumn(
+        "quality", F.round(quality, 6)
+    )
+    red = pii_redact(gated)
+    return red.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("text_redacted")).alias("clean_fp"),
     )

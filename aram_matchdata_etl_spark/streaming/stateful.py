@@ -216,3 +216,79 @@ def streaming_zscore(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming conversion funnel (events_analytics.funnel's stream twin) ---
+
+FUNNEL_STAGES_STREAM = ("view", "click", "purchase")
+
+
+def funnel_tracker(stages: tuple[str, ...] = FUNNEL_STAGES_STREAM):
+    """applyInPandasWithState function for the first-touch funnel: state
+    is one epoch-micros timestamp per stage (O(stages) per user,
+    forever). Stage k's timestamp is the earliest event of type
+    ``stages[k]`` at-or-after the stage-(k-1) timestamp — identical to
+    the batch window cascade PROVIDED each user's events arrive in
+    event-time order across triggers (the file-source tests deliver
+    time-sliced batches; a production topology gets this from a
+    watermark + sorted state flush, or accepts first-touch drift).
+
+    Batch update is vectorized: per stage, one boolean mask + min over
+    the batch — no per-row Python.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n = len(stages)
+        # -1 is the stored "unreached" sentinel (state struct fields are
+        # long; None round-trips are avoided deliberately)
+        ts_state = (
+            [v if v >= 0 else None for v in state.get] if state.exists else [None] * n
+        )
+        for pdf in pdfs:
+            et = pdf["event_type"].to_numpy()
+            tsv = pdf["ts"].astype("int64").to_numpy()  # epoch nanos
+            prev: int | None = 0  # stage -1 anchor: beginning of time
+            for k, stage in enumerate(stages):
+                if ts_state[k] is not None:
+                    # monotone event time: an already-anchored stage can
+                    # only have been anchored by an earlier-or-equal ts
+                    prev = ts_state[k]
+                    continue
+                if prev is None:
+                    break  # upstream stage unreached: nothing below fires
+                mask = (et == stage) & (tsv >= prev)
+                if mask.any():
+                    ts_state[k] = int(tsv[mask].min())
+                prev = ts_state[k]
+        state.update(tuple(v if v is not None else -1 for v in ts_state))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                **{
+                    f"t{k}": [float(ts_state[k]) if ts_state[k] is not None else np.nan]
+                    for k in range(n)
+                },
+            }
+        )
+
+    return fn
+
+
+def streaming_funnel(stream: DataFrame) -> DataFrame:
+    """First-touch funnel state per user over an events stream — the
+    stateful streaming twin of operators/events_analytics.py::funnel.
+    Emits each user's per-stage anchor timestamps (epoch nanos as
+    double, NaN = unreached) every trigger; the latest emission per
+    user is the live funnel, aggregable to stage counts at any time."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        funnel_tracker(),
+        outputStructType="user_id long, t0 double, t1 double, t2 double",
+        stateStructType="t0 long, t1 long, t2 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

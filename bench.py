@@ -65,6 +65,12 @@ HEADLINE = [
     "q_funnel",
     "q_gap_fill",
     "q_pii_redact",
+    "q_anomaly_zscore",
+    # fused curation composition (blocklist -> dedup -> quality -> scrub)
+    "q_web_curation_pipeline",
+    # corpus association mining + layout profile
+    "q_collocations",
+    "q_zorder_layout",
     # iterative link-graph analytics (PageRank power iteration: per-round
     # join + partial agg with checkpoint hygiene — the second iterative
     # family beside CC)

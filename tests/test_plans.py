@@ -254,3 +254,13 @@ def test_funnel_plan_single_user_exchange(spark):
     plan = _plan(spark, "q_funnel")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_web_curation_pipeline_single_exchange_no_join(spark):
+    """The fused curation pipeline must stay one plan: narrow gates
+    around ONE fingerprint exchange (the dedup window), zero joins,
+    zero extra corpus scans."""
+    plan = _plan(spark, "q_web_curation_pipeline")
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan

@@ -155,3 +155,46 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     both_nan = np.isnan(g) & np.isnan(w)
     assert (both_nan == (np.isnan(g) | np.isnan(w))).all()
     assert np.nanmax(np.abs(np.where(both_nan, 0.0, g - w))) <= 2e-4
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Stream==batch parity for the first-touch funnel: per-user stage
+    anchors accumulated across 3 time-ordered micro-batches must
+    aggregate to the same stage counts as the batch window cascade."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.events_analytics import funnel
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.crawl import run_to_completion
+    from aram_matchdata_etl_spark.streaming.stateful import streaming_funnel
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_funnel")
+    ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+    ev.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")).coalesce(
+        1
+    ).write.parquet(src + "/f=1")
+    ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+    )
+    run_to_completion(
+        streaming_funnel(stream), query_name="funnel_out", output_mode="update"
+    )
+    out = spark.table("funnel_out").toPandas()
+    # latest emission per user: anchors only ever fill in, so take the
+    # row with the most non-NaN anchors (ties identical)
+    out["filled"] = out[["t0", "t1", "t2"]].notna().sum(axis=1)
+    latest = out.sort_values("filled").groupby("user_id").tail(1)
+
+    stream_counts = [int(latest[c].notna().sum()) for c in ("t0", "t1", "t2")]
+    want = {
+        r["stage_no"]: r["n_users"] for r in funnel(ev).collect()
+    }
+    assert stream_counts == [want[1], want[2], want[3]]
+    # anchors must be non-decreasing across stages where present
+    anchored = latest.dropna(subset=["t2"])
+    assert (anchored.t0 <= anchored.t1).all() and (anchored.t1 <= anchored.t2).all()
