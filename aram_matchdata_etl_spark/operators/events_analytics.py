@@ -277,3 +277,106 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
             ok & (F.abs(z) > ZSCORE_THRESHOLD), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+@query("q_retention_approx")
+def q_retention_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_retention_cohorts: distinct users per
+    (cohort_day, day_offset) via HyperLogLog++ (approx_count_distinct,
+    rsd 2%) instead of an exact distinct — fixed memory per cell, no
+    per-key distinct shuffle, and the per-cell sketches stay mergeable
+    for incremental maintenance (same argument as q_hll_rollup).
+    No SQL oracle (engine-specific sketch); the correctness signal is
+    the cell-wise agreement test vs the exact triangle in
+    tests/test_events_analytics.py."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    cohort = F.min(F.date_trunc("day", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("cohort_day", cohort)
+        .select(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            ).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+    )
+
+
+DECAY_TAU_HOURS = 48.0
+
+
+@query(
+    "q_trending_decay",
+    oracle=f"""
+WITH anchor AS (
+    SELECT MAX(ts) AS now FROM events
+)
+SELECT event_type,
+    ROUND(SUM(value * EXP(-(epoch_us(now) - epoch_us(ts))
+                          / ({DECAY_TAU_HOURS} * 3600.0 * 1000000))), 6)
+        AS decayed_mass,
+    COUNT(*) AS n_events
+FROM events CROSS JOIN anchor
+GROUP BY event_type""",
+)
+def q_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event mass per type — the 'trending'
+    score every feed/leaderboard pipeline maintains (half-life ~33 h at
+    tau=48 h). Anchored on max(ts) so the query is deterministic (no
+    wall clock). One groupBy with map-side partial sums; the anchor is a
+    broadcast single-row frame. Incremental form: decayed mass at t2 =
+    mass(t1) * exp(-(t2-t1)/tau) + new events — the same mergeability
+    story as the sketches."""
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("now"))
+    # microsecond-exact age: unix_timestamp truncates to whole seconds,
+    # which drifts from the oracle's fractional epoch by up to 1 s
+    decay = F.exp(
+        -(F.unix_micros(F.col("now")) - F.unix_micros(F.col("ts")))
+        / (DECAY_TAU_HOURS * 3600.0 * 1_000_000)
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * decay), 6).alias("decayed_mass"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_argmax",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_id, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) AS rmax,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value ASC, event_id ASC) AS rmin
+    FROM events
+)
+SELECT user_id,
+    MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
+    MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
+    MAX(value) AS max_value
+FROM ranked GROUP BY user_id""",
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by capability row (SURVEY §2.4 'free' surface): the
+    argmax-per-group aggregate that otherwise costs a self-join or a
+    window — one hash aggregation, map-side partial. The ordering key is
+    (value, event_id): fixture values repeat within a user, so a bare
+    max_by(event_id, value) is nondeterministic — the composite key
+    makes the winner well-defined in both engines."""
+    ev = _events(spark, sf_dir)
+    key = F.array(F.col("value"), F.col("event_id").cast("double"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.min_by("event_id", key).alias("bottom_event_id"),
+        F.max("value").alias("max_value"),
+    )
