@@ -169,3 +169,36 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ranks = pagerank(docs, link_graph(docs), tag="q_pagerank")
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
+
+
+@query("q_triangle_count")
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the (undirected) doc link graph — the classic
+    clustering-coefficient / community-structure primitive. Rows-only
+    (the edge set derives from xxhash64, which the oracle engine lacks);
+    the hard correctness signal is the pure-Python set-based differential
+    in tests/test_graph.py.
+
+    Plan (100 TB-shape): canonicalize edges a<b once; wedges come from
+    ONE self-equi-join on the middle vertex (a<b<c ordering means each
+    triangle is generated exactly once as its ordered wedge); the closing
+    edge check is a LEFT SEMI join — no row multiplication past the
+    wedge set. Cost is sum(deg^2) wedges; production graphs order
+    endpoints by DEGREE instead of id so hub vertices sit on the wedge
+    ends, not the middle (standard compact-forward optimization) — id
+    ordering is kept here because the hash graph is degree-uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = link_graph(docs)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = und.select(F.col("a"), F.col("b"))
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    closing = und.select(F.col("a"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    return tris.agg(
+        F.count("*").alias("n_triangles"),
+    ).crossJoin(und.agg(F.count("*").alias("n_edges")))

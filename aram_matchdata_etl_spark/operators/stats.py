@@ -1,0 +1,154 @@
+"""In-engine statistical testing — the experiment-readout / data-drift
+family: Welch's t-test for A/B readouts, chi-squared independence for
+categorical drift, per-group OLS trend lines. All pure aggregations
+(sufficient statistics, never row-level collection): each test reduces
+to a handful of SUM/AVG/VAR aggregates that partial-aggregate map-side,
+so a 100 TB readout costs one scan + one tiny shuffle.
+
+The reference computes its model-quality readouts (MSE / rank accuracy)
+driver-side over pandas frames (transformer/ranking/modeling.py:70-99);
+this module is that capability expressed as distributed aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+WITH assigned AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS variant, value FROM events
+), stats AS (
+    SELECT
+        COUNT(CASE WHEN variant = 0 THEN 1 END) AS n0,
+        COUNT(CASE WHEN variant = 1 THEN 1 END) AS n1,
+        AVG(CASE WHEN variant = 0 THEN value END) AS mean0,
+        AVG(CASE WHEN variant = 1 THEN value END) AS mean1,
+        VAR_SAMP(CASE WHEN variant = 0 THEN value END) AS v0,
+        VAR_SAMP(CASE WHEN variant = 1 THEN value END) AS v1
+    FROM assigned
+)
+SELECT n0, n1,
+    ROUND(mean0, 6) AS mean0, ROUND(mean1, 6) AS mean1,
+    ROUND((mean1 - mean0) / SQRT(v0 / n0 + v1 / n1), 6) AS t_stat,
+    ROUND(POW(v0 / n0 + v1 / n1, 2)
+          / (POW(v0 / n0, 2) / (n0 - 1) + POW(v1 / n1, 2) / (n1 - 1)), 4)
+        AS welch_df
+FROM stats""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two deterministic user
+    buckets (variant = user_id % 2 — in production, the experiment
+    assignment hash). ONE pass: every sufficient statistic is a
+    conditional aggregate with map-side partials; the readout row is the
+    only thing that leaves the executors. df via Welch–Satterthwaite."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (F.col("user_id") % 2).cast("int")
+    s = ev.select(variant.alias("variant"), "value").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
+        F.avg(F.when(F.col("variant") == 0, F.col("value"))).alias("mean0"),
+        F.avg(F.when(F.col("variant") == 1, F.col("value"))).alias("mean1"),
+        F.var_samp(F.when(F.col("variant") == 0, F.col("value"))).alias("v0"),
+        F.var_samp(F.when(F.col("variant") == 1, F.col("value"))).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    return s.select(
+        "n0",
+        "n1",
+        F.round("mean0", 6).alias("mean0"),
+        F.round("mean1", 6).alias("mean1"),
+        F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q_chi_squared",
+    oracle="""
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), margins AS (
+    SELECT o.lang, o.source, o.o,
+        SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+        SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
+        SUM(o.o) OVER () AS n
+    FROM obs o
+)
+SELECT ROUND(SUM(POW(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n)), 6)
+        AS chi2,
+    CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS INTEGER)
+        AS dof,
+    MAX(CAST(n AS BIGINT)) AS n
+FROM margins""",
+)
+def q_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test on the (lang, source) contingency
+    table — the categorical-drift check a corpus pipeline runs between
+    snapshots. The contingency table is one groupBy (cells ~
+    |lang|x|source|, tiny); margins are windows over the CELLS, never
+    the raw rows — at 100 TB the corpus is touched once."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("int").alias("dof"),
+        F.max(F.col("n").cast("long")).alias("n"),
+    )
+
+
+@query(
+    "q_group_ols",
+    oracle="""
+WITH pts AS (
+    SELECT event_type, epoch_us(ts) / (86400.0 * 1000000) AS x, value AS y
+    FROM events
+)
+SELECT event_type,
+    ROUND(regr_slope(y, x), 6) AS slope,
+    ROUND(regr_intercept(y, x), 4) AS intercept,
+    ROUND(corr(y, x), 6) AS r,
+    COUNT(*) AS n
+FROM pts GROUP BY event_type""",
+)
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (value over time, x in days) via the
+    closed-form regression aggregates — trend detection without an ML
+    pass. regr_slope/regr_intercept/corr are single-pass sufficient-
+    statistic aggregates in both engines: map-side partials, one tiny
+    shuffle on the group key."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / (86400.0 * 1_000_000)
+    pts = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return pts.groupBy("event_type").agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.corr("y", "x"), 6).alias("r"),
+        F.count("*").alias("n"),
+    )

@@ -55,6 +55,7 @@ def _load_operator_modules() -> None:
         relational,
         relational_ext,
         similarity,
+        stats,
         streaming_batch,
         text,
         tpch,

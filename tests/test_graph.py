@@ -90,3 +90,31 @@ def test_link_graph_deterministic_and_valid(spark):
     assert e1 == e2
     ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert all(s in ids and d in ids and s != d for s, d in e1)
+
+
+def test_triangle_count_matches_python(spark):
+    """Set-based pure-Python differential for the wedge-join triangle
+    count, plus the a<b<c generation uniqueness property."""
+    from itertools import combinations
+
+    from aram_matchdata_etl_spark.operators.graph import q_triangle_count
+
+    docs = load_table(spark, SF, "documents")
+    edges = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in link_graph(docs).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(n for n in adj[a] if n > a), 2)
+        if c in adj.get(b, ())
+    )
+    row = q_triangle_count(spark, SF).collect()[0]
+    assert row["n_triangles"] == want
+    assert row["n_edges"] == len(edges)
+    assert want > 0, "hash graph at this density should close triangles"
