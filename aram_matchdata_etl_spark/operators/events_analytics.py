@@ -380,3 +380,100 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", key).alias("bottom_event_id"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, c,
+    ROUND(c / SUM(c) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the user-journey model behind next-action prediction and
+    anomalous-flow detection. One user_id exchange for the LAG; the pair
+    counts group on a |types|^2 key (tiny — partials collapse map-side)
+    and the row-normalization window runs over the MATRIX, not the
+    events."""
+    ev = _events(spark, sf_dir)
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(seq_w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("c"))
+    )
+    norm_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "c",
+        F.round(F.col("c") / F.sum("c").over(norm_w), 6).alias("p"),
+    )
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+WITH anchored AS (
+    SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+    FROM events
+), a2 AS (
+    SELECT DISTINCT user_id, t0,
+        MIN(CASE WHEN event_type = 'purchase' AND ts >= t0 THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+    FROM anchored
+), lat AS (
+    SELECT user_id,
+        (epoch_us(t2) - epoch_us(t0)) / 3600000000.0 AS hours
+    FROM a2 WHERE t0 IS NOT NULL AND t2 IS NOT NULL
+)
+SELECT COUNT(*) AS n_converted,
+    ROUND(MIN(hours), 6) AS min_h,
+    ROUND(AVG(hours), 6) AS avg_h,
+    ROUND(MAX(hours), 6) AS max_h
+FROM lat""",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's first view
+    to their first subsequent purchase (the funnel's stage-1 -> stage-3
+    latency). Same single-exchange window cascade as the funnel; the
+    latency aggregate reduces per-user rows to one readout row.
+    Microsecond-exact arithmetic keeps both engines bit-aligned."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    anchored = ev.withColumn("t0", t0)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        anchored.withColumn("t2", t2)
+        .select("user_id", "t0", "t2")
+        .distinct()
+        .filter(F.col("t0").isNotNull() & F.col("t2").isNotNull())
+    )
+    hours = (F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t0"))) / 3_600_000_000.0
+    lat = per_user.select(hours.alias("hours"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.min("hours"), 6).alias("min_h"),
+        F.round(F.avg("hours"), 6).alias("avg_h"),
+        F.round(F.max("hours"), 6).alias("max_h"),
+    )

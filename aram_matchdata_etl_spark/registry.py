@@ -44,6 +44,7 @@ def _load_operator_modules() -> None:
         advanced,
         asof,
         dedup,
+        dq,
         events_analytics,
         functions_ext,
         graph,
