@@ -477,3 +477,104 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("hours"), 6).alias("avg_h"),
         F.round(F.max("hours"), 6).alias("max_h"),
     )
+
+
+TRIGRAM_TOPK = 25
+
+
+@query(
+    "q_event_trigrams",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+        LAG(event_type, 2) OVER w AS t2,
+        LAG(event_type, 1) OVER w AS t1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t2 || '>' || t1 || '>' || event_type AS trigram, COUNT(*) AS c
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1
+ORDER BY c DESC, trigram
+LIMIT {TRIGRAM_TOPK}""",
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behavioral trigrams (3-step event-type sequences) — the
+    sequence-mining pass behind journey templates and bot detection.
+    LINEAR: the trigram at each row is two LAGs over the per-user sort
+    (one exchange), never a per-user collect or self-join; counts group
+    on a |types|^3-bounded key; cutoff is TakeOrderedAndProject with a
+    lexicographic tie-break."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        "event_type",
+    ).filter(F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t2", "t1", "event_type").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "trigram")
+        .limit(TRIGRAM_TOPK)
+    )
+
+
+CUPED_SPLIT = "2024-01-15"
+
+
+@query(
+    "q_cuped",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+        CAST(user_id % 2 AS INTEGER) AS variant,
+        SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0 END) AS x,
+        SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+), theta AS (
+    SELECT covar_samp(y, x) / var_samp(x) AS th, AVG(x) AS mx FROM per_user
+), adjusted AS (
+    SELECT variant, y - th * (x - mx) AS y_adj, y FROM per_user CROSS JOIN theta
+)
+SELECT variant,
+    COUNT(*) AS n,
+    ROUND(AVG(y), 6) AS mean_raw,
+    ROUND(AVG(y_adj), 6) AS mean_cuped,
+    ROUND(VAR_SAMP(y), 4) AS var_raw,
+    ROUND(VAR_SAMP(y_adj), 4) AS var_cuped
+FROM adjusted GROUP BY variant""",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the standard
+    experimentation-platform adjustment): per-user pre-period activity x
+    predicts post-period metric y; subtracting theta*(x - mean_x) with
+    theta = cov(y,x)/var(x) shrinks variance without biasing the
+    treatment contrast. Three aggregations end-to-end: per-user rollup
+    (one exchange), a single-row theta frame (broadcast back), and the
+    per-variant readout — no row-level data ever leaves the executors."""
+    ev = _events(spark, sf_dir)
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    theta = per_user.agg(
+        (F.covar_samp("y", "x") / F.var_samp("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))).alias("y_adj"),
+    )
+    return adjusted.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("y"), 6).alias("mean_raw"),
+        F.round(F.avg("y_adj"), 6).alias("mean_cuped"),
+        F.round(F.var_samp("y"), 4).alias("var_raw"),
+        F.round(F.var_samp("y_adj"), 4).alias("var_cuped"),
+    )

@@ -202,3 +202,83 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.agg(
         F.count("*").alias("n_triangles"),
     ).crossJoin(und.agg(F.count("*").alias("n_edges")))
+
+
+def pointer_jump_roots(
+    nodes: DataFrame, parent_col: str = "parent", tag: str = "default"
+) -> DataFrame:
+    """Find each node's root and depth in a forest by pointer jumping
+    (iterative doubling): each round replaces every node's known
+    ancestor with that ancestor's ancestor and adds the distances —
+    O(log depth) rounds instead of the O(depth) a one-step walk (or a
+    recursive CTE) needs. ``nodes``: (doc_id, parent) with NULL parent
+    at roots.
+
+    Per round: ONE self-join of the (node, anc, d) frame keyed by anc
+    (both sides hash-partitioned on the join key) + the same
+    lazy-checkpoint/agg pattern as pagerank — 1 job per round. State is
+    3 longs per node regardless of tree shape."""
+    telemetry: dict = {"rounds": 0, "changed_per_round": []}
+    PR_TELEMETRY[f"pj_{tag}"] = telemetry
+    p = nodes.select(
+        "doc_id",
+        F.coalesce(F.col(parent_col), F.col("doc_id")).alias("anc"),
+        F.when(F.col(parent_col).isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    ).localCheckpoint()
+    prev_ckpt = p
+    for _ in range(40):  # 2^40 depth bound; real exit is the changed-count
+        anc2 = p.select(
+            F.col("doc_id").alias("anc"),
+            F.col("anc").alias("anc_anc"),
+            F.col("d").alias("d2"),
+        )
+        jumped = (
+            p.join(anc2, "anc")
+            .select(
+                "doc_id",
+                F.col("anc_anc").alias("anc"),
+                (F.col("d") + F.col("d2")).alias("d"),
+                (F.col("anc") != F.col("anc_anc")).alias("moved"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = jumped.agg(F.sum(F.col("moved").cast("int"))).first()[0]
+        telemetry["rounds"] += 1
+        telemetry["changed_per_round"].append(int(changed or 0))
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = jumped
+        p = jumped.select("doc_id", "anc", "d")
+        if not changed:
+            break
+    return p.select("doc_id", F.col("anc").alias("root_id"), F.col("d").alias("depth"))
+
+
+@query(
+    "q_hierarchy_flatten",
+    oracle="""
+WITH RECURSIVE walk AS (
+    SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+    UNION ALL
+    SELECT w.doc_id, w.cur // 2, w.depth + 1 FROM walk w WHERE w.cur >= 8
+)
+SELECT doc_id, cur AS root_id, CAST(depth AS INTEGER) AS depth
+FROM walk WHERE cur < 8""",
+)
+def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (org chart / BOM / category-tree closure):
+    every node's root and depth over a synthesized forest
+    (parent(x) = x div 2 for x >= 8; ids 0-7 are roots). The oracle
+    walks the chain with a RECURSIVE CTE — O(depth) sequential steps;
+    the Spark side pointer-jumps in O(log depth) distributed rounds,
+    which is the form that survives a billion-node hierarchy (a
+    recursive-CTE translation would schedule depth-many dependent
+    joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") >= 8, F.floor(F.col("doc_id") / 2).cast("long")
+        ).alias("parent"),
+    )
+    out = pointer_jump_roots(nodes, tag="q_hierarchy_flatten")
+    return out.select("doc_id", "root_id", F.col("depth").cast("int").alias("depth"))

@@ -152,3 +152,54 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("y", "x"), 6).alias("r"),
         F.count("*").alias("n"),
     )
+
+
+MAD_K = 3.5  # threshold in robust sigmas (1.4826 * MAD)
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+WITH med AS (
+    SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, m, ABS(e.value - m) AS ad
+    FROM events e JOIN med USING (event_type)
+), mad AS (
+    SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+    ROUND(MAX(d.m), 6) AS median_value,
+    ROUND(MAX(mad.mad), 6) AS mad,
+    COUNT(*) AS n,
+    SUM(CASE WHEN ABS(d.value - d.m) > {MAD_K} * 1.4826 * mad.mad
+             THEN 1 ELSE 0 END) AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per group via the median absolute deviation
+    (|x - median| > k * 1.4826 * MAD — the robust z-score that a single
+    extreme value cannot poison, unlike q_anomaly_zscore's mean/stddev).
+    Two percentile passes by construction (MAD is a median OF deviations
+    from a median); both group on the same low-cardinality key and the
+    tiny per-group medians broadcast back — the corpus is scanned twice,
+    shuffled never (partial aggs only). At 100 TB swap the exact median
+    for percentile_approx and the second pass fuses into the first."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.max("m"), 6).alias("median_value"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("ad") > MAD_K * 1.4826 * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
