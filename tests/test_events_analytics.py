@@ -168,3 +168,39 @@ def test_retention_approx_agrees_with_exact(spark):
     joined = exact.join(approx)
     rel = (joined.n_users_approx - joined.n_users).abs() / joined.n_users
     assert rel.max() <= 0.15
+
+
+def test_trending_decay_incremental_identity(spark):
+    """The operator's incremental-maintenance claim, proven on the
+    fixture: decayed mass over the full window == decayed mass of the
+    old half re-decayed to the new anchor + the new half's mass."""
+    import math
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        DECAY_TAU_HOURS,
+    )
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    split = "2024-01-15"
+    tau_us = DECAY_TAU_HOURS * 3600.0 * 1_000_000
+
+    def mass(df, anchor_us):
+        rows = df.select(
+            F.sum(
+                F.col("value")
+                * F.exp(-(F.lit(anchor_us) - F.unix_micros("ts")) / tau_us)
+            ).alias("m")
+        ).collect()
+        return rows[0]["m"] or 0.0
+
+    t_old = ev.filter(F.col("ts") < split)
+    t_new = ev.filter(F.col("ts") >= split)
+    anchor_old = t_old.agg(F.max(F.unix_micros("ts"))).first()[0]
+    anchor_all = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+
+    full = mass(ev, anchor_all)
+    incr = mass(t_old, anchor_old) * math.exp(
+        -(anchor_all - anchor_old) / tau_us
+    ) + mass(t_new, anchor_all)
+    assert abs(full - incr) / full < 1e-9
