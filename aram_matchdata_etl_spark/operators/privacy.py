@@ -48,11 +48,14 @@ _PATTERNS = (
 
 def pii_redact(df: DataFrame, col: str = "text") -> DataFrame:
     """Replace every email / phone / IP span in ``col`` with its typed
-    placeholder and add per-type match counts. Order matters: the email
-    pattern consumes dotted-quad-like hosts before the IP pattern can
-    see them, and IP redaction runs last so it cannot eat phone digits.
-    All JVM-side codegen — this adds no stage boundary to any plan it
-    is composed into."""
+    placeholder and add per-type match counts. Replacement is a
+    PROGRESSIVE chain (email first, so a dotted host or digit run inside
+    an address is consumed before the narrower patterns see it; IP
+    last); the ``n_*`` counts are measured on the RAW input — they
+    report what the scrubber found, so a phone-shaped digit run inside
+    an email counts as a phone even though the email replacement already
+    swallowed it. All JVM-side codegen — this adds no stage boundary to
+    any plan it is composed into."""
     out = df
     redacted = F.col(col)
     for pat, token in _PATTERNS:

@@ -251,7 +251,7 @@ def funnel_tracker(stages: tuple[str, ...] = FUNNEL_STAGES_STREAM):
         )
         for pdf in pdfs:
             et = pdf["event_type"].to_numpy()
-            tsv = pdf["ts"].astype("int64").to_numpy()  # epoch nanos
+            tsv = pdf["ts"].astype("int64").to_numpy()  # epoch ticks (us or ns per pandas dtype; unit-consistent across batches, which is all the cascade needs)
             prev: int | None = 0  # stage -1 anchor: beginning of time
             for k, stage in enumerate(stages):
                 if ts_state[k] is not None:
@@ -282,7 +282,7 @@ def funnel_tracker(stages: tuple[str, ...] = FUNNEL_STAGES_STREAM):
 def streaming_funnel(stream: DataFrame) -> DataFrame:
     """First-touch funnel state per user over an events stream — the
     stateful streaming twin of operators/events_analytics.py::funnel.
-    Emits each user's per-stage anchor timestamps (epoch nanos as
+    Emits each user's per-stage anchor timestamps (epoch ticks as
     double, NaN = unreached) every trigger; the latest emission per
     user is the live funnel, aggregable to stage counts at any time."""
     return stream.groupBy("user_id").applyInPandasWithState(
