@@ -69,7 +69,12 @@ def funnel(df: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
             F.lit(i + 1).alias("stage_no"),
             F.lit(stage).alias("stage"),
             F.col(f"_n{i}").alias("n_users"),
-            F.round(F.col(f"_n{i}") / F.col("_n0"), 6).alias("conversion"),
+            # empty funnel head (no stage-1 users anywhere) -> NULL
+            # conversion, not a divide-by-zero (ANSI mode throws; found
+            # by the hypothesis brute-force differential)
+            F.when(
+                F.col("_n0") > 0, F.round(F.col(f"_n{i}") / F.col("_n0"), 6)
+            ).alias("conversion"),
         )
         for i, stage in enumerate(stages)
     ]
@@ -98,7 +103,8 @@ WITH anchored AS (
         COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2
     FROM a3
 )
-SELECT stage_no, stage, n_users, ROUND(n_users / (SELECT n0 FROM c), 6) AS conversion
+SELECT stage_no, stage, n_users,
+    ROUND(n_users / NULLIF((SELECT n0 FROM c), 0), 6) AS conversion
 FROM (
     SELECT 1 AS stage_no, 'view' AS stage, n0 AS n_users FROM c
     UNION ALL SELECT 2, 'click', n1 FROM c

@@ -632,3 +632,148 @@ def test_bpe_encode_matches_python_reference(spark, words):
     for w, _ in words:
         assert got[w] == py_encode(w), (w, got[w], py_encode(w))
         assert "".join(got[w]) == w
+
+
+# --- round-5 late operators: PII scrub, URL canon, funnel ------------------
+
+_pii_text = st.text(
+    alphabet="ab5 .-@c1%_#?&", min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_pii_text, min_size=1, max_size=12))
+def test_pii_redact_matches_python_re(spark, texts):
+    """The Spark regexp chain equals Python's re with the same patterns
+    (Java regex, RE2, and Python re agree on this pattern subset by
+    construction — this pins it on adversarial short strings full of
+    '@' / digit / dot fragments)."""
+    import re
+
+    from aram_matchdata_etl_spark.operators.privacy import (
+        EMAIL_RE,
+        IP_RE,
+        PHONE_RE,
+        pii_redact,
+    )
+
+    pats = [(EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>"), (IP_RE, "<IP>")]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    for i, t in enumerate(texts):
+        want = t
+        counts = {}
+        for pat, token in pats:
+            counts[token] = len(re.findall(pat, t))
+            want = re.sub(pat, token, want)
+        assert got[i]["text_redacted"] == want, (t, want, got[i]["text_redacted"])
+        assert got[i]["n_emails"] == counts["<EMAIL>"]
+        assert got[i]["n_phones"] == counts["<PHONE>"]
+        assert got[i]["n_ips"] == counts["<IP>"]
+
+
+def _canon_py(url: str) -> str:
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)", url)
+    if not m:
+        return "://"
+    scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    qm = _re.search(r"\?([^#]*)", url)
+    kept = [
+        p
+        for p in (qm.group(1).split("&") if qm else [])
+        if p != "" and not p.startswith("utm_")
+    ]
+    return scheme + "://" + host + path + ("?" + "&".join(kept) if kept else "")
+
+
+_url_part = st.text(alphabet="AbC9.-_", min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hosts=st.lists(_url_part, min_size=1, max_size=6),
+    path=st.text(alphabet="Ab9/._", min_size=0, max_size=12),
+    params=st.lists(
+        st.sampled_from(["utm_a=1", "utm_b", "a=1", "b=2", "", "x=utm_y"]),
+        min_size=0,
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#f", "#utm_z"]),
+)
+def test_canonicalize_url_matches_python(spark, hosts, path, params, frag):
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.web import canonicalize_url
+
+    url = "HTTPS://" + ".".join(hosts) + "/" + path
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    got = df.select(canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
+    assert got == _canon_py(url), (url, got)
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.integers(min_value=0, max_value=30),  # ts offset seconds
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_funnel_events)
+def test_funnel_matches_python_brute_force(spark, events):
+    """First-touch cascade counts equal a per-user brute-force walk.
+    Tie-heavy timestamps included deliberately: the cascade is defined on
+    ts >= prev, so equal timestamps must convert."""
+    from datetime import datetime, timedelta
+
+    from aram_matchdata_etl_spark.operators.events_analytics import funnel
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=off), u, et, 0.0, "{}")
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel(df).collect()}
+
+    stages = ("view", "click", "purchase")
+    want = dict.fromkeys(stages, 0)
+    by_user: dict = {}
+    for i, (u, off, et) in enumerate(events):
+        by_user.setdefault(u, []).append((off, et))
+    for evs in by_user.values():
+        prev = None
+        for k, stage in enumerate(stages):
+            cands = [
+                off
+                for off, et in evs
+                if et == stage and (prev is None or off >= prev)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            want[stage] += 1
+    assert got == want, (got, want)
