@@ -542,7 +542,8 @@ WITH per_user AS (
         SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}' THEN value ELSE 0 END) AS y
     FROM events GROUP BY user_id
 ), theta AS (
-    SELECT covar_samp(y, x) / var_samp(x) AS th, AVG(x) AS mx FROM per_user
+    SELECT covar_samp(y, x) / NULLIF(var_samp(x), 0) AS th, AVG(x) AS mx
+    FROM per_user
 ), adjusted AS (
     SELECT variant, y - th * (x - mx) AS y_adj, y FROM per_user CROSS JOIN theta
 )
@@ -568,8 +569,13 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
         F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
     ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    # constant covariate (e.g. a split date before any data => x all 0)
+    # must degrade to th=NULL (no adjustment), not an ANSI
+    # divide-by-zero failure
     theta = per_user.agg(
-        (F.covar_samp("y", "x") / F.var_samp("x")).alias("th"),
+        F.when(
+            F.var_samp("x") > 0, F.covar_samp("y", "x") / F.var_samp("x")
+        ).alias("th"),
         F.avg("x").alias("mx"),
     )
     adjusted = per_user.crossJoin(F.broadcast(theta)).select(

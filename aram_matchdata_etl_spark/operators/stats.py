@@ -36,9 +36,9 @@ WITH assigned AS (
 )
 SELECT n0, n1,
     ROUND(mean0, 6) AS mean0, ROUND(mean1, 6) AS mean1,
-    ROUND((mean1 - mean0) / SQRT(v0 / n0 + v1 / n1), 6) AS t_stat,
+    ROUND((mean1 - mean0) / SQRT(NULLIF(v0 / n0 + v1 / n1, 0)), 6) AS t_stat,
     ROUND(POW(v0 / n0 + v1 / n1, 2)
-          / (POW(v0 / n0, 2) / (n0 - 1) + POW(v1 / n1, 2) / (n1 - 1)), 4)
+          / NULLIF(POW(v0 / n0, 2) / (n0 - 1) + POW(v1 / n1, 2) / (n1 - 1), 0), 4)
         AS welch_df
 FROM stats""",
 )
@@ -58,21 +58,24 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp(F.when(F.col("variant") == 0, F.col("value"))).alias("v0"),
         F.var_samp(F.when(F.col("variant") == 1, F.col("value"))).alias("v1"),
     )
+    # ANSI mode: double division by zero THROWS — a degenerate readout
+    # (both variants constant => se2 == 0) must yield NULL statistics,
+    # not a failed job. when()/NULLIF keep both dialects in lockstep.
     se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    df_den = (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
     return s.select(
         "n0",
         "n1",
         F.round("mean0", 6).alias("mean0"),
         F.round("mean1", 6).alias("mean1"),
-        F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(se2), 6).alias("t_stat"),
-        F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
-                + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
-            ),
-            4,
-        ).alias("welch_df"),
+        F.when(
+            se2 > 0,
+            F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(se2), 6),
+        ).alias("t_stat"),
+        F.when(se2 > 0, F.round(F.pow(se2, 2) / df_den, 4)).alias("welch_df"),
     )
 
 

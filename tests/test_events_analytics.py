@@ -204,3 +204,39 @@ def test_trending_decay_incremental_identity(spark):
         -(anchor_all - anchor_old) / tau_us
     ) + mass(t_new, anchor_all)
     assert abs(full - incr) / full < 1e-9
+
+
+def test_ansi_degenerate_inputs_do_not_throw(spark):
+    """ANSI mode throws on double division by zero; the stats operators
+    must degrade to NULL on degenerate inputs (constant values, empty
+    funnel head) instead of failing the job."""
+    from aram_matchdata_etl_spark.operators.events_analytics import funnel
+
+    # constant values in both variants -> se2 == 0 -> NULL t-stat
+    const_ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 4, "view", 5.0, "{}") for i in range(8)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    const_ev.createOrReplaceTempView("_const_ev")
+    import aram_matchdata_etl_spark.operators.stats as stats_mod
+
+    variant = (F.col("user_id") % 2).cast("int")
+    s = const_ev.select(variant.alias("variant"), "value").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
+        F.avg(F.when(F.col("variant") == 0, F.col("value"))).alias("mean0"),
+        F.avg(F.when(F.col("variant") == 1, F.col("value"))).alias("mean1"),
+        F.var_samp(F.when(F.col("variant") == 0, F.col("value"))).alias("v0"),
+        F.var_samp(F.when(F.col("variant") == 1, F.col("value"))).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    row = s.select(
+        F.when(se2 > 0, F.lit(1.0)).alias("guard_ok")
+    ).collect()[0]
+    assert row["guard_ok"] is None  # guard fires (se2 == 0 -> branch null)
+
+    # funnel with no stage-1 users anywhere -> NULL conversions, no error
+    no_view = const_ev.withColumn("event_type", F.lit("error"))
+    rows = funnel(no_view).collect()
+    assert [r["n_users"] for r in rows] == [0, 0, 0]
+    assert all(r["conversion"] is None for r in rows)
