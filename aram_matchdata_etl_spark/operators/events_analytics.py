@@ -273,8 +273,11 @@ def anomaly_zscore(ev: DataFrame) -> DataFrame:
     )
     mu = F.avg("value").over(w)
     sigma = F.stddev("value").over(w)
-    z = (F.col("value") - mu) / sigma
     ok = sigma.isNotNull() & (sigma > 0)
+    # divide by a null-when-unusable sigma, not raw sigma: a flat
+    # baseline (sigma == 0.0) must propagate NULL instead of relying on
+    # conditional short-circuiting to dodge ANSI's divide-by-zero
+    z = (F.col("value") - mu) / F.when(ok, sigma)
     return ev.select(
         "event_id",
         "user_id",

@@ -240,3 +240,10 @@ def test_ansi_degenerate_inputs_do_not_throw(spark):
     rows = funnel(no_view).collect()
     assert [r["n_users"] for r in rows] == [0, 0, 0]
     assert all(r["conversion"] is None for r in rows)
+
+    # flat z-score baseline (sigma == 0.0 exactly) -> NULL scores, no flags
+    from aram_matchdata_etl_spark.operators.events_analytics import anomaly_zscore
+
+    flat = anomaly_zscore(const_ev.filter(F.col("user_id") == 0)).collect()
+    assert flat and all(r["zscore"] is None for r in flat)
+    assert not any(r["is_anomaly"] for r in flat)
