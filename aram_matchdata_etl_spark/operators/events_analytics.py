@@ -593,3 +593,133 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("y"), 4).alias("var_raw"),
         F.round(F.var_samp("y_adj"), 4).alias("var_cuped"),
     )
+
+
+SESSION_GAP_S = 1800
+ATTR_LOOKBACK_H = 24
+
+
+@query(
+    "q_session_stats",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_S} * 1000000
+             OR LAG(epoch_us(ts)) OVER w IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM marked
+), per_session AS (
+    SELECT user_id, session_no, COUNT(*) AS depth,
+        (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+    FROM sessions GROUP BY user_id, session_no
+)
+SELECT COUNT(*) AS n_sessions,
+    ROUND(AVG(depth), 6) AS avg_depth,
+    ROUND(AVG(CASE WHEN depth = 1 THEN 1.0 ELSE 0.0 END), 6) AS bounce_rate,
+    ROUND(AVG(duration_s), 6) AS avg_duration_s,
+    ROUND(MAX(duration_s), 6) AS max_duration_s
+FROM per_session""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement readout (depth / bounce rate / duration)
+    on top of the same 30-min-gap sessionization as q_sessionize — the
+    dashboard numbers a product team reads daily. One user_id exchange
+    covers the gap test, the running session number, and the per-session
+    rollup; the global readout reduces the per-session frame to one row."""
+    ev = _events(spark, sf_dir)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(order_w)
+    is_new = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev_us) > SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    per_session = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(run_w))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("depth"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1_000_000.0
+            ).alias("duration_s"),
+        )
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("depth"), 6).alias("avg_depth"),
+        F.round(
+            F.avg(F.when(F.col("depth") == 1, 1.0).otherwise(0.0)), 6
+        ).alias("bounce_rate"),
+        F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+        F.round(F.max("duration_s"), 6).alias("max_duration_s"),
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+WITH touched AS (
+    SELECT user_id, ts, event_id, event_type,
+        LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                        THEN event_type END IGNORE NULLS) OVER w AS last_touch_type,
+        LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                        THEN epoch_us(ts) END IGNORE NULLS) OVER w AS last_touch_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(CASE WHEN epoch_us(ts) - last_touch_us
+                          <= {ATTR_LOOKBACK_H * 3600 * 1_000_000}
+                     THEN last_touch_type END, 'unattributed') AS channel,
+    COUNT(*) AS n_purchases
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent view/click STRICTLY BEFORE it, if within the 24 h lookback;
+    otherwise 'unattributed'. The per-user LAST_VALUE(IGNORE NULLS)
+    window replaces the naive purchases-x-touches range self-join — one
+    user_id exchange, linear, no row multiplication (the same shape as
+    the as-of join family; q_interval_join_binned is the big-big binned
+    twin of this semantic)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touched = ev.select(
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_type"),
+        F.last(F.when(is_touch, F.unix_micros(F.col("ts"))), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_us"),
+    )
+    fresh = (
+        F.unix_micros(F.col("ts")) - F.col("last_touch_us")
+    ) <= ATTR_LOOKBACK_H * 3600 * 1_000_000
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(fresh, F.col("last_touch_type")), F.lit("unattributed")
+            ).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_purchases"))
+    )
