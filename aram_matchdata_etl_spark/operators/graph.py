@@ -282,3 +282,62 @@ def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pointer_jump_roots(nodes, tag="q_hierarchy_flatten")
     return out.select("doc_id", "root_id", F.col("depth").cast("int").alias("depth"))
+
+
+KCORE_K = 4
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, tag: str = "default") -> DataFrame:
+    """k-core subgraph by iterative peeling: repeatedly drop nodes whose
+    (undirected) degree falls below k until the graph stabilizes — the
+    standard dense-community / spam-farm detector. Per round: one degree
+    aggregation + two LEFT SEMI joins restricting the edge list to
+    surviving endpoints, then the same lazy-checkpoint + single-action
+    hygiene as the other iterative loops. Edge rows are two longs; node
+    bodies never enter the loop. Round count is bounded by the peeling
+    depth (<= max degeneracy ordering length, typically << nodes)."""
+    telemetry: dict = {"rounds": 0, "edges_per_round": []}
+    PR_TELEMETRY[f"kcore_{tag}"] = telemetry
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    n_prev = sym.count()
+    telemetry["edges_per_round"].append(n_prev)
+    prev_ckpt = sym
+    while True:
+        deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        pruned = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_now = pruned.count()
+        telemetry["rounds"] += 1
+        telemetry["edges_per_round"].append(n_now)
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = pruned
+        sym = pruned
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return sym.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
+@query("q_kcore")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the 4-core of the doc link graph with their within-core
+    degree. Rows-only (xxhash edge derivation); correctness is the
+    pure-Python peeling differential in tests/test_graph.py plus the
+    defining invariant (every member's core degree >= k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = kcore(link_graph(docs), tag="q_kcore")
+    return out.select("doc_id", "core_degree")

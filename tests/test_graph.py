@@ -118,3 +118,29 @@ def test_triangle_count_matches_python(spark):
     assert row["n_triangles"] == want
     assert row["n_edges"] == len(edges)
     assert want > 0, "hash graph at this density should close triangles"
+
+
+def test_kcore_matches_python_peeling(spark):
+    from aram_matchdata_etl_spark.operators.graph import KCORE_K, kcore
+
+    docs = load_table(spark, SF, "documents")
+    edges_df = link_graph(docs)
+    und = {tuple(sorted((r["src"], r["dst"]))) for r in edges_df.collect()}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # python reference: peel until stable
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < KCORE_K:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    want = {n: len(ns) for n, ns in adj.items() if ns}
+    got = {r["doc_id"]: r["core_degree"] for r in kcore(edges_df).collect()}
+    assert got == want
+    assert all(d >= KCORE_K for d in got.values())
+    assert got, "fixture graph should retain a 4-core"
