@@ -396,3 +396,109 @@ def countmin_estimates(words: DataFrame, candidates: DataFrame) -> DataFrame:
         .groupBy("word", *pass_through)
         .agg(F.min("c").alias("cm_estimate"))
     )
+
+
+_STREAM_FUNNEL_RUNS = 0
+
+
+@query(
+    "q_stream_funnel_live",
+    oracle="""
+WITH anchored AS (
+    SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+    FROM events
+), a2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+    FROM anchored
+), a3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+    FROM a2
+), c AS (
+    SELECT COUNT(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS n0,
+        COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n1,
+        COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2
+    FROM a3
+)
+SELECT 1 AS stage_no, 'view' AS stage, n0 AS n_users FROM c
+UNION ALL SELECT 2, 'click', n1 FROM c
+UNION ALL SELECT 3, 'purchase', n2 FROM c""",
+)
+def q_stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming execution under the correctness gate:
+    the events fixture is written as three time-sliced files, the
+    applyInPandasWithState funnel tracker (streaming/stateful.py) drains
+    them as three micro-batches (state carrying across triggers), and
+    the accumulated per-user stage anchors aggregate to stage counts —
+    hash-compared against the BATCH window-cascade oracle. Counts are
+    integers, so stream==batch equality is exact, not approximate
+    (unlike the z-score twin, whose float baseline is tolerance-checked
+    in pytest instead).
+
+    The temp spool below is driver-local test plumbing; the operator
+    under test is the stateful stream itself."""
+    import shutil
+    import tempfile
+
+    global _STREAM_FUNNEL_RUNS
+    _STREAM_FUNNEL_RUNS += 1
+    run_id = _STREAM_FUNNEL_RUNS
+
+    from ..streaming.crawl import run_to_completion
+    from ..streaming.stateful import streaming_funnel
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="graft_funnel_stream_")
+    try:
+        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ).coalesce(1).write.parquet(src + "/f=1")
+        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        table = f"funnel_live_{run_id}"
+        run_to_completion(
+            streaming_funnel(stream), query_name=table, output_mode="update"
+        )
+        out = spark.table(table)
+        # memory sink holds every trigger's emission; anchors only ever
+        # fill in, so the row with the most non-null anchors per user is
+        # the final state
+        filled = (
+            F.when(F.col("t0").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t1").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("filled").desc())
+        latest = (
+            out.withColumn("filled", filled)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        counts = latest.agg(
+            F.sum(F.when(F.col("t0").isNotNull(), 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n2"),
+        )
+        rows = [
+            F.struct(
+                F.lit(i + 1).alias("stage_no"),
+                F.lit(stage).alias("stage"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, stage in enumerate(("view", "click", "purchase"))
+        ]
+        result = counts.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+        # materialize before the source spool disappears (memory-sink
+        # rows are already driver-side; this pins the derived frame too)
+        result = result.localCheckpoint()
+        return result
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
