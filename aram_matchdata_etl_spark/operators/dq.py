@@ -67,7 +67,8 @@ WITH corrupted AS (
 ), row_rules AS (
     {" UNION ALL ".join(
         f"SELECT '{name}' AS rule, COUNT(*) AS n_checked, "
-        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS n_violations FROM corrupted"
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_violations FROM corrupted"
         for name, pred in RULES_SQL
     )}
 ), ref AS (

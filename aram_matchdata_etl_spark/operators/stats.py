@@ -175,8 +175,8 @@ SELECT d.event_type,
     ROUND(MAX(d.m), 6) AS median_value,
     ROUND(MAX(mad.mad), 6) AS mad,
     COUNT(*) AS n,
-    SUM(CASE WHEN ABS(d.value - d.m) > {MAD_K} * 1.4826 * mad.mad
-             THEN 1 ELSE 0 END) AS n_outliers
+    CAST(SUM(CASE WHEN ABS(d.value - d.m) > {MAD_K} * 1.4826 * mad.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad USING (event_type)
 GROUP BY d.event_type""",
 )

@@ -142,7 +142,7 @@ WITH raw AS (
 SELECT host, domain,
     host IN ('src3.example.com', 'src7.example.com') AS blocked,
     COUNT(*) AS n_docs,
-    SUM(n_chars) AS total_chars,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
     ROUND(AVG(n_chars), 6) AS avg_chars
 FROM parsed
 GROUP BY host, domain""",

@@ -65,15 +65,17 @@ def _load_operator_modules() -> None:
     )
 
 
-def _sampled_rounds() -> dict[str, int]:
-    """Map query key -> latest round number in which the driver's
-    ``CORRECTNESS_r{N}.json`` recorded a row for it.
+def _sampled_rounds() -> dict[str, tuple[int, bool]]:
+    """Map query key -> (latest sampled round, latest verdict was red).
 
     The driver verifies only the first 50 keys of ``queries()`` per round,
-    so ordering matters: keys it has never checked should come first so
-    the 50-key window rotates across the whole surface round over round.
+    so ordering matters: a key whose most recent driver verdict was a FAIL
+    must be re-sampled immediately (else a shipped fix stays unverifiable
+    for several rounds), keys never checked come next so the 50-key window
+    rotates across the whole surface, and green keys recycle least-recent
+    first.
     """
-    latest: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     root = Path(__file__).resolve().parents[1]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
@@ -86,8 +88,21 @@ def _sampled_rounds() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for key in rows:
-            latest[key] = max(rnd, latest.get(key, 0))
+        for key, row in rows.items():
+            prev = latest.get(key)
+            if prev is not None and prev[0] > rnd:
+                continue
+            red = isinstance(row, dict) and (
+                any(
+                    row.get(f) is False
+                    for f in ("rows_match", "schema_match", "hash_match")
+                )
+                # A crashed comparison (e.g. r4's unhashable-list canonicalizer
+                # error) is just as red as a hash mismatch; 'no_oracle' is the
+                # intentional rows-only path, not a failure.
+                or bool(row.get("err")) and row.get("err") != "no_oracle"
+            )
+            latest[key] = (rnd, red)
     return latest
 
 
@@ -104,13 +119,17 @@ _MODULE_PRIORITY = {
 
 
 def _rotated(keys: list[str]) -> list[str]:
-    """Never-driver-sampled keys first (ranked by module family), then
-    least-recently sampled; registration order breaks ties (stable sort)."""
+    """Previously-FAILED keys first (their fixes must be re-verified in the
+    very next round), then never-driver-sampled keys (ranked by module
+    family), then least-recently sampled; registration order breaks ties
+    (stable sort)."""
     latest = _sampled_rounds()
 
-    def rank(k: str) -> tuple[int, int]:
+    def rank(k: str) -> tuple[int, int, int]:
         mod = _QUERIES[k].__module__.rsplit(".", 1)[-1]
-        return latest.get(k, -1), _MODULE_PRIORITY.get(mod, 99)
+        rnd, red = latest.get(k, (-1, False))
+        bucket = 0 if red else (1 if rnd < 0 else 2)
+        return bucket, rnd, _MODULE_PRIORITY.get(mod, 99)
 
     return sorted(keys, key=rank)
 

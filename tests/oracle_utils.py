@@ -33,9 +33,12 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        if v == int(v) and abs(v) < 2**52:
-            # exact integral floats normalize to int (duckdb HUGEINT->float64)
-            return int(v)
+        # NOTE: integral floats are deliberately NOT normalized to int.
+        # The driver's canonicalizer hashes 123.0 != 123, so an oracle whose
+        # integer SUM comes back as DuckDB HUGEINT (-> pandas float64) must
+        # be fixed with an explicit CAST(... AS BIGINT), not papered over
+        # here (r5's q_dq_violations/q_mad_outliers/q_domain_stats reds were
+        # hidden locally by exactly such a normalization).
         return f"{v:.12g}"
     if isinstance(v, (pd.Timestamp, datetime)):
         ts = pd.Timestamp(v)
@@ -87,6 +90,32 @@ def assert_driver_hashable(pdf: pd.DataFrame, name: str = "?") -> None:
             )
 
 
+def assert_numeric_dtype_parity(
+    got: pd.DataFrame, want: pd.DataFrame, name: str = "?"
+) -> None:
+    """Fail when one engine materializes a column as float while the other
+    keeps it integral — the exact class of mismatch the driver's hash
+    canonicalizer cannot absorb (DuckDB types an uncast integer SUM as
+    HUGEINT, which pandas converts to float64, hashing ``123.0`` against
+    Spark's ``123``). Forces an explicit ``CAST(... AS BIGINT)`` (or
+    ``AS DOUBLE`` on the Spark side) in whichever dialect drifted."""
+    for col in got.columns:
+        if col not in want.columns:
+            continue
+        g_int = pd.api.types.is_integer_dtype(got[col])
+        w_int = pd.api.types.is_integer_dtype(want[col])
+        g_f = pd.api.types.is_float_dtype(got[col])
+        w_f = pd.api.types.is_float_dtype(want[col])
+        if (g_int and w_f) or (g_f and w_int):
+            raise AssertionError(
+                f"{name}: column {col!r} is "
+                f"{'int' if g_int else 'float'} on Spark but "
+                f"{'int' if w_int else 'float'} on DuckDB; the driver "
+                "hashes 123.0 != 123. Add an explicit cast in the "
+                "drifting dialect (CAST(... AS BIGINT) for HUGEINT sums)."
+            )
+
+
 def normalize(pdf: pd.DataFrame) -> list[tuple]:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False)]
@@ -98,6 +127,7 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?") -
     want = duckdb_df(oracle, sf_dir)
     assert_driver_hashable(got, name)
     assert_driver_hashable(want, name)
+    assert_numeric_dtype_parity(got, want, name)
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column mismatch spark={sorted(got.columns)} duck={sorted(want.columns)}"
     )
