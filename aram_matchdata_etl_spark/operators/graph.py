@@ -7,8 +7,9 @@ same", PageRank answers "which docs matter".
 
 The fixture corpus has no hyperlinks, so ``link_graph`` synthesizes a
 deterministic directed graph from doc_id hashes (every doc emits
-OUT_LINKS edges to xxhash-derived targets, kept only if the target
-exists — so the graph has dangling nodes, asymmetric in/out degrees,
+OUT_LINKS edges to md5-bucket-derived targets — the engine-portable
+hash shared with training.py::hash_bucket — kept only if the target
+exists, so the graph has dangling nodes, asymmetric in/out degrees,
 and hash-random hub structure). The PageRank kernel itself is
 input-agnostic: point ``pagerank`` at any (src, dst) edge relation.
 
@@ -50,11 +51,32 @@ def link_graph(docs: DataFrame) -> DataFrame:
     target id exists in the corpus (left-semi — no row duplication) and
     is not a self-link. Modulo folds the hash into the observed id range
     without a driver-side max(): ids are joined back against the real
-    universe, so out-of-range candidates simply drop out."""
+    universe, so out-of-range candidates simply drop out.
+
+    The hash is the md5-hex-prefix bucket shared with the training
+    split/sample family (training.py::hash_bucket) rather than xxhash64,
+    specifically so a DuckDB oracle can reproduce the edge set
+    bit-identically (see LINK_GRAPH_SQL) — the same move that made the
+    DSIR bucket hash oracle-able."""
     cand = docs.select(
         F.col("doc_id").alias("src"),
         F.explode(
-            F.array(*[F.xxhash64("doc_id", F.lit(i)) for i in range(OUT_LINKS)])
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                (F.col("doc_id") * OUT_LINKS + F.lit(i)).cast("string")
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    for i in range(OUT_LINKS)
+                ]
+            )
         ).alias("h"),
     )
     # fold the hash into the corpus id range without a driver-side max():
@@ -71,6 +93,26 @@ def link_graph(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     return edges.select("src", "dst")
+
+
+# DuckDB twin of link_graph: same md5-prefix hash, same modulo fold into the
+# corpus id range, same existence semi-join and self-link filter — the edge
+# set is bit-identical in both engines, which is what lets the triangle and
+# k-core queries graduate from rows-only to hash-matched oracles.
+LINK_GRAPH_SQL = f"""cnt AS (SELECT COUNT(*) AS n FROM documents),
+cand AS (
+    SELECT d.doc_id AS src,
+        ('0x' || substr(md5(CAST(d.doc_id * {OUT_LINKS} + s.i AS VARCHAR)), 1, 8))::BIGINT
+            % cnt.n AS dst
+    FROM documents d CROSS JOIN cnt CROSS JOIN range({OUT_LINKS}) s(i)
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM cand
+    WHERE src <> dst AND dst IN (SELECT doc_id FROM documents)
+),
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+)"""
 
 
 def pagerank(
@@ -171,13 +213,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
 
 
-@query("q_triangle_count")
+@query(
+    "q_triangle_count",
+    oracle=f"""
+WITH {LINK_GRAPH_SQL},
+wedges AS (
+    SELECT ab.a, ab.b, bc.b AS c FROM und ab JOIN und bc ON ab.b = bc.a
+),
+tri AS (
+    SELECT 1 AS one FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = w.a AND u.b = w.c)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges
+FROM tri""",
+)
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the (undirected) doc link graph — the classic
-    clustering-coefficient / community-structure primitive. Rows-only
-    (the edge set derives from xxhash64, which the oracle engine lacks);
-    the hard correctness signal is the pure-Python set-based differential
-    in tests/test_graph.py.
+    clustering-coefficient / community-structure primitive. Oracled: the
+    md5-bucket edge derivation is bit-identical in DuckDB (LINK_GRAPH_SQL),
+    so the wedge-join + closing-semi-join result hash-matches; the
+    pure-Python set-based differential in tests/test_graph.py stays as the
+    independent third implementation.
 
     Plan (100 TB-shape): canonicalize edges a<b once; wedges come from
     ONE self-equi-join on the middle vertex (a<b<c ordering means each
@@ -332,12 +389,40 @@ def kcore(edges: DataFrame, k: int = KCORE_K, tag: str = "default") -> DataFrame
     )
 
 
-@query("q_kcore")
+# Peeling rounds the recursive-CTE oracle runs before reading the fixpoint;
+# must exceed the peeling depth at the oracle SF (single digits at sf0.01 —
+# the driver gate's scale) and costs only rows, not joins, once stable.
+KCORE_ORACLE_ROUNDS = 60
+
+
+@query(
+    "q_kcore",
+    oracle=f"""
+WITH RECURSIVE {LINK_GRAPH_SQL},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+peel AS (
+    SELECT a, b, 0 AS rnd FROM sym
+    UNION ALL
+    SELECT a, b, rnd + 1 FROM (
+        SELECT p.a, p.b, p.rnd,
+            COUNT(*) OVER (PARTITION BY p.a) AS da,
+            COUNT(*) OVER (PARTITION BY p.b) AS db
+        FROM peel p
+    ) WHERE da >= {KCORE_K} AND db >= {KCORE_K} AND rnd < {KCORE_ORACLE_ROUNDS}
+)
+SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM peel WHERE rnd = {KCORE_ORACLE_ROUNDS} GROUP BY a""",
+)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Members of the 4-core of the doc link graph with their within-core
-    degree. Rows-only (xxhash edge derivation); correctness is the
+    degree. Oracled via a recursive-CTE peeling twin: the working table
+    carries the surviving symmetric edge set round over round (an edge
+    survives iff both endpoints' degrees are >= k — in a symmetric
+    relation COUNT OVER (PARTITION BY second-endpoint) IS that endpoint's
+    degree, which keeps the recursive term to the single self-reference
+    SQL allows), run past the fixpoint and read at the round cap. The
     pure-Python peeling differential in tests/test_graph.py plus the
-    defining invariant (every member's core degree >= k)."""
+    degree>=k invariant stay as independent checks."""
     docs = load_table(spark, sf_dir, "documents")
     out = kcore(link_graph(docs), tag="q_kcore")
     return out.select("doc_id", "core_degree")

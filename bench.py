@@ -73,8 +73,12 @@ HEADLINE = [
     "q_zorder_layout",
     # iterative link-graph analytics (PageRank power iteration: per-round
     # join + partial agg with checkpoint hygiene — the second iterative
-    # family beside CC)
+    # family beside CC; k-core peeling and pointer-jump flattening round
+    # out the iterative family so graph_telemetry tracks all its round
+    # counts)
     "q_pagerank",
+    "q_kcore",
+    "q_hierarchy_flatten",
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here
     "q_group_normalize",
@@ -217,6 +221,15 @@ def main() -> None:
 
     if CC_TELEMETRY:
         out["cc_telemetry"] = CC_TELEMETRY
+    # iterative-graph telemetry (PageRank l1-deltas, pointer-jump changed
+    # counts, k-core edges-per-round) — round counts are the stable
+    # round-over-round signal for the whole iterative family (VERDICT r5
+    # item 7), so a wall-time move decomposes into extra-rounds vs
+    # per-round cost without an instrumented rerun.
+    from aram_matchdata_etl_spark.operators.graph import PR_TELEMETRY
+
+    if PR_TELEMETRY:
+        out["graph_telemetry"] = PR_TELEMETRY
     print(json.dumps(out))
 
 
