@@ -214,11 +214,20 @@ LEADLAG_MAX = 3
 @query(
     "q_leadlag_corr",
     oracle=f"""
-WITH daily AS (
+WITH daily0 AS (
     SELECT date_trunc('day', ts) AS day,
         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
     FROM events GROUP BY 1
+), spans AS (
+    SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily0
+), cal AS (
+    SELECT u.d AS day
+    FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL '1 day')) AS u(d)
+), daily AS (
+    SELECT c.day, COALESCE(d.clicks, 0) AS clicks,
+        COALESCE(d.purchases, 0) AS purchases
+    FROM cal c LEFT JOIN daily0 d ON d.day = c.day
 ), lagged AS (
     SELECT purchases,
         {", ".join(f"LAG(clicks, {k}) OVER (ORDER BY day) AS c{k}" for k in range(LEADLAG_MAX + 1))}
@@ -241,15 +250,30 @@ def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unpartitioned ORDER BY day window is deliberate and safe: it
     sorts |days| rows, not |events| (a 10-year hourly series is <100k
     rows), and Spark's single-partition WindowExec warning refers to a
-    frame that has already been reduced by ~6 orders of magnitude."""
+    frame that has already been reduced by ~6 orders of magnitude.
+
+    The daily series is calendar-gap-filled (q_gap_fill's sequence-explode
+    idiom, zero-filled) BEFORE the lags, so LAG(clicks, k) is a true
+    k-calendar-day shift even when some day has no events — without the
+    fill, a row lag silently drifts from the advertised day semantics
+    (ADVICE r5)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+    daily0 = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "purchases"
         ),
+    )
+    spans = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = cal.join(daily0, "day", "left").select(
+        "day",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
     )
     w = Window.orderBy("day")
     lagged = daily.select(

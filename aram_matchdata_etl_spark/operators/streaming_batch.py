@@ -398,6 +398,28 @@ def countmin_estimates(words: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def _force_mtime_order(*dirs: str) -> None:
+    """Pin strictly increasing modification times on the data files of the
+    given spool directories, in argument order. FileStreamSource orders
+    files by ms-granularity mtime, so sequentially written spool dirs can
+    tie and be processed out of order — which would silently violate the
+    cross-trigger ordering the live-stream correctness queries assume
+    (ADVICE r5). Explicit utimes make the order guaranteed, not
+    incidental."""
+    import os
+    import time
+
+    base = time.time() - 600  # well in the past; only relative order matters
+    step = 0
+    for d in dirs:
+        for fname in sorted(os.listdir(d)):
+            if fname.startswith(("_", ".")):
+                continue
+            step += 1
+            t = base + step * 2.0  # 2 s apart: far beyond ms granularity
+            os.utime(os.path.join(d, fname), (t, t))
+
+
 _STREAM_FUNNEL_RUNS = 0
 
 
@@ -458,6 +480,7 @@ def q_stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
         ).coalesce(1).write.parquet(src + "/f=1")
         ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
         stream = (
             spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
             .option("maxFilesPerTrigger", 1)
@@ -500,5 +523,85 @@ def q_stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rows are already driver-side; this pins the derived frame too)
         result = result.localCheckpoint()
         return result
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+_STREAM_DEDUP_RUNS = 0
+
+
+@query(
+    "q_stream_dedup_live",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+            AS fingerprint,
+        doc_id % 5 = 4 AS is_batch
+    FROM documents
+),
+existing AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_batch)
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM fp
+WHERE is_batch
+    AND fingerprint NOT IN (SELECT fingerprint FROM existing)
+GROUP BY fingerprint""",
+)
+def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second REAL Structured Streaming execution under the
+    correctness gate (after q_stream_funnel_live): incremental-ingest
+    dedup admission on a LIVE stream. The already-ingested corpus
+    (doc_id % 5 != 4) and the new batch (doc_id % 5 == 4) are spooled as
+    two mtime-ordered files; `dedup_forever` (dropDuplicates on the
+    order-insensitive bow fingerprint — the reference's Redis SET
+    admission, extractor/riot/db/redis.py:48-64, lifted to content) drains
+    them as two micro-batches with the dedup state store carrying the
+    corpus fingerprints across the trigger boundary. A batch doc reaches
+    the sink iff its fingerprint was NOT seen in the corpus trigger nor
+    earlier in its own — i.e. exactly q_dedup_incremental's accept=true
+    set at fingerprint granularity.
+
+    Which batch doc survives a within-batch collision is dropDuplicates-
+    nondeterministic, so the output is fingerprint-keyed with the
+    min batch doc_id joined back after completion (integer + hex columns
+    -> exact hash equality against the batch oracle, like the funnel's
+    integer stage counts and unlike the float z-score twin)."""
+    import shutil
+    import tempfile
+
+    global _STREAM_DEDUP_RUNS
+    _STREAM_DEDUP_RUNS += 1
+    run_id = _STREAM_DEDUP_RUNS
+
+    from ..streaming.crawl import dedup_forever, run_to_completion
+    from .dedup import _INGEST_MOD, bow_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        bow_fingerprint().alias("fingerprint"),
+        (F.col("doc_id") % _INGEST_MOD == _INGEST_MOD - 1).alias("is_batch"),
+    )
+    src = tempfile.mkdtemp(prefix="graft_dedup_stream_")
+    try:
+        docs.filter(~F.col("is_batch")).coalesce(1).write.parquet(src + "/f=0")
+        docs.filter(F.col("is_batch")).coalesce(1).write.parquet(src + "/f=1")
+        _force_mtime_order(src + "/f=0", src + "/f=1")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        table = f"dedup_live_{run_id}"
+        run_to_completion(dedup_forever(stream, "fingerprint"), query_name=table)
+        admitted = spark.table(table).filter(F.col("is_batch")).select("fingerprint")
+        result = (
+            docs.filter(F.col("is_batch"))
+            .join(admitted, "fingerprint", "left_semi")
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "fingerprint")
+        )
+        # materialize before the source spool disappears
+        return result.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -66,7 +66,12 @@ def canonicalize_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
     host = F.lower(F.regexp_extract(url, _HOST, 1))
     path = F.regexp_extract(url, _PATH, 1)
-    qs = F.regexp_extract(url, _QUERY, 1)
+    # strip the fragment BEFORE extracting the query: an unanchored
+    # \?([^#]*) on the full URL would resurrect fragment content as query
+    # params for URLs whose first '?' sits inside the fragment, e.g.
+    # https://h/p#frag?x=1 (ADVICE r5)
+    pre_frag = F.substring_index(url, "#", 1)
+    qs = F.regexp_extract(pre_frag, _QUERY, 1)
     kept = F.filter(
         F.split(qs, "&"),
         lambda p: (p != "") & ~p.startswith("utm_"),
@@ -86,14 +91,18 @@ def registered_domain(url: Column) -> Column:
     return F.when(n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))).otherwise(host)
 
 
-_CANON_SQL = """lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+# fragment stripped (string_split on '#', first piece) BEFORE the query
+# extraction — mirrors canonicalize_url's pre_frag step (ADVICE r5)
+_PRE_FRAG_SQL = "string_split(url, '#')[1]"
+_KEPT_SQL = (
+    f"list_filter(string_split(regexp_extract({_PRE_FRAG_SQL}, '\\?(.*)', 1), '&'), "
+    "p -> p <> '' AND NOT starts_with(p, 'utm_'))"
+)
+_CANON_SQL = f"""lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
     || lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
     || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
-    || CASE WHEN len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                    p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
-            THEN '?' || list_aggregate(
-                list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-                    p -> p <> '' AND NOT starts_with(p, 'utm_')), 'string_agg', '&')
+    || CASE WHEN len({_KEPT_SQL}) > 0
+            THEN '?' || list_aggregate({_KEPT_SQL}, 'string_agg', '&')
             ELSE '' END"""
 
 _HOST_SQL = "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"

@@ -190,7 +190,14 @@ def zscore_tracker(lookback: int | None = None, threshold: float | None = None):
                     {
                         "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
                         "user_id": np.full(len(pdf), int(user_id), dtype=np.int64),
-                        "zscore": np.where(ok, np.round(z, 4), np.nan),
+                        # HALF_UP to match the batch operator's F.round
+                        # bit-for-bit (np.round is half-to-even, which
+                        # drifts in the 4th decimal on ties — ADVICE r5)
+                        "zscore": np.where(
+                            ok,
+                            np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4,
+                            np.nan,
+                        ),
                         "is_anomaly": ok & (np.abs(z) > th),
                     }
                 )
@@ -222,6 +229,13 @@ def streaming_zscore(stream: DataFrame) -> DataFrame:
 
 FUNNEL_STAGES_STREAM = ("view", "click", "purchase")
 
+# Stored "unreached" sentinel for the funnel state struct (fields are long;
+# None round-trips are avoided deliberately). Long.MIN_VALUE sits outside
+# every real tick domain — a plain -1 would collide with pre-1970
+# (negative-tick) event times and make those stages unanchorable
+# (ADVICE r5).
+_UNREACHED = -(2**63)
+
 
 def funnel_tracker(stages: tuple[str, ...] = FUNNEL_STAGES_STREAM):
     """applyInPandasWithState function for the first-touch funnel: state
@@ -244,15 +258,17 @@ def funnel_tracker(stages: tuple[str, ...] = FUNNEL_STAGES_STREAM):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         n = len(stages)
-        # -1 is the stored "unreached" sentinel (state struct fields are
-        # long; None round-trips are avoided deliberately)
         ts_state = (
-            [v if v >= 0 else None for v in state.get] if state.exists else [None] * n
+            [v if v != _UNREACHED else None for v in state.get]
+            if state.exists
+            else [None] * n
         )
         for pdf in pdfs:
             et = pdf["event_type"].to_numpy()
             tsv = pdf["ts"].astype("int64").to_numpy()  # epoch ticks (us or ns per pandas dtype; unit-consistent across batches, which is all the cascade needs)
-            prev: int | None = 0  # stage -1 anchor: beginning of time
+            # stage -1 anchor: no time constraint on stage 0 — Long.MIN,
+            # not 0, so pre-1970 (negative-tick) events can still anchor
+            prev: int | None = _UNREACHED
             for k, stage in enumerate(stages):
                 if ts_state[k] is not None:
                     # monotone event time: an already-anchored stage can
@@ -265,7 +281,7 @@ def funnel_tracker(stages: tuple[str, ...] = FUNNEL_STAGES_STREAM):
                 if mask.any():
                     ts_state[k] = int(tsv[mask].min())
                 prev = ts_state[k]
-        state.update(tuple(v if v is not None else -1 for v in ts_state))
+        state.update(tuple(v if v is not None else _UNREACHED for v in ts_state))
         yield pd.DataFrame(
             {
                 "user_id": [int(user_id)],

@@ -30,6 +30,7 @@ def test_canonicalize_edge_cases(spark):
             "https://Sub.Deep.Foo.Co/p",  # >2 labels -> last two
             "ftp://HOST/file",  # non-http scheme preserved (lowercased)
             "https://single/path",  # single-label host: domain == host
+            "https://h.example/p#frag?x=1",  # '?' inside fragment is NOT a query
         ],
     )
     assert got["HTTP://WWW.Foo.COM/A/B?utm_source=x&utm_medium=y"] == (
@@ -43,6 +44,11 @@ def test_canonicalize_edge_cases(spark):
     assert got["https://Sub.Deep.Foo.Co/p"] == ("https://sub.deep.foo.co/p", "foo.co")
     assert got["ftp://HOST/file"] == ("ftp://host/file", "host")
     assert got["https://single/path"] == ("https://single/path", "single")
+    # fragment dropped entirely — its '?x=1' must not resurrect as a query
+    assert got["https://h.example/p#frag?x=1"] == (
+        "https://h.example/p",
+        "h.example",
+    )
 
 
 def test_canonicalize_idempotent(spark):
