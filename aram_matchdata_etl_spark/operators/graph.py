@@ -426,3 +426,139 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = kcore(link_graph(docs), tag="q_kcore")
     return out.select("doc_id", "core_degree")
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=f"""
+WITH {LINK_GRAPH_SQL},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+wedge AS (
+    SELECT s1.a AS v, s1.b AS x, s2.b AS y
+    FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+),
+tri AS (
+    SELECT w.v, COUNT(*) AS t FROM wedge w
+    JOIN und u ON u.a = LEAST(w.x, w.y) AND u.b = GREATEST(w.x, w.y)
+    GROUP BY w.v
+)
+SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+    CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+    ROUND(CASE WHEN d.deg >= 2
+        THEN 2.0 * COALESCE(tri.t, 0) / (d.deg * (d.deg - 1.0))
+        ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tri USING (v)""",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected doc link
+    graph — 2*T(v) / (deg(v) * (deg(v)-1)), the classic community-density
+    node feature (and the per-node refinement of q_triangle_count's
+    global number). Fully oracled through the shared md5 edge CTE.
+
+    Plan (100 TB shape): degrees are one partial-agg groupBy of the
+    symmetric edge list; wedges centered at v come from ONE self-equi-join
+    of sym on the center (x < y generates each unordered neighbor pair
+    once); closure joins und on the canonicalized pair key. All joins key
+    on node ids (two-long rows) — document bodies never move. Cost is
+    sum(deg^2) wedge rows, the same bound as triangle counting; hub
+    mitigation at scale is neighbor-list truncation or degree-ordered
+    wedge direction, both composable here."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = link_graph(docs)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
+    s1 = sym.select(F.col("a").alias("v"), F.col("b").alias("x"))
+    s2 = sym.select(F.col("a").alias("v"), F.col("b").alias("y"))
+    wedge = s1.join(s2, "v").filter(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = (
+        wedge.join(closing, ["x", "y"], "left_semi")
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("deg") * (F.col("deg") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(coeff, 6).alias("clustering_coeff"),
+    )
+
+
+ADAMIC_ADAR_TOPK = 100
+
+
+@query(
+    "q_link_predict",
+    oracle=f"""
+WITH {LINK_GRAPH_SQL},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM sym GROUP BY a),
+pair AS (
+    SELECT s1.b AS u, s2.b AS w, s1.a AS z
+    FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+),
+scored AS (
+    SELECT p.u AS a, p.w AS b,
+        CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        ROUND(SUM(1.0 / LN(d.deg)), 6) AS adamic_adar
+    FROM pair p JOIN deg d ON d.v = p.z
+    WHERE d.deg > 1
+    GROUP BY p.u, p.w
+),
+nonedge AS (
+    SELECT s.* FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = s.a AND u.b = s.b)
+)
+SELECT a, b, common_neighbors, adamic_adar FROM nonedge
+ORDER BY adamic_adar DESC, common_neighbors DESC, a, b
+LIMIT {ADAMIC_ADAR_TOPK}""",
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the doc graph: top-{ADAMIC_ADAR_TOPK}
+    non-adjacent pairs by Adamic-Adar score (sum over common neighbors z
+    of 1/ln(deg(z)), the standard common-neighbor weighting that
+    discounts hubs), with common-neighbor count as the secondary signal.
+    Deterministic total order (score desc, count desc, pair id) makes the
+    top-k oracle-exact.
+
+    Plan: candidate pairs are generated ONLY through shared neighbors
+    (the wedge join — never the quadratic non-edge space), scores
+    aggregate per pair with map-side partials, known edges leave via one
+    anti-join on the canonical pair key, and the top-k is
+    TakeOrderedAndProject (no global sort materialization). The z with
+    deg=1 contributes nothing (1/ln(1) undefined) and is filtered exactly
+    as the oracle does."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = link_graph(docs)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
+    s1 = sym.select(F.col("a").alias("z"), F.col("b").alias("u"))
+    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    pair = s1.join(s2, "z").filter(F.col("u") < F.col("w"))
+    scored = (
+        pair.join(deg.filter(F.col("deg") > 1), pair.z == F.col("v"))
+        .groupBy(F.col("u").alias("a"), F.col("w").alias("b"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("adamic_adar"),
+        )
+    )
+    nonedge = scored.join(und, ["a", "b"], "left_anti")
+    return nonedge.orderBy(
+        F.desc("adamic_adar"), F.desc("common_neighbors"), "a", "b"
+    ).limit(ADAMIC_ADAR_TOPK)
