@@ -605,3 +605,115 @@ def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+KMV_K = 256
+
+
+@query(
+    "q_kmv_overlap",
+    oracle=f"""
+WITH wh AS (
+    SELECT DISTINCT source,
+        ('0x' || substr(md5(w.w), 1, 8))::BIGINT AS h
+    FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+    WHERE w.w <> ''
+),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM wh
+    ) WHERE rn <= {KMV_K}
+),
+names AS (SELECT DISTINCT source FROM documents),
+prs AS (
+    SELECT x.source AS s1, y.source AS s2 FROM names x JOIN names y
+    ON x.source < y.source
+),
+uni AS (
+    SELECT p.s1, p.s2, k.h,
+        MAX(CASE WHEN k.source = p.s1 THEN 1 ELSE 0 END) AS in1,
+        MAX(CASE WHEN k.source = p.s2 THEN 1 ELSE 0 END) AS in2
+    FROM prs p JOIN sk k ON k.source IN (p.s1, p.s2)
+    GROUP BY p.s1, p.s2, k.h
+),
+kept AS (
+    SELECT s1, s2, h, in1, in2,
+        ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+    FROM uni
+)
+SELECT s1, s2,
+    CAST(COUNT(*) AS BIGINT) AS k_eff,
+    CAST(SUM(in1 * in2) AS BIGINT) AS n_both,
+    ROUND(SUM(in1 * in2) * 1.0 / COUNT(*), 6) AS jaccard_kmv,
+    ROUND(CASE WHEN COUNT(*) >= {KMV_K}
+        THEN ({KMV_K} - 1) * 4294967296.0 / MAX(h)
+        ELSE COUNT(*) END, 2) AS union_distinct_est
+FROM kept WHERE rn <= {KMV_K}
+GROUP BY s1, s2""",
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch overlap between per-source vocabularies:
+    for every source pair, the KMV Jaccard estimate (|kept ∩ both| / k
+    over the k smallest hashes of the union — Beyer et al., SIGMOD'07),
+    plus the KMV union-distinct estimate ((k-1)/u_k). The deterministic
+    md5-prefix hash makes the whole sketch BIT-IDENTICAL in both engines,
+    so unlike HLL/count-min (rows-only + bound tests) this sketch is
+    fully hash-oracled; the accuracy-vs-exact bound is asserted in
+    tests/test_northstar.py.
+
+    Scale shape: the only corpus-wide work is one distinct over
+    (source, hash) — map-side partial dedup on 8-byte keys, never words
+    after the hash. Each source's sketch is <= k rows BY CONSTRUCTION,
+    so the pair stage (union, re-rank, membership) runs on
+    |sources|^2 * k rows — broadcast-sized regardless of corpus scale,
+    exactly why KMV beats exact pairwise vocabulary Jaccard (which needs
+    a vocab x vocab join per pair) at 100 TB. Sketches are mergeable:
+    the streaming form unions per-batch sketches and re-trims to k."""
+    docs = load_table(spark, sf_dir, "documents")
+    wh = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+        )
+        .distinct()
+    )
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = wh.withColumn("rn", F.row_number().over(wsk)).filter(
+        F.col("rn") <= KMV_K
+    ).select("source", "h")
+    names = docs.select("source").distinct()
+    prs = (
+        names.select(F.col("source").alias("s1"))
+        .crossJoin(names.select(F.col("source").alias("s2")))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    uni = (
+        F.broadcast(prs)
+        .join(sk, (sk.source == prs.s1) | (sk.source == prs.s2))
+        .groupBy("s1", "s2", "h")
+        .agg(
+            F.max(F.when(F.col("source") == F.col("s1"), 1).otherwise(0)).alias("in1"),
+            F.max(F.when(F.col("source") == F.col("s2"), 1).otherwise(0)).alias("in2"),
+        )
+    )
+    wp = Window.partitionBy("s1", "s2").orderBy("h")
+    kept = uni.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= KMV_K)
+    return kept.groupBy("s1", "s2").agg(
+        F.count("*").cast("bigint").alias("k_eff"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("n_both"),
+        F.round(
+            F.sum(F.col("in1") * F.col("in2")) * 1.0 / F.count("*"), 6
+        ).alias("jaccard_kmv"),
+        F.round(
+            F.when(
+                F.count("*") >= KMV_K,
+                (KMV_K - 1) * 4294967296.0 / F.max("h"),
+            ).otherwise(F.count("*").cast("double")),
+            2,
+        ).alias("union_distinct_est"),
+    )

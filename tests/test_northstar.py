@@ -561,3 +561,55 @@ def test_ann_graph_recall_vs_exact(spark):
         recalls.append(len(exact & {v for _, v, _ in mine}) / 10)
     assert sum(recalls) / len(recalls) >= 0.7, recalls
     assert min(recalls) >= 0.4, recalls
+
+
+def test_kmv_overlap_error_bounds(spark):
+    """KMV estimates vs exact: the union-distinct estimator's relative
+    error concentrates around 1/sqrt(k-1) (~6% at k=256); the Jaccard
+    estimator is a k-sample proportion (binomial s.e. <= 0.5/sqrt(k)
+    ~3%). Assert 3x-margin bounds per source pair, plus the estimator's
+    exactness guarantee when the union sketch is not full."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        (r.s1, r.s2): r
+        for r in all_queries()["q_kmv_overlap"](spark, SF_ORACLE).collect()
+    }
+    assert got, "no source pairs"
+
+    from .oracle_utils import duckdb_df
+
+    exact = duckdb_df(
+        """
+        WITH v AS (
+            SELECT DISTINCT source, w.w AS w
+            FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+            WHERE w.w <> ''
+        )
+        SELECT a.source AS s1, b.source AS s2,
+            COUNT(DISTINCT CASE WHEN a.w = b.w THEN a.w END) AS n_inter,
+            0 AS dummy
+        FROM v a JOIN v b ON a.source < b.source AND a.w = b.w
+        GROUP BY 1, 2
+        """,
+        SF_ORACLE,
+    )
+    sizes = duckdb_df(
+        """
+        SELECT source, COUNT(DISTINCT w.w) AS n
+        FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+        WHERE w.w <> '' GROUP BY 1
+        """,
+        SF_ORACLE,
+    ).set_index("source")["n"]
+    inter = {(r.s1, r.s2): r.n_inter for r in exact.itertuples()}
+    for (s1, s2), row in got.items():
+        n_union = int(sizes[s1]) + int(sizes[s2]) - inter.get((s1, s2), 0)
+        true_j = inter.get((s1, s2), 0) / n_union
+        if row.k_eff < 256:
+            # union sketch not full -> sketch IS the union: both exact
+            assert row.union_distinct_est == n_union
+            assert abs(row.jaccard_kmv - true_j) < 1e-6
+        else:
+            assert abs(row.union_distinct_est - n_union) / n_union < 3 / (255**0.5)
+            assert abs(row.jaccard_kmv - true_j) < 3 * 0.5 / (256**0.5)
