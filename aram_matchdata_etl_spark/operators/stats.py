@@ -293,3 +293,402 @@ def q_leadlag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(LEADLAG_MAX + 1)
     ]
     return per_lag.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type,
+        RANK() OVER (PARTITION BY event_type ORDER BY value)
+            + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rv,
+        RANK() OVER (PARTITION BY event_type ORDER BY ts)
+            + (COUNT(*) OVER (PARTITION BY event_type, ts) - 1) / 2.0 AS rt
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(corr(rv, rt), 6) AS spearman
+FROM ranked GROUP BY event_type""",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and event time per event
+    type — the monotone-trend detector that, unlike Pearson (q_group_ols'
+    r), is immune to outliers and nonlinearity. True tie handling:
+    average ranks (min-rank + (ties-1)/2), which is deterministic with
+    NO tie-break column, so both engines agree bit-for-bit; the result
+    is then one Pearson corr over the rank pairs.
+
+    Scale: two rank windows + corr ride ONE exchange on event_type
+    (same partitioning for both windows and the final agg). A group's
+    rows must window-sort within its partitions — at extreme per-group
+    cardinality the binned-ECDF approximation replaces exact ranks; the
+    exact form is right wherever per-group sort fits (the usual case)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rv = (
+        F.rank().over(Window.partitionBy("event_type").orderBy("value"))
+        + (F.count("*").over(Window.partitionBy("event_type", "value")) - 1) / 2.0
+    )
+    rt = (
+        F.rank().over(Window.partitionBy("event_type").orderBy("ts"))
+        + (F.count("*").over(Window.partitionBy("event_type", "ts")) - 1) / 2.0
+    )
+    ranked = ev.select("event_type", rv.alias("rv"), rt.alias("rt"))
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("rv", "rt"), 6).alias("spearman"),
+    )
+
+
+MWU_A, MWU_B = "click", "view"
+
+
+@query(
+    "q_mannwhitney_u",
+    oracle=f"""
+WITH rollup AS (
+    SELECT value,
+        COUNT(CASE WHEN event_type = '{MWU_A}' THEN 1 END) AS ca,
+        COUNT(CASE WHEN event_type = '{MWU_B}' THEN 1 END) AS cb
+    FROM events
+    WHERE event_type IN ('{MWU_A}', '{MWU_B}')
+    GROUP BY value
+), ranks AS (
+    SELECT value, ca, cb, ca + cb AS c,
+        SUM(ca + cb) OVER (ORDER BY value) - (ca + cb) + (ca + cb + 1) / 2.0
+            AS avg_rank
+    FROM rollup
+), s AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        SUM(ca * avg_rank) AS ra,
+        SUM(POW(c, 3) - c) AS tie_term
+    FROM ranks
+)
+SELECT na, nb,
+    ROUND(ra - na * (na + 1) / 2.0, 2) AS u_stat,
+    ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+        / SQRT(na * nb / 12.0
+            * ((na + nb + 1) - tie_term / ((na + nb) * (na + nb - 1.0)))), 6)
+        AS z_stat
+FROM s""",
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the value
+    distributions of '{MWU_A}' vs '{MWU_B}' events — the nonparametric
+    A/B readout used when means mislead (heavy tails), with the standard
+    tie-corrected normal approximation.
+
+    Scale-correct formulation: the corpus first reduces to a PER-VALUE
+    rollup (one groupBy with conditional-count partials — the only pass
+    over the events); average ranks then derive from a cumulative sum
+    over the ordered DISTINCT-VALUE table, which is orders of magnitude
+    smaller than the event stream (the naive per-row rank window would
+    instead sort the full corpus in one partition). Sufficient
+    statistics (rank sum, tie term) aggregate from that rollup; only the
+    one-row readout reaches the driver."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MWU_A, MWU_B)
+    )
+    rollup = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == MWU_A, 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == MWU_B, 1)).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("ca") + F.col("cb")
+    ranks = rollup.select(
+        "ca",
+        "cb",
+        c.alias("c"),
+        (F.sum(c).over(w) - c + (c + 1) / 2.0).alias("avg_rank"),
+    )
+    s = ranks.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
+        F.sum(F.pow(F.col("c"), 3) - F.col("c")).alias("tie_term"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ra") - na * (na + 1) / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0
+        * ((na + nb + 1) - F.col("tie_term") / ((na + nb) * (na + nb - 1.0)))
+    )
+    return s.select(
+        "na",
+        "nb",
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / sigma, 6).alias("z_stat"),
+    )
+
+
+# Length-class thresholds sit near the corpus tertiles, so both raters
+# produce genuinely mixed 3-class labels (kappa is undefined on a
+# single-class rater).
+KAPPA_CHAR_CUTS = (220, 380)
+KAPPA_WORD_CUTS = (40, 70)
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+WITH rated AS (
+    SELECT CASE WHEN n_chars < {KAPPA_CHAR_CUTS[0]} THEN 0
+                WHEN n_chars < {KAPPA_CHAR_CUTS[1]} THEN 1 ELSE 2 END AS ra,
+        CASE WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[0]} THEN 0
+             WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[1]} THEN 1
+             ELSE 2 END AS rb
+    FROM documents
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        {" + ".join(
+            f"(SUM(CASE WHEN ra = {k} THEN 1 ELSE 0 END) * 1.0 / COUNT(*))"
+            f" * (SUM(CASE WHEN rb = {k} THEN 1 ELSE 0 END) * 1.0 / COUNT(*))"
+            for k in range(3)
+        )} AS pe
+    FROM rated
+)
+SELECT n, n_agree,
+    ROUND(n_agree * 1.0 / n, 6) AS po,
+    ROUND(pe, 6) AS pe,
+    ROUND((n_agree * 1.0 / n - pe) / (1 - pe), 6) AS kappa
+FROM s""",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two annotators,
+    here two deterministic document-length classifiers (char-based vs
+    token-based 3-class labels): the standard readout for LLM labeling
+    pipelines (model-vs-model or model-vs-human label agreement beyond
+    chance). kappa = (po - pe) / (1 - pe) with pe from the raters'
+    marginal class rates.
+
+    ONE pass: every marginal and the agreement count are conditional
+    aggregates with map-side partials; with K classes the sufficient
+    statistics are 2K+2 scalars regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    ra = (
+        F.when(F.col("n_chars") < KAPPA_CHAR_CUTS[0], 0)
+        .when(F.col("n_chars") < KAPPA_CHAR_CUTS[1], 1)
+        .otherwise(2)
+    )
+    rb = (
+        F.when(nw < KAPPA_WORD_CUTS[0], 0)
+        .when(nw < KAPPA_WORD_CUTS[1], 1)
+        .otherwise(2)
+    )
+    rated = docs.select(ra.alias("ra"), rb.alias("rb"))
+    pe = None
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    ]
+    for k in range(3):
+        term = (
+            F.sum(F.when(F.col("ra") == k, 1).otherwise(0)) * 1.0 / F.count("*")
+        ) * (F.sum(F.when(F.col("rb") == k, 1).otherwise(0)) * 1.0 / F.count("*"))
+        pe = term if pe is None else pe + term
+    s = rated.agg(*aggs, pe.alias("pe"))
+    po = F.col("n_agree") * 1.0 / F.col("n")
+    return s.select(
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(F.col("pe"), 6).alias("pe"),
+        F.round((po - F.col("pe")) / (1 - F.col("pe")), 6).alias("kappa"),
+    )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        MAX(ts) AS tl
+    FROM events GROUP BY user_id
+), spells AS (
+    SELECT user_id,
+        CASE WHEN tp IS NOT NULL AND tp >= tv THEN 1 ELSE 0 END AS observed,
+        CAST(FLOOR((epoch_us(CASE WHEN tp IS NOT NULL AND tp >= tv
+                                  THEN tp ELSE tl END)
+                    - epoch_us(tv)) / 86400000000.0) AS BIGINT) AS duration
+    FROM per_user WHERE tv IS NOT NULL
+), rollup AS (
+    SELECT duration,
+        CAST(SUM(observed) AS BIGINT) AS n_events,
+        CAST(SUM(1 - observed) AS BIGINT) AS n_censored
+    FROM spells GROUP BY duration
+), km AS (
+    SELECT duration, n_events, n_censored,
+        SUM(n_events + n_censored) OVER () 
+            - COALESCE(SUM(n_events + n_censored) OVER (
+                ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) AS n_risk
+    FROM rollup
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+    CASE WHEN MIN(n_risk - n_events) OVER (
+            ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+        THEN 0.0
+        ELSE ROUND(EXP(SUM(LN(NULLIF(1 - n_events * 1.0 / n_risk, 0))) OVER (
+            ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+    END AS survival
+FROM km""",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time from first 'view' to first
+    'purchase' (right-censored at the user's last observed event) — the
+    conversion-latency readout that, unlike q_conversion_latency's
+    completed-spell averages, handles users who have NOT converted yet
+    without biasing the estimate. S(t) = prod over death times <= t of
+    (1 - d_i / n_i), computed as EXP of a cumulative LN-sum.
+
+    Scale shape: the event stream reduces to one per-user spell row
+    (groupBy user_id, conditional min/max — the only corpus pass), then
+    to a per-duration life table (a second tiny groupBy); the at-risk
+    counts and the cumulative product run as windows over the DISTINCT
+    DURATION table (days — hundreds of rows at any corpus size). The
+    guarded LN (NULLIF + cumulative-min zero flag) pins the S(t) = 0
+    boundary case identically in both dialects."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    observed = F.when(
+        F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")), 1
+    ).otherwise(0)
+    end_ts = F.when(
+        F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")), F.col("tp")
+    ).otherwise(F.col("tl"))
+    spells = per_user.filter(F.col("tv").isNotNull()).select(
+        observed.alias("observed"),
+        F.floor(
+            (F.unix_micros(end_ts) - F.unix_micros(F.col("tv"))) / 86400000000.0
+        )
+        .cast("bigint")
+        .alias("duration"),
+    )
+    rollup = spells.groupBy("duration").agg(
+        F.sum("observed").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("observed")).cast("bigint").alias("n_censored"),
+    )
+    removed = F.col("n_events") + F.col("n_censored")
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    km = rollup.select(
+        "duration",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(removed).over(w_all)
+            - F.coalesce(F.sum(removed).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    dead_end = F.min(F.col("n_risk") - F.col("n_events")).over(w_cum) == 0
+    ln_term = F.log(F.nullif(1 - F.col("n_events") * 1.0 / F.col("n_risk"), F.lit(0)))
+    survival = F.when(dead_end, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6)
+    )
+    return km.select(
+        "duration",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        survival.alias("survival"),
+    )
+
+
+NDCG_K = 10
+
+
+@query(
+    "q_ndcg_eval",
+    oracle=f"""
+WITH graded AS (
+    SELECT source, doc_id, n_chars,
+        CASE WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[0]} THEN 0
+             WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[1]} THEN 1
+             ELSE 2 END AS rel
+    FROM documents
+), ranked AS (
+    SELECT source, rel,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+            AS pos,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY rel DESC, doc_id)
+            AS ideal_pos
+    FROM graded
+)
+SELECT source,
+    ROUND(SUM(CASE WHEN pos <= {NDCG_K}
+        THEN (POW(2, rel) - 1) / LOG2(pos + 1.0) ELSE 0 END), 6) AS dcg,
+    ROUND(SUM(CASE WHEN ideal_pos <= {NDCG_K}
+        THEN (POW(2, rel) - 1) / LOG2(ideal_pos + 1.0) ELSE 0 END), 6) AS idcg,
+    ROUND(SUM(CASE WHEN pos <= {NDCG_K}
+            THEN (POW(2, rel) - 1) / LOG2(pos + 1.0) ELSE 0 END)
+        / NULLIF(SUM(CASE WHEN ideal_pos <= {NDCG_K}
+            THEN (POW(2, rel) - 1) / LOG2(ideal_pos + 1.0) ELSE 0 END), 0), 6)
+        AS ndcg
+FROM ranked GROUP BY source""",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} per query group — the graded ranking-quality readout
+    every retrieval/reranking pipeline reports (here: sources as query
+    groups, a deterministic char-length ranker scored against token-count
+    relevance grades; in production the ranker column is the model score
+    and rel the human label). DCG with the standard (2^rel - 1) gains
+    and log2(pos+1) discounts; IDCG from the per-group ideal ordering;
+    both from the SAME two row_number windows.
+
+    Scale: both windows and the final agg share one exchange on the
+    query-group key; the discount sum is a conditional aggregate, so a
+    billion-query eval is one shuffle of (group, rel, score) triples —
+    no per-query driver work."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    rel = (
+        F.when(nw < KAPPA_WORD_CUTS[0], 0)
+        .when(nw < KAPPA_WORD_CUTS[1], 1)
+        .otherwise(2)
+    )
+    graded = docs.select("source", "doc_id", "n_chars", rel.alias("rel"))
+    pos = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    ideal_pos = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("rel"), "doc_id")
+    )
+    ranked = graded.select(
+        "source", "rel", pos.alias("pos"), ideal_pos.alias("ideal_pos")
+    )
+    gain = F.pow(2.0, F.col("rel")) - 1
+    dcg = F.sum(
+        F.when(F.col("pos") <= NDCG_K, gain / F.log2(F.col("pos") + 1.0)).otherwise(
+            0.0
+        )
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ideal_pos") <= NDCG_K, gain / F.log2(F.col("ideal_pos") + 1.0)
+        ).otherwise(0.0)
+    )
+    return ranked.groupBy("source").agg(
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(dcg / F.nullif(idcg, F.lit(0.0)), 6).alias("ndcg"),
+    )
