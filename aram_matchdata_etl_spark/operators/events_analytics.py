@@ -723,3 +723,131 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, AVG(value) AS x,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+), g AS (
+    SELECT day, x, n,
+        AVG(x) OVER () AS mu,
+        STDDEV_SAMP(x) OVER () AS sd
+    FROM daily
+), c AS (
+    SELECT day, x, n,
+        SUM((x - mu) / sd) OVER (
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cusum
+    FROM g
+)
+SELECT day, ROUND(x, 6) AS daily_mean, n AS n_events,
+    ROUND(cusum, 6) + 0.0 AS cusum,
+    ABS(cusum) = MAX(ABS(cusum)) OVER () AS is_changepoint
+FROM c""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily mean of event values:
+    the cumulative sum of standardized deviations from the series mean —
+    its extremum localizes a mean shift (Page 1954; the classic
+    data-drift "when did the pipeline change" readout, complementing
+    q_anomaly_zscore's point outliers). The flagged row is the argmax of
+    |CUSUM|.
+
+    Scale shape: the event stream reduces to the daily rollup FIRST (one
+    map-side-partial groupBy — the only corpus pass); standardization
+    and the cumulative sum are windows over the |days| rows. The argmax
+    flag is a window MAX, not a driver pass."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.avg("value").alias("x"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    g = daily.select(
+        "day",
+        "x",
+        "n",
+        F.avg("x").over(w_all).alias("mu"),
+        F.stddev_samp("x").over(w_all).alias("sd"),
+    )
+    c = g.select(
+        "day",
+        "x",
+        "n",
+        F.sum((F.col("x") - F.col("mu")) / F.col("sd")).over(w_cum).alias("cusum"),
+    )
+    return c.select(
+        "day",
+        F.round("x", 6).alias("daily_mean"),
+        F.col("n").alias("n_events"),
+        # + 0.0 folds IEEE negative zero (the analytically-zero final
+        # cusum rounds to -0.0 in one engine and +0.0 in the other) into
+        # +0.0 in both dialects
+        (F.round("cusum", 6) + 0.0).alias("cusum"),
+        (F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(w_all)).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+HIST_BINS = 20
+
+
+@query(
+    "q_value_histogram",
+    oracle=f"""
+WITH rng AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY event_type
+), binned AS (
+    SELECT e.event_type,
+        LEAST(CAST(FLOOR((e.value - r.lo) / NULLIF(r.hi - r.lo, 0)
+            * {HIST_BINS}) AS BIGINT), {HIST_BINS - 1}) AS bin,
+        r.lo, r.hi
+    FROM events e JOIN rng r USING (event_type)
+)
+SELECT event_type, bin,
+    ROUND(lo + bin * (hi - lo) / {HIST_BINS}, 6) AS bin_lo,
+    ROUND(lo + (bin + 1) * (hi - lo) / {HIST_BINS}, 6) AS bin_hi,
+    CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY event_type, bin, lo, hi""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width {HIST_BINS}-bin histogram of value per event type — the
+    distribution-profiling primitive behind drift dashboards and DQ
+    range checks. Two passes by construction (ranges, then binning), the
+    per-group ranges broadcast back onto the scan; the histogram itself
+    is one groupBy on (type, bin) with map-side partials — output
+    cardinality is groups x bins regardless of corpus size."""
+    ev = _events(spark, sf_dir)
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width * HIST_BINS).cast("bigint"),
+        F.lit(HIST_BINS - 1),
+    )
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type", bin_.alias("bin"), "lo", "hi"
+    )
+    span = F.col("hi") - F.col("lo")
+    return binned.groupBy("event_type", "bin", "lo", "hi").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(
+        "event_type",
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * span / HIST_BINS, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * span / HIST_BINS, 6).alias(
+            "bin_hi"
+        ),
+        "n",
+    )

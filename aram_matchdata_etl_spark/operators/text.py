@@ -694,3 +694,137 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "word_a", "word_b")
         .limit(PMI_TOPK)
     )
+
+
+KL_SMOOTH = 0.5  # add-half smoothing over the shared vocabulary
+
+
+@query(
+    "q_source_kl",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, w.w AS word
+    FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+    WHERE w.w <> ''
+), vocab AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS c_all FROM tok GROUP BY word
+), vn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c_all) AS BIGINT) AS n_all
+    FROM vocab
+), src AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_src FROM tok GROUP BY 1, 2
+), sn AS (
+    SELECT source, CAST(SUM(c_src) AS BIGINT) AS n_src FROM src GROUP BY source
+), terms AS (
+    SELECT s.source,
+        (COALESCE(sc.c_src, 0) + {KL_SMOOTH}) / (sn.n_src + {KL_SMOOTH} * vn.v)
+            AS p,
+        (v.c_all + {KL_SMOOTH}) / (vn.n_all + {KL_SMOOTH} * vn.v) AS q
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN vocab v CROSS JOIN vn
+    JOIN sn ON sn.source = s.source
+    LEFT JOIN src sc ON sc.source = s.source AND sc.word = v.word
+)
+SELECT source, ROUND(SUM(p * LN(p / q)), 6) AS kl_divergence
+FROM terms GROUP BY source""",
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution from the
+    corpus-wide distribution (add-half smoothing over the shared vocab) —
+    the domain-drift / mixture-diagnostic number behind data-mixing
+    decisions (which sources are distributionally far from the blend the
+    model actually trains on). Fully oracled.
+
+    Scale shape: ONE pass over the exploded token stream feeds both
+    count tables (per-word corpus counts; per-(source, word) counts —
+    same exchange key family); totals are one-row aggregates that
+    broadcast back. The per-source sum then runs over the (source x
+    vocab) grid — vocab-bounded, corpus-size-independent, and the grid
+    join is vocab-keyed (both sides hash-partitioned on word), with the
+    missing-word smoothing mass handled by the LEFT JOIN + COALESCE
+    rather than densifying anything row-wise. At web vocab (10^8 words x
+    10 sources) the grid is ~10^9 16-byte rows — a routine shuffle,
+    vs the corpus's 10^12 tokens."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c_all"))
+    vn = vocab.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_all").cast("bigint").alias("n_all"),
+    )
+    src = tok.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("c_src")
+    )
+    sn = src.groupBy("source").agg(F.sum("c_src").cast("bigint").alias("n_src"))
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(vocab).crossJoin(F.broadcast(vn)).join(
+        F.broadcast(sn), "source"
+    )
+    terms = grid.join(src, ["source", "word"], "left").select(
+        "source",
+        (
+            (F.coalesce(F.col("c_src"), F.lit(0)) + KL_SMOOTH)
+            / (F.col("n_src") + KL_SMOOTH * F.col("v"))
+        ).alias("p"),
+        (
+            (F.col("c_all") + KL_SMOOTH) / (F.col("n_all") + KL_SMOOTH * F.col("v"))
+        ).alias("q"),
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_divergence"
+        )
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOPK = 50
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+        ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+            AS r2
+    FROM documents
+)
+SELECT doc_id, CAST(r1 AS BIGINT) AS rank_chars, CAST(r2 AS BIGINT) AS rank_tokens,
+    ROUND(1.0 / ({RRF_K} + r1) + 1.0 / ({RRF_K} + r2), 6) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOPK}""",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR'09) of two document
+    rankings — THE standard way hybrid retrieval merges lexical and
+    vector result lists without score calibration: fused = sum over
+    rankers of 1/(k + rank), k = {RRF_K}. Here the two deterministic
+    rankers are char-length and token-length; in production they are the
+    BM25 list (q_bm25_topk) and the ANN list (q_similarity_topk), fused
+    per query group by adding PARTITION BY query to the windows.
+
+    Scale: each ranking is a row_number window (per query group in the
+    real setting — no global sort at scale); the fusion is a pure
+    projection and the cut is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    nw = F.size(F.split("text", " "))
+    r1 = F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+    r2 = F.row_number().over(Window.orderBy(nw.desc(), F.col("doc_id")))
+    ranked = docs.select(
+        "doc_id", r1.cast("bigint").alias("rank_chars"), r2.cast("bigint").alias("rank_tokens")
+    )
+    rrf = F.round(
+        1.0 / (RRF_K + F.col("rank_chars")) + 1.0 / (RRF_K + F.col("rank_tokens")), 6
+    )
+    return (
+        ranked.select("doc_id", "rank_chars", "rank_tokens", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOPK)
+    )
