@@ -144,3 +144,40 @@ def test_kcore_matches_python_peeling(spark):
     assert got == want
     assert all(d >= KCORE_K for d in got.values())
     assert got, "fixture graph should retain a 4-core"
+
+
+def test_hits_matches_numpy(spark):
+    """HITS differential: same edge set, numpy power iteration with the
+    same update order (a <- A^T h; h <- A a; L2 normalize), same round
+    count — per-node agreement to 1e-6 and unit norms."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.graph import HITS_ROUNDS, hits, link_graph
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    edges = [(r.src, r.dst) for r in link_graph(docs).collect()]
+    ids = sorted({r.doc_id for r in docs.select("doc_id").collect()})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(HITS_ROUNDS):
+        a = A.T @ h
+        h = A @ a
+        a = a / (np.linalg.norm(a) or 1.0)
+        h = h / (np.linalg.norm(h) or 1.0)
+    got = {r.doc_id: (r.hub, r.authority) for r in
+           hits(docs, link_graph(docs), tag="test").collect()}
+    assert len(got) == n
+    gh = np.array([got[v][0] for v in ids])
+    ga = np.array([got[v][1] for v in ids])
+    assert abs(np.linalg.norm(gh) - 1.0) < 1e-6
+    assert abs(np.linalg.norm(ga) - 1.0) < 1e-6
+    assert np.max(np.abs(gh - h)) < 1e-6
+    assert np.max(np.abs(ga - a)) < 1e-6
