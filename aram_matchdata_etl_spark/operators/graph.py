@@ -201,13 +201,58 @@ def pagerank(
     return ranks.select("doc_id", "rank")
 
 
-@query("q_pagerank")
+def _pagerank_oracle_sql(rounds: int = PR_ROUNDS, d: float = DAMPING) -> str:
+    """UNROLLED PageRank oracle: one plain CTE pair per power-iteration
+    round (contrib aggregation, then the rank update with the previous
+    round's dangling mass) — the loop the Spark operator runs, written
+    out as `rounds` chained CTEs. No recursion needed, and every FP term
+    mirrors the operator's recurrence exactly; ROUND(9) absorbs
+    summation-order noise (per-node contrib sums are <= out-degree
+    doubles, error ~1e-17 vs a 1e-9 grid). Valid because the operator's
+    early-exit tolerance (1e-9) is never reached in `rounds` rounds at
+    the oracle SF (measured l1 after 15 rounds at sf0.01: 1.8e-5)."""
+    stages = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+    SELECT w.dst, SUM(w.w * p.rank) AS contrib
+    FROM w JOIN {prev} p ON p.doc_id = w.src GROUP BY w.dst
+), r{i} AS MATERIALIZED (
+    SELECT n.doc_id, n.dangling,
+        (1 - {d}) / cnt.n
+        + {d} * ((SELECT SUM(CASE WHEN dangling THEN rank ELSE 0 END)
+                  FROM {prev}) / cnt.n
+                 + COALESCE(c.contrib, 0)) AS rank
+    FROM {prev} n CROSS JOIN cnt LEFT JOIN c{i} c ON c.dst = n.doc_id
+)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(stages)
+    return f"""
+WITH {LINK_GRAPH_SQL},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+w AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 / d.deg AS w FROM edges e JOIN deg d USING (src)
+),
+r0 AS MATERIALIZED (
+    SELECT doc_id, 1.0 / cnt.n AS rank,
+        doc_id NOT IN (SELECT src FROM edges) AS dangling
+    FROM documents CROSS JOIN cnt
+),
+{body}
+SELECT doc_id, ROUND(rank, 9) AS rank FROM {prev}"""
+
+
+@query("q_pagerank", oracle=_pagerank_oracle_sql())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the synthetic doc link graph. Iterative — not
-    SQL-expressible (rows-only driver check); the hard correctness signal
-    is the numpy power-iteration differential in
-    tests/test_graph.py (same edges, |diff| < 1e-9 per node) plus the
-    mass-conservation invariant (ranks sum to 1 every round)."""
+    """PageRank over the synthetic doc link graph. Oracled despite being
+    iterative: the oracle unrolls the exact 15-round recurrence as
+    chained SQL CTEs over the shared md5 edge set (_pagerank_oracle_sql),
+    so the driver hash-checks the full float trajectory at ROUND(9). The
+    numpy power-iteration differential in tests/test_graph.py (same
+    edges, |diff| < 1e-9 per node) and the mass-conservation invariant
+    (ranks sum to 1 every round) remain as independent checks."""
     docs = load_table(spark, sf_dir, "documents")
     ranks = pagerank(docs, link_graph(docs), tag="q_pagerank")
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
