@@ -684,12 +684,50 @@ def hits(nodes: DataFrame, edges: DataFrame, rounds: int = HITS_ROUNDS,
     return out
 
 
-@query("q_hits")
+def _hits_oracle_sql(rounds: int = HITS_ROUNDS) -> str:
+    """UNROLLED HITS oracle (same trick as _pagerank_oracle_sql): one
+    MATERIALIZED CTE triple per round — authority aggregation from the
+    previous hubs, hub aggregation from the NEW authorities, then the
+    L2-normalized state via scalar-subquery norms (empty-norm guarded to
+    1, matching the operator's `or 1.0`)."""
+    stages = []
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""ar{i} AS MATERIALIZED (
+    SELECT e.dst AS doc_id, SUM(p.h) AS a_raw
+    FROM edges e JOIN {prev} p ON p.doc_id = e.src GROUP BY e.dst
+), hr{i} AS MATERIALIZED (
+    SELECT e.src AS doc_id, SUM(a.a_raw) AS h_raw
+    FROM edges e JOIN ar{i} a ON a.doc_id = e.dst GROUP BY e.src
+), s{i} AS MATERIALIZED (
+    SELECT d.doc_id,
+        COALESCE(h.h_raw, 0)
+            / COALESCE(NULLIF((SELECT SQRT(SUM(h_raw * h_raw)) FROM hr{i}), 0), 1)
+            AS h,
+        COALESCE(a.a_raw, 0)
+            / COALESCE(NULLIF((SELECT SQRT(SUM(a_raw * a_raw)) FROM ar{i}), 0), 1)
+            AS a
+    FROM documents d LEFT JOIN ar{i} a USING (doc_id)
+    LEFT JOIN hr{i} h USING (doc_id)
+)"""
+        )
+        prev = f"s{i}"
+    body = ",\n".join(stages)
+    return f"""
+WITH {LINK_GRAPH_SQL},
+s0 AS (SELECT doc_id, 1.0 AS h, 1.0 AS a FROM documents),
+{body}
+SELECT doc_id, ROUND(h, 9) AS hub, ROUND(a, 9) AS authority FROM {prev}"""
+
+
+@query("q_hits", oracle=_hits_oracle_sql())
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS hub/authority scores over the doc link graph. Iterative — not
-    SQL-expressible (rows-only driver check); the hard correctness signal
-    is the numpy power-iteration differential in tests/test_graph.py
-    (same edges, |diff| < 1e-6 per node) plus the unit-L2-norm
-    invariant."""
+    """HITS hub/authority scores over the doc link graph. Oracled despite
+    being iterative, via the same unrolled-CTE trick as q_pagerank
+    (_hits_oracle_sql hash-matches the full 15-round float trajectory at
+    ROUND(9)); the numpy power-iteration differential in
+    tests/test_graph.py (same edges, |diff| < 1e-6 per node) and the
+    unit-L2-norm invariant remain as independent checks."""
     docs = load_table(spark, sf_dir, "documents")
     return hits(docs, link_graph(docs), tag="q_hits")
