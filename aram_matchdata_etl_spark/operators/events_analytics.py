@@ -851,3 +851,132 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, value, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+    FROM events WHERE event_type = 'signup'
+), changes AS (
+    SELECT user_id, value, ts,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+    FROM seq WHERE rn = 1 OR value <> prev_v
+)
+SELECT user_id, ROUND(value, 6) AS attr_value,
+    ts AS valid_from,
+    COALESCE(next_ts, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+    next_ts IS NULL AS is_current
+FROM changes""",
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse a change stream
+    (each user's 'signup' attribute updates) into validity intervals —
+    consecutive duplicate values merged, [valid_from, valid_to) ranges
+    chained with LEAD, open intervals capped at the sentinel high date
+    (2200-01-01 — inside the nanosecond-timestamp range the Arrow/pandas
+    bridge supports, unlike the classic 9999-12-31) and flagged current. THE warehouse dimension-maintenance pattern
+    (Kimball SCD2), and the batch form of the foreachBatch MERGE the
+    upsert sink family implements.
+
+    One exchange on the natural key serves the dedup-lag, the change
+    filter, and the interval chaining (all three windows share user_id
+    partitioning — Catalyst plans a single sort+shuffle). At 100 TB the
+    incremental form merges only the new change partitions against the
+    current-flag slice, exactly like q_dedup_incremental's batch side."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_v"),
+    )
+    changes = seq.filter(
+        (F.col("rn") == 1) | (F.col("value") != F.col("prev_v"))
+    ).select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts")).alias(
+            "next_ts"
+        ),
+    )
+    return changes.select(
+        "user_id",
+        F.round("value", 6).alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.col("next_ts"), F.lit("2200-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
+EWMA_ALPHA = 0.2
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS x
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, day, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+    FROM daily
+)
+SELECT event_type, day, ROUND(x, 6) AS daily_mean,
+    ROUND(CASE WHEN t = 0 THEN x ELSE
+        POW(1 - {EWMA_ALPHA}, t) * (
+            FIRST_VALUE(x) OVER w
+            + SUM(CASE WHEN t = 0 THEN 0
+                  ELSE {EWMA_ALPHA} * x / POW(1 - {EWMA_ALPHA}, t) END) OVER w
+        ) END, 6) AS ewma
+FROM idx
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily value series
+    per event type (alpha = {EWMA_ALPHA}, pandas-`ewm(adjust=False)`
+    semantics: ewma_t = alpha*x_t + (1-alpha)*ewma_(t-1), seeded with
+    x_0) — the smoothing baseline behind the z-score and CUSUM monitors.
+
+    The recursion is not a SQL window primitive; it unrolls EXACTLY into
+    ewma_t = (1-a)^t * (x_0 + sum_(i>0..t) a*x_i/(1-a)^i), so one
+    cumulative-sum window over the daily rollup computes it in closed
+    form (both engines, same FP sequence). The 1/(1-a)^i term grows
+    ~exp(a*t) — fine for bounded windows (10 years daily at a=0.2 is
+    still < 1e320 headroom... no: use per-window resets or log-space
+    beyond ~3500 rows; documented boundary), and the fixture span is 30
+    days. Corpus pass is the daily rollup; windows run over |days| rows
+    per group."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("x"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "event_type", "day", "x", (F.row_number().over(w_ord) - 1).alias("t")
+    )
+    decay = F.pow(F.lit(1 - EWMA_ALPHA), F.col("t"))
+    term = F.when(F.col("t") == 0, 0.0).otherwise(
+        EWMA_ALPHA * F.col("x") / decay
+    )
+    ewma = F.when(F.col("t") == 0, F.col("x")).otherwise(
+        decay * (F.first("x").over(w_cum) + F.sum(term).over(w_cum))
+    )
+    return idx.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("daily_mean"),
+        F.round(ewma, 6).alias("ewma"),
+    )

@@ -717,3 +717,72 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("union_distinct_est"),
     )
+
+
+_STREAM_WINDOW_RUNS = 0
+
+
+@query(
+    "q_stream_window_live",
+    oracle="""
+SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 600) AS BIGINT) * 600 * 1000000)
+        AS window_start,
+    event_type,
+    COUNT(*) AS n_events
+FROM events GROUP BY 1, 2""",
+)
+def q_stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL Structured Streaming execution under the correctness
+    gate: event-time tumbling-window counts (10 min x event_type) over a
+    watermarked stream drained as three mtime-ordered micro-batches,
+    hash-compared against the batch GROUP BY oracle. Update-mode memory
+    sink holds every trigger's emission for a window; counts only grow,
+    so MAX per key is the final state — and counts are integers, so
+    stream == batch equality is exact (the float-sum twin
+    q_event_window_agg stays the batch-oracled form).
+
+    The windowed-aggregation state store (not dropDuplicates, not
+    applyInPandasWithState) is the operator family this run covers —
+    with q_stream_funnel_live and q_stream_dedup_live, all three
+    stateful-streaming families Spark offers are now driver-gated."""
+    import shutil
+    import tempfile
+
+    global _STREAM_WINDOW_RUNS
+    _STREAM_WINDOW_RUNS += 1
+    run_id = _STREAM_WINDOW_RUNS
+
+    from ..streaming.crawl import run_to_completion
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="graft_window_stream_")
+    try:
+        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ).coalesce(1).write.parquet(src + "/f=1")
+        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        counts = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        table = f"window_live_{run_id}"
+        run_to_completion(counts, query_name=table, output_mode="update")
+        result = (
+            spark.table(table)
+            .groupBy("window_start", "event_type")
+            .agg(F.max("n").alias("n_events"))
+        )
+        return result.localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
