@@ -731,3 +731,104 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-L2-norm invariant remain as independent checks."""
     docs = load_table(spark, sf_dir, "documents")
     return hits(docs, link_graph(docs), tag="q_hits")
+
+
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """UNROLLED synchronous label-propagation oracle: per round, each
+    node adopts the most frequent label among its neighbors (ties -> the
+    smallest label; isolated nodes keep their own) — a deterministic
+    recurrence, so it unrolls into MATERIALIZED CTE pairs exactly like
+    _pagerank_oracle_sql."""
+    stages = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""v{i} AS MATERIALIZED (
+    SELECT s.a AS doc_id, p.community, COUNT(*) AS c
+    FROM sym s JOIN {prev} p ON p.doc_id = s.b
+    GROUP BY s.a, p.community
+), l{i} AS MATERIALIZED (
+    SELECT n.doc_id, COALESCE(w.community, n.community) AS community
+    FROM {prev} n LEFT JOIN (
+        SELECT doc_id, community FROM (
+            SELECT doc_id, community,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, community) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    ) w USING (doc_id)
+)"""
+        )
+        prev = f"l{i}"
+    body = ",\n".join(stages)
+    return f"""
+WITH {LINK_GRAPH_SQL},
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+l0 AS (SELECT doc_id, doc_id AS community FROM documents),
+{body}
+SELECT doc_id, community FROM {prev}"""
+
+
+@query("q_label_propagation", oracle=_lpa_oracle_sql())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected doc link graph: {LPA_ROUNDS} rounds of
+    every node adopting its neighborhood's plurality label
+    (deterministic min-label tie-break, isolated nodes keep their own) —
+    the near-linear community primitive complementing CC (which needs
+    actual connectivity) and k-core (which needs density). Oracled via
+    the unrolled-CTE recurrence.
+
+    Per round: ONE neighbor-label join (edge-keyed, two-long rows) + one
+    (node, label) count agg + one plurality window partitioned by node —
+    all sharing the node-id exchange; same lazy-checkpoint hygiene as
+    the other iterative loops. Synchronous updates (not the
+    asynchronous/random variant) are what make the result deterministic
+    and therefore testable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    e = link_graph(docs)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("community")).localCheckpoint()
+    prev_ckpt = labels
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "community")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("b"), "community"), "b"
+            )
+            .groupBy(F.col("a").alias("doc_id"), "community")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("community").alias("new_community"))
+        )
+        labels = (
+            labels.join(winner, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_community", "community").alias("community"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        labels.count()  # materialize round (and cut lineage)
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = labels
+    out = labels.select("doc_id", "community")
+    _free_checkpoint(sym)
+    return out

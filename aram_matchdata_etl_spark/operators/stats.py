@@ -692,3 +692,76 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(idcg, 6).alias("idcg"),
         F.round(dcg / F.nullif(idcg, F.lit(0.0)), 6).alias("ndcg"),
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+WITH src AS (
+    SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+        COUNT(*) OVER (PARTITION BY source) AS ns,
+        COUNT(*) OVER () AS n
+    FROM documents
+), mapped AS (
+    SELECT doc_id, source, n_chars,
+        CASE WHEN ns > 1 THEN (r - 1) * 1.0 / (ns - 1) ELSE 0.0 END AS p,
+        CAST(FLOOR(CASE WHEN ns > 1 THEN (r - 1) * 1.0 / (ns - 1) ELSE 0.0 END
+            * (n - 1) + 0.5) + 1 AS BIGINT) AS tgt
+    FROM src
+), ref AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank,
+        n_chars AS norm_score
+    FROM documents
+)
+SELECT m.doc_id, m.source, m.n_chars, ROUND(m.p, 6) AS pct,
+    CAST(ref.norm_score AS BIGINT) AS norm_score
+FROM mapped m JOIN ref ON ref.grank = m.tgt""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a quality score: each doc's
+    within-source percentile is mapped onto the POOLED score
+    distribution (the value at the same percentile globally, half-up
+    integer rank interpolation) — the calibration that makes quality
+    thresholds comparable across sources whose raw score scales differ
+    (a classic web-curation bias: one crawler's '500 chars' is another's
+    boilerplate). Fully oracled; ranks tie-break on doc_id so both
+    engines agree exactly.
+
+    Scale: the per-source windows share one source-keyed exchange; the
+    global reference ranking here is exact (fixture-sized) — at 100 TB
+    the reference distribution is a fixed-size quantile sketch
+    (percentile_approx / t-digest) broadcast to the mapping join, which
+    turns the global sort into a lookup table and keeps everything else
+    identical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    p = F.when(
+        F.col("ns") > 1, (F.col("r") - 1) * 1.0 / (F.col("ns") - 1)
+    ).otherwise(F.lit(0.0))
+    mapped = src.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        p.alias("p"),
+        (F.floor(p * (F.col("n") - 1) + 0.5) + 1).cast("bigint").alias("tgt"),
+    )
+    ref = docs.select(
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("grank"),
+        F.col("n_chars").cast("bigint").alias("norm_score"),
+    )
+    return mapped.join(ref, mapped.tgt == ref.grank).select(
+        "doc_id", "source", "n_chars", F.round("p", 6).alias("pct"), "norm_score"
+    )
