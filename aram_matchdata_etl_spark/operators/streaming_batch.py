@@ -786,3 +786,94 @@ def q_stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+_STREAM_SESSION_RUNS = 0
+
+
+@query(
+    "q_stream_session_live",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+             OR LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+        SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_no""",
+)
+def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL Structured Streaming execution under the correctness
+    gate, covering the last stateful-streaming family: SESSION-WINDOW
+    state (F.session_window — gap-based window merging inside the state
+    store, a different implementation from tumbling-window aggregation
+    state). Events drain as three mtime-ordered time-sliced triggers; a
+    user's open session must survive the trigger boundary and extend
+    when the next slice continues it. Complete-mode output (session
+    windows support append/complete only) re-emits the fully merged
+    state per trigger, so the sink's last snapshot is the final session
+    table. session_end converts from Spark's
+    window.end (last event + gap) back to last-event time, making the
+    result comparable — exactly — to the batch gap-cascade oracle
+    (q_sessionize's semantics, integer counts + timestamps)."""
+    import shutil
+    import tempfile
+
+    global _STREAM_SESSION_RUNS
+    _STREAM_SESSION_RUNS += 1
+    run_id = _STREAM_SESSION_RUNS
+
+    from ..streaming.crawl import run_to_completion
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="graft_session_stream_")
+    try:
+        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ).coalesce(1).write.parquet(src + "/f=1")
+        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        sess = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                (F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                    "session_end"
+                ),
+                "user_id",
+                "n",
+            )
+        )
+        table = f"session_live_{run_id}"
+        # session-window aggregation supports append/complete only (update
+        # raises STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION); complete
+        # re-emits the full merged state every trigger, so the sink's
+        # final content IS the final session table — no per-key
+        # finalization needed
+        run_to_completion(sess, query_name=table, output_mode="complete")
+        result = spark.table(table).select(
+            "user_id", "session_start", "session_end", F.col("n").alias("n_events")
+        )
+        return result.localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
