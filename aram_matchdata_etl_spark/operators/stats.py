@@ -507,19 +507,22 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_kaplan_meier",
     oracle="""
-WITH per_user AS (
-    SELECT user_id,
-        MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
-        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
-        MAX(ts) AS tl
-    FROM events GROUP BY user_id
+WITH tv_tbl AS (
+    SELECT user_id, MIN(ts) AS tv FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), per_user AS (
+    SELECT e.user_id, t.tv,
+        MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= t.tv
+                 THEN e.ts END) AS tp,
+        MAX(e.ts) AS tl
+    FROM events e JOIN tv_tbl t USING (user_id)
+    GROUP BY e.user_id, t.tv
 ), spells AS (
     SELECT user_id,
-        CASE WHEN tp IS NOT NULL AND tp >= tv THEN 1 ELSE 0 END AS observed,
-        CAST(FLOOR((epoch_us(CASE WHEN tp IS NOT NULL AND tp >= tv
-                                  THEN tp ELSE tl END)
+        CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        CAST(FLOOR((epoch_us(CASE WHEN tp IS NOT NULL THEN tp ELSE tl END)
                     - epoch_us(tv)) / 86400000000.0) AS BIGINT) AS duration
-    FROM per_user WHERE tv IS NOT NULL
+    FROM per_user
 ), rollup AS (
     SELECT duration,
         CAST(SUM(observed) AS BIGINT) AS n_events,
@@ -551,7 +554,8 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 - d_i / n_i), computed as EXP of a cumulative LN-sum.
 
     Scale shape: the event stream reduces to one per-user spell row
-    (groupBy user_id, conditional min/max — the only corpus pass), then
+    (an anchor rollup plus one user-keyed join back — both partial-agg
+    passes on the same exchange key), then
     to a per-duration life table (a second tiny groupBy); the at-risk
     counts and the cumulative product run as windows over the DISTINCT
     DURATION table (days — hundreds of rows at any corpus size). The
@@ -560,18 +564,28 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    # anchor FIRST, then take the first purchase AT-OR-AFTER the anchor:
+    # a one-pass global MIN(purchase ts) would censor users whose first
+    # purchase precedes their first view even when a later valid
+    # conversion exists (caught by the numpy differential in
+    # tests/test_stats_differential.py)
+    tv_tbl = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    per_user = ev.join(tv_tbl, "user_id").groupBy("user_id", "tv").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tv")),
+                F.col("ts"),
+            )
+        ).alias("tp"),
         F.max("ts").alias("tl"),
     )
-    observed = F.when(
-        F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")), 1
-    ).otherwise(0)
-    end_ts = F.when(
-        F.col("tp").isNotNull() & (F.col("tp") >= F.col("tv")), F.col("tp")
-    ).otherwise(F.col("tl"))
-    spells = per_user.filter(F.col("tv").isNotNull()).select(
+    observed = F.when(F.col("tp").isNotNull(), 1).otherwise(0)
+    end_ts = F.when(F.col("tp").isNotNull(), F.col("tp")).otherwise(F.col("tl"))
+    spells = per_user.select(
         observed.alias("observed"),
         F.floor(
             (F.unix_micros(end_ts) - F.unix_micros(F.col("tv"))) / 86400000000.0

@@ -1,0 +1,183 @@
+"""Third-implementation differentials for the statistics family: the
+DuckDB oracles prove cross-engine CONSISTENCY, but a formula that is
+wrong the same way in both dialects sails through (the r5 advisory found
+exactly this class in canonicalize_url). These tests re-derive each
+statistic from first principles in numpy/pure Python on the same fixture
+and compare."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .conftest import SF_ORACLE
+
+
+def _duck(sql):
+    from .oracle_utils import duckdb_df
+
+    return duckdb_df(sql, SF_ORACLE)
+
+
+def _events():
+    import pandas as pd  # noqa: F401
+
+    return _duck("SELECT user_id, event_id, event_type, ts, value FROM events")
+
+
+def _rankdata(x):
+    """Average ranks (scipy.stats.rankdata 'average', 1-based)."""
+    x = np.asarray(x)
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: (r.n, r.spearman)
+        for r in all_queries()["q_spearman_corr"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    for et, g in ev.groupby("event_type"):
+        rv = _rankdata(g["value"].to_numpy())
+        rt = _rankdata(g["ts"].astype("int64").to_numpy())
+        rho = np.corrcoef(rv, rt)[0, 1]
+        n, sp = got[et]
+        assert n == len(g)
+        assert abs(sp - rho) < 1e-4, (et, sp, rho)
+
+
+def test_mannwhitney_matches_direct_formula(spark):
+    from aram_matchdata_etl_spark.operators.stats import MWU_A, MWU_B
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_mannwhitney_u"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    a = ev[ev.event_type == MWU_A]["value"].to_numpy()
+    b = ev[ev.event_type == MWU_B]["value"].to_numpy()
+    na, nb = len(a), len(b)
+    ranks = _rankdata(np.concatenate([a, b]))
+    ra = ranks[:na].sum()
+    u = ra - na * (na + 1) / 2.0
+    # tie-corrected normal approximation
+    combined = np.concatenate([a, b])
+    _, counts = np.unique(combined, return_counts=True)
+    tie = (counts**3 - counts).sum()
+    n = na + nb
+    sigma = np.sqrt(na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1.0))))
+    z = (u - na * nb / 2.0) / sigma
+    assert row.na == na and row.nb == nb
+    assert abs(row.u_stat - u) < 0.51  # u rounded to 2 decimals
+    assert abs(row.z_stat - z) < 1e-4
+
+
+def test_kaplan_meier_matches_direct(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.duration: (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in all_queries()["q_kaplan_meier"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    spells = []
+    for _, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]["ts"]
+        if views.empty:
+            continue
+        tv = views.min()
+        purch = g[(g.event_type == "purchase") & (g.ts >= tv)]["ts"]
+        if not purch.empty:
+            end, obs = purch.min(), 1
+        else:
+            end, obs = g["ts"].max(), 0
+        d = int((end.value - tv.value) // (86400 * 10**9))
+        spells.append((d, obs))
+    spells.sort()
+    total = len(spells)
+    assert sum(v[1] + v[2] for v in got.values()) == total
+    # walk the life table
+    s = 1.0
+    removed = 0
+    for d in sorted({d for d, _ in spells}):
+        deaths = sum(1 for x, o in spells if x == d and o)
+        cens = sum(1 for x, o in spells if x == d and not o)
+        at_risk = total - removed
+        if deaths and at_risk:
+            s *= 1 - deaths / at_risk
+        removed += deaths + cens
+        nr, nev, ncen, surv = got[d]
+        assert (nr, nev, ncen) == (at_risk, deaths, cens), d
+        assert abs(surv - s) < 1e-5, (d, surv, s)
+
+
+def test_cohens_kappa_matches_direct(spark):
+    from aram_matchdata_etl_spark.operators.stats import (
+        KAPPA_CHAR_CUTS,
+        KAPPA_WORD_CUTS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_cohens_kappa"](spark, SF_ORACLE).collect()[0]
+    docs = _duck("SELECT n_chars, len(string_split(text, ' ')) AS nw FROM documents")
+    ra = np.digitize(docs["n_chars"], KAPPA_CHAR_CUTS)
+    rb = np.digitize(docs["nw"], KAPPA_WORD_CUTS)
+    po = (ra == rb).mean()
+    pe = sum((ra == k).mean() * (rb == k).mean() for k in range(3))
+    kappa = (po - pe) / (1 - pe)
+    assert row.n == len(docs)
+    assert abs(row.po - po) < 1e-6
+    assert abs(row.kappa - kappa) < 1e-5
+
+
+def test_ndcg_bounds_and_ideal(spark):
+    """NDCG invariants: 0 <= ndcg <= 1; a group ranked exactly by
+    relevance (ideal) would have ndcg 1 — verify dcg <= idcg always and
+    idcg equals the explicit ideal-order computation."""
+    from aram_matchdata_etl_spark.operators.stats import NDCG_K
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_ndcg_eval"](spark, SF_ORACLE).collect()
+    assert rows
+    from aram_matchdata_etl_spark.operators.stats import KAPPA_WORD_CUTS
+
+    docs = _duck(
+        "SELECT source, len(string_split(text, ' ')) AS nw FROM documents"
+    )
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.dcg <= r.idcg + 1e-9
+        rel = np.sort(
+            np.digitize(
+                docs[docs.source == r.source]["nw"].to_numpy(), KAPPA_WORD_CUTS
+            )
+        )[::-1][:NDCG_K]
+        ideal = ((2.0**rel - 1) / np.log2(np.arange(2, len(rel) + 2))).sum()
+        assert abs(r.idcg - ideal) < 1e-4
+
+
+def test_ewma_matches_pandas_semantics(spark):
+    """The closed-form window unrolling equals pandas ewm(adjust=False)."""
+    import pandas as pd
+
+    from aram_matchdata_etl_spark.operators.stats import load_table  # noqa: F401
+    from aram_matchdata_etl_spark.operators.events_analytics import EWMA_ALPHA
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = all_queries()["q_ewma"](spark, SF_ORACLE).toPandas()
+    ev = _events()
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby(["event_type", "day"])["value"].mean().reset_index()
+    for et, g in daily.groupby("event_type"):
+        want = g.sort_values("day")["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        mine = got[got.event_type == et].sort_values("day")["ewma"].to_numpy()
+        assert np.allclose(mine, want.to_numpy(), atol=1e-4), et
