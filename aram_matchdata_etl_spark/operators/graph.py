@@ -511,10 +511,14 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge direction, both composable here."""
     docs = load_table(spark, sf_dir, "documents")
     e = link_graph(docs)
+    # materialize the canonical edge set ONCE: it feeds the degree agg,
+    # both wedge sides and the closure join — recomputing it per branch
+    # would re-derive + re-distinct the corpus edge relation ~5x
     und = (
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
@@ -585,10 +589,13 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oracle does."""
     docs = load_table(spark, sf_dir, "documents")
     e = link_graph(docs)
+    # one materialization feeds wedge generation, degrees and the
+    # known-edge anti-join (see q_clustering_coeff)
     und = (
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))

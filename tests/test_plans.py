@@ -264,3 +264,46 @@ def test_web_curation_pipeline_single_exchange_no_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_scd2_single_exchange(spark):
+    """All three SCD2 windows (dedup-lag, change filter, LEAD chaining)
+    must share ONE user_id exchange."""
+    plan = _plan(spark, "q_scd2_build")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_mannwhitney_windows_post_rollup(spark):
+    """The rank window must run over the per-value ROLLUP, not the raw
+    events: exactly one aggregate below the window, no raw-corpus sort
+    (<= 2 exchanges: rollup shuffle + single-partition window of the
+    distinct-value table)."""
+    plan = _plan(spark, "q_mannwhitney_u")
+    assert plan.count("Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_predict_take_ordered_no_smj(spark):
+    """Top-k link prediction: TakeOrderedAndProject cut, no sort-merge
+    join (node-id joins broadcast or hash at fixture scale), and the
+    edge set materialized once (checkpointed scan, not 5 re-derivations)."""
+    plan = _plan(spark, "q_link_predict")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint reuse
+
+
+def test_rank_fusion_take_ordered_single_exchange(spark):
+    """RRF: two global rank windows share one exchange; the final cut is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "q_rank_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_kmv_pair_stage_broadcasts(spark):
+    """KMV: the source-pair attach must broadcast (sketches are <= k rows
+    by construction) — no sort-merge join anywhere."""
+    plan = _plan(spark, "q_kmv_overlap")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
