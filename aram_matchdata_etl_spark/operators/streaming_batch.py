@@ -877,3 +877,86 @@ def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+_STREAM_JOIN_RUNS = 0
+
+
+@query(
+    "q_stream_join_live",
+    oracle="""
+SELECT p.event_id, p.user_id,
+    COUNT(c.event_id) AS n_clicks,
+    ROUND(COALESCE(SUM(c.value), 0.0), 4) AS click_value
+FROM events p LEFT JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+    AND epoch_us(c.ts) > epoch_us(p.ts)
+    AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id""",
+)
+def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL Structured Streaming execution under the correctness
+    gate: the watermarked STREAM-STREAM interval join (attribution_join —
+    clicks within 30 min after a purchase by the same user), covering the
+    join state store (buffered rows on both sides, watermark-bounded
+    eviction) — the last stateful-streaming mechanism beside dedup,
+    arbitrary state, windowed-agg and session-window state, all now
+    driver-gated. Events drain as three mtime-ordered time slices;
+    matches whose purchase and click arrive in DIFFERENT triggers must
+    come out of buffered join state.
+
+    Inner-join matches emit as found (append mode; the watermark bounds
+    state, not emission), so the sink holds the exact matched pair set;
+    the batch LEFT-join shape (zero-click purchases included) is
+    restored by joining the rollup back to the purchase table — the
+    operator under test is the streaming join itself."""
+    import shutil
+    import tempfile
+
+    global _STREAM_JOIN_RUNS
+    _STREAM_JOIN_RUNS += 1
+    run_id = _STREAM_JOIN_RUNS
+
+    from ..streaming.crawl import attribution_join, run_to_completion
+
+    ev = _events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="graft_join_stream_")
+    try:
+        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ).coalesce(1).write.parquet(src + "/f=1")
+        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        joined = attribution_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+        )
+        table = f"join_live_{run_id}"
+        run_to_completion(joined, query_name=table)
+        matched = (
+            spark.table(table)
+            .groupBy(F.col("p_id").alias("event_id"), F.col("p_user").alias("user_id"))
+            .agg(
+                F.count("*").alias("mn"),
+                F.sum("click_value").alias("mv"),
+            )
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id"
+        )
+        result = purchases.join(matched, ["event_id", "user_id"], "left").select(
+            "event_id",
+            "user_id",
+            F.coalesce("mn", F.lit(0)).alias("n_clicks"),
+            F.round(F.coalesce("mv", F.lit(0.0)), 4).alias("click_value"),
+        )
+        return result.localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
