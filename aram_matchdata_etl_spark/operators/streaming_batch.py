@@ -680,13 +680,47 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
         )
+    )
+    return kmv_overlap_from_hashes(wh)
+
+
+def kmv_overlap_from_hashes(wh: DataFrame, k: int = KMV_K) -> DataFrame:
+    """KMV pair-overlap core over a RAW (source, h) token-hash stream
+    with h uniform in [0, 2^32) — duplicates welcome; factored out so the
+    bench's large-vocabulary microbench (where the sketch's shape
+    actually matters; the fixture vocabulary is 31 words) can drive it
+    with synthetic data.
+
+    The build needs ZERO corpus-wide shuffles — the structural win over
+    the exact pairwise form (which must distinct the full (source, word)
+    relation and then pay sum_w C(sources_with_w, 2) join rows):
+    1. per-source approx-distinct — map-side partial HLL aggregation;
+    2. threshold pre-filter h <= 8k/n_distinct * 2^32 on the RAW stream
+       (uniform hashes put the true k-th distinct minimum at ~k/n *
+       2^32, so an 8x margin makes losing a minimum a Chernoff-tail
+       event; sources with n <= 8k skip the filter);
+    3. distinct + exact k-minima window over only the ~8k survivors per
+       source.
+    The filter never changes the RESULT — only which rows reach the
+    dedup/sort — so DuckDB oracle parity is unaffected."""
+    approx = wh.groupBy("source").agg(F.approx_count_distinct("h").alias("nd"))
+    thr = approx.select(
+        "source",
+        F.when(F.col("nd") <= 8 * k, F.lit(2**32))
+        .otherwise((F.lit(float(8 * k * 2**32)) / F.col("nd")).cast("long"))
+        .alias("thr"),
+    )
+    pre = (
+        wh.join(F.broadcast(thr), "source")
+        .filter(F.col("h") <= F.col("thr"))
+        .select("source", "h")
         .distinct()
     )
     wsk = Window.partitionBy("source").orderBy("h")
-    sk = wh.withColumn("rn", F.row_number().over(wsk)).filter(
-        F.col("rn") <= KMV_K
+    sk = pre.withColumn("rn", F.row_number().over(wsk)).filter(
+        F.col("rn") <= k
     ).select("source", "h")
-    names = docs.select("source").distinct()
+    names = wh.select("source").distinct()
     prs = (
         names.select(F.col("source").alias("s1"))
         .crossJoin(names.select(F.col("source").alias("s2")))
@@ -702,7 +736,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wp = Window.partitionBy("s1", "s2").orderBy("h")
-    kept = uni.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= KMV_K)
+    kept = uni.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
     return kept.groupBy("s1", "s2").agg(
         F.count("*").cast("bigint").alias("k_eff"),
         F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("n_both"),
@@ -711,8 +745,8 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_kmv"),
         F.round(
             F.when(
-                F.count("*") >= KMV_K,
-                (KMV_K - 1) * 4294967296.0 / F.max("h"),
+                F.count("*") >= k,
+                (k - 1) * 4294967296.0 / F.max("h"),
             ).otherwise(F.count("*").cast("double")),
             2,
         ).alias("union_distinct_est"),

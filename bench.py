@@ -147,6 +147,85 @@ def cc_deep_chain_microbench(spark) -> dict:
     return out
 
 
+def kmv_vs_exact_microbench(spark) -> dict:
+    """Quantify the KMV sketch win on a corpus whose vocabulary is LARGE
+    enough to matter (the fixture corpus has 31 distinct words, where the
+    exact join trivially wins): 20 synthetic sources x 1M-word
+    vocabularies, 800k of them shared by every source (true pairwise
+    Jaccard 800/1200 ~ 0.667). Times the sketch pipeline (zero corpus
+    shuffles; pair stage = |sources|^2 * k rows) against the exact pairwise vocabulary Jaccard (distinct
+    (source, word) self-join on word — shuffle volume grows with shared
+    vocabulary), and records the worst per-pair estimate error against
+    the analytic truth (binomial s.e. 0.5/sqrt(256) ~ 3%)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.streaming_batch import (
+        kmv_overlap_from_hashes,
+    )
+
+    # 800k words shared by ALL sources + 200k unique per source: the
+    # exact self-join pays sum_w C(sources_with_w, 2) = 800k x C(20,2)
+    # = 152M intersect rows (the real web-corpus shape — most vocabulary
+    # is common), while the sketch build never shuffles the corpus and
+    # its pair stage stays |sources|^2 * k. Measured on this box:
+    # kmv ~9 s vs exact ~15 s, and the gap is structural (exact grows
+    # with shared-vocab x pairs, the sketch with corpus scan count).
+    n_src, vocab, shared = 20, 1_000_000, 800_000
+    ids = spark.range(n_src * vocab, numPartitions=32)
+    src_id = (F.col("id") / vocab).cast("long")
+    off = F.col("id") % vocab
+    words = ids.select(
+        F.concat(F.lit("s"), src_id.cast("string")).alias("source"),
+        F.when(off < shared, off)
+        .otherwise(F.lit(shared) + src_id * (vocab - shared) + (off - shared))
+        .alias("wid"),
+    )
+    # RAW hash stream (no distinct): the sketch build never shuffles the
+    # corpus — that asymmetry IS the measured claim
+    wh = words.select(
+        "source", F.pmod(F.xxhash64("wid"), F.lit(2**32)).alias("h")
+    )
+
+    t0 = _t.perf_counter()
+    kmv = {
+        (r.s1, r.s2): r.jaccard_kmv
+        for r in kmv_overlap_from_hashes(wh).collect()
+    }
+    t_kmv = _t.perf_counter() - t0
+
+    t0 = _t.perf_counter()
+    v = words.distinct()
+    sizes = {
+        r.source: r.n
+        for r in v.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    inter = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.wid") == F.col("b.wid"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count("*").alias("ni"))
+        .collect()
+    )
+    exact = {
+        (r.s1, r.s2): r.ni / (sizes[r.s1] + sizes[r.s2] - r.ni) for r in inter
+    }
+    t_exact = _t.perf_counter() - t0
+    max_err = max(abs(kmv[k] - exact.get(k, 0.0)) for k in kmv)
+    return {
+        "vocab_per_source": vocab,
+        "kmv_sec": round(t_kmv, 3),
+        "exact_sec": round(t_exact, 3),
+        "pairs": len(kmv),
+        "max_jaccard_error": round(max_err, 5),
+    }
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -216,6 +295,10 @@ def main() -> None:
         out["microbench"] = {"cc_deep_chain": cc_deep_chain_microbench(spark)}
     except Exception as e:  # microbench failure must not sink the suite
         out["microbench"] = {"cc_deep_chain": {"error": str(e)[:160]}}
+    try:
+        out["microbench"]["kmv_vs_exact"] = kmv_vs_exact_microbench(spark)
+    except Exception as e:
+        out["microbench"]["kmv_vs_exact"] = {"error": str(e)[:160]}
 
     from aram_matchdata_etl_spark.operators.dedup import CC_TELEMETRY
 
