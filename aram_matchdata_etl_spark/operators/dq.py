@@ -19,7 +19,7 @@ corruption, proving the rule engine counts exactly the planted bugs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -124,3 +124,57 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_report.unionByName(ref_report)
+
+
+@query(
+    "q_benford",
+    oracle="""
+WITH digits AS (
+    -- explicit FLOOR: DuckDB's double->BIGINT cast rounds, Spark's
+    -- truncates; floor pins both to the same integer
+    SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice >= 1
+), obs AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(COUNT(*)) OVER () AS total
+    FROM digits GROUP BY digit
+)
+SELECT digit, n,
+    ROUND(n * 1.0 / total, 6) AS observed_p,
+    ROUND(LOG(1.0 + 1.0 / digit) / LOG(10.0), 6) AS benford_p,
+    ROUND(POW(n * 1.0 / total - LOG(1.0 + 1.0 / digit) / LOG(10.0), 2)
+        / (LOG(1.0 + 1.0 / digit) / LOG(10.0)), 6) AS chi2_term
+FROM obs""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit test on order totals — the classic
+    fraud/fabrication screen for naturally occurring amounts (first
+    digit d should appear with probability log10(1 + 1/d)); the chi2
+    contribution per digit localizes WHICH digit deviates. Composes
+    with the DQ rule engine as a distribution-level rule beside the
+    row-level predicates.
+
+    One pass: the digit extraction is string codegen on the scan, the
+    digit histogram is a 9-row groupBy with map-side partials, and the
+    expected-frequency math runs on those 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    p = F.col("n") * 1.0 / F.col("total")
+    bp = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return obs.select(
+        "digit",
+        "n",
+        F.round(p, 6).alias("observed_p"),
+        F.round(bp, 6).alias("benford_p"),
+        F.round(F.pow(p - bp, 2) / bp, 6).alias("chi2_term"),
+    )

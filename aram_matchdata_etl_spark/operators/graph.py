@@ -839,3 +839,83 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select("doc_id", "community")
     _free_checkpoint(sym)
     return out
+
+
+BFS_CAP = 64  # oracle depth cap; far above the hash graph's diameter
+
+
+@query(
+    "q_shortest_paths",
+    oracle=f"""
+WITH RECURSIVE {LINK_GRAPH_SQL},
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+src AS (SELECT MIN(doc_id) AS s FROM documents),
+bfs(doc_id, d) AS (
+    SELECT s AS doc_id, 0 AS d FROM src
+    UNION
+    SELECT sym.b AS doc_id, bfs.d + 1 AS d
+    FROM bfs JOIN sym ON sym.a = bfs.doc_id
+    WHERE bfs.d < {BFS_CAP}
+)
+SELECT doc_id, CAST(MIN(d) AS INTEGER) AS dist
+FROM bfs GROUP BY doc_id""",
+)
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest paths (hop distance from the
+    lowest-id document) over the undirected doc link graph — the
+    reachability/radius primitive behind influence analysis and graph
+    sampling. Oracled: the recursive CTE uses UNION (not UNION ALL)
+    recursion, whose working-table dedup caps each level at |nodes|
+    rows — without it, walk multiplicity explodes exponentially; the
+    depth guard bounds the (node, distance) pair space cycles generate.
+
+    Spark side is frontier BFS: per round ONE edge-keyed join expands
+    the frontier, an anti-join against the visited set keeps only newly
+    reached nodes (so each node is expanded exactly once — total work is
+    O(edges), not O(edges x diameter)), with the same lazy-checkpoint +
+    telemetry discipline as the other iterative loops. Rounds =
+    eccentricity of the source (~log n on hash-random graphs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    telemetry: dict = {"rounds": 0, "frontier_per_round": []}
+    PR_TELEMETRY["bfs_q_shortest_paths"] = telemetry
+    e = link_graph(docs)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    source = docs.agg(F.min("doc_id").alias("doc_id"))
+    visited = source.select("doc_id", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = visited
+    prev_v, prev_f = visited, frontier
+    d = 0
+    while True:
+        d += 1
+        nxt = (
+            sym.join(
+                frontier.select(F.col("doc_id").alias("a")), "a"
+            )
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .select("doc_id", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        telemetry["rounds"] += 1
+        telemetry["frontier_per_round"].append(n)
+        if n == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited.count()
+        _free_checkpoint(prev_v)
+        _free_checkpoint(prev_f)
+        prev_v, prev_f = visited, nxt
+        frontier = nxt
+    _free_checkpoint(sym)
+    return visited.select("doc_id", F.col("dist").cast("int").alias("dist"))
