@@ -65,8 +65,9 @@ def _load_operator_modules() -> None:
     )
 
 
-def _sampled_rounds() -> dict[str, tuple[int, bool]]:
-    """Map query key -> (latest sampled round, latest verdict was red).
+def _sampled_rounds() -> dict[str, tuple[int, bool, bool]]:
+    """Map query key -> (latest sampled round, latest verdict was red,
+    latest sample ran without an oracle).
 
     The driver verifies only the first 50 keys of ``queries()`` per round,
     so ordering matters: a key whose most recent driver verdict was a FAIL
@@ -75,7 +76,7 @@ def _sampled_rounds() -> dict[str, tuple[int, bool]]:
     rotates across the whole surface, and green keys recycle least-recent
     first.
     """
-    latest: dict[str, tuple[int, bool]] = {}
+    latest: dict[str, tuple[int, bool, bool]] = {}
     root = Path(__file__).resolve().parents[1]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
@@ -102,7 +103,8 @@ def _sampled_rounds() -> dict[str, tuple[int, bool]]:
                 # intentional rows-only path, not a failure.
                 or bool(row.get("err")) and row.get("err") != "no_oracle"
             )
-            latest[key] = (rnd, red)
+            rows_only = isinstance(row, dict) and row.get("err") == "no_oracle"
+            latest[key] = (rnd, red, rows_only)
     return latest
 
 
@@ -120,15 +122,18 @@ _MODULE_PRIORITY = {
 
 def _rotated(keys: list[str]) -> list[str]:
     """Previously-FAILED keys first (their fixes must be re-verified in the
-    very next round), then never-driver-sampled keys (ranked by module
-    family), then least-recently sampled; registration order breaks ties
-    (stable sort)."""
+    very next round), then never-driver-sampled keys and keys that GAINED
+    an oracle since their last rows-only sample (their upgrade to a
+    hash-checked verdict should not wait a full rotation), then
+    least-recently sampled; module family then registration order break
+    ties (stable sort)."""
     latest = _sampled_rounds()
 
     def rank(k: str) -> tuple[int, int, int]:
         mod = _QUERIES[k].__module__.rsplit(".", 1)[-1]
-        rnd, red = latest.get(k, (-1, False))
-        bucket = 0 if red else (1 if rnd < 0 else 2)
+        rnd, red, rows_only = latest.get(k, (-1, False, False))
+        upgraded = rows_only and k in _ORACLES
+        bucket = 0 if red else (1 if (rnd < 0 or upgraded) else 2)
         return bucket, rnd, _MODULE_PRIORITY.get(mod, 99)
 
     return sorted(keys, key=rank)
