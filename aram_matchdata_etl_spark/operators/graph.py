@@ -919,3 +919,127 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     _free_checkpoint(sym)
     return visited.select("doc_id", F.col("dist").cast("int").alias("dist"))
+
+
+PPR_SEED_SOURCE = "src0"
+
+
+def _ppr_oracle_sql(rounds: int = PR_ROUNDS, d: float = DAMPING) -> str:
+    """Unrolled personalized-PageRank oracle: same chassis as
+    _pagerank_oracle_sql, but the teleport (and the dangling-mass
+    redistribution) lands ONLY on the seed set — rank mass always flows
+    back toward the seeds, which is what makes PPR a similarity measure
+    rather than a global importance measure."""
+    stages = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+    SELECT w.dst, SUM(w.w * p.rank) AS contrib
+    FROM w JOIN {prev} p ON p.doc_id = w.src GROUP BY w.dst
+), r{i} AS MATERIALIZED (
+    SELECT n.doc_id, n.dangling, n.seed,
+        CASE WHEN n.seed THEN
+            ((1 - {d}) + {d} * (SELECT SUM(CASE WHEN dangling THEN rank
+                                          ELSE 0 END) FROM {prev})) / scnt.s
+        ELSE 0 END
+        + {d} * COALESCE(c.contrib, 0) AS rank
+    FROM {prev} n CROSS JOIN scnt LEFT JOIN c{i} c ON c.dst = n.doc_id
+)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(stages)
+    return f"""
+WITH {LINK_GRAPH_SQL},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+w AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 / d.deg AS w FROM edges e JOIN deg d USING (src)
+),
+scnt AS (SELECT COUNT(*) AS s FROM documents WHERE source = '{PPR_SEED_SOURCE}'),
+r0 AS (
+    SELECT doc_id,
+        CASE WHEN source = '{PPR_SEED_SOURCE}' THEN 1.0 / scnt.s ELSE 0.0 END
+            AS rank,
+        doc_id NOT IN (SELECT src FROM edges) AS dangling,
+        source = '{PPR_SEED_SOURCE}' AS seed
+    FROM documents CROSS JOIN scnt
+),
+{body}
+SELECT doc_id, ROUND(rank, 9) AS rank FROM {prev}"""
+
+
+@query("q_pagerank_personalized", oracle=_ppr_oracle_sql())
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from the
+    '{PPR_SEED_SOURCE}' documents: teleport and dangling mass return to
+    the SEED set instead of the uniform vector, so rank measures
+    proximity to the seeds — the similarity/recommendation primitive
+    (and the trust-propagation scheme behind seed-based corpus quality
+    weighting a la TrustRank). Oracled via the unrolled-CTE recurrence.
+
+    Same per-round shape and hygiene as the global kernel: one
+    edges x ranks join + one partial agg, lazy checkpoint materialized
+    by the single dangling/L1 aggregation, eager free, telemetry."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = link_graph(docs)
+    telemetry: dict = {"rounds": 0, "l1_per_round": []}
+    PR_TELEMETRY["q_pagerank_personalized"] = telemetry
+    d = DAMPING
+    seeds = docs.select(
+        "doc_id", (F.col("source") == PPR_SEED_SOURCE).alias("seed")
+    )
+    n_seeds = seeds.filter("seed").count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    wedges = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    ranks = (
+        seeds.join(
+            deg.select(F.col("src").alias("doc_id"), F.lit(False).alias("dangling")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("seed"), 1.0 / n_seeds).otherwise(0.0).alias("rank"),
+            F.coalesce("dangling", F.lit(True)).alias("dangling"),
+            "seed",
+        )
+        .localCheckpoint()
+    )
+    dangling_mass = (
+        ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).first()[0] or 0.0
+    )
+    prev_ckpt = ranks
+    for _ in range(PR_ROUNDS):
+        contribs = (
+            wedges.join(ranks, wedges.src == ranks.doc_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        base = F.when(
+            F.col("seed"),
+            ((1.0 - d) + d * dangling_mass) / n_seeds,
+        ).otherwise(0.0)
+        merged = (
+            ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                F.col("rank").alias("old_rank"),
+                (base + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                "dangling",
+                "seed",
+            )
+            .localCheckpoint(eager=False)
+        )
+        l1, dangling_mass = merged.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+            F.coalesce(F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)),
+        ).first()
+        telemetry["rounds"] += 1
+        telemetry["l1_per_round"].append(l1)
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = merged
+        ranks = merged.select("doc_id", "rank", "dangling", "seed")
+    _free_checkpoint(wedges)
+    return ranks.select("doc_id", F.round("rank", 9).alias("rank"))

@@ -779,3 +779,50 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.join(ref, mapped.tgt == ref.grank).select(
         "doc_id", "source", "n_chars", F.round("p", 6).alias("pct"), "norm_score"
     )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    ROUND(corr(a.n, b.n), 6) AS correlation
+FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type""",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of the per-type daily volume series —
+    the screening heatmap behind metric-relationship dashboards (which
+    event volumes move together day over day). Upper triangle only
+    (type_a < type_b), matched days via a day-keyed self-join of the
+    rollup.
+
+    Scale: the corpus reduces to the |days| x |types| rollup first (one
+    partial-agg pass); the self-join and corr aggregates run on that
+    tiny series table. A thousand metrics -> ~500k pairs of |days|-row
+    series — still rollup-scale, never event-scale."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.select(
+        "day", F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.corr("na", "nb"), 6).alias("correlation"),
+        )
+    )
