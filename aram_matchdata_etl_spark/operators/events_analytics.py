@@ -857,13 +857,13 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_build",
     oracle="""
 WITH seq AS (
-    SELECT user_id, value, ts,
+    SELECT user_id, value, ts, event_id,
         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
     FROM events WHERE event_type = 'signup'
 ), changes AS (
     SELECT user_id, value, ts,
-        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
     FROM seq WHERE rn = 1 OR value <> prev_v
 )
 SELECT user_id, ROUND(value, 6) AS attr_value,
@@ -893,18 +893,22 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         "ts",
+        "event_id",
         F.row_number().over(w).alias("rn"),
         F.lag("value").over(w).alias("prev_v"),
     )
+    # LEAD keeps the same (ts, event_id) tie-break as the dedup-lag window
+    # above — ts alone would make valid_to/is_current nondeterministic
+    # for same-timestamp change rows
     changes = seq.filter(
         (F.col("rn") == 1) | (F.col("value") != F.col("prev_v"))
     ).select(
         "user_id",
         "value",
         "ts",
-        F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts")).alias(
-            "next_ts"
-        ),
+        F.lead("ts")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_ts"),
     )
     return changes.select(
         "user_id",

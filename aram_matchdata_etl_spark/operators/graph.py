@@ -114,6 +114,31 @@ und AS (
     SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
 )"""
 
+def canonical_und(edges: DataFrame, checkpoint: bool = False) -> DataFrame:
+    """Canonical undirected edge set (a < b, self-loops dropped, distinct)
+    — the DataFrame twin of LINK_GRAPH_SQL's ``und`` CTE. Every consumer
+    in this module MUST build through here so a change to the
+    canonicalization cannot desync one operator from the shared oracle.
+    ``checkpoint=True`` materializes it once for queries whose plan fans
+    the edge set into several branches."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return und.localCheckpoint() if checkpoint else und
+
+
+def sym_edges(und: DataFrame) -> DataFrame:
+    """Symmetric closure of a canonical undirected edge set — the twin of
+    the oracle ``sym`` CTEs (each undirected edge as both (a,b) and
+    (b,a), so COUNT per first column IS the degree)."""
+    return und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+
 
 def pagerank(
     nodes: DataFrame,
@@ -291,11 +316,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is kept here because the hash graph is degree-uniform."""
     docs = load_table(spark, sf_dir, "documents")
     e = link_graph(docs)
-    und = (
-        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = canonical_und(e)
     ab = und.select(F.col("a"), F.col("b"))
     bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = ab.join(bc, "b").select("a", "b", "c")
@@ -400,14 +421,7 @@ def kcore(edges: DataFrame, k: int = KCORE_K, tag: str = "default") -> DataFrame
     depth (<= max degeneracy ordering length, typically << nodes)."""
     telemetry: dict = {"rounds": 0, "edges_per_round": []}
     PR_TELEMETRY[f"kcore_{tag}"] = telemetry
-    und = (
-        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    sym = sym_edges(canonical_und(edges)).localCheckpoint()
     n_prev = sym.count()
     telemetry["edges_per_round"].append(n_prev)
     prev_ckpt = sym
@@ -514,13 +528,8 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the canonical edge set ONCE: it feeds the degree agg,
     # both wedge sides and the closure join — recomputing it per branch
     # would re-derive + re-distinct the corpus edge relation ~5x
-    und = (
-        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = canonical_und(e, checkpoint=True)
+    sym = sym_edges(und)
     deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
     s1 = sym.select(F.col("a").alias("v"), F.col("b").alias("x"))
     s2 = sym.select(F.col("a").alias("v"), F.col("b").alias("y"))
@@ -591,13 +600,8 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = link_graph(docs)
     # one materialization feeds wedge generation, degrees and the
     # known-edge anti-join (see q_clustering_coeff)
-    und = (
-        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = canonical_und(e, checkpoint=True)
+    sym = sym_edges(und)
     deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
     s1 = sym.select(F.col("a").alias("z"), F.col("b").alias("u"))
     s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
@@ -801,14 +805,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = link_graph(docs)
-    und = (
-        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    und = canonical_und(e)
+    sym = sym_edges(und).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("community")).localCheckpoint()
     prev_ckpt = labels
     w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "community")
@@ -881,14 +879,8 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     telemetry: dict = {"rounds": 0, "frontier_per_round": []}
     PR_TELEMETRY["bfs_q_shortest_paths"] = telemetry
     e = link_graph(docs)
-    und = (
-        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    und = canonical_und(e)
+    sym = sym_edges(und).localCheckpoint()
     source = docs.agg(F.min("doc_id").alias("doc_id"))
     visited = source.select("doc_id", F.lit(0).alias("dist")).localCheckpoint()
     frontier = visited
@@ -989,6 +981,10 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("source") == PPR_SEED_SOURCE).alias("seed")
     )
     n_seeds = seeds.filter("seed").count()
+    if n_seeds == 0:
+        # no teleport targets: the walk has nowhere to restart — every
+        # rank is 0, exactly what the oracle's never-taken CASE yields
+        return docs.select("doc_id", F.round(F.lit(0.0), 9).alias("rank"))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     wedges = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")

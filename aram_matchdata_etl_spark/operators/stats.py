@@ -784,9 +784,20 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_corr_matrix",
     oracle="""
-WITH daily AS (
+WITH daily0 AS (
     SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
     FROM events GROUP BY 1, 2
+), spans AS (
+    SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily0
+), grid AS (
+    SELECT t.event_type, u.d AS day
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN spans s
+    CROSS JOIN UNNEST(generate_series(s.d0, s.d1, INTERVAL '1 day')) AS u(d)
+), daily AS (
+    SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+    FROM grid g LEFT JOIN daily0 d
+        ON d.event_type = g.event_type AND d.day = g.day
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
     CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -802,14 +813,27 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type_a < type_b), matched days via a day-keyed self-join of the
     rollup.
 
+    The daily grid is calendar-gap-filled with ZEROS per type (the
+    q_leadlag_corr idiom): an inner join on observed days would silently
+    drop (A active, B silent) days and bias the correlations upward.
+
     Scale: the corpus reduces to the |days| x |types| rollup first (one
-    partial-agg pass); the self-join and corr aggregates run on that
-    tiny series table. A thousand metrics -> ~500k pairs of |days|-row
-    series — still rollup-scale, never event-scale."""
+    partial-agg pass); the grid, self-join and corr aggregates run on
+    that tiny series table. A thousand metrics -> ~500k pairs of
+    |days|-row series — still rollup-scale, never event-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily0 = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    spans = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
     daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
-        .agg(F.count("*").alias("n"))
+        types.crossJoin(F.broadcast(cal))
+        .join(daily0, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
     )
     a = daily.select(
         "day", F.col("event_type").alias("type_a"), F.col("n").alias("na")

@@ -420,6 +420,29 @@ def _force_mtime_order(*dirs: str) -> None:
             os.utime(os.path.join(d, fname), (t, t))
 
 
+def _spool_event_slices(spark: SparkSession, ev: DataFrame, prefix: str) -> tuple:
+    """Write the events frame as three mtime-ordered time-sliced parquet
+    files and open a maxFilesPerTrigger=1 file stream over them — the
+    shared spool for every live-streaming gate query (one definition so
+    slice boundaries / ordering guarantees cannot drift between them).
+    Returns (src_dir, stream_df); the caller owns cleanup of src_dir."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
+    ev.filter(
+        (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+    ).coalesce(1).write.parquet(src + "/f=1")
+    ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+    _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+    )
+    return src, stream
+
+
 _STREAM_FUNNEL_RUNS = 0
 
 
@@ -463,7 +486,6 @@ def q_stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     The temp spool below is driver-local test plumbing; the operator
     under test is the stateful stream itself."""
     import shutil
-    import tempfile
 
     global _STREAM_FUNNEL_RUNS
     _STREAM_FUNNEL_RUNS += 1
@@ -473,19 +495,8 @@ def q_stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import streaming_funnel
 
     ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="graft_funnel_stream_")
+    src, stream = _spool_event_slices(spark, ev, "graft_funnel_stream_")
     try:
-        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
-        ev.filter(
-            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
-        ).coalesce(1).write.parquet(src + "/f=1")
-        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
-        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src + "/f=*")
-        )
         table = f"funnel_live_{run_id}"
         run_to_completion(
             streaming_funnel(stream), query_name=table, output_mode="update"
@@ -530,14 +541,15 @@ def q_stream_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DEDUP_RUNS = 0
 
 
+from .dedup import _BOW_FP_SQL as _DEDUP_BOW_FP_SQL
+from .dedup import _INGEST_MOD as _DEDUP_INGEST_MOD
+
 @query(
     "q_stream_dedup_live",
-    oracle="""
+    oracle=f"""
 WITH fp AS (
-    SELECT doc_id,
-        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-            AS fingerprint,
-        doc_id % 5 = 4 AS is_batch
+    SELECT doc_id, {_DEDUP_BOW_FP_SQL} AS fingerprint,
+        doc_id % {_DEDUP_INGEST_MOD} = {_DEDUP_INGEST_MOD - 1} AS is_batch
     FROM documents
 ),
 existing AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_batch)
@@ -780,7 +792,6 @@ def q_stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q_stream_funnel_live and q_stream_dedup_live, all three
     stateful-streaming families Spark offers are now driver-gated."""
     import shutil
-    import tempfile
 
     global _STREAM_WINDOW_RUNS
     _STREAM_WINDOW_RUNS += 1
@@ -789,19 +800,8 @@ def q_stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.crawl import run_to_completion
 
     ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="graft_window_stream_")
+    src, stream = _spool_event_slices(spark, ev, "graft_window_stream_")
     try:
-        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
-        ev.filter(
-            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
-        ).coalesce(1).write.parquet(src + "/f=1")
-        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
-        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src + "/f=*")
-        )
         counts = (
             stream.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "10 minutes"), "event_type")
@@ -829,9 +829,12 @@ _STREAM_SESSION_RUNS = 0
     "q_stream_session_live",
     oracle="""
 WITH marked AS (
-    SELECT user_id, ts,
+    -- >= gap, not >: F.session_window opens a NEW session when the gap
+    -- EQUALS the timeout (end-exclusive windows), matching the
+    -- q_session_window_native oracle; event_id tie-break on BOTH windows
+    SELECT user_id, ts, event_id,
         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+                PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
              OR LAG(epoch_us(ts)) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
@@ -840,7 +843,7 @@ WITH marked AS (
 sessions AS (
     SELECT user_id, ts,
         SUM(is_new) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM marked
 )
@@ -863,7 +866,6 @@ def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     result comparable — exactly — to the batch gap-cascade oracle
     (q_sessionize's semantics, integer counts + timestamps)."""
     import shutil
-    import tempfile
 
     global _STREAM_SESSION_RUNS
     _STREAM_SESSION_RUNS += 1
@@ -872,19 +874,8 @@ def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.crawl import run_to_completion
 
     ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="graft_session_stream_")
+    src, stream = _spool_event_slices(spark, ev, "graft_session_stream_")
     try:
-        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
-        ev.filter(
-            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
-        ).coalesce(1).write.parquet(src + "/f=1")
-        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
-        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src + "/f=*")
-        )
         sess = (
             stream.withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -946,7 +937,6 @@ def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     restored by joining the rollup back to the purchase table — the
     operator under test is the streaming join itself."""
     import shutil
-    import tempfile
 
     global _STREAM_JOIN_RUNS
     _STREAM_JOIN_RUNS += 1
@@ -955,19 +945,8 @@ def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.crawl import attribution_join, run_to_completion
 
     ev = _events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="graft_join_stream_")
+    src, stream = _spool_event_slices(spark, ev, "graft_join_stream_")
     try:
-        ev.filter(F.col("ts") < "2024-01-11").coalesce(1).write.parquet(src + "/f=0")
-        ev.filter(
-            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
-        ).coalesce(1).write.parquet(src + "/f=1")
-        ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
-        _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src + "/f=*")
-        )
         joined = attribution_join(
             stream.filter(F.col("event_type") == "purchase"),
             stream.filter(F.col("event_type") == "click"),

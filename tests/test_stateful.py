@@ -4,6 +4,10 @@ from __future__ import annotations
 
 import os
 
+from aram_matchdata_etl_spark.operators.streaming_batch import (
+    _force_mtime_order,
+)
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -138,6 +142,9 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
         1
     ).write.parquet(src + "/f=1")
     ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+    # guarantee trigger order: FileStreamSource sorts by ms-granularity
+    # mtime, and these two twins assume time-ordered delivery
+    _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
@@ -175,6 +182,9 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         1
     ).write.parquet(src + "/f=1")
     ev.filter(F.col("ts") >= "2024-01-21").coalesce(1).write.parquet(src + "/f=2")
+    # guarantee trigger order: FileStreamSource sorts by ms-granularity
+    # mtime, and these two twins assume time-ordered delivery
+    _force_mtime_order(src + "/f=0", src + "/f=1", src + "/f=2")
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src + "/f=0").schema)
