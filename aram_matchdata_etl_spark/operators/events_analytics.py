@@ -955,12 +955,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion is not a SQL window primitive; it unrolls EXACTLY into
     ewma_t = (1-a)^t * (x_0 + sum_(i>0..t) a*x_i/(1-a)^i), so one
     cumulative-sum window over the daily rollup computes it in closed
-    form (both engines, same FP sequence). The 1/(1-a)^i term grows
-    ~exp(a*t) — fine for bounded windows (10 years daily at a=0.2 is
-    still < 1e320 headroom... no: use per-window resets or log-space
-    beyond ~3500 rows; documented boundary), and the fixture span is 30
-    days. Corpus pass is the daily rollup; windows run over |days| rows
-    per group."""
+    form (both engines, same FP sequence). Boundary: the 1/(1-a)^i term
+    grows exponentially — at a=0.2 it overflows double past ~3,300 rows
+    per window, so series longer than that need per-chunk resets (carry
+    the chunk-boundary ewma as the next chunk's seed) or log-space
+    accumulation; the fixture span is 30 days and typical daily windows
+    are years, both far inside the limit. Corpus pass is the daily
+    rollup; windows run over |days| rows per group."""
     daily = (
         _events(spark, sf_dir)
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))

@@ -79,6 +79,12 @@ HEADLINE = [
     "q_pagerank",
     "q_kcore",
     "q_hierarchy_flatten",
+    # round-6 representatives: the oracled KMV sketch (zero-shuffle
+    # build), the rollup-then-window statistics shape, and the
+    # three-windows-one-exchange SCD2 build
+    "q_kmv_overlap",
+    "q_mannwhitney_u",
+    "q_scd2_build",
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here
     "q_group_normalize",
