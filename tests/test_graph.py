@@ -181,3 +181,105 @@ def test_hits_matches_numpy(spark):
     assert abs(np.linalg.norm(ga) - 1.0) < 1e-6
     assert np.max(np.abs(gh - h)) < 1e-6
     assert np.max(np.abs(ga - a)) < 1e-6
+
+
+def _py_graph(spark):
+    from aram_matchdata_etl_spark.operators.graph import link_graph
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    nodes = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    und = set()
+    for r in link_graph(docs).collect():
+        a, b = min(r.src, r.dst), max(r.src, r.dst)
+        if a != b:
+            und.add((a, b))
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    return docs, nodes, und, adj
+
+
+def test_label_propagation_matches_python(spark):
+    """Synchronous LPA differential: plurality-with-min-tie-break updates
+    in pure Python, same rounds, exact community agreement."""
+    from aram_matchdata_etl_spark.operators.graph import (
+        LPA_ROUNDS,
+        q_label_propagation,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs, nodes, und, adj = _py_graph(spark)
+    labels = {v: v for v in nodes}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for v in nodes:
+            if not adj[v]:
+                nxt[v] = labels[v]
+                continue
+            counts: dict = {}
+            for u in adj[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    got = {
+        r.doc_id: r.community
+        for r in q_label_propagation(spark, SF_SMOKE).collect()
+    }
+    assert got == labels
+
+
+def test_shortest_paths_matches_python_bfs(spark):
+    """Frontier BFS differential: textbook queue BFS from the min-id
+    node, exact distance agreement (including unreachable nodes absent
+    from both)."""
+    from collections import deque
+
+    from aram_matchdata_etl_spark.operators.graph import q_shortest_paths
+
+    from .conftest import SF_SMOKE
+
+    docs, nodes, und, adj = _py_graph(spark)
+    src = min(nodes)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        v = dq.popleft()
+        for u in adj[v]:
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                dq.append(u)
+    got = {r.doc_id: r.dist for r in q_shortest_paths(spark, SF_SMOKE).collect()}
+    assert got == dist
+
+
+def test_clustering_coeff_matches_python(spark):
+    """Local clustering coefficient differential: per-node triangle
+    count via neighbor-set intersection in pure Python."""
+    from aram_matchdata_etl_spark.operators.graph import q_clustering_coeff
+
+    from .conftest import SF_SMOKE
+
+    docs, nodes, und, adj = _py_graph(spark)
+    got = {
+        r.doc_id: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in q_clustering_coeff(spark, SF_SMOKE).collect()
+    }
+    # operator emits one row per node with degree >= 1
+    assert set(got) == {v for v in nodes if adj[v]}
+    for v, (deg, tri, coeff) in got.items():
+        assert deg == len(adj[v])
+        t = 0
+        nb = sorted(adj[v])
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if (min(nb[i], nb[j]), max(nb[i], nb[j])) in und:
+                    t += 1
+        assert tri == t, v
+        want = 2.0 * t / (deg * (deg - 1.0)) if deg >= 2 else 0.0
+        assert abs(coeff - round(want, 6)) < 1e-9, v
