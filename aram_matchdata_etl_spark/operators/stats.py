@@ -850,3 +850,140 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("na", "nb"), 6).alias("correlation"),
         )
     )
+
+
+@query(
+    "q_mrr_eval",
+    oracle=f"""
+WITH graded AS (
+    SELECT source, doc_id, n_chars,
+        len(string_split(text, ' ')) >= {KAPPA_WORD_CUTS[1]} AS relevant
+    FROM documents
+), ranked AS (
+    SELECT source, relevant,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+            AS pos
+    FROM graded
+), firsts AS (
+    SELECT source, MIN(CASE WHEN relevant THEN pos END) AS first_hit
+    FROM ranked GROUP BY source
+)
+SELECT source, CAST(first_hit AS BIGINT) AS first_hit,
+    ROUND(COALESCE(1.0 / first_hit, 0.0), 6) AS reciprocal_rank,
+    (SELECT ROUND(AVG(COALESCE(1.0 / first_hit, 0.0)), 6) FROM firsts) AS mrr
+FROM firsts""",
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank — the first-relevant-result retrieval metric
+    (chatbot retrieval / QA evals report this beside NDCG): per query
+    group the rank of the first relevant document under the ranker, its
+    reciprocal, and the corpus-level MRR repeated per row (so the single
+    output frame carries both granularities). Relevance and ranker reuse
+    q_ndcg_eval's deterministic setup.
+
+    Same scale shape as NDCG: one window per query group on a shared
+    exchange, then a per-group MIN — a billion-query eval is one shuffle
+    of (group, relevant, score) rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    relevant = F.size(F.split("text", " ")) >= KAPPA_WORD_CUTS[1]
+    pos = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    ranked = docs.select(
+        "source", relevant.alias("relevant"), pos.alias("pos")
+    )
+    firsts = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("relevant"), F.col("pos"))).alias("first_hit")
+    )
+    rr = F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0))
+    return firsts.select(
+        "source",
+        F.col("first_hit").cast("bigint").alias("first_hit"),
+        F.round(rr, 6).alias("reciprocal_rank"),
+        F.round(F.avg(rr).over(Window.partitionBy()), 6).alias("mrr"),
+    )
+
+
+@query(
+    "q_confusion_matrix",
+    oracle=f"""
+WITH rated AS (
+    SELECT CASE WHEN n_chars < {KAPPA_CHAR_CUTS[0]} THEN 0
+                WHEN n_chars < {KAPPA_CHAR_CUTS[1]} THEN 1 ELSE 2 END AS actual,
+        CASE WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[0]} THEN 0
+             WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[1]} THEN 1
+             ELSE 2 END AS predicted
+    FROM documents
+), cells AS (
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM rated GROUP BY actual, predicted
+), m AS (
+    SELECT c.*,
+        SUM(n) OVER (PARTITION BY actual) AS row_tot,
+        SUM(n) OVER (PARTITION BY predicted) AS col_tot
+    FROM cells c
+)
+SELECT actual, predicted, n,
+    ROUND(CASE WHEN actual = predicted THEN n * 1.0 / col_tot END, 6)
+        AS precision,
+    ROUND(CASE WHEN actual = predicted THEN n * 1.0 / row_tot END, 6)
+        AS recall,
+    ROUND(CASE WHEN actual = predicted
+        THEN 2.0 * n / (row_tot + col_tot) END, 6) AS f1
+FROM m""",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion matrix with per-class precision/recall/F1 on
+    the diagonal cells — the classifier-eval readout every labeling
+    pipeline reports (here the token-count classifier 'predicting' the
+    char-count classes, reusing q_cohens_kappa's deterministic raters;
+    in production: model labels vs human labels). F1 via the
+    2*tp/(row+col) identity so no intermediate ratios stack rounding.
+
+    One pass to the K x K cell table (map-side partials); margins are
+    windows over the CELLS — at any corpus size the post-scan state is
+    K^2 rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    actual = (
+        F.when(F.col("n_chars") < KAPPA_CHAR_CUTS[0], 0)
+        .when(F.col("n_chars") < KAPPA_CHAR_CUTS[1], 1)
+        .otherwise(2)
+    )
+    predicted = (
+        F.when(nw < KAPPA_WORD_CUTS[0], 0)
+        .when(nw < KAPPA_WORD_CUTS[1], 1)
+        .otherwise(2)
+    )
+    cells = (
+        docs.select(actual.alias("actual"), predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    m = cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.sum("n").over(Window.partitionBy("actual")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("predicted")).alias("col_tot"),
+    )
+    diag = F.col("actual") == F.col("predicted")
+    return m.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(F.when(diag, F.col("n") * 1.0 / F.col("col_tot")), 6).alias(
+            "precision"
+        ),
+        F.round(F.when(diag, F.col("n") * 1.0 / F.col("row_tot")), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.when(diag, 2.0 * F.col("n") / (F.col("row_tot") + F.col("col_tot"))),
+            6,
+        ).alias("f1"),
+    )
