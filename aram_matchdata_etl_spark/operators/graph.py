@@ -279,7 +279,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, |diff| < 1e-9 per node) and the mass-conservation invariant
     (ranks sum to 1 every round) remain as independent checks."""
     docs = load_table(spark, sf_dir, "documents")
-    ranks = pagerank(docs, link_graph(docs), tag="q_pagerank")
+    # tol=0.0: the oracle unrolls EXACTLY PR_ROUNDS rounds, so the
+    # operator must never early-exit — a smaller/denser future fixture
+    # converging inside 15 rounds would otherwise silently desync the
+    # hash gate (ADVICE r6). Convergence-tolerance behavior is covered
+    # by pagerank()'s own tests.
+    ranks = pagerank(docs, link_graph(docs), tag="q_pagerank", tol=0.0)
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
 
 
@@ -674,8 +679,11 @@ def hits(nodes: DataFrame, edges: DataFrame, rounds: int = HITS_ROUNDS,
             F.sum(F.col("h_raw") ** 2),
             F.sum(F.col("a_raw") * F.col("old_a")),
         ).first()
-        na = sa2 ** 0.5 or 1.0
-        nh = sh2 ** 0.5 or 1.0
+        # empty-frame guard: SUM over zero rows is NULL -> None; fall
+        # through to the `or 1.0` normalizer instead of None ** 0.5
+        na = (sa2 or 0.0) ** 0.5 or 1.0
+        nh = (sh2 or 0.0) ** 0.5 or 1.0
+        sao = sao or 0.0
         telemetry["rounds"] += 1
         # ||a_norm - old_a||^2 = 2 - 2 <a_raw, old_a>/na (both unit-norm)
         telemetry["auth_delta_per_round"].append(

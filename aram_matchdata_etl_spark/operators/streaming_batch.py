@@ -707,19 +707,33 @@ def kmv_overlap_from_hashes(wh: DataFrame, k: int = KMV_K) -> DataFrame:
     the exact pairwise form (which must distinct the full (source, word)
     relation and then pay sum_w C(sources_with_w, 2) join rows):
     1. per-source approx-distinct — map-side partial HLL aggregation;
-    2. threshold pre-filter h <= 8k/n_distinct * 2^32 on the RAW stream
-       (uniform hashes put the true k-th distinct minimum at ~k/n *
-       2^32, so an 8x margin makes losing a minimum a Chernoff-tail
-       event; sources with n <= 8k skip the filter);
-    3. distinct + exact k-minima window over only the ~8k survivors per
+    2. threshold pre-filter h <= 8k/(nd/(1+3*rsd)) * 2^32 on the RAW
+       stream (uniform hashes put the true k-th distinct minimum at
+       ~k/n * 2^32; the 8x margin makes losing a minimum a Chernoff-tail
+       event, and deflating nd by HLL's 3-sigma relative error band
+       (default rsd 0.05) covers the estimator overshooting the true
+       distinct count; sources with n <= 8k skip the filter);
+    3. distinct + exact k-minima window over only the ~9k survivors per
        source.
-    The filter never changes the RESULT — only which rows reach the
-    dedup/sort — so DuckDB oracle parity is unaffected."""
+    The filter is PROBABILISTICALLY result-invariant, not certainly so:
+    a >3-sigma HLL overestimate combined with an extreme upper-tail hash
+    layout could still drop a true k-minimum (probability bounded by the
+    product of a 3-sigma Gaussian tail and a Chernoff tail at 8x margin,
+    << 1e-9 per source). Oracle parity therefore holds up to that
+    negligible tail, and the paired DuckDB oracle applies no pre-filter
+    at all — a filter-induced divergence would surface as a driver hash
+    mismatch rather than pass silently."""
+    hll_rsd = 0.05  # approx_count_distinct default relative s.d.
     approx = wh.groupBy("source").agg(F.approx_count_distinct("h").alias("nd"))
     thr = approx.select(
         "source",
         F.when(F.col("nd") <= 8 * k, F.lit(2**32))
-        .otherwise((F.lit(float(8 * k * 2**32)) / F.col("nd")).cast("long"))
+        .otherwise(
+            (
+                F.lit(float(8 * k * 2**32) * (1.0 + 3.0 * hll_rsd))
+                / F.col("nd")
+            ).cast("long")
+        )
         .alias("thr"),
     )
     pre = (

@@ -283,3 +283,38 @@ def test_clustering_coeff_matches_python(spark):
         assert tri == t, v
         want = 2.0 * t / (deg * (deg - 1.0)) if deg >= 2 else 0.0
         assert abs(coeff - round(want, 6)) < 1e-9, v
+
+
+def test_kcore_oracle_round_cap_has_headroom(spark):
+    """The recursive-CTE k-core oracle reads its fixpoint at a FIXED
+    round cap (KCORE_ORACLE_ROUNDS); the Spark operator iterates to
+    convergence. If a fixture change ever pushed the peeling depth near
+    the cap, the oracle would report a pre-fixpoint edge set and the
+    driver gate would desync SILENTLY — so assert, at the driver gate's
+    own SF, that convergence uses well under half the cap (ADVICE r6)."""
+    from aram_matchdata_etl_spark.operators.graph import (
+        KCORE_ORACLE_ROUNDS,
+        PR_TELEMETRY,
+        kcore,
+        link_graph,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    kcore(link_graph(docs), tag="roundcap_probe").count()
+    rounds = PR_TELEMETRY["kcore_roundcap_probe"]["rounds"]
+    assert rounds <= KCORE_ORACLE_ROUNDS // 2, (
+        f"peeling used {rounds} rounds at the oracle SF — too close to the "
+        f"oracle cap {KCORE_ORACLE_ROUNDS}; raise KCORE_ORACLE_ROUNDS"
+    )
+
+
+def test_hits_empty_nodes_returns_empty(spark):
+    """hits() on an empty graph must return an empty frame, not crash on
+    NULL aggregates (ADVICE r6: None ** 0.5 TypeError)."""
+    from aram_matchdata_etl_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([], "doc_id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert hits(nodes, edges, rounds=2, tag="empty_probe").count() == 0

@@ -3,6 +3,11 @@
 with its oracle status and docstring summary. Run from the repo root:
 
     python tools/gen_operator_docs.py
+
+`render()` is the single source of truth for the file's content;
+tests/test_operator_docs.py asserts the committed file matches it, so a
+registry change without a doc regeneration fails the suite instead of
+silently rotting the inventory.
 """
 
 from __future__ import annotations
@@ -22,7 +27,8 @@ def first_line(doc: str | None) -> str:
     return text[:160] + ("…" if len(text) > 160 else "")
 
 
-def main() -> None:
+def render() -> str:
+    """The exact OPERATORS.md content for the current registry state."""
     queries = all_queries()
     oracles = all_oracles()
     lines = [
@@ -36,12 +42,19 @@ def main() -> None:
         "|---|---|---|",
     ]
     for name in sorted(queries):
-        mark = "duckdb" if name in oracles else "rows-only"
+        mark = "duckdb" if name in all_oracles() else "rows-only"
         lines.append(f"| `{name}` | {mark} | {first_line(queries[name].__doc__)} |")
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md"
+    )
+    content = render()
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(queries)} operators")
+        f.write(content)
+    print(f"wrote {out}: {content.count(chr(10)) - 7} operators")
 
 
 if __name__ == "__main__":
