@@ -922,6 +922,15 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EWMA_ALPHA = 0.2
+# Chunk length for the closed-form unroll. Within a chunk the summand
+# carries 1/(1-a)^j, j < C: at a=0.2 that tops out at ~1e97 — two hundred
+# orders of magnitude inside double range. Across chunks the seed
+# recursion s_c = (1-a)^C * s_(c-1) + V_(c-1) decays by (1-a)^C ~ 1e-97
+# per step, so four explicit lag terms carry every contribution above
+# ~1e-290 and the fifth-and-beyond terms are sub-denormal (exact zeros in
+# double) — the recursion CLOSES with no overflow at ANY series length.
+EWMA_CHUNK = 1000
+_EWMA_Q = 1 - EWMA_ALPHA
 
 
 @query(
@@ -934,17 +943,33 @@ WITH daily AS (
     SELECT event_type, day, x,
         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
     FROM daily
+), u AS (
+    SELECT event_type, day, x, t,
+        CAST(FLOOR(t / {EWMA_CHUNK}) AS BIGINT) AS c,
+        t % {EWMA_CHUNK} AS j,
+        CASE WHEN t = 0 THEN x
+             ELSE {EWMA_ALPHA} * x / POW({_EWMA_Q}, t % {EWMA_CHUNK}) END AS u
+    FROM idx
+), ucum AS (
+    SELECT event_type, day, x, c, j,
+        SUM(u) OVER (PARTITION BY event_type, c ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigu
+    FROM u
+), chunkv AS (
+    SELECT event_type, c, POW({_EWMA_Q}, {EWMA_CHUNK - 1}) * bigu AS v
+    FROM ucum WHERE j = {EWMA_CHUNK - 1}
+), seed AS (
+    SELECT event_type, c + 1 AS cnext,
+        v
+        + POW({_EWMA_Q}, {EWMA_CHUNK}) * COALESCE(LAG(v, 1) OVER w, 0)
+        + POW({_EWMA_Q}, {2 * EWMA_CHUNK}) * COALESCE(LAG(v, 2) OVER w, 0)
+        + POW({_EWMA_Q}, {3 * EWMA_CHUNK}) * COALESCE(LAG(v, 3) OVER w, 0) AS s
+    FROM chunkv WINDOW w AS (PARTITION BY event_type ORDER BY c)
 )
-SELECT event_type, day, ROUND(x, 6) AS daily_mean,
-    ROUND(CASE WHEN t = 0 THEN x ELSE
-        POW(1 - {EWMA_ALPHA}, t) * (
-            FIRST_VALUE(x) OVER w
-            + SUM(CASE WHEN t = 0 THEN 0
-                  ELSE {EWMA_ALPHA} * x / POW(1 - {EWMA_ALPHA}, t) END) OVER w
-        ) END, 6) AS ewma
-FROM idx
-WINDOW w AS (PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+SELECT r.event_type, r.day, ROUND(r.x, 6) AS daily_mean,
+    ROUND(POW({_EWMA_Q}, r.j + 1) * COALESCE(sd.s, 0)
+          + POW({_EWMA_Q}, r.j) * r.bigu, 6) AS ewma
+FROM ucum r LEFT JOIN seed sd ON sd.event_type = r.event_type AND sd.cnext = r.c""",
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of the daily value series
@@ -952,34 +977,67 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: ewma_t = alpha*x_t + (1-alpha)*ewma_(t-1), seeded with
     x_0) — the smoothing baseline behind the z-score and CUSUM monitors.
 
-    The recursion is not a SQL window primitive; it unrolls EXACTLY into
-    ewma_t = (1-a)^t * (x_0 + sum_(i>0..t) a*x_i/(1-a)^i), so one
-    cumulative-sum window over the daily rollup computes it in closed
-    form (both engines, same FP sequence). Boundary: the 1/(1-a)^i term
-    grows exponentially — at a=0.2 it overflows double past ~3,300 rows
-    per window, so series longer than that need per-chunk resets (carry
-    the chunk-boundary ewma as the next chunk's seed) or log-space
-    accumulation; the fixture span is 30 days and typical daily windows
-    are years, both far inside the limit. Corpus pass is the daily
-    rollup; windows run over |days| rows per group."""
+    The recursion is not a SQL window primitive; within a CHUNK of
+    C={EWMA_CHUNK} rows it unrolls exactly into
+    ewma_t = q^(j+1)*seed_c + q^j * sum_(i<=j) u_i (q = 1-a, j the
+    in-chunk index, u_i = a*x_i/q^i, u_0 = x_0 in the first chunk), and
+    the cross-chunk seed recursion s_c = q^C*s_(c-1) + V_(c-1) (V_c =
+    the chunk's own end-of-chunk contribution, q^(C-1) * chunk-sum(u))
+    closes with four explicit LAG terms because q^C ~ 1e-97: deeper
+    terms are below double denormal range, so the form is overflow-free
+    at ANY series length — this replaces the old single-chunk unroll
+    whose 1/q^t overflowed past ~3,300 rows (VERDICT r6 item 3). Every
+    intermediate is an ordered window cumsum or a LAG, so both engines
+    run the identical FP sequence and the driver hash gate holds; the
+    >=10k-row oracle-parity and pandas-ewm differential cases live in
+    tests/test_events_analytics.py. Corpus pass is the daily rollup;
+    windows run over |days| rows per group."""
+    C, q = EWMA_CHUNK, _EWMA_Q
     daily = (
         _events(spark, sf_dir)
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.avg("value").alias("x"))
     )
     w_ord = Window.partitionBy("event_type").orderBy("day")
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     idx = daily.select(
         "event_type", "day", "x", (F.row_number().over(w_ord) - 1).alias("t")
     )
-    decay = F.pow(F.lit(1 - EWMA_ALPHA), F.col("t"))
-    term = F.when(F.col("t") == 0, 0.0).otherwise(
-        EWMA_ALPHA * F.col("x") / decay
+    u = idx.select(
+        "event_type",
+        "day",
+        "x",
+        F.floor(F.col("t") / C).cast("long").alias("c"),
+        (F.col("t") % C).alias("j"),
+        F.when(F.col("t") == 0, F.col("x"))
+        .otherwise(
+            EWMA_ALPHA * F.col("x") / F.pow(F.lit(q), F.col("t") % C)
+        )
+        .alias("u"),
     )
-    ewma = F.when(F.col("t") == 0, F.col("x")).otherwise(
-        decay * (F.first("x").over(w_cum) + F.sum(term).over(w_cum))
+    w_cum = Window.partitionBy("event_type", "c").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    return idx.select(
+    ucum = u.select(
+        "event_type", "day", "x", "c", "j", F.sum("u").over(w_cum).alias("bigu")
+    )
+    chunkv = ucum.filter(F.col("j") == C - 1).select(
+        "event_type", "c", (F.pow(F.lit(q), F.lit(C - 1)) * F.col("bigu")).alias("v")
+    )
+    w_ch = Window.partitionBy("event_type").orderBy("c")
+    seed = chunkv.select(
+        "event_type",
+        (F.col("c") + 1).alias("c"),
+        (
+            F.col("v")
+            + F.pow(F.lit(q), F.lit(C)) * F.coalesce(F.lag("v", 1).over(w_ch), F.lit(0.0))
+            + F.pow(F.lit(q), F.lit(2 * C)) * F.coalesce(F.lag("v", 2).over(w_ch), F.lit(0.0))
+            + F.pow(F.lit(q), F.lit(3 * C)) * F.coalesce(F.lag("v", 3).over(w_ch), F.lit(0.0))
+        ).alias("s"),
+    )
+    ewma = F.pow(F.lit(q), F.col("j") + 1) * F.coalesce(F.col("s"), F.lit(0.0)) + F.pow(
+        F.lit(q), F.col("j")
+    ) * F.col("bigu")
+    return ucum.join(seed, ["event_type", "c"], "left").select(
         "event_type",
         "day",
         F.round("x", 6).alias("daily_mean"),

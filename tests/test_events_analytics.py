@@ -247,3 +247,77 @@ def test_ansi_degenerate_inputs_do_not_throw(spark):
     flat = anomaly_zscore(const_ev.filter(F.col("user_id") == 0)).collect()
     assert flat and all(r["zscore"] is None for r in flat)
     assert not any(r["is_anomaly"] for r in flat)
+
+
+class TestEwmaLongSeries:
+    """VERDICT r6 item 3: the chunked closed form must survive series far
+    past the old single-chunk unroll's ~3.3k-row double-overflow cliff.
+    10,500 days per event type = 10.5 chunks at C=1000, crossing ten
+    chunk-boundary seed handoffs."""
+
+    N_DAYS = 10_500
+
+    @pytest.fixture(scope="class")
+    def long_sf_dir(self, spark, tmp_path_factory):
+        import os
+
+        sf = tmp_path_factory.mktemp("ewma_long")
+        # the oracle harness registers views for EVERY fixture table:
+        # symlink the small-SF files and override only events
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ):
+            os.symlink(f"{SF}/{t}.parquet", f"{sf}/{t}.parquet")
+        import numpy as np
+        import pandas as pd
+
+        n = self.N_DAYS
+        ids = np.arange(2 * n)
+        # single parquet FILE (not a Spark part-file directory) so the
+        # DuckDB side of the oracle harness reads the same path
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(946684800 + (ids % n) * 86400, unit="s"),
+                "user_id": ids % 97,
+                "event_type": np.where(ids < n, "view", "click"),
+                "value": (ids * 7919 % 1000) / 7.0 + 50.0,
+                "props": pd.Series([None] * (2 * n), dtype="object"),
+            }
+        ).to_parquet(f"{sf}/events.parquet", index=False)
+        return str(sf)
+
+    def test_oracle_parity_at_10k_rows(self, spark, long_sf_dir):
+        from aram_matchdata_etl_spark.operators.events_analytics import q_ewma
+        from aram_matchdata_etl_spark.registry import all_oracles
+
+        from .oracle_utils import assert_matches_oracle
+
+        df = q_ewma(spark, long_sf_dir)
+        assert df.count() == 2 * self.N_DAYS
+        assert_matches_oracle(
+            df, all_oracles()["q_ewma"], long_sf_dir, "q_ewma@10k"
+        )
+
+    def test_matches_pandas_ewm(self, spark, long_sf_dir):
+        """Third implementation: pandas ewm(adjust=False) runs the raw
+        recursion with NO closed-form unroll — catches a chunking bug the
+        two-dialect (same-formula) check cannot see."""
+        from aram_matchdata_etl_spark.operators.events_analytics import (
+            EWMA_ALPHA,
+            q_ewma,
+        )
+
+        got = (
+            q_ewma(spark, long_sf_dir)
+            .toPandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        for et, grp in got.groupby("event_type"):
+            want = (
+                grp["daily_mean"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+            )
+            err = (grp["ewma"] - want).abs().max()
+            assert err < 1e-5, (et, err)
