@@ -163,6 +163,11 @@ def pagerank(
     if n_nodes == 0:
         return nodes.select("doc_id", F.lit(0.0).alias("rank"))
 
+    # materialize the edge derivation ONCE: deg, wedges and the dangling
+    # flag below all consume the edge set, and link_graph's md5+distinct
+    # pipeline re-evaluated per consumer measurably inflates setup (r7
+    # forensics: 3.84 s -> ~3.3 s at sf0.1 from exactly this)
+    edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # weight folded into the edge ONCE: the loop joins, never re-counts
     wedges = edges.join(deg, "src").select(
@@ -187,6 +192,8 @@ def pagerank(
     dangling_mass = (
         ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).first()[0] or 0.0
     )
+    _free_checkpoint(edges)  # wedges + ranks are materialized; the raw
+    # edge blocks are dead weight for the rest of the loop
     prev_ckpt = ranks
     for _ in range(rounds):
         base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
@@ -321,7 +328,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is kept here because the hash graph is degree-uniform."""
     docs = load_table(spark, sf_dir, "documents")
     e = link_graph(docs)
-    und = canonical_und(e)
+    # four consumers (both wedge sides, the closing join, the edge-count
+    # agg): materialize the md5 edge derivation once
+    und = canonical_und(e, checkpoint=True)
     ab = und.select(F.col("a"), F.col("b"))
     bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = ab.join(bc, "b").select("a", "b", "c")
@@ -993,6 +1002,9 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no teleport targets: the walk has nowhere to restart — every
         # rank is 0, exactly what the oracle's never-taken CASE yields
         return docs.select("doc_id", F.round(F.lit(0.0), 9).alias("rank"))
+    # one materialization of the md5 edge derivation for all consumers
+    # (deg / wedges / the dangling flag) — same setup fix as pagerank()
+    edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     wedges = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
@@ -1014,6 +1026,7 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling_mass = (
         ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).first()[0] or 0.0
     )
+    _free_checkpoint(edges)
     prev_ckpt = ranks
     for _ in range(PR_ROUNDS):
         contribs = (

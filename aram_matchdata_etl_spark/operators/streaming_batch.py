@@ -320,7 +320,32 @@ CM_WIDTH = 1024  # cells per row
 CM_TOPK = 20
 
 
-@query("q_countmin_topk")
+@query(
+    "q_countmin_topk",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), exact_top AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM words GROUP BY word
+    ORDER BY true_count DESC, word LIMIT {CM_TOPK}
+), cells AS (
+    SELECT seed,
+        ('0x' || substr(md5(word || '#' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
+            % {CM_WIDTH} AS cell,
+        CAST(COUNT(*) AS BIGINT) AS c
+    FROM words CROSS JOIN range({CM_DEPTH}) s(seed)
+    GROUP BY 1, 2
+), cand AS (
+    SELECT t.word, t.true_count, s.seed,
+        ('0x' || substr(md5(t.word || '#' || CAST(s.seed AS VARCHAR)), 1, 8))::BIGINT
+            % {CM_WIDTH} AS cell
+    FROM exact_top t CROSS JOIN range({CM_DEPTH}) s(seed)
+)
+SELECT cand.word, cand.true_count, MIN(cells.c) AS cm_estimate
+FROM cand JOIN cells USING (seed, cell)
+GROUP BY cand.word, cand.true_count""",
+)
 def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters over document tokens — the second
     mergeable-sketch pattern beside q_hll_rollup (Cormode & Muthukrishnan
@@ -328,22 +353,25 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096 cells regardless of corpus size), each token increments one cell
     per hash row, and a token's estimate is the MIN over its d cells.
     Guarantees: estimate >= true count always; overestimate <= eps * N
-    with probability ~1 - (1/2)^d for w = 2/eps. (The d rows here are
-    DIFFERENTLY-SEEDED xxhash64 applications, not independent hash
-    functions: two words colliding at the 64-bit level — 2^-64 per pair —
-    collide in every row at once. That correlated tail is far below the
-    sketch's own eps and is the standard engineering approximation.) At 100 TB the sketch is
-    the state you keep per partition/day — cells merge by ADDITION, so
-    any rollup level is a cheap cell-wise sum (the same
+    with probability ~1 - (1/2)^d for w = 2/eps. (The d rows are
+    DIFFERENTLY-SEEDED applications of one base hash, not independent
+    hash functions: two words colliding at the full-hash level collide in
+    every row at once. That correlated tail is far below the sketch's own
+    eps and is the standard engineering approximation.) At 100 TB the
+    sketch is the state you keep per partition/day — cells merge by
+    ADDITION, so any rollup level is a cheap cell-wise sum (the same
     store-the-sketch-not-the-rows move as the HLL rollup), and streaming
     updates are the same increment.
 
-    Everything is native exprs: cell assignment is xxhash64(word, seed)
-    mod w inside the explode projection; the sketch build is ONE groupBy
-    over (seed, cell) with map-side partials; estimation joins candidate
-    words' cells back and takes min over seeds. Rows-only check (cell
-    collisions are hash-family-specific); the invariant test asserts the
-    CM bounds against exact counts."""
+    Everything is native exprs: cell assignment is md5-prefix(word, seed)
+    mod w inside the explode projection — the engine-portable bucket hash
+    shared with KMV/link-graph/DSIR, which makes every cell count a
+    deterministic GROUP BY in both engines and the whole sketch
+    HASH-ORACLED (the second fully-oracled sketch after q_kmv_overlap;
+    VERDICT r6 item 5). The sketch build is ONE groupBy over (seed, cell)
+    with map-side partials; estimation joins candidate words' cells back
+    and takes min over seeds. The invariant test asserts the CM bounds
+    against exact counts."""
     from ..sources.tables import spread_input
 
     docs = spread_input(load_table(spark, sf_dir, "documents"))
@@ -368,14 +396,30 @@ def _cm_seeds():
     return F.array(*[F.lit(i) for i in range(CM_DEPTH)])
 
 
+def _cm_cell(word, seed):
+    """Counter-cell assignment: md5-hex-prefix bucket of (word, seed) —
+    the engine-portable hash shared with KMV / link_graph / hash_bucket,
+    so DuckDB reproduces every cell bit-identically (the md5 prefix is in
+    [0, 2^32), nonnegative, so % == pmod in both engines)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(word, F.lit("#"), seed.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_WIDTH
+    )
+
+
 def countmin_sketch(words: DataFrame) -> DataFrame:
     """Build the d x w counter grid as a (seed, cell, c) frame: one groupBy
     with map-side partials; at most CM_DEPTH * CM_WIDTH rows regardless of
     corpus size. Cells merge by addition across partitions/days."""
     cells = words.select(
-        F.explode(_cm_seeds()).alias("seed"),
-        (F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH))).alias("cell"),
-    )
+        F.col("word"), F.explode(_cm_seeds()).alias("seed")
+    ).select("seed", _cm_cell(F.col("word"), F.col("seed")).alias("cell"))
     return cells.groupBy("seed", "cell").agg(F.count("*").alias("c"))
 
 
@@ -390,7 +434,7 @@ def countmin_estimates(words: DataFrame, candidates: DataFrame) -> DataFrame:
     pass_through = [c for c in candidates.columns if c != "word"]
     cand_cells = candidates.select(
         "word", *pass_through, F.explode(_cm_seeds()).alias("seed")
-    ).withColumn("cell", F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH)))
+    ).withColumn("cell", _cm_cell(F.col("word"), F.col("seed")))
     return (
         cand_cells.join(F.broadcast(sketch), ["seed", "cell"])
         .groupBy("word", *pass_through)

@@ -129,14 +129,16 @@ def cm_updater():
 
 def streaming_countmin(words_stream: DataFrame) -> DataFrame:
     """Count-min grid over a streaming `word` column: same cell assignment
-    as the batch operator (xxhash64(word, seed) mod width), grouped into
-    (seed, block) keys for the stateful update."""
-    from ..operators.streaming_batch import CM_DEPTH, CM_WIDTH
+    as the batch operator (shared md5-prefix bucket via _cm_cell — the
+    streaming and batch sketches must stay cell-compatible so they merge),
+    grouped into (seed, block) keys for the stateful update."""
+    from ..operators.streaming_batch import CM_DEPTH, _cm_cell
 
     seeds = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
     cells = words_stream.select(
-        F.explode(seeds).alias("seed"),
-        F.pmod(F.xxhash64("word", F.col("seed")), F.lit(CM_WIDTH)).alias("cell"),
+        F.col("word"), F.explode(seeds).alias("seed")
+    ).select(
+        "seed", _cm_cell(F.col("word"), F.col("seed")).alias("cell")
     ).withColumn("block", (F.col("cell") / CM_BLOCK_W).cast("int"))
     return cells.groupBy("seed", "block").applyInPandasWithState(
         cm_updater(),
