@@ -191,6 +191,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming session_window. Gap test on exact integer microseconds so
     both engines agree. One exchange on user_id serves both windows and
     the final group-by."""
+    return sessionize(_events(spark, sf_dir))
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """Reusable kernel behind q_sessionize (also driven by the bench's
+    power-law skew microbench); see the query docstring."""
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_us = F.lag(F.unix_micros(F.col("ts"))).over(order_w)
@@ -199,8 +205,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     return (
-        _events(spark, sf_dir)
-        .withColumn("is_new", is_new)
+        ev.withColumn("is_new", is_new)
         .withColumn("session_no", F.sum("is_new").over(run_w))
         .groupBy("user_id", "session_no")
         .agg(

@@ -232,6 +232,72 @@ def kmv_vs_exact_microbench(spark) -> dict:
     }
 
 
+def events_skew_microbench(spark) -> dict:
+    """Skew-stress the window-cascade events family (VERDICT r6 item 6):
+    q_funnel / q_sessionize / q_anomaly_zscore all hash-partition on
+    user_id, and the fixture's user distribution is benign. Synthesize
+    2M events twice — uniform over 100k users, and with ONE power-law
+    user owning 20% of all events (a 400k-row window partition vs ~20
+    average) — and measure the per-operator wall-time ratio. Window
+    functions get no AQE skew-splitting (that exists for joins only), so
+    the hot user's partition runs as a single straggler task; the ratio
+    quantifies how much that costs at this shape."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        anomaly_zscore,
+        anomaly_zscore_chunked,
+        funnel,
+    )
+    from aram_matchdata_etl_spark.operators.streaming_batch import sessionize
+
+    n_events, n_users = 2_000_000, 100_000
+    base = spark.range(n_events, numPartitions=32)
+    stages = F.element_at(
+        F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+
+    def mk(skewed: bool):
+        uid = (
+            F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.col("id") % n_users)
+            if skewed
+            else F.col("id") % n_users
+        )
+        return base.select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") * 9973) % (30 * 86400)
+            ).alias("ts"),
+            uid.cast("long").alias("user_id"),
+            stages.alias("event_type"),
+            ((F.col("id") * 31 % 1000) / 7.0).alias("value"),
+        )
+
+    ops = {
+        "funnel": funnel,
+        "sessionize": sessionize,
+        "anomaly_zscore": anomaly_zscore,
+        # the mitigation arm: overlap-chunk decomposition, exact results
+        "anomaly_zscore_chunked": anomaly_zscore_chunked,
+    }
+    out: dict = {"n_events": n_events, "hot_user_share": 0.2}
+    for shape, skewed in (("uniform", False), ("hot_user", True)):
+        ev = mk(skewed).localCheckpoint()  # time the operator, not the generator
+        for op_name, op in ops.items():
+            op(ev).write.format("noop").mode("overwrite").save()  # JIT warmup
+            t0 = _t.perf_counter()
+            op(ev).write.format("noop").mode("overwrite").save()
+            out.setdefault(op_name, {})[shape] = round(_t.perf_counter() - t0, 3)
+        ev.unpersist()
+    for op_name in ops:
+        u, h = out[op_name]["uniform"], out[op_name]["hot_user"]
+        out[op_name]["ratio"] = round(h / u, 2) if u else None
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scale tier (VERDICT r6 item 4): rerun the ~10 most expensive headline
 # queries on a k-x replicated copy of the sf0.1 fixtures and report the
@@ -503,6 +569,10 @@ def main() -> None:
         telemetry["microbench"]["kmv_vs_exact"] = kmv_vs_exact_microbench(spark)
     except Exception as e:
         telemetry["microbench"]["kmv_vs_exact"] = {"error": str(e)[:160]}
+    try:
+        telemetry["microbench"]["events_skew"] = events_skew_microbench(spark)
+    except Exception as e:
+        telemetry["microbench"]["events_skew"] = {"error": str(e)[:160]}
 
     # 10x replicated-fixture tier: compact ratios go on the final line
     # (the judge-facing scaling factors), full seconds + build cost to

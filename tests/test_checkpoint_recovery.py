@@ -111,3 +111,108 @@ def test_streaming_countmin_state_survives_restart(spark, tmp_path):
     words_all = docs.select(F.explode(F.split("text", " ")).alias("word"))
     want = {(r.seed, r.cell): r.c for r in countmin_sketch(words_all).collect()}
     assert got == want
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """VERDICT r6 item 7: kill-and-restart in the middle of the
+    session-window live path — the hardest state to recover (gap-based
+    window MERGING inside the state store, not just counters). Run 1
+    drains a slice that leaves sessions OPEN at the cut; the stream is
+    then restarted from the checkpoint over a second slice whose first
+    events CONTINUE those sessions. Recovery is proven two ways: the
+    boundary-spanning sessions come out MERGED (impossible unless the
+    open-window state was restored), and users whose events are entirely
+    in slice 1 still appear in run 2's complete-mode snapshot (their
+    state was carried, not rebuilt from the unread first file)."""
+    import pandas as pd
+
+    from aram_matchdata_etl_spark.operators.streaming_batch import (
+        _force_mtime_order,
+    )
+
+    src = tmp_path / "sess_src"
+    ckpt = str(tmp_path / "sess_ckpt")
+    (src / "f=0").mkdir(parents=True)
+    (src / "f=1").mkdir()
+
+    base = pd.Timestamp("2024-03-01 23:00:00")
+    rows = []
+    # users 0-2: one session of 13 events every 10 min, 23:00 -> 01:00,
+    # crossing the slice cut at midnight with gaps << the 30-min timeout
+    for u in range(3):
+        for i in range(13):
+            rows.append((u * 100 + i, base + pd.Timedelta(minutes=10 * i), u))
+    # user 9: entirely inside slice 1 (closed well before the cut)
+    rows.append((900, base, 9))
+    rows.append((901, base + pd.Timedelta(minutes=5), 9))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    ev["event_type"] = "view"
+    ev["value"] = 1.0
+    ev["props"] = None
+    # micros, not pandas-default nanos: the session reads TIMESTAMP(NANOS)
+    # as BIGINT (nanosAsLong), which watermarking rejects
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    cut = pd.Timestamp("2024-03-02 00:00:00")
+    ev[ev.ts < cut].to_parquet(src / "f=0" / "part.parquet", index=False)
+    ev[ev.ts >= cut].to_parquet(src / "f=1" / "part.parquet", index=False)
+    _force_mtime_order(str(src / "f=0"), str(src / "f=1"))
+
+    schema = spark.read.parquet(str(src / "f=0")).schema
+
+    def run(table):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "f=*"))
+        )
+        sess = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("user_id"),
+                F.col("session_window.start").alias("session_start"),
+                F.col("n"),
+            )
+        )
+        q = (
+            sess.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1 sees ONLY slice 0 (slice 1 exists but is held back by
+    # writing it... both files exist; availableNow drains everything).
+    # Instead: cap run 1 to one trigger by starting before f=1 exists is
+    # racy — so drain slice 0 only via maxFilesPerTrigger=1 + a manual
+    # stop after the first batch? availableNow processes ALL available.
+    # Simplest deterministic split: move f=1 out of the glob for run 1.
+    import shutil
+
+    hidden = tmp_path / "hidden"
+    shutil.move(str(src / "f=1"), str(hidden))
+    run("sess_run1")
+    n_run1 = spark.table("sess_run1").count()
+    # at the cut every spanning user has one OPEN session; user 9 closed
+    assert n_run1 == 4
+    shutil.move(str(hidden), str(src / "f=1"))
+
+    q2 = run("sess_run2")
+    got = {
+        (r.user_id, r.session_start, r.n)
+        for r in spark.table("sess_run2").collect()
+    }
+    # merged boundary sessions: 13 events each, started at 23:00
+    for u in range(3):
+        assert (u, base.to_pydatetime(), 13) in got, got
+    # slice-1-only user carried through the restart
+    assert (9, base.to_pydatetime(), 2) in got
+    assert len(got) == 4
+    # run 2 read ONLY the second slice (7 rows x 3 users): state was
+    # recovered, not rebuilt by re-reading slice 0
+    assert q2.lastProgress["numInputRows"] <= len(ev[ev.ts >= cut])

@@ -87,3 +87,57 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_chunked_zscore_equals_plain(spark):
+    """The overlap-chunk z-score must be row-for-row identical to the
+    plain per-user window — on the fixture AND on a hot-user shape whose
+    timelines cross many chunk boundaries (the case the decomposition
+    exists for)."""
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        anomaly_zscore,
+        anomaly_zscore_chunked,
+    )
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    def as_map(df):
+        return {
+            r.event_id: (r.user_id, r.zscore, r.is_anomaly)
+            for r in df.collect()
+        }
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert as_map(anomaly_zscore_chunked(ev, chunk=32)) == as_map(
+        anomaly_zscore(ev)
+    )
+
+    # hot user 0 owns half the rows -> 25 chunks at chunk=100
+    n = 5000
+    hot = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 60).alias("ts"),
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 37).alias(
+            "user_id"
+        ),
+        ((F.col("id") * 31 % 1000) / 7.0).alias("value"),
+    )
+    assert as_map(anomaly_zscore_chunked(hot, chunk=100)) == as_map(
+        anomaly_zscore(hot)
+    )
+
+
+def test_chunked_zscore_rejects_undersized_chunk(spark):
+    import pytest as _pytest
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        anomaly_zscore_chunked,
+    )
+
+    ev = spark.range(1).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(0)).alias("ts"),
+        F.lit(0).alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    with _pytest.raises(ValueError):
+        anomaly_zscore_chunked(ev, chunk=5)
