@@ -537,10 +537,30 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MinHash + LSH (scale path; rows-only check + pytest recall asserts) ---
+# --- MinHash + LSH (scale path; hash-oracled since r7 + recall asserts) ----
 
 MINHASH_K = 32  # signatures per doc
 LSH_BANDS = 8  # 8 bands x 4 rows
+_MH_MOD = 2**32
+
+
+def _mh_consts(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """The k fixed affine permutations h_i(x) = (a_i*x + b_i) mod 2^32
+    behind the MinHash signature: a_i is a 16-bit ODD multiplier (odd a
+    over a power-of-two modulus => a true bijection of [0, 2^32), the
+    min-wise family MinHash needs), b_i a 32-bit offset, both derived
+    from md5 so the constants are reproducible anywhere. Products stay
+    under 2^48 — exact in BIGINT arithmetic in BOTH engines, which is
+    what makes the whole LSH pipeline hash-oracle-able (the r6 xxhash64
+    family was engine-specific)."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"mh_a{i}".encode()).hexdigest()[:4], 16) | 1
+        b = int(hashlib.md5(f"mh_b{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
 
 # Weak-keyed on the LIVE session object: entries vanish with the session
 # (no id() recycling returning a DataFrame bound to a stopped session),
@@ -552,23 +572,29 @@ _SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" 
 
 
 def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc: the distinct 64-bit shingle-hash set as a sorted
-    array. THE representation the whole MinHash pipeline runs on — the
-    shingle relation collapses to per-doc state in a single shuffle, and
-    every later step (signatures, verification) is narrow. Array size is
-    bounded by document length, not corpus size, so per-row state stays
-    small at any scale."""
+    """One row per doc: the distinct 32-bit shingle-hash set as an array
+    (md5-hex-prefix bucket — the engine-portable hash every oracled
+    family here uses; within-doc 32-bit collisions shift Jaccard by
+    ~m^2/2^33 ~ 1e-5 at fixture doc lengths, identically in both
+    engines). THE representation the whole MinHash pipeline runs on —
+    the shingle relation collapses to per-doc state in a single shuffle,
+    and every later step (signatures, verification) is narrow. Array
+    size is bounded by document length, not corpus size, so per-row
+    state stays small at any scale."""
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
     sets = per_session.get(sf_dir)
     if sets is None:
         docs = spread_input(load_table(spark, sf_dir, "documents"))
         toks = F.split(F.col("text"), " ")
+        h32 = (
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+        )
         sets = (
             docs.select(
                 "doc_id", F.explode(bigram_col(toks)).alias("shingle")
             )
             .groupBy("doc_id")
-            .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+            .agg(F.collect_set(h32).alias("hs"))
             .persist()
         )
         per_session[sf_dir] = sets
@@ -577,14 +603,19 @@ def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k min-hashes per doc from the per-doc hash-set array:
-    min(xxhash64(h, seed)) re-hashes the set under k cheap permutations —
-    pure array lambdas, zero shuffle (the one shuffle already happened in
-    shingle_hash_sets)."""
+    min((a_i*h + b_i) mod 2^32) re-hashes the set under k affine
+    permutations (_mh_consts) — pure array lambdas, zero shuffle (the
+    one shuffle already happened in shingle_hash_sets), and exact
+    integer arithmetic DuckDB reproduces bit-for-bit."""
+    def perm(a, b):
+        # closure, not default args: pyspark reads the lambda's ARITY to
+        # pick the higher-order-function form, so `lambda h, a=a, b=b`
+        # binds as a 3-arg lambda and fails analysis
+        return lambda h: (h * a + b) % _MH_MOD
+
     cols = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i)))
-        ).alias(f"mh{i}")
-        for i in range(k)
+        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_consts(k))
     ]
     return sets.select("doc_id", *cols)
 
@@ -598,8 +629,22 @@ def lsh_candidate_pairs(
     signature lineage. The shuffle stays O(docs x bands) — never
     all-pairs."""
     rows = k // bands
+    # band bucket = md5 prefix of the '_'-joined row signature (BIGINT
+    # digits -> identical strings in both engines)
     band_hashes = [
-        F.xxhash64(*[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)])
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
         for b in range(bands)
     ]
     buckets = sig.select(
@@ -619,19 +664,84 @@ def lsh_candidate_pairs(
     )
 
 
-@query("q_dedup_minhash_lsh")
+def _lsh_ctes(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
+    """DuckDB twin of the whole MinHash+LSH pipeline — shingle md5-32
+    hash sets, the k affine-permutation minima, '_'-joined band buckets,
+    the (band, bucket) candidate equi-join, and the exact-Jaccard
+    verification — every step exact integer/md5 arithmetic, so the
+    candidate SET and the verified pair set are bit-identical to the
+    Spark operator's (the conversion that moved this family from
+    rows-only to hash-oracled in r7). Ends with a `lsh_pairs` CTE."""
+    rows = k // bands
+    consts = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_consts(k)))
+    return (
+        _SHINGLES_SQL.lstrip()
+        + f""",
+hs AS (
+    SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+    FROM shingles
+),
+consts(i, a, b) AS (VALUES {consts}),
+mh AS (
+    SELECT h.doc_id, c.i, MIN((h.x * c.a + c.b) % {_MH_MOD}) AS mh
+    FROM hs h CROSS JOIN consts c GROUP BY 1, 2
+),
+buckets AS (
+    SELECT doc_id, band,
+        ('0x' || substr(md5(
+            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i)), 1, 8))::BIGINT
+            AS bucket
+    FROM (SELECT doc_id, i, mh, CAST(FLOOR(i / {rows}.0) AS INT) AS band FROM mh)
+    GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+hsizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+hinter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+    FROM cand c
+    JOIN hs a ON a.doc_id = c.doc_a
+    JOIN hs b ON b.doc_id = c.doc_b AND b.x = a.x
+    GROUP BY 1, 2
+),
+lsh_pairs AS (
+    SELECT i.doc_a, i.doc_b, i.ni * 1.0 / (sa.n + sb.n - i.ni) AS jaccard
+    FROM hinter i
+    JOIN hsizes sa ON sa.doc_id = i.doc_a
+    JOIN hsizes sb ON sb.doc_id = i.doc_b
+    WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= {JACCARD_THRESHOLD}
+)"""
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle="WITH "
+    + _lsh_ctes()
+    + """
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM lsh_pairs""",
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands x 4) candidates, then EXACT Jaccard
     verification of only the candidate pairs. Same output schema as
     q_dedup_ngram_jaccard; recall vs the exact operator is asserted in
-    tests (no SQL oracle — hash family is engine-specific).
+    tests, and since r7 the whole pipeline is HASH-ORACLED: shingle
+    hashes are md5-prefix-32, the k permutations are exact affine maps
+    mod 2^32, band buckets are md5 of the joined row signature — DuckDB
+    reproduces the candidate set bit-for-bit (_lsh_ctes), closing the
+    'engine-specific hash family' rows-only justification.
 
     Verification joins the candidate pairs to the per-doc hash-set arrays
     (two joins on single-row-per-doc state) and intersects the arrays
     in-row — the shingle-level join of the exact operator never happens
     here, so post-LSH work is O(candidate pairs x doc length), not a
-    corpus-wide shuffle. Jaccard over the 64-bit hash sets equals Jaccard
-    over the string sets barring a 2^-64-scale collision."""
+    corpus-wide shuffle. Jaccard over the 32-bit hash sets equals Jaccard
+    over the string sets barring ~m^2/2^33-scale collisions (identical in
+    both engines)."""
     return minhash_lsh_pairs(spark, sf_dir)
 
 
@@ -654,15 +764,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_clusters_lsh")
+@query(
+    "q_dedup_clusters_lsh",
+    oracle="WITH RECURSIVE "
+    + _lsh_ctes()
+    + """,
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM lsh_pairs
+),
+reach(u, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id,
+    (u = MIN(label)) AS is_canonical
+FROM reach GROUP BY u""",
+)
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full sub-quadratic dedup pipeline end-to-end: MinHash+LSH
     candidates → exact-Jaccard verification → connected components →
     canonical doc per cluster. Same output schema as q_dedup_clusters;
     that operator is the oracle-checked form over exact (quadratic) pair
-    generation, this one is what actually runs at 100 TB. Rows-only
-    check; tests assert the labeling is consistent with the LSH pair set
-    and never merges more than the exact labeling."""
+    generation, this one is what actually runs at 100 TB — and since r7
+    it carries its OWN full oracle: the recursive-CTE closure runs over
+    the bit-identical LSH pair set (_lsh_ctes), so the end-to-end scale
+    path is hash-verified, not just consistency-tested. Tests still
+    assert the labeling never merges more than the exact labeling."""
     return connected_components(
         load_table(spark, sf_dir, "documents"),
         minhash_lsh_pairs(spark, sf_dir),
@@ -676,10 +806,11 @@ SIMHASH_BITS = 32
 
 
 def simhash_signatures(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc SimHash: sign of the per-bit vote sum over shingle hashes.
-    One groupBy with `bits` conditional-sum aggregates — single pass,
-    all codegen."""
-    h = F.xxhash64("shingle")
+    """Per-doc SimHash: sign of the per-bit vote sum over shingle hashes
+    (md5-prefix-32 — engine-portable, so the signature and therefore the
+    candidate pair set is bit-identical in DuckDB). One groupBy with
+    `bits` conditional-sum aggregates — single pass, all codegen."""
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -697,13 +828,46 @@ def simhash_signatures(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sig.select("doc_id", acc.alias("simhash"))
 
 
-@query("q_dedup_simhash")
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH {_SHINGLES_SQL.lstrip()},
+sx AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+    FROM shingles
+),
+votes AS (
+    SELECT doc_id, i,
+        SUM(CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM sx CROSS JOIN range({SIMHASH_BITS}) r(i) GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id,
+        SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+),
+halves AS (
+    SELECT doc_id, simhash, 0 AS wh, simhash & 65535 AS half FROM sig
+    UNION ALL
+    SELECT doc_id, simhash, 1 AS wh, simhash >> 16 AS half FROM sig
+),
+cpairs AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        x.simhash AS sa, y.simhash AS sb
+    FROM halves x JOIN halves y
+      ON x.wh = y.wh AND x.half = y.half AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cpairs WHERE bit_count(xor(sa, sb)) <= 6""",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: docs whose 32-bit signatures share at
     least one 16-bit half (pigeonhole ⇒ catches all pairs with hamming
     distance ≤ 1 and most small distances), reporting the exact hamming
     distance. Candidate join is two equi-joins on 16-bit keys — no
-    all-pairs comparison."""
+    all-pairs comparison. Hash-oracled since r7: the md5-prefix shingle
+    hash makes every bit vote a deterministic GROUP BY in DuckDB, so the
+    signature, candidate set and hamming distances all hash-match."""
     sig = simhash_signatures(shingles(spark, sf_dir))
     lo = (F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))).alias("half")
     hi = F.shiftright(F.col("simhash"), 16).alias("half")

@@ -322,7 +322,7 @@ SCALE_TIER = [
 SCALE_TIER_K = 10
 # bump when the replication recipe changes so a stale materialized tier
 # is rebuilt instead of silently reused
-_SCALE_TIER_VERSION = 1
+_SCALE_TIER_VERSION = 2
 
 
 def build_scale_tier_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
@@ -415,28 +415,25 @@ def build_scale_tier_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
         off("event_id", s_ev), "ts", off("user_id", s_user), "event_type",
         "value", "props",
     )
-    # per-replica deterministic word permutation: same-replica exact dups
-    # stay exact dups, cross-replica shingle overlap collapses
-    shuffled = F.concat_ws(
+    # per-replica VOCABULARY RENAMING (suffix every word with the replica
+    # id), not a permutation: a word-sort keyed on (word, replica) was
+    # tried first and CANONICALIZED every doc in a replica to the same
+    # global word order — with the fixture's 31-word vocabulary that made
+    # all 5k docs per replica near-dups of each other (746 -> 34M LSH
+    # candidate pairs; r7 forensics). Renaming is a 1-1 bigram map: the
+    # within-replica similarity structure is exactly isomorphic to the
+    # original corpus, cross-replica shingle sets are disjoint, and the
+    # vocabulary scales k-x like every other key domain here.
+    renamed = F.concat_ws(
         " ",
         F.transform(
-            F.array_sort(
-                F.transform(
-                    F.split("text", " "),
-                    lambda w: F.struct(
-                        F.md5(
-                            F.concat(w, F.lit("#"), F.col("_r").cast("string"))
-                        ).alias("k"),
-                        w.alias("v"),
-                    ),
-                )
-            ),
-            lambda s: s["v"],
+            F.split("text", " "),
+            lambda w: F.concat(w, F.lit("_r"), F.col("_r").cast("string")),
         ),
     )
     out["documents"] = reps(src["documents"]).select(
         off("doc_id", s_doc),
-        F.when(F.col("_r") == 0, F.col("text")).otherwise(shuffled).alias("text"),
+        F.when(F.col("_r") == 0, F.col("text")).otherwise(renamed).alias("text"),
         "lang", "source", "n_chars",
     )
     # deterministic sub-1e-3 perturbation keyed on (vec_id, dim, replica):
