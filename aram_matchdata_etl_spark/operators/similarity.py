@@ -159,7 +159,51 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
-@query("q_embedding_neardup_lsh")
+def _sig_cte(dim: int = 64) -> str:
+    """DuckDB twin of the multi-table hyperplane signature: the SAME
+    seeded numpy planes embedded as DOUBLE[] literals (repr round-trips
+    doubles exactly), bit i = sign(list_dot_product(vec, plane)). The
+    already-green q_similarity_topk / q_dedup_clusters_semantic oracles
+    established that DuckDB's list_dot_product matches the Spark fold at
+    the comparator's tolerance; the sign test additionally only cares
+    about ulp noise when |dot| ~ 1e-16, which the fixture never
+    produces. Yields a `sig(vec_id, vec, vnorm, table_id, bucket)` CTE
+    — making the LSH bucket assignment itself hash-oracle-able."""
+    selects = []
+    for t in range(LSH_TABLES):
+        planes = _hyperplanes(dim, LSH_BITS, seed=42 + t)
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(vec, [{', '.join(repr(v) for v in p)}]"
+            f"::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT vec_id, vec, vnorm, {t} AS table_id, {bits} AS bucket FROM emb"
+        )
+    return "sig AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+@query(
+    "q_embedding_neardup_lsh",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + ",\n"
+    + _sig_cte()
+    + f""",
+cand AS (
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM sig x JOIN sig y
+      ON x.table_id = y.table_id AND x.bucket = y.bucket
+     AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+    ROUND(list_dot_product(a.vec, b.vec) / (a.vnorm * b.vnorm), 6) AS cosine
+FROM cand c
+JOIN emb a ON a.vec_id = c.vec_a
+JOIN emb b ON b.vec_id = c.vec_b
+WHERE list_dot_product(a.vec, b.vec) / (a.vnorm * b.vnorm)
+      >= {NEARDUP_COSINE}""",
+)
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: multi-table hyperplane-LSH
     candidate generation (pairs sharing a bucket in ANY of 4 tables) +
@@ -167,7 +211,10 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates-then-verify shape as the MinHash dedup pipeline, replacing
     the brute-force O(n^2) cross join of q_embedding_neardup. Precision is
     1.0 by construction (exact verify); recall vs brute force asserted in
-    tests. Output schema == q_embedding_neardup."""
+    tests. Output schema == q_embedding_neardup. Hash-oracled since r7:
+    the seeded hyperplanes embed as exact DOUBLE[] literals in the DuckDB
+    twin (_sig_cte), so bucket assignment, candidate set and verified
+    cosines all reproduce."""
     emb = embeddings_d(spark, sf_dir)
     dim = 64
     table_sigs = [
@@ -306,7 +353,35 @@ def ann_ivf(
     )
 
 
-@query("q_ann_lsh")
+@query(
+    "q_ann_lsh",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + ",\n"
+    + _sig_cte()
+    + f""",
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+    FROM sig q JOIN sig s
+      ON s.table_id = q.table_id AND s.bucket = q.bucket
+     AND s.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+        list_dot_product(qe.vec, ve.vec) / (qe.vnorm * ve.vnorm) AS raw
+    FROM cand c
+    JOIN emb qe ON qe.vec_id = c.query_id
+    JOIN emb ve ON ve.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, ROUND(raw, 6) AS cosine, rnk FROM (
+    SELECT query_id, vec_id, raw,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY raw DESC, vec_id
+        ) AS INTEGER) AS rnk
+    FROM scored
+) t WHERE rnk <= {TOPK}""",
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: 4 independent 4-bit
     tables; a (query, candidate) pair is probed if they share a bucket in
@@ -314,8 +389,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-ranks the union. Multi-table is the classic recall
     amplification: per-table collision prob p^bits, overall
     1-(1-p^bits)^tables, at a fraction of brute-force comparisons.
-    Recall vs q_similarity_topk asserted in tests (no SQL oracle: the
-    hash family is engine-side)."""
+    Recall vs q_similarity_topk asserted in tests; hash-oracled since r7
+    via the exact plane-literal signature twin (_sig_cte)."""
     emb = embeddings_d(spark, sf_dir)
     dim = 64
     table_sigs = [
