@@ -535,48 +535,56 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         IDF(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's form,
         always positive).
 
-    Scale shape — read the corpus once, materialize the posting lists:
-    the corpus pays ONE tf shuffle (the (doc, term) aggregation,
-    map-side combined) plus a narrow stats scan; the query term list
-    BROADCASTS onto tf, pruning it to postings for queried terms (the
-    moral equivalent of reading posting lists), and the pruned postings
-    are materialized with a lazy localCheckpoint — the in-session form
-    of the on-disk inverted index a real engine keeps — because the two
+    Scale shape — read the corpus once, shuffle ONLY queried postings:
+    the broadcast left-semi term filter sits BETWEEN the token
+    generator and the (doc, term) aggregation, so the tf shuffle
+    carries only occurrences of queried terms — the moral equivalent of
+    reading posting lists off an inverted index rather than building
+    the whole index per query (r7: pruning after the full-corpus tf
+    aggregation measured 13.0 s at the 10x tier; pruning before it,
+    1.96 s — scan-bound, ratio ~1.1x at 10x data). The pruned postings
+    are materialized with a lazy localCheckpoint because the two
     consumers (per-term df, per-(query,doc) scoring) prune different
-    columns, which stops Spark reusing the exchange (measured: the
-    unmaterialized two-branch form scans the corpus 3x with zero
-    ReusedExchange). df is then a map-side-combined aggregation over
-    the postings, broadcast back — NOT a window keyed by term, whose
-    count frame would colocate a common term's entire posting list in
-    one task (the skew that kills stopword-ish terms at scale); corpus
-    stats (N, avgdl) are a 1-row broadcast. Per-query ranking
-    partitions its window by query_id, so top-k never funnels through
-    a single task. At 100 TB the postings checkpoint becomes the
-    bucketed-by-term tf table on disk and this plan reads it
-    unchanged."""
+    columns, which stops Spark reusing the exchange. df is a
+    map-side-combined aggregation over the postings, broadcast back —
+    NOT a window keyed by term, whose count frame would colocate a
+    common term's entire posting list in one task (the skew that kills
+    stopword-ish terms at scale); corpus stats (N, avgdl) are a 1-row
+    broadcast over a narrow scan. Per-query ranking partitions its
+    window by query_id, so top-k never funnels through a single task.
+    A batch-of-thousands query workload amortizes the same plan: the
+    semi-join filter keeps every queried term's postings, and at 100 TB
+    the materialized postings become the bucketed-by-term tf table on
+    disk."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
+    qterms = spark.createDataFrame(
+        sorted(set(BM25_QUERIES)), "query_id string, term string"
+    )
+    qdistinct = qterms.select("term").distinct()
+    # prune BEFORE the (doc, term) aggregation: the broadcast left-semi
+    # term filter sits between the generator and the shuffle, so only
+    # query-term occurrences ever shuffle — at corpus scale that is the
+    # difference between shuffling every token and shuffling the handful
+    # of queried posting lists (r7: the 10x tier flagged the full-tf
+    # form as the most expensive tier query; term counts per (doc, term)
+    # are unaffected, so results and oracle are unchanged)
     tf = (
         docs.select(
             "doc_id",
             F.size(toks).alias("dl"),
             F.explode(toks).alias("term"),
         )
+        .join(F.broadcast(qdistinct), "term", "left_semi")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     stats = docs.select(F.size(toks).alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qterms = spark.createDataFrame(
-        sorted(set(BM25_QUERIES)), "query_id string, term string"
-    )
-    qdistinct = qterms.select("term").distinct()
-    postings = tf.join(F.broadcast(qdistinct), "term").localCheckpoint(
-        eager=False
-    )
+    postings = tf.localCheckpoint(eager=False)
     # postings rows are unique per (doc, term): df = row count per term,
     # map-side combined over the materialized postings
     df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
