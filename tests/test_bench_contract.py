@@ -1,0 +1,62 @@
+"""The bench reporting contract (VERDICT r6 item 1): the driver parses a
+bounded stdout TAIL, so the FINAL line must stay under budget no matter
+how much telemetry the round grows — r6's graph telemetry pushed the
+single output line past the window and the driver recorded parsed:null.
+These tests pin the shed guard and the realistic line size."""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import FINAL_LINE_BUDGET, HEADLINE, ORACLE_BASELINES, compact_final_line
+
+
+def _realistic_out(extra: dict | None = None) -> dict:
+    out = {
+        "metric": "headline_suite_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {name: 12.345 for name in HEADLINE},
+        "sf": 0.1,
+        "oracle_baseline_total": 12.345,
+        "grand_total": 135.801,
+    }
+    if extra:
+        out.update(extra)
+    return out
+
+
+def test_realistic_line_with_scale_tier_fits():
+    out = _realistic_out(
+        {"scale_tier": {"k": 10, "ratios": {n: 10.0 for n in HEADLINE[:10]}}}
+    )
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(HEADLINE)
+    assert "scale_tier" in parsed  # nothing shed at realistic size
+
+
+def test_oversized_optional_blocks_shed_before_queries():
+    huge = {"k": 10, "ratios": {f"q_{i}": 1.0 for i in range(400)}}
+    errs = {f"q_err_{i}": "x" * 150 for i in range(20)}
+    out = _realistic_out({"scale_tier": huge, "errors": errs})
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    # per-query timings survive; the oversized blocks were shed
+    assert set(parsed["queries"]) == set(HEADLINE)
+    assert "scale_tier" not in parsed
+
+
+def test_headline_and_baselines_disjoint_and_registered():
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"headline names not in registry: {missing}"
+    assert ORACLE_BASELINES <= set(HEADLINE)
