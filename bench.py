@@ -466,8 +466,11 @@ def run_scale_tier(
     spark, queries, sf_dir: str, headline: dict[str, float]
 ) -> tuple[dict, dict]:
     """Returns (compact_block_for_final_line, detail_for_telemetry).
-    Single timed run per query: whole-stage codegen for these expression
-    trees was already JIT-compiled by the headline pass at sf0.1."""
+    One untimed warmup + one timed run per query: AQE picks different
+    physical plans at 10x volume, so the 10x execution pays its own
+    whole-stage-codegen JIT that the warmed headline numbers never show
+    — without the warmup, q_bm25_topk read 15.5x while its warmed A/B
+    was 4.9x (r7 forensics, SCALE.md)."""
     repo_root = os.path.dirname(os.path.abspath(__file__))
     tier_dir = os.path.join(repo_root, ".bench_scale_tier")
     t0 = time.perf_counter()
@@ -483,6 +486,9 @@ def run_scale_tier(
                 spark._jvm.System.gc()
             except Exception:
                 pass
+            queries[name](spark, tier_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # untimed warmup (see docstring)
             t0 = time.perf_counter()
             queries[name](spark, tier_dir).write.format("noop").mode(
                 "overwrite"

@@ -57,10 +57,19 @@ def test_cc_wall_time_tracks_lsh_verify_at_50k_docs(spark):
     # exact Jaccard verification (the scale path, timed end-to-end)
     t0 = time.perf_counter()
     toks = F.split(F.col("text"), " ")
+    # md5-prefix-32 hash, same as shingle_hash_sets: minhash_signatures'
+    # affine permutations assume hashes in [0, 2^32) — a full-range
+    # xxhash64 input (the pre-r7 convention) breaks the min-wise property
     sets = (
         corpus.select("doc_id", F.explode(bigram_col(toks)).alias("shingle"))
         .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+        .agg(
+            F.collect_set(
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+            ).alias("hs")
+        )
         .persist()
     )
     candidates = lsh_candidate_pairs(minhash_signatures(sets))
