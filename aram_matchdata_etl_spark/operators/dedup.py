@@ -606,7 +606,13 @@ def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
     min((a_i*h + b_i) mod 2^32) re-hashes the set under k affine
     permutations (_mh_consts) — pure array lambdas, zero shuffle (the
     one shuffle already happened in shingle_hash_sets), and exact
-    integer arithmetic DuckDB reproduces bit-for-bit."""
+    integer arithmetic DuckDB reproduces bit-for-bit.
+
+    PRECONDITION: input hashes must lie in [0, 2^32) — the
+    shingle_hash_sets md5-prefix domain. Full-range 64-bit hashes (the
+    pre-r7 xxhash convention) silently break the min-wise property: the
+    affine map is only a bijection of [0, 2^32), and h*a overflows
+    BIGINT for large |h|."""
     def perm(a, b):
         # closure, not default args: pyspark reads the lambda's ARITY to
         # pick the higher-order-function form, so `lambda h, a=a, b=b`
