@@ -292,7 +292,7 @@ def _zscore_project(ev: DataFrame, mu, sigma) -> DataFrame:
     )
 
 
-def anomaly_zscore_chunked(ev: DataFrame, chunk: int = 65536) -> DataFrame:
+def anomaly_zscore_chunked(ev: DataFrame, chunk: int = 16384) -> DataFrame:
     """Skew-resistant twin of anomaly_zscore, EXACT same results: the
     bench's power-law microbench measured the plain per-user window at
     ~4.6x under one hot user owning 20% of events (window functions get
@@ -326,17 +326,31 @@ def anomaly_zscore_chunked(ev: DataFrame, chunk: int = 65536) -> DataFrame:
         "value",
         (F.row_number().over(order_w) - 1).alias("rn"),
     )
-    own = base.select(
-        "*",
-        F.floor(F.col("rn") / chunk).alias("chunk"),
-        F.lit(False).alias("ctx"),
+    # ONE pass assigns each row its (chunk, ctx) memberships via explode
+    # (a union of own+tail branches would re-scan and re-window the input
+    # twice — seen in the executed plan)
+    own = F.struct(
+        F.floor(F.col("rn") / chunk).alias("chunk"), F.lit(False).alias("ctx")
     )
-    tail = base.filter((F.col("rn") % chunk) >= chunk - ZSCORE_LOOKBACK).select(
-        "*",
+    ctx = F.struct(
         (F.floor(F.col("rn") / chunk) + 1).alias("chunk"),
         F.lit(True).alias("ctx"),
     )
-    both = own.unionByName(tail)
+    assign = F.when(
+        (F.col("rn") % chunk) >= chunk - ZSCORE_LOOKBACK, F.array(own, ctx)
+    ).otherwise(F.array(own))
+    both = base.select(
+        "event_id", "user_id", "value", "rn", F.explode(assign).alias("a")
+    ).select(
+        "event_id", "user_id", "value", "rn",
+        F.col("a.chunk").alias("chunk"), F.col("a.ctx").alias("ctx"),
+    )
+    # EXPLICIT repartition on (user_id, chunk): without it Catalyst
+    # satisfies the window's clustering requirement with the upstream
+    # user_id-only exchange (a subset partitioning is legal), and the hot
+    # user's chunks all land back in ONE task — the exact straggler this
+    # operator exists to break up (caught by plan inspection in r7)
+    both = both.repartition("user_id", "chunk")
     w = (
         Window.partitionBy("user_id", "chunk")
         .orderBy("rn")

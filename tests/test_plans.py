@@ -307,3 +307,32 @@ def test_kmv_pair_stage_broadcasts(spark):
     plan = _plan(spark, "q_kmv_overlap")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunked_zscore_spreads_hot_user(spark):
+    """The skew mitigation is only real if the expensive window runs on a
+    (user_id, chunk) exchange: Catalyst legally satisfies that window's
+    clustering with an upstream user_id-only exchange (subset
+    partitioning), which would put every chunk of a hot user back into
+    one task (r7 plan-audit finding, SCALE.md). Pin the explicit
+    spreading exchange."""
+    import re
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        anomaly_zscore_chunked,
+    )
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = (
+        anomaly_zscore_chunked(ev, chunk=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    parts = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", plan)
+    assert any(
+        "user_id" in p and "chunk" in p for p in parts
+    ), f"no (user_id, chunk) exchange in plan partitions: {parts}"
