@@ -333,14 +333,100 @@ def bpe_train(word_counts: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]
     return merges
 
 
-@query("q_bpe_merges")
+def _bpe_ctes(rounds: int = BPE_MERGES) -> str:
+    """UNROLLED BPE trainer as DuckDB CTEs — one (pair-count, argmax,
+    position-expand, run-group, greedy-take, rewrite) group per merge
+    round, ending at `v{rounds}`: the distinct-word vocabulary with its
+    fully-merged symbol lists. This is the same unrolled-recurrence trick
+    as the PageRank/HITS oracles, but over LIST state instead of floats —
+    everything here is exact string/integer work, so parity is bitwise.
+
+    The only non-obvious translation is the GREEDY overlapping-merge
+    fold (_bpe_fold): candidates (positions i with syms[i..i+1] =
+    (l, r)) can only be CONSECUTIVE when l == r (syms[i+1] would have to
+    equal both r and l), and within a maximal run of consecutive
+    candidates the left-to-right greedy takes exactly the odd within-run
+    positions. So: run_id = running count of non-candidate positions
+    (constant inside a candidate run), take = candidate AND odd
+    ROW_NUMBER within (word, run_id, cand), consumed = LAG(take) — and
+    the rewritten word is list(merged-or-kept tokens ORDER BY i).
+    Asserted equivalent to the Spark fold by the driver hash gate AND
+    the pure-Python hypothesis differential that already pins the fold."""
+    parts = [
+        """w AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+),
+v0 AS MATERIALIZED (SELECT word, n, string_split(word, '') AS syms FROM w)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+    SELECT syms[g.i] AS l, syms[g.i + 1] AS r, SUM(n) AS cnt
+    FROM v{r - 1}, UNNEST(range(1, len(syms))) AS g(i)
+    GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+    SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1
+),
+x{r} AS MATERIALIZED (
+    SELECT v.word, v.n, g.i, v.syms[g.i] AS s, m.l AS ml, m.r AS mr,
+        (g.i < len(v.syms) AND v.syms[g.i] = m.l
+         AND v.syms[g.i + 1] = m.r) AS cand
+    FROM v{r - 1} v CROSS JOIN m{r} m,
+        UNNEST(range(1, len(v.syms) + 1)) AS g(i)
+),
+y{r} AS MATERIALIZED (
+    SELECT *,
+        SUM(CASE WHEN cand THEN 0 ELSE 1 END) OVER
+            (PARTITION BY word ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM x{r}
+),
+z{r} AS MATERIALIZED (
+    SELECT *,
+        (cand AND (ROW_NUMBER() OVER
+            (PARTITION BY word, run_id, cand ORDER BY i) % 2 = 1)) AS take
+    FROM y{r}
+),
+v{r} AS MATERIALIZED (
+    SELECT word, n, list(tok ORDER BY i) AS syms
+    FROM (
+        SELECT word, n, i,
+            CASE WHEN take THEN ml || mr
+                 WHEN COALESCE(LAG(take) OVER
+                     (PARTITION BY word ORDER BY i), FALSE) THEN NULL
+                 ELSE s END AS tok
+        FROM z{r}
+    ) WHERE tok IS NOT NULL
+    GROUP BY word, n
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle(rounds: int = BPE_MERGES) -> str:
+    unions = "\nUNION ALL\n".join(
+        f'SELECT CAST({r - 1} AS INT) AS "rank", l AS "left", r AS "right", '
+        f'l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{r}'
+        for r in range(1, rounds + 1)
+    )
+    return f"WITH {_bpe_ctes(rounds)}\n{unions}"
+
+
+@query("q_bpe_merges", oracle=_bpe_merges_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top BPE merge table learned from the documents corpus (see
-    bpe_train). Iterative + argmax-per-round -> not SQL-expressible; the
-    correctness signal is the hypothesis differential against a pure-
-    Python reference BPE (tests/test_properties.py) plus the rows-only
-    driver check. The returned frame is the learned merge table itself
-    (n_merges rows — tokenizer-sized, not corpus-sized)."""
+    bpe_train). Hash-oracled since r7 despite the iterative
+    argmax-per-round trainer: the whole loop unrolls into exact
+    list/integer CTEs (_bpe_ctes — the unrolled-recurrence trick the
+    float family uses, with a run-parity translation of the greedy
+    overlapping-merge fold). The hypothesis differential against a
+    pure-Python reference BPE (tests/test_properties.py) stays as the
+    independent third implementation. The returned frame is the learned
+    merge table itself (n_merges rows — tokenizer-sized, not
+    corpus-sized)."""
     from ..sources.tables import spread_input
 
     counts = (
@@ -369,13 +455,26 @@ def bpe_encode_words(words: DataFrame, merges: list[tuple]) -> DataFrame:
     return out
 
 
-@query("q_bpe_encode")
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+WITH {_bpe_ctes()}
+SELECT cw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(len(vf.syms)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) cw
+JOIN v{BPE_MERGES} vf ON vf.word = cw.word
+GROUP BY cw.doc_id""",
+)
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the corpus-trained BPE (the apply half of
-    the tokenizer story; q_bpe_merges is the train half). Not
-    SQL-expressible (the merge table comes from the iterative trainer);
-    correctness = the hypothesis differential driving encode vs a pure-
-    Python reference (tests/test_properties.py) + rows-only driver check.
+    the tokenizer story; q_bpe_merges is the train half). Hash-oracled
+    since r7: applying the rank-ordered merge table to the distinct-word
+    set is EXACTLY what the unrolled trainer's final vocabulary CTE
+    already holds (v{{rounds}}.syms), so the oracle reuses the _bpe_ctes
+    chain and joins the corpus words to it. The hypothesis differential
+    driving encode vs a pure-Python reference (tests/test_properties.py)
+    stays as the independent check.
 
     Scale shape — encode the VOCABULARY, not the corpus: the merge table
     is tokenizer-sized (driver list by construction); applying it is
