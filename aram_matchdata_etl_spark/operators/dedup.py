@@ -1074,3 +1074,124 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_within_batch",
         (F.col("seen").isNull() & ~F.col("dup_within_batch")).alias("accept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs / PPJoin family:
+# Bayardo et al., WWW'07; Xiao et al., WWW'08). The EXACT-threshold
+# scale path: where q_dedup_ngram_jaccard joins on EVERY shingle
+# (quadratic blowup on hot shingles) and MinHash+LSH trades exactness
+# for probability, prefix filtering keeps the answer exact while
+# joining only on each document's rarest few shingles.
+# ---------------------------------------------------------------------------
+
+SETSIM_THRESHOLD = 0.4
+
+
+@query(
+    "q_setsim_prefix_join",
+    oracle="WITH "
+    + _SHINGLES_SQL.lstrip()
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingles a
+    JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+    ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE n_common / (sa.n + sb.n - n_common) >= {SETSIM_THRESHOLD}""",
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.4 pairs via PREFIX FILTERING — the classic
+    exact-threshold set-similarity join (AllPairs, Bayardo WWW'07).
+
+    Under any global total order on tokens, two sets with
+    J(A,B) >= t MUST share a token within each one's first
+    |x| - ceil(t*|x|) + 1 tokens (else the remaining suffixes are too
+    short to reach the required overlap), so self-joining only those
+    PREFIX tokens loses no true pair. Ordering tokens by ascending
+    document frequency puts the RAREST shingles in the prefix, so the
+    equi-join fans out on shingles that by construction occur in few
+    documents — candidate count stays near-linear where the naive join
+    (q_dedup_ngram_jaccard) is quadratic on hot shingles. A length
+    filter (t*max(|A|,|B|) <= min(|A|,|B|), necessary for J >= t)
+    prunes candidates before verification; the verify stage computes
+    the exact intersection for surviving pairs only.
+
+    The ORACLE is the plain exact all-shingle join: prefix filtering is
+    provably lossless, so the result sets are identical — the driver's
+    hash gate doubles as a completeness check of the filter.
+
+    Scale shape (100 TB): one df-count shuffle (linear), one prefix
+    self-join on rare tokens (near-linear candidates), one
+    candidates-only verify join keyed on doc_id. No corpus-wide
+    quadratic stage exists; skew on the join key is capped because a
+    prefix token with document frequency d contributes at most d^2/2
+    candidates and the prefix targets the SMALLEST d."""
+    return setsim_prefix_pairs(shingles(spark, sf_dir), SETSIM_THRESHOLD)
+
+
+def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact Jaccard >= threshold pairs over a
+    (doc_id, shingle) distinct-set frame; result-identical to
+    exact_jaccard_pairs (asserted by hypothesis differential AND the
+    driver hash gate) with near-linear candidate generation."""
+    from pyspark.sql import Window
+
+    t = threshold
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # global total order (df, shingle); prefix = n - ceil(t*n) + 1
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + F.lit(1)
+        )
+        .select("doc_id", "shingle", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -777,3 +777,42 @@ def test_funnel_matches_python_brute_force(spark, events):
             prev = min(cands)
             want[stage] += 1
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30).map(str.strip).filter(bool),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_setsim_prefix_join_is_lossless(spark, texts, threshold):
+    """Prefix filtering (q_setsim_prefix_join) returns EXACTLY the
+    all-shingle-join answer on arbitrary tie-heavy corpora — the
+    lossless-filter proof exercised empirically at several thresholds
+    (the driver gate only checks one threshold on one fixture)."""
+    from aram_matchdata_etl_spark.operators.dedup import (
+        bigram_col,
+        exact_jaccard_pairs,
+        setsim_prefix_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select("doc_id", F.explode(bigram_col(toks)).alias("shingle")).distinct()
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_jaccard_pairs(sh, threshold).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in setsim_prefix_pairs(sh, threshold).collect()
+    }
+    assert got == want
