@@ -987,3 +987,229 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resampling inference: Poisson bootstrap CI + permutation test. Both
+# derive their "randomness" from the md5 bucket hash (the engine-portable
+# trick shared with the DSIR/link-graph family), so every resample weight
+# and permuted label is bit-identical in DuckDB and the CIs/p-values are
+# hash-oracle-able — resampling without giving up the exactness gate.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+BOOTSTRAP_B = 200
+# Poisson(1) CDF cutoffs scaled to the 52-bit md5-prefix space: weight k
+# iff cutoff[k-1] <= h < cutoff[k] (h uniform on [0, 2^52)). Literal
+# integers so Spark and DuckDB compare the exact same constants.
+_POIS1_CUTS = [
+    _math.floor(
+        sum(_math.exp(-1) / _math.factorial(j) for j in range(k + 1)) * 2**52
+    )
+    for k in range(8)
+]
+# sanity: cutlist is what the docstrings claim (fails at import if the
+# formula above drifts)
+assert _POIS1_CUTS[0] == 1656781714176974 and _POIS1_CUTS[7] == 4503553469092171
+
+
+def _pois1_cases_sql(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUTS)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+_BOOT_LO_RN = BOOTSTRAP_B * 25 // 1000 + 1   # 6  (2.5th pct, 1-indexed)
+_BOOT_HI_RN = BOOTSTRAP_B * 975 // 1000      # 195 (97.5th pct)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH grid AS (
+    SELECT e.event_type, e.value, s.b,
+        ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+            || CAST(s.b AS VARCHAR)), 1, 13))::BIGINT AS h
+    FROM events e CROSS JOIN range({BOOTSTRAP_B}) s(b)
+),
+reps AS (
+    SELECT event_type, b,
+        SUM({_pois1_cases_sql('h')} * value)
+            / NULLIF(SUM({_pois1_cases_sql('h')}), 0) AS mean_b
+    FROM grid GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, mean_b,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rn
+    FROM reps
+),
+pt AS (SELECT event_type, AVG(value) AS mean FROM events GROUP BY 1)
+SELECT p.event_type, ROUND(p.mean, 6) AS mean,
+    ROUND(MAX(CASE WHEN rn = {_BOOT_LO_RN} THEN mean_b END), 6) AS ci_lo,
+    ROUND(MAX(CASE WHEN rn = {_BOOT_HI_RN} THEN mean_b END), 6) AS ci_hi,
+    CAST({BOOTSTRAP_B} AS BIGINT) AS n_boot
+FROM ranked r JOIN pt p USING (event_type)
+GROUP BY 1, 2""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% POISSON-bootstrap CI for the mean value per event_type.
+
+    The classic bootstrap resamples n rows WITH replacement per
+    replicate — a per-group n-dependent join that cannot map-side
+    combine. The Poisson bootstrap (each row independently weighted
+    Poisson(1) per replicate) is its large-n limit and is the form that
+    scales: every (row, replicate) weight derives locally from
+    md5(event_id:b), so the B replicate means are ONE groupBy with
+    map-side partials — no resample join, no per-group n anywhere, and
+    the post-scan state is groups x B rows. The weight ladder compares
+    the 52-bit md5 prefix against integer Poisson(1) CDF cutoffs —
+    integer compares, so the weights are bit-identical in the DuckDB
+    oracle and the interval endpoints hash-match.
+
+    The CI is percentile-rank over the B=200 replicate means
+    (rn 6 / 195 of the (mean, b)-ordered replicates)."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+        "event_id",
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = F.lit(8)
+    for k, c in reversed(list(enumerate(_POIS1_CUTS))):
+        w = F.when(F.col("h") < c, k).otherwise(w)
+    reps = (
+        grid.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("value"))
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("mean_b")
+        )
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = reps.withColumn("rn", F.row_number().over(rw))
+    pt = ev.groupBy("event_type").agg(F.avg("value").alias("mean"))
+    return (
+        ranked.join(pt, "event_type")
+        .groupBy("event_type", "mean")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == _BOOT_LO_RN, F.col("mean_b"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == _BOOT_HI_RN, F.col("mean_b"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            "event_type",
+            F.round("mean", 6).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOTSTRAP_B).cast("bigint").alias("n_boot"),
+        )
+    )
+
+
+PERM_P = 199
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+WITH obs AS (
+    SELECT AVG(CASE WHEN user_id % 2 = 1 THEN value END)
+         - AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS diff_obs
+    FROM events
+),
+perms AS (
+    SELECT s.p,
+        AVG(CASE WHEN ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                || CAST(s.p AS VARCHAR)), 1, 13))::BIGINT % 2 = 1
+            THEN e.value END)
+      - AVG(CASE WHEN ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                || CAST(s.p AS VARCHAR)), 1, 13))::BIGINT % 2 = 0
+            THEN e.value END) AS diff_p
+    FROM events e CROSS JOIN range({PERM_P}) s(p)
+    GROUP BY s.p
+)
+SELECT ROUND(o.diff_obs, 6) AS diff_obs,
+    CAST(COUNT(CASE WHEN ABS(p.diff_p) >= ABS(o.diff_obs) THEN 1 END) + 1
+        AS BIGINT) AS n_extreme_plus_one,
+    ROUND((COUNT(CASE WHEN ABS(p.diff_p) >= ABS(o.diff_obs) THEN 1 END) + 1)
+        * 1.0 / ({PERM_P} + 1), 6) AS p_value
+FROM perms p CROSS JOIN obs o
+GROUP BY o.diff_obs""",
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B mean difference (variant =
+    user_id % 2, the q_ab_test assignment): re-label every event under
+    P=199 md5-derived pseudo-permutations, and report the one-row
+    readout (observed diff, count of as-extreme permutations + 1,
+    p-value with the standard +1 smoothing) — the nonparametric twin of
+    q_ab_test's Welch t.
+
+    Label-flip permutation (parity of a 52-bit md5 prefix per
+    (event, p)) rather than a shuffle join: each permuted label is
+    computed WHERE THE ROW LIVES, so the whole distribution is one
+    grid scan + groupBy with map-side partials; the post-scan state is
+    P rows. Deterministic => the DuckDB oracle reproduces every
+    permuted diff bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.agg(
+        (
+            F.avg(F.when(F.col("user_id") % 2 == 1, F.col("value")))
+            - F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value")))
+        ).alias("diff_obs")
+    )
+    grid = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_P - 1))).alias("p"),
+    ).withColumn(
+        "bit",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("event_id"), F.col("p"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2,
+    )
+    perms = grid.groupBy("p").agg(
+        (
+            F.avg(F.when(F.col("bit") == 1, F.col("value")))
+            - F.avg(F.when(F.col("bit") == 0, F.col("value")))
+        ).alias("diff_p")
+    )
+    extreme = F.count(
+        F.when(F.abs(F.col("diff_p")) >= F.abs(F.col("diff_obs")), 1)
+    ) + F.lit(1)
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("diff_obs")
+        .agg(
+            extreme.cast("bigint").alias("n_extreme_plus_one"),
+            F.round(extreme * 1.0 / (PERM_P + 1), 6).alias("p_value"),
+        )
+        .select(
+            F.round("diff_obs", 6).alias("diff_obs"),
+            "n_extreme_plus_one",
+            "p_value",
+        )
+    )

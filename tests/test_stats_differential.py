@@ -181,3 +181,71 @@ def test_ewma_matches_pandas_semantics(spark):
         want = g.sort_values("day")["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
         mine = got[got.event_type == et].sort_values("day")["ewma"].to_numpy()
         assert np.allclose(mine, want.to_numpy(), atol=1e-4), et
+
+
+def _md5_52(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def test_bootstrap_ci_matches_pure_python(spark):
+    """Re-derive the Poisson-bootstrap CI from first principles: python
+    hashlib md5 weights, numpy replicate means, manual percentile ranks.
+    Catches a formula wrong the same way in both SQL dialects."""
+    from aram_matchdata_etl_spark.operators.stats import (
+        _BOOT_HI_RN,
+        _BOOT_LO_RN,
+        _POIS1_CUTS,
+        BOOTSTRAP_B,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_bootstrap_ci"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+
+    def pois_w(h):
+        for k, c in enumerate(_POIS1_CUTS):
+            if h < c:
+                return k
+        return 8
+
+    for et, g in ev.groupby("event_type"):
+        ids = g["event_id"].to_numpy()
+        vals = g["value"].to_numpy()
+        means = []
+        for b in range(BOOTSTRAP_B):
+            w = np.array([pois_w(_md5_52(f"{i}:{b}")) for i in ids], dtype=float)
+            means.append(float((w * vals).sum() / w.sum()))
+        means.sort()
+        row = got[et]
+        assert abs(row.mean - vals.mean()) < 1e-5
+        assert abs(row.ci_lo - means[_BOOT_LO_RN - 1]) < 1e-5, et
+        assert abs(row.ci_hi - means[_BOOT_HI_RN - 1]) < 1e-5, et
+        # a 95% CI must bracket the point estimate on this benign fixture
+        assert row.ci_lo < row.mean < row.ci_hi
+
+
+def test_permutation_test_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.stats import PERM_P
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_permutation_test"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    v1 = ev.loc[ev.user_id % 2 == 1, "value"].mean()
+    v0 = ev.loc[ev.user_id % 2 == 0, "value"].mean()
+    diff_obs = v1 - v0
+    assert abs(row.diff_obs - diff_obs) < 1e-5
+    ids = ev["event_id"].to_numpy()
+    vals = ev["value"].to_numpy()
+    n_ext = 0
+    for p in range(PERM_P):
+        bits = np.array([_md5_52(f"{i}#{p}") % 2 for i in ids])
+        d = vals[bits == 1].mean() - vals[bits == 0].mean()
+        if abs(d) >= abs(diff_obs):
+            n_ext += 1
+    assert row.n_extreme_plus_one == n_ext + 1
+    assert abs(row.p_value - (n_ext + 1) / (PERM_P + 1)) < 1e-6
