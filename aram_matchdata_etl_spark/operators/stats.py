@@ -1213,3 +1213,143 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+WITH rollup AS (
+    SELECT value,
+        COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS c0,
+        COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS c1
+    FROM events GROUP BY value
+), ecdf AS (
+    SELECT
+        SUM(c0) OVER (ORDER BY value) * 1.0 / SUM(c0) OVER () AS f0,
+        SUM(c1) OVER (ORDER BY value) * 1.0 / SUM(c1) OVER () AS f1,
+        SUM(c0) OVER () AS n0, SUM(c1) OVER () AS n1
+    FROM rollup
+), s AS (
+    SELECT CAST(MAX(n0) AS BIGINT) AS n0, CAST(MAX(n1) AS BIGINT) AS n1,
+        MAX(ABS(f0 - f1)) AS d
+    FROM ecdf
+)
+SELECT n0, n1, ROUND(d, 6) AS d_stat,
+    ROUND(LEAST(1.0, 2 * (
+        EXP(-2 * POW(d * SQRT(n0 * n1 * 1.0 / (n0 + n1)), 2))
+      - EXP(-8 * POW(d * SQRT(n0 * n1 * 1.0 / (n0 + n1)), 2))
+      + EXP(-18 * POW(d * SQRT(n0 * n1 * 1.0 / (n0 + n1)), 2))
+      - EXP(-32 * POW(d * SQRT(n0 * n1 * 1.0 / (n0 + n1)), 2)))), 6)
+        AS p_value
+FROM s""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the value
+    distributions of the two deterministic A/B buckets (user_id % 2,
+    the q_ab_test assignment) — the distribution-shape readout that
+    catches shifts Welch's mean test can't (variance, tails,
+    bimodality). p-value via the 4-term Kolmogorov asymptotic series
+    2*sum((-1)^(k-1) exp(-2 k^2 lambda^2)), clamped to [0,1].
+
+    Scale-correct formulation (the q_mannwhitney_u discipline): the
+    corpus reduces to a per-DISTINCT-value conditional-count rollup
+    first; both ECDFs are cumulative sums over that ordered rollup, and
+    D = max|F0 - F1| aggregates from it. The unpartitioned window runs
+    over distinct values only — at 100 TB, bucketize values first (the
+    q_value_histogram grid) and the same query computes the binned KS
+    statistic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = ev.groupBy("value").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("c1"),
+    )
+    cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    ecdf = rollup.select(
+        (F.sum("c0").over(cum) * 1.0 / F.sum("c0").over(tot)).alias("f0"),
+        (F.sum("c1").over(cum) * 1.0 / F.sum("c1").over(tot)).alias("f1"),
+        F.sum("c0").over(tot).alias("n0"),
+        F.sum("c1").over(tot).alias("n1"),
+    )
+    s = ecdf.agg(
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max(F.abs(F.col("f0") - F.col("f1"))).alias("d"),
+    )
+    n0, n1, d = F.col("n0"), F.col("n1"), F.col("d")
+    lam2 = F.pow(d * F.sqrt(n0 * n1 * 1.0 / (n0 + n1)), 2)
+    series = (
+        F.exp(-2 * lam2) - F.exp(-8 * lam2) + F.exp(-18 * lam2) - F.exp(-32 * lam2)
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.round(d, 6).alias("d_stat"),
+        F.round(F.least(F.lit(1.0), 2 * series), 6).alias("p_value"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+WITH daily0 AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), spans AS (
+    SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily0
+), cal AS (
+    SELECT CAST(u.d AS DATE) AS day
+    FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL '1 day')) u(d)
+), daily AS (
+    SELECT c.day, COALESCE(d.n, 0) AS n
+    FROM cal c LEFT JOIN daily0 d USING (day)
+), lags AS (
+    SELECT CAST(i AS INTEGER) AS lag FROM range(1, {ACF_MAX_LAG + 1}) t(i)
+)
+SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+    ROUND(corr(a.n, b.n), 6) AS acf
+FROM lags l
+CROSS JOIN daily a
+JOIN daily b ON b.day = a.day - l.lag
+GROUP BY l.lag""",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-volume series at lags
+    1..{ACF_MAX_LAG} — the seasonality screen (a weekly cycle shows as a
+    lag-7 spike) run before any forecasting model. Pearson corr between
+    the zero-gap-filled daily series and its lag-shifted self, one row
+    per lag.
+
+    Scale: the corpus reduces to the |days|-row rollup in one
+    partial-agg pass; the calendar gap-fill, the lag self-join (DATE -
+    integer key) and the corr aggregates all run at rollup scale — a
+    decade of data is ~3.7k rows here regardless of corpus bytes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    spans = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = (
+        cal.join(daily0, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("n").alias("na"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("nb"))
+    return (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("day_b") == F.date_sub(F.col("day_a"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.corr("na", "nb"), 6).alias("acf"),
+        )
+    )

@@ -249,3 +249,51 @@ def test_permutation_test_matches_pure_python(spark):
             n_ext += 1
     assert row.n_extreme_plus_one == n_ext + 1
     assert abs(row.p_value - (n_ext + 1) / (PERM_P + 1)) < 1e-6
+
+
+def test_ks_test_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_ks_test"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    x0 = np.sort(ev.loc[ev.user_id % 2 == 0, "value"].to_numpy())
+    x1 = np.sort(ev.loc[ev.user_id % 2 == 1, "value"].to_numpy())
+    grid = np.unique(np.concatenate([x0, x1]))
+    f0 = np.searchsorted(x0, grid, side="right") / len(x0)
+    f1 = np.searchsorted(x1, grid, side="right") / len(x1)
+    d = np.abs(f0 - f1).max()
+    assert row.n0 == len(x0) and row.n1 == len(x1)
+    assert abs(row.d_stat - d) < 1e-6
+    lam2 = (d * np.sqrt(len(x0) * len(x1) / (len(x0) + len(x1)))) ** 2
+    p = min(
+        1.0,
+        2
+        * sum((-1) ** (k - 1) * np.exp(-2 * k * k * lam2) for k in range(1, 5)),
+    )
+    assert abs(row.p_value - p) < 1e-6
+
+
+def test_autocorr_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import ACF_MAX_LAG
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.lag: (r.n_days, r.acf)
+        for r in all_queries()["q_autocorr"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    days = ev["ts"].dt.normalize()
+    series = (
+        days.value_counts()
+        .reindex(
+            __import__("pandas").date_range(days.min(), days.max(), freq="D"),
+            fill_value=0,
+        )
+        .to_numpy(dtype=float)
+    )
+    for lag in range(1, ACF_MAX_LAG + 1):
+        a, b = series[lag:], series[:-lag]
+        r = np.corrcoef(a, b)[0, 1]
+        n_days, acf = got[lag]
+        assert n_days == len(a)
+        assert abs(acf - r) < 1e-5, (lag, acf, r)
