@@ -318,6 +318,12 @@ SCALE_TIER = [
     "q_bigram_lm_score",     # corpus LM train + score
     "q_tpch_q9",             # multi-way fact joins
     "q_tpch_q21",            # decorrelated exists/not-exists
+    # r7 widening: one representative per remaining plan family
+    "q_kcore",               # iterative peeling (round count vs volume)
+    "q_hierarchy_flatten",   # pointer jumping (log-depth rounds)
+    "q_funnel",              # MIN-over-partition window cascade
+    "q_tfidf",               # corpus term aggregation + join-back
+    "q_web_curation_pipeline",  # fused multi-stage curation
 ]
 SCALE_TIER_K = 10
 # bump when the replication recipe changes so a stale materialized tier

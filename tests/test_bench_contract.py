@@ -12,7 +12,13 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import FINAL_LINE_BUDGET, HEADLINE, ORACLE_BASELINES, compact_final_line
+from bench import (
+    FINAL_LINE_BUDGET,
+    HEADLINE,
+    ORACLE_BASELINES,
+    SCALE_TIER,
+    compact_final_line,
+)
 
 
 def _realistic_out(extra: dict | None = None) -> dict:
@@ -31,14 +37,17 @@ def _realistic_out(extra: dict | None = None) -> dict:
 
 
 def test_realistic_line_with_scale_tier_fits():
+    # the REAL tier list at worst-case ratio widths — if this stops
+    # fitting, shrink the tier block before the driver finds out
     out = _realistic_out(
-        {"scale_tier": {"k": 10, "ratios": {n: 10.0 for n in HEADLINE[:10]}}}
+        {"scale_tier": {"k": 10, "ratios": {n: 99.9 for n in SCALE_TIER}}}
     )
     line = compact_final_line(out)
     assert len(line) <= FINAL_LINE_BUDGET
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(HEADLINE)
     assert "scale_tier" in parsed  # nothing shed at realistic size
+    assert SCALE_TIER and set(SCALE_TIER) <= set(HEADLINE)
 
 
 def test_oversized_optional_blocks_shed_before_queries():
