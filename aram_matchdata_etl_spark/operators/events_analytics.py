@@ -1133,3 +1133,60 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 6).alias("daily_mean"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+MIN_GAPS_BURSTINESS = 2
+
+
+@query(
+    "q_interarrival_burstiness",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id,
+        epoch_us(ts) - LAG(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), s AS (
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+        AVG(gap_us / 1e6) AS mean_gap_s,
+        STDDEV_POP(gap_us / 1e6) AS sd_gap_s
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+    ROUND(mean_gap_s, 6) AS mean_gap_s,
+    ROUND((sd_gap_s - mean_gap_s) / NULLIF(sd_gap_s + mean_gap_s, 0), 6)
+        AS burstiness
+FROM s WHERE n_gaps >= {MIN_GAPS_BURSTINESS}""",
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness B = (sigma - mu)/(sigma + mu)
+    (Goh & Barabási 2008): -1 = metronome, 0 = Poisson, -> 1 = bursty.
+    The behavioral-shape readout that separates scripted/bot traffic
+    (periodic, B near -1) from organic sessions (bursty, B > 0) — a
+    first-class curation signal for interaction-log training data.
+
+    Gaps come from an integer epoch-microsecond LAG within each user's
+    own partition (ties broken by event_id so both engines difference
+    the same ordering); mu/sigma are per-user aggregates of those gaps.
+    Scale: everything is partitioned by user_id — one exchange, no
+    global window, state bounded by events-per-user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", ((us - F.lag(us).over(w)) / 1e6).alias("gap_s")
+    )
+    s = gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap_s"),
+        F.stddev_pop("gap_s").alias("sd_gap_s"),
+    )
+    b = (F.col("sd_gap_s") - F.col("mean_gap_s")) / F.nullif(
+        F.col("sd_gap_s") + F.col("mean_gap_s"), F.lit(0)
+    )
+    return s.filter(F.col("n_gaps") >= MIN_GAPS_BURSTINESS).select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round("mean_gap_s", 6).alias("mean_gap_s"),
+        F.round(b, 6).alias("burstiness"),
+    )

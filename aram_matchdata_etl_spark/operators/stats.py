@@ -1353,3 +1353,116 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("na", "nb"), 6).alias("acf"),
         )
     )
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), margins AS (
+    SELECT o.lang, o.source, o.o,
+        SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+        SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
+        SUM(o.o) OVER () AS n
+    FROM obs o
+), s AS (
+    SELECT SUM(POW(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n))
+            AS chi2,
+        COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c,
+        MAX(CAST(n AS BIGINT)) AS n
+    FROM margins
+)
+SELECT ROUND(chi2, 6) AS chi2, n,
+    CAST(LEAST(r - 1, c - 1) AS INTEGER) AS min_dim,
+    ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+FROM s""",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size for the
+    (lang, source) association: sqrt(chi2 / (n * min(r-1, c-1))).
+    q_chi_squared answers "is there drift?"; V answers "how much?"
+    (a chi2 that is huge only because n is huge reads as V ~ 0).
+    Same single-pass contingency rollup: windows run over CELLS, the
+    corpus is scanned once."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    s = margins.agg(
+        F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+        F.count_distinct("lang").alias("r"),
+        F.count_distinct("source").alias("c"),
+        F.max(F.col("n").cast("long")).alias("n"),
+    )
+    min_dim = F.least(F.col("r") - 1, F.col("c") - 1)
+    return s.select(
+        F.round("chi2", 6).alias("chi2"),
+        "n",
+        min_dim.cast("int").alias("min_dim"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * min_dim)), 6).alias(
+            "cramers_v"
+        ),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+WITH per_user AS (
+    SELECT event_type, user_id, SUM(value) AS x
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i,
+        COUNT(*) OVER (PARTITION BY event_type) AS n,
+        SUM(x) OVER (PARTITION BY event_type) AS tot
+    FROM per_user
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_users,
+    ROUND(2.0 * SUM(i * x) / (MAX(n) * MAX(tot))
+        - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked GROUP BY event_type""",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user total value within each
+    event_type — the "do 1% of users carry 99% of the volume?" skew
+    readout (the same statistic warns that a groupBy on user_id needs
+    the salted path). Closed form over ascending ranks:
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n, ties broken by user_id so
+    both engines rank identically.
+
+    Scale: the corpus reduces to the per-(type, user) rollup in one
+    partial-agg pass; ranking windows run over the rollup (bounded by
+    |users|, and partitioned by type), never the event stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("x")
+    )
+    pw = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "x",
+        F.row_number().over(pw.orderBy("x", "user_id")).alias("i"),
+        F.count("*").over(pw).alias("n"),
+        F.sum("x").over(pw).alias("tot"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -836,3 +836,55 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(RRF_TOPK)
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+WITH vocab AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+), ranked AS (
+    SELECT freq,
+        ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+    FROM vocab
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+    CAST(SUM(freq) AS BIGINT) AS n_tokens,
+    ROUND(regr_slope(LN(freq), LN(rank)), 6) AS zipf_slope,
+    ROUND(regr_r2(LN(freq), LN(rank)), 6) AS r2
+FROM ranked""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log(freq) ~ log(rank) plus R^2 — the one-row corpus-health readout
+    (natural text sits near slope -1; scraped boilerplate, synthetic
+    spam, or a broken tokenizer all bend the curve and show up as a
+    slope/R^2 shift between snapshots).
+
+    regr_slope/regr_r2 are single-pass sufficient-statistic aggregates
+    in both engines. Scale: one token shuffle with map-side combine to
+    the vocab rollup; the rank window orders the VOCABULARY (bounded by
+    distinct words, corpus-size-independent), never the token stream."""
+    from pyspark.sql import Window
+
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = vocab.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "word"))
+        .alias("rank"),
+    )
+    lf, lr = F.log(F.col("freq")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )

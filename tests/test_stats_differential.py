@@ -297,3 +297,47 @@ def test_autocorr_matches_numpy(spark):
         n_days, acf = got[lag]
         assert n_days == len(a)
         assert abs(acf - r) < 1e-5, (lag, acf, r)
+
+
+def test_gini_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_users, r.gini)
+        for r in all_queries()["q_gini"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    for et, g in ev.groupby("event_type"):
+        x = np.sort(g.groupby("user_id")["value"].sum().to_numpy())
+        n = len(x)
+        gini = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+        nu, gv = got[et]
+        assert nu == n
+        assert abs(gv - gini) < 1e-5, (et, gv, gini)
+        assert 0.0 <= gv <= 1.0
+
+
+def test_burstiness_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.user_id: (r.n_gaps, r.mean_gap_s, r.burstiness)
+        for r in all_queries()["q_interarrival_burstiness"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        # .dt.total_seconds(), not int64/1e9: pandas 2 keeps DuckDB
+        # timestamps at datetime64[us] resolution, so the int64 view is
+        # MICROseconds
+        gaps = g["ts"].diff().dropna().dt.total_seconds().to_numpy()
+        if len(gaps) < 2:
+            assert uid not in got
+            continue
+        mu, sd = gaps.mean(), gaps.std()  # std ddof=0 == STDDEV_POP
+        b = (sd - mu) / (sd + mu)
+        n_gaps, mean_gap, bv = got[uid]
+        assert n_gaps == len(gaps)
+        assert abs(mean_gap - mu) < 1e-4
+        assert abs(bv - b) < 1e-5, (uid, bv, b)
