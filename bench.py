@@ -43,6 +43,12 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_clusters_lsh",
+    # q_setsim_prefix_join is deliberately NOT here: prefix filtering
+    # needs rare tokens to prune, and the synthetic fixture's 31-word
+    # vocabulary has none (<=961 distinct bigrams over 5k docs), so at
+    # sf0.1 it degenerates to near-all-pairs (~71 s) — an adversarial
+    # input, not a plan defect; driver-gated at sf0.01 like the exact
+    # baselines
     "q_similarity_topk",
     "q_embedding_neardup",
     "q_text_stats",
@@ -85,6 +91,10 @@ HEADLINE = [
     "q_kmv_overlap",
     "q_mannwhitney_u",
     "q_scd2_build",
+    # q_bootstrap_ci stays out: its rows x B=200 md5 grid is ~18.5 s at
+    # sf0.1 — honest work (20M portable-hash evaluations), but it would
+    # dominate the suite total and blur round-over-round drift; driver-
+    # gated at sf0.01
     # Arrow-exchange (pandas UDF) paths: grouped normalize + cogrouped
     # enrich — regressions in the Python<->JVM batch transfer show here
     "q_group_normalize",
@@ -569,7 +579,14 @@ def main() -> None:
     # from round 7 on: every diagnostic blob prints EARLY with its own
     # prefix and lands in bench_telemetry.json; the LAST line is a
     # compact headline-only JSON that always fits the tail.
-    telemetry: dict = {"microbench": {}}
+    telemetry: dict = {
+        # duplicated from the final line so compact_final_line may shed
+        # them there without information loss
+        "scale_total": scale_total,
+        "oracle_baseline_total": baseline_total,
+        "grand_total": round(scale_total + baseline_total, 3),
+        "microbench": {},
+    }
     try:
         telemetry["microbench"]["cc_deep_chain"] = cc_deep_chain_microbench(spark)
     except Exception as e:  # microbench failure must not sink the suite
@@ -642,7 +659,10 @@ def compact_final_line(out: dict) -> str:
     stdout tail: shed optional blocks (largest-expendable first) before
     ever touching the per-query timings the gate actually records."""
     line = json.dumps(out, separators=(",", ":"))
-    for drop in ("scale_tier", "errors"):
+    # totals shed first: both always ride the TELEMETRY line/sidecar, so
+    # dropping them here loses nothing; scale_tier and errors only exist
+    # on this line and go last
+    for drop in ("grand_total", "oracle_baseline_total", "scale_tier", "errors"):
         if len(line) <= FINAL_LINE_BUDGET:
             break
         out.pop(drop, None)

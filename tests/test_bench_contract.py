@@ -46,7 +46,9 @@ def test_realistic_line_with_scale_tier_fits():
     assert len(line) <= FINAL_LINE_BUDGET
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(HEADLINE)
-    assert "scale_tier" in parsed  # nothing shed at realistic size
+    # the judge-facing blocks survive worst-case widths; only the
+    # telemetry-duplicated totals may be shed
+    assert "scale_tier" in parsed
     assert SCALE_TIER and set(SCALE_TIER) <= set(HEADLINE)
 
 

@@ -216,3 +216,101 @@ def test_session_window_state_survives_restart(spark, tmp_path):
     # run 2 read ONLY the second slice (7 rows x 3 users): state was
     # recovered, not rebuilt by re-reading slice 0
     assert q2.lastProgress["numInputRows"] <= len(ev[ev.ts >= cut])
+
+
+def test_stream_join_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart across the watermarked stream-stream join
+    (q_stream_join_live's attribution_join): slice 1 holds PURCHASES
+    whose matching clicks are all in slice 2. Run 1 drains slice 1 and
+    stops — the purchases are now only inside the join state store's
+    buffer. Run 2 restarts from the checkpoint over slice 2; every
+    cross-slice match it emits is proof the buffered side was restored
+    (append mode only ever emits new matches, so run 2's sink cannot
+    contain anything derived from a re-read of slice 1 — asserted via
+    numInputRows)."""
+    import shutil
+
+    import pandas as pd
+
+    from aram_matchdata_etl_spark.streaming.crawl import attribution_join
+
+    src = tmp_path / "join_src"
+    ckpt = str(tmp_path / "join_ckpt")
+    (src / "f=0").mkdir(parents=True)
+    (src / "f=1").mkdir()
+
+    base = pd.Timestamp("2024-03-01 23:00:00")
+    rows = []
+    # slice 1: one purchase per user 0-2, plus an in-slice click for
+    # user 0 (run 1 must emit SOMETHING so the commit is exercised)
+    for u in range(3):
+        rows.append((u * 100, base, u, "purchase", 10.0, None))
+    rows.append((901, base + pd.Timedelta(minutes=5), 0, "click", 1.5, None))
+    # slice 2: clicks 10-20 min after the slice-1 purchases
+    for u in range(3):
+        rows.append(
+            (
+                u * 100 + 50,
+                base + pd.Timedelta(minutes=10 + u * 5),
+                u,
+                "click",
+                2.0 + u,
+                None,
+            )
+        )
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    cut = base + pd.Timedelta(minutes=8)
+    ev[ev.ts < cut].to_parquet(src / "f=0" / "part.parquet", index=False)
+    ev[ev.ts >= cut].to_parquet(src / "f=1" / "part.parquet", index=False)
+
+    schema = spark.read.parquet(str(src / "f=0")).schema
+    # the memory sink refuses checkpoint recovery in append mode; the
+    # parquet sink is the restart-capable exactly-once path
+    out = str(tmp_path / "join_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "f=*"))
+        )
+        joined = attribution_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def sink_rows():
+        return {
+            (r.p_id, r.p_user, r.click_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    hidden = tmp_path / "hidden"
+    shutil.move(str(src / "f=1"), str(hidden))
+    run()
+    # only the in-slice match can exist yet
+    assert sink_rows() == {(0, 0, 1.5)}
+    shutil.move(str(hidden), str(src / "f=1"))
+
+    q2 = run()
+    got2 = sink_rows()
+    # every cross-slice match pairs a slice-1 purchase (recovered from
+    # join state) with a slice-2 click
+    for u in range(3):
+        assert (u * 100, u, 2.0 + u) in got2, got2
+    # run 2 read only slice 2: matches came from RESTORED purchase
+    # state, not a re-read of slice 1
+    assert q2.lastProgress["numInputRows"] <= len(ev[ev.ts >= cut])
