@@ -1012,11 +1012,17 @@ _POIS1_CUTS = [
 # sanity: cutlist is what the docstrings claim (fails at import if the
 # formula above drifts)
 assert _POIS1_CUTS[0] == 1656781714176974 and _POIS1_CUTS[7] == 4503553469092171
+# the ladder compares 13-char HEX SUBSTRINGS, never integers: fixed-width
+# lowercase hex orders lexicographically exactly like its numeric value,
+# and profiling showed conv(hex, 16, 10) costs MORE than the md5 itself
+# (~10 s vs ~8 s on the 20M-cell sf0.1 grid) — string cutoffs keep the
+# whole ladder in cheap binary-collation compares in BOTH engines
+_POIS1_CUTS_HEX = [format(c, "013x") for c in _POIS1_CUTS]
 
 
-def _pois1_cases_sql(h: str) -> str:
+def _pois1_cases_sql(hx: str) -> str:
     branches = " ".join(
-        f"WHEN {h} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUTS)
+        f"WHEN {hx} < '{c}' THEN {k}" for k, c in enumerate(_POIS1_CUTS_HEX)
     )
     return f"CASE {branches} ELSE 8 END"
 
@@ -1030,14 +1036,14 @@ _BOOT_HI_RN = BOOTSTRAP_B * 975 // 1000      # 195 (97.5th pct)
     oracle=f"""
 WITH grid AS (
     SELECT e.event_type, e.value, s.b,
-        ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
-            || CAST(s.b AS VARCHAR)), 1, 13))::BIGINT AS h
+        substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+            || CAST(s.b // 2 AS VARCHAR)), 1 + 13 * (s.b % 2), 13) AS hx
     FROM events e CROSS JOIN range({BOOTSTRAP_B}) s(b)
 ),
 reps AS (
     SELECT event_type, b,
-        SUM({_pois1_cases_sql('h')} * value)
-            / NULLIF(SUM({_pois1_cases_sql('h')}), 0) AS mean_b
+        SUM({_pois1_cases_sql('hx')} * value)
+            / NULLIF(SUM({_pois1_cases_sql('hx')}), 0) AS mean_b
     FROM grid GROUP BY 1, 2
 ),
 ranked AS (
@@ -1060,35 +1066,48 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate — a per-group n-dependent join that cannot map-side
     combine. The Poisson bootstrap (each row independently weighted
     Poisson(1) per replicate) is its large-n limit and is the form that
-    scales: every (row, replicate) weight derives locally from
-    md5(event_id:b), so the B replicate means are ONE groupBy with
-    map-side partials — no resample join, no per-group n anywhere, and
-    the post-scan state is groups x B rows. The weight ladder compares
-    the 52-bit md5 prefix against integer Poisson(1) CDF cutoffs —
-    integer compares, so the weights are bit-identical in the DuckDB
-    oracle and the interval endpoints hash-match.
+    scales: every (row, replicate) weight derives locally from an md5
+    of (event_id, replicate-pair), so the B replicate means are ONE
+    groupBy with map-side partials — no resample join, no per-group n
+    anywhere, and the post-scan state is groups x B rows.
+
+    Grid-cost engineering (this is the hot loop — rows x B cells): ONE
+    digest feeds TWO replicates (hex chars 1-13 and 14-26 are
+    independent 52-bit uniforms, halving the md5 count), and the
+    Poisson(1) inverse-CDF ladder compares the 13-char hex SUBSTRING
+    against hex-string cutoffs directly — fixed-width lowercase hex
+    orders exactly like its numeric value, and the profiled
+    conv(hex,16,10) integer decode cost more than the digest itself.
+    Both engines run the identical substring + compare, so the weights
+    stay bit-identical and the interval endpoints hash-match.
 
     The CI is percentile-rank over the B=200 replicate means
     (rn 6 / 195 of the (mean, b)-ordered replicates)."""
     ev = load_table(spark, sf_dir, "events")
-    grid = ev.select(
+    half = ev.select(
         "event_type",
         "value",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B // 2 - 1))).alias(
+            "b2"
+        ),
         "event_id",
-    ).withColumn(
-        "h",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 13
-            ),
-            16,
-            10,
-        ).cast("bigint"),
+    ).withColumn("d", F.md5(F.concat_ws(":", F.col("event_id"), F.col("b2"))))
+    grid = half.select(
+        "event_type",
+        "value",
+        "b2",
+        F.posexplode(
+            F.array(F.substring("d", 1, 13), F.substring("d", 14, 13))
+        ).alias("j", "hx"),
+    ).select(
+        "event_type",
+        "value",
+        (F.col("b2") * 2 + F.col("j")).alias("b"),
+        "hx",
     )
     w = F.lit(8)
-    for k, c in reversed(list(enumerate(_POIS1_CUTS))):
-        w = F.when(F.col("h") < c, k).otherwise(w)
+    for k, c in reversed(list(enumerate(_POIS1_CUTS_HEX))):
+        w = F.when(F.col("hx") < c, k).otherwise(w)
     reps = (
         grid.withColumn("w", w)
         .groupBy("event_type", "b")
@@ -1138,11 +1157,13 @@ WITH obs AS (
 ),
 perms AS (
     SELECT s.p,
-        AVG(CASE WHEN ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
-                || CAST(s.p AS VARCHAR)), 1, 13))::BIGINT % 2 = 1
+        AVG(CASE WHEN substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                || CAST(s.p // 2 AS VARCHAR)), 31 + (s.p % 2), 1)
+            NOT IN ('0','2','4','6','8','a','c','e')
             THEN e.value END)
-      - AVG(CASE WHEN ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
-                || CAST(s.p AS VARCHAR)), 1, 13))::BIGINT % 2 = 0
+      - AVG(CASE WHEN substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                || CAST(s.p // 2 AS VARCHAR)), 31 + (s.p % 2), 1)
+            IN ('0','2','4','6','8','a','c','e')
             THEN e.value END) AS diff_p
     FROM events e CROSS JOIN range({PERM_P}) s(p)
     GROUP BY s.p
@@ -1163,12 +1184,15 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     p-value with the standard +1 smoothing) — the nonparametric twin of
     q_ab_test's Welch t.
 
-    Label-flip permutation (parity of a 52-bit md5 prefix per
+    Label-flip permutation (parity of one md5 hex digit per
     (event, p)) rather than a shuffle join: each permuted label is
     computed WHERE THE ROW LIVES, so the whole distribution is one
     grid scan + groupBy with map-side partials; the post-scan state is
-    P rows. Deterministic => the DuckDB oracle reproduces every
-    permuted diff bit-for-bit."""
+    P rows. Grid-cost engineering mirrors q_bootstrap_ci: one digest
+    per PAIR of permutations (hex chars 31 and 32 are independent
+    bits), and the bit is a set-membership test on the raw hex char —
+    no integer decode anywhere. Deterministic => the DuckDB oracle
+    reproduces every permuted diff bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     obs = ev.agg(
         (
@@ -1176,25 +1200,30 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value")))
         ).alias("diff_obs")
     )
-    grid = ev.select(
+    half = ev.select(
         "event_id",
         "value",
-        F.explode(F.sequence(F.lit(0), F.lit(PERM_P - 1))).alias("p"),
-    ).withColumn(
-        "bit",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("#", F.col("event_id"), F.col("p"))), 1, 13
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2,
+        F.explode(
+            F.sequence(F.lit(0), F.lit((PERM_P + 1) // 2 - 1))
+        ).alias("p2"),
+    ).withColumn("d", F.md5(F.concat_ws("#", F.col("event_id"), F.col("p2"))))
+    grid = (
+        half.select(
+            "value",
+            "p2",
+            F.posexplode(
+                F.array(F.substring("d", 31, 1), F.substring("d", 32, 1))
+            ).alias("j", "c"),
+        )
+        .select("value", (F.col("p2") * 2 + F.col("j")).alias("p"), "c")
+        # P is odd: the pair scheme mints one spare slot past P-1
+        .filter(F.col("p") < PERM_P)
     )
+    even = F.col("c").isin("0", "2", "4", "6", "8", "a", "c", "e")
     perms = grid.groupBy("p").agg(
         (
-            F.avg(F.when(F.col("bit") == 1, F.col("value")))
-            - F.avg(F.when(F.col("bit") == 0, F.col("value")))
+            F.avg(F.when(~even, F.col("value")))
+            - F.avg(F.when(even, F.col("value")))
         ).alias("diff_p")
     )
     extreme = F.count(

@@ -207,7 +207,13 @@ def test_bootstrap_ci_matches_pure_python(spark):
     }
     ev = _events()
 
-    def pois_w(h):
+    import hashlib
+
+    def pois_w(i, b):
+        # one digest per replicate PAIR; halves are independent 52-bit
+        # uniforms (mirrors the operator's grid scheme)
+        d = hashlib.md5(f"{i}:{b // 2}".encode()).hexdigest()
+        h = int(d[13 * (b % 2) : 13 * (b % 2) + 13], 16)
         for k, c in enumerate(_POIS1_CUTS):
             if h < c:
                 return k
@@ -218,7 +224,7 @@ def test_bootstrap_ci_matches_pure_python(spark):
         vals = g["value"].to_numpy()
         means = []
         for b in range(BOOTSTRAP_B):
-            w = np.array([pois_w(_md5_52(f"{i}:{b}")) for i in ids], dtype=float)
+            w = np.array([pois_w(i, b) for i in ids], dtype=float)
             means.append(float((w * vals).sum() / w.sum()))
         means.sort()
         row = got[et]
@@ -241,9 +247,23 @@ def test_permutation_test_matches_pure_python(spark):
     assert abs(row.diff_obs - diff_obs) < 1e-5
     ids = ev["event_id"].to_numpy()
     vals = ev["value"].to_numpy()
+    import hashlib
+
     n_ext = 0
     for p in range(PERM_P):
-        bits = np.array([_md5_52(f"{i}#{p}") % 2 for i in ids])
+        # bit = parity of hex char 31 or 32 of the PAIR digest
+        bits = np.array(
+            [
+                int(
+                    hashlib.md5(f"{i}#{p // 2}".encode()).hexdigest()[
+                        30 + p % 2
+                    ],
+                    16,
+                )
+                % 2
+                for i in ids
+            ]
+        )
         d = vals[bits == 1].mean() - vals[bits == 0].mean()
         if abs(d) >= abs(diff_obs):
             n_ext += 1
