@@ -336,3 +336,47 @@ def test_chunked_zscore_spreads_hot_user(spark):
     assert any(
         "user_id" in p and "chunk" in p for p in parts
     ), f"no (user_id, chunk) exchange in plan partitions: {parts}"
+
+
+def test_ks_windows_post_rollup(spark):
+    """KS: both ECDF cumulative windows run over the per-distinct-value
+    rollup (one aggregate below them), never the raw events — same
+    discipline as q_mannwhitney_u."""
+    plan = _plan(spark, "q_ks_test")
+    assert plan.count("Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_autocorr_rollup_joins_broadcast(spark):
+    """ACF: the lag self-join runs on the |days|-row rollup and must
+    broadcast — a sort-merge join here would mean the join runs at
+    event scale."""
+    plan = _plan(spark, "q_autocorr")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bootstrap_point_estimate_join_broadcasts(spark):
+    """Poisson bootstrap: the replicate-means frame (groups x B rows)
+    joins the point-estimate table (|groups| rows) — broadcast, never
+    sort-merge; and the grid stays join-free (weights derive locally)."""
+    plan = _plan(spark, "q_bootstrap_ci")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_setsim_all_joins_equi(spark):
+    """Prefix-filtered set-sim join: candidate generation and verify are
+    equi-joins on shingle/doc keys — no nested-loop fallback, no
+    cartesian anywhere (the whole point vs all-pairs)."""
+    plan = _plan(spark, "q_setsim_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_gini_single_scan_rollup_first(spark):
+    """Gini: one pass over events to the per-(type, user) rollup; the
+    rank windows run on the rollup only."""
+    plan = _plan(spark, "q_gini")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan
