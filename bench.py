@@ -242,6 +242,89 @@ def kmv_vs_exact_microbench(spark) -> dict:
     }
 
 
+def setsim_prefix_microbench(spark) -> dict:
+    """Candidate economics of the prefix-filtered exact set-similarity
+    join on a REALISTIC vocabulary (the fixture's 31-word vocab defeats
+    prefix filtering — there are no rare shingles to prune with, which
+    is why q_setsim_prefix_join is not a headline query). 20k synthetic
+    docs x 40 tokens from a 30k-word vocabulary with a Zipf-like head
+    (wid = floor(V * u^4): the head words dominate positions the way
+    stop-words do), 200 planted near-dup pairs (2 of 40 tokens
+    perturbed, true bigram Jaccard ~ 0.8).
+
+    Reports the structural quantity that separates the algorithms —
+    pair-level join WORK, sum over shingles of C(df, 2): the naive
+    all-shingle join must materialize every such row (quadratic in the
+    hot-shingle df, i.e. quadratic in corpus size), the prefix join
+    only the C(prefix_df, 2) rows of each document's RAREST shingles —
+    plus wall times and the (identical) result counts."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        setsim_prefix_pairs,
+    )
+
+    n_docs, doc_len, vocab, n_dup, thr = 20_000, 40, 30_000, 200, 0.7
+    rows = spark.range(n_docs * doc_len, numPartitions=32)
+    doc = (F.col("id") / doc_len).cast("long")
+    pos = F.col("id") % doc_len
+    u = F.pmod(F.xxhash64(F.col("id")), F.lit(1 << 30)) / F.lit(
+        float(1 << 30)
+    )
+    wid = F.floor(u * u * u * u * vocab).cast("long")
+    base = rows.select(doc.alias("doc_id"), pos.alias("pos"), wid.alias("wid"))
+    dup = base.filter(F.col("doc_id") < n_dup).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        "pos",
+        F.when(F.col("pos") % 20 == 0, (F.col("wid") + 7) % vocab)
+        .otherwise(F.col("wid"))
+        .alias("wid"),
+    )
+    toks = base.unionAll(dup)
+    a, b = toks.alias("a"), toks.alias("b")
+    sh = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat(F.col("a.wid"), F.lit("_"), F.col("b.wid")).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def pair_work(frame):
+        dfreq = frame.groupBy("shingle").agg(F.count("*").alias("df"))
+        return int(
+            dfreq.agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("w")
+            ).collect()[0].w
+        )
+
+    out: dict = {
+        "n_docs": n_docs + n_dup,
+        "vocab": vocab,
+        "threshold": thr,
+        "naive_pair_work": pair_work(sh),
+    }
+    t0 = _t.perf_counter()
+    out["exact_pairs"] = exact_jaccard_pairs(sh, thr).count()
+    out["exact_sec"] = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    out["prefix_pairs"] = setsim_prefix_pairs(sh, thr).count()
+    out["prefix_sec"] = round(_t.perf_counter() - t0, 3)
+    sh.unpersist()
+    return out
+
+
 def events_skew_microbench(spark) -> dict:
     """Skew-stress the window-cascade events family (VERDICT r6 item 6):
     q_funnel / q_sessionize / q_anomaly_zscore all hash-partition on
@@ -599,6 +682,12 @@ def main() -> None:
         telemetry["microbench"]["events_skew"] = events_skew_microbench(spark)
     except Exception as e:
         telemetry["microbench"]["events_skew"] = {"error": str(e)[:160]}
+    try:
+        telemetry["microbench"]["setsim_prefix"] = setsim_prefix_microbench(
+            spark
+        )
+    except Exception as e:
+        telemetry["microbench"]["setsim_prefix"] = {"error": str(e)[:160]}
 
     # 10x replicated-fixture tier: compact ratios go on the final line
     # (the judge-facing scaling factors), full seconds + build cost to
