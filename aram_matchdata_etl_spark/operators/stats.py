@@ -84,12 +84,17 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH obs AS (
     SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), dense AS (
+    SELECT l.lang, s.source, COALESCE(o.o, 0) AS o
+    FROM (SELECT DISTINCT lang FROM documents) l
+    CROSS JOIN (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
 ), margins AS (
-    SELECT o.lang, o.source, o.o,
-        SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
-        SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
-        SUM(o.o) OVER () AS n
-    FROM obs o
+    SELECT d.lang, d.source, d.o,
+        SUM(d.o) OVER (PARTITION BY d.lang) AS row_tot,
+        SUM(d.o) OVER (PARTITION BY d.source) AS col_tot,
+        SUM(d.o) OVER () AS n
+    FROM dense d
 )
 SELECT ROUND(SUM(POW(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n)), 6)
         AS chi2,
@@ -103,12 +108,27 @@ def q_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the categorical-drift check a corpus pipeline runs between
     snapshots. The contingency table is one groupBy (cells ~
     |lang|x|source|, tiny); margins are windows over the CELLS, never
-    the raw rows — at 100 TB the corpus is touched once."""
+    the raw rows — at 100 TB the corpus is touched once.
+
+    The cell table must be DENSIFIED first (distinct-lang x
+    distinct-source grid, zero-filled): a (lang, source) combination
+    with NO rows still contributes (0 - e)^2 / e = e to the statistic.
+    The observed-cells-only formulation undercounted chi2 by the summed
+    expectation of every empty cell — found by the numpy
+    third-implementation differential (the DuckDB oracle had the same
+    omission, so the cross-engine gate alone could not see it)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    margins = obs.select(
+    dense = (
+        docs.select("lang")
+        .distinct()
+        .crossJoin(F.broadcast(docs.select("source").distinct()))
+        .join(obs, ["lang", "source"], "left")
+        .select("lang", "source", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    margins = dense.select(
         "lang",
         "source",
         "o",
@@ -1389,12 +1409,17 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH obs AS (
     SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), dense AS (
+    SELECT l.lang, s.source, COALESCE(o.o, 0) AS o
+    FROM (SELECT DISTINCT lang FROM documents) l
+    CROSS JOIN (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
 ), margins AS (
-    SELECT o.lang, o.source, o.o,
-        SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
-        SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
-        SUM(o.o) OVER () AS n
-    FROM obs o
+    SELECT d.lang, d.source, d.o,
+        SUM(d.o) OVER (PARTITION BY d.lang) AS row_tot,
+        SUM(d.o) OVER (PARTITION BY d.source) AS col_tot,
+        SUM(d.o) OVER () AS n
+    FROM dense d
 ), s AS (
     SELECT SUM(POW(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n))
             AS chi2,
@@ -1412,13 +1437,22 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) association: sqrt(chi2 / (n * min(r-1, c-1))).
     q_chi_squared answers "is there drift?"; V answers "how much?"
     (a chi2 that is huge only because n is huge reads as V ~ 0).
-    Same single-pass contingency rollup: windows run over CELLS, the
-    corpus is scanned once."""
+    Same single-pass contingency rollup as q_chi_squared, including its
+    DENSIFIED grid (empty cells contribute their expectation — see the
+    q_chi_squared docstring for the differential that caught this):
+    windows run over CELLS, the corpus is scanned once."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    margins = obs.select(
+    dense = (
+        docs.select("lang")
+        .distinct()
+        .crossJoin(F.broadcast(docs.select("source").distinct()))
+        .join(obs, ["lang", "source"], "left")
+        .select("lang", "source", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    margins = dense.select(
         "lang",
         "source",
         "o",

@@ -361,3 +361,48 @@ def test_burstiness_matches_numpy(spark):
         assert n_gaps == len(gaps)
         assert abs(mean_gap - mu) < 1e-4
         assert abs(bv - b) < 1e-5, (uid, bv, b)
+
+
+def test_cramers_v_and_chi2_match_numpy(spark):
+    """The numpy crosstab includes EMPTY (lang, source) cells, which
+    still contribute (0-e)^2/e — this test caught the observed-cells-
+    only formulation both dialects originally shared (chi2 undercounted
+    by ~10.45 on the fixture)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_cramers_v"](spark, SF_ORACLE).collect()[0]
+    chi_row = all_queries()["q_chi_squared"](spark, SF_ORACLE).collect()[0]
+    docs = _duck("SELECT lang, source FROM documents")
+    ct = docs.groupby(["lang", "source"]).size().unstack(fill_value=0).to_numpy(dtype=float)
+    n = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    r, c = ct.shape
+    v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    assert row.n == int(n)
+    assert row.min_dim == min(r - 1, c - 1)
+    assert abs(row.chi2 - chi2) < 1e-4
+    assert abs(row.cramers_v - v) < 1e-6
+    assert 0.0 <= row.cramers_v <= 1.0
+    assert abs(chi_row.chi2 - chi2) < 1e-4
+    assert chi_row.dof == (r - 1) * (c - 1)
+    assert chi_row.n == int(n)
+
+
+def test_zipf_fit_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_zipf_fit"](spark, SF_ORACLE).collect()[0]
+    docs = _duck("SELECT text FROM documents")
+    from collections import Counter
+
+    freq = Counter(w for t in docs["text"] for w in t.split(" "))
+    counts = np.array(sorted(freq.values(), reverse=True), dtype=float)
+    assert row.vocab_size == len(counts)
+    assert row.n_tokens == int(counts.sum())
+    x = np.log(np.arange(1, len(counts) + 1))
+    y = np.log(counts)
+    slope, _ = np.polyfit(x, y, 1)
+    assert abs(row.zipf_slope - slope) < 1e-4
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(row.r2 - r2) < 1e-4
