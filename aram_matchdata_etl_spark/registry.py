@@ -120,11 +120,23 @@ _MODULE_PRIORITY = {
 }
 
 
+# Keys whose RESULT SEMANTICS changed after their last green sample (a
+# bug fix that moved the numbers in both dialects at once): promote into
+# the next driver window so the fix gets a fresh driver verdict instead
+# of waiting out a full green rotation. Remove entries once re-sampled.
+_SEMANTICS_CHANGED = {
+    # late r7: empty contingency cells now contribute their expectation
+    # (chi2 68.84 -> 79.29 on the fixture; numpy differential finding)
+    "q_chi_squared",
+}
+
+
 def _rotated(keys: list[str]) -> list[str]:
     """Previously-FAILED keys first (their fixes must be re-verified in the
-    very next round), then never-driver-sampled keys and keys that GAINED
+    very next round), then never-driver-sampled keys, keys that GAINED
     an oracle since their last rows-only sample (their upgrade to a
-    hash-checked verdict should not wait a full rotation), then
+    hash-checked verdict should not wait a full rotation), and keys whose
+    result semantics changed since their last green sample, then
     least-recently sampled; module family then registration order break
     ties (stable sort)."""
     latest = _sampled_rounds()
@@ -133,7 +145,8 @@ def _rotated(keys: list[str]) -> list[str]:
         mod = _QUERIES[k].__module__.rsplit(".", 1)[-1]
         rnd, red, rows_only = latest.get(k, (-1, False, False))
         upgraded = rows_only and k in _ORACLES
-        bucket = 0 if red else (1 if (rnd < 0 or upgraded) else 2)
+        promoted = rnd < 0 or upgraded or k in _SEMANTICS_CHANGED
+        bucket = 0 if red else (1 if promoted else 2)
         return bucket, rnd, _MODULE_PRIORITY.get(mod, 99)
 
     return sorted(keys, key=rank)
