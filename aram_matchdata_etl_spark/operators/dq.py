@@ -136,16 +136,22 @@ WITH digits AS (
         AS INTEGER) AS digit
     FROM orders WHERE o_totalprice >= 1
 ), obs AS (
-    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
-        SUM(COUNT(*)) OVER () AS total
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
     FROM digits GROUP BY digit
+), dense AS (
+    -- densify 1..9: a digit that NEVER occurs is the loudest Benford
+    -- signal and must appear with n=0 (chi2_term = benford_p), not
+    -- silently vanish from the readout
+    SELECT CAST(d.d AS INTEGER) AS digit, COALESCE(o.n, 0) AS n,
+        SUM(COALESCE(o.n, 0)) OVER () AS total
+    FROM range(1, 10) d(d) LEFT JOIN obs o ON o.digit = d.d
 )
 SELECT digit, n,
     ROUND(n * 1.0 / total, 6) AS observed_p,
     ROUND(LOG(1.0 + 1.0 / digit) / LOG(10.0), 6) AS benford_p,
     ROUND(POW(n * 1.0 / total - LOG(1.0 + 1.0 / digit) / LOG(10.0), 2)
         / (LOG(1.0 + 1.0 / digit) / LOG(10.0)), 6) AS chi2_term
-FROM obs""",
+FROM dense""",
 )
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit test on order totals — the classic
@@ -167,6 +173,13 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # densify 1..9: an absent digit is the loudest deviation and must
+    # surface as n=0 (chi2_term = benford_p) instead of vanishing
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    obs = (
+        digits.join(obs, "digit", "left")
+        .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
         .withColumn("total", F.sum("n").over(Window.partitionBy()))
     )
     p = F.col("n") * 1.0 / F.col("total")
