@@ -1529,3 +1529,766 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation readouts: AUC, calibration/Brier, lift deciles.  The
+# reference evaluates its ranker driver-side over pandas frames
+# (transformer/ranking/modeling.py:70-99); this family is the distributed
+# version of the readouts a scoring pipeline runs after every batch.
+# ---------------------------------------------------------------------------
+
+AUC_POS = "purchase"  # the one-vs-rest "relevant" event class
+
+
+@query(
+    "q_auc_eval",
+    oracle=f"""
+WITH per_v AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS ct FROM events GROUP BY value
+), ranked AS (
+    SELECT value, ct,
+        SUM(ct) OVER (ORDER BY value) - ct + (ct + 1) / 2.0 AS avg_rank
+    FROM per_v
+), per_tv AS (
+    SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+), s AS (
+    SELECT t.event_type,
+        CAST(SUM(t.c) AS BIGINT) AS n_pos,
+        SUM(t.c * r.avg_rank) AS rp
+    FROM per_tv t JOIN ranked r ON r.value = t.value
+    GROUP BY t.event_type
+)
+SELECT s.event_type, s.n_pos, CAST(tot.n - s.n_pos AS BIGINT) AS n_neg,
+    ROUND((s.rp - s.n_pos * (s.n_pos + 1) / 2.0)
+          / (s.n_pos * (tot.n - s.n_pos)), 6) AS auc
+FROM s CROSS JOIN tot""",
+)
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC for every event class at once, scored by
+    ``value`` — the rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg) with midrank tie handling, i.e. exactly the
+    probability P(score_pos > score_neg) + 0.5 P(=). The ranking-model
+    quality readout (which classes does the score actually separate?).
+
+    Scale-correct formulation (the q_mannwhitney_u discipline): the
+    corpus reduces to the per-DISTINCT-value rollup once; average ranks
+    are a cumulative sum over that ordered rollup; and because
+    one-vs-rest ranks are GLOBAL ranks, all K readouts reuse the same
+    rank table — one scan, K rows out."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_v = ev.groupBy("value").agg(F.count("*").cast("bigint").alias("ct"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.select(
+        "value",
+        (F.sum("ct").over(w) - F.col("ct") + (F.col("ct") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    per_tv = ev.groupBy("event_type", "value").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = ev.agg(F.count("*").cast("bigint").alias("n"))
+    s = (
+        per_tv.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_pos"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rp"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    n_pos, n = F.col("n_pos"), F.col("n")
+    return s.select(
+        "event_type",
+        "n_pos",
+        (n - n_pos).cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("rp") - n_pos * (n_pos + 1) / 2.0) / (n_pos * (n - n_pos)), 6
+        ).alias("auc"),
+    )
+
+
+CAL_BINS = 10
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+WITH mm AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), scored AS (
+    SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {CAL_BINS}) AS INTEGER),
+                 {CAL_BINS - 1}) AS bin,
+        (value - mn) / (mx - mn) AS p,
+        CASE WHEN event_type = '{AUC_POS}' THEN 1.0 ELSE 0.0 END AS y
+    FROM events CROSS JOIN mm
+), b AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(p) AS sp, SUM(p * p) AS sp2, SUM(y) AS sy, SUM(p * y) AS spy
+    FROM scored GROUP BY bin
+)
+SELECT bin, n,
+    ROUND(sp / n, 6) AS mean_p,
+    ROUND(sy / n, 6) AS frac_pos,
+    ROUND(SUM(sp2 - 2 * spy + sy) OVER () / SUM(n) OVER (), 6) AS brier
+FROM b""",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table + Brier score for a pseudo-
+    probability (min-max-normalized ``value``) against the one-vs-rest
+    '{AUC_POS}' label: per equi-width probability bin, mean predicted
+    vs observed positive rate; the corpus-level Brier score repeated per
+    row (the q_mrr_eval single-frame convention). A calibrated scorer
+    tracks the diagonal; AUC can be high while this table is wild.
+
+    Scale: Brier decomposes into per-bin sufficient statistics
+    (SUM p, SUM p^2, SUM y, SUM p*y) — ONE conditional-agg pass with
+    map-side partials; the window runs over the {CAL_BINS} bins only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    p = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    scored = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(p * CAL_BINS).cast("int"), F.lit(CAL_BINS - 1)
+        ).alias("bin"),
+        p.alias("p"),
+        F.when(F.col("event_type") == AUC_POS, 1.0).otherwise(0.0).alias("y"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("sp2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("p") * F.col("y")).alias("spy"),
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "bin",
+        "n",
+        F.round(F.col("sp") / F.col("n"), 6).alias("mean_p"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("frac_pos"),
+        F.round(
+            F.sum(F.col("sp2") - 2 * F.col("spy") + F.col("sy")).over(w)
+            / F.sum("n").over(w),
+            6,
+        ).alias("brier"),
+    )
+
+
+LIFT_DECILES = 10
+
+
+@query(
+    "q_lift_deciles",
+    oracle=f"""
+WITH r AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(COUNT(CASE WHEN event_type = '{AUC_POS}' THEN 1 END) AS BIGINT)
+            AS cp
+    FROM events GROUP BY value
+), c AS (
+    SELECT cnt, cp,
+        SUM(cnt) OVER (ORDER BY value DESC) AS cume,
+        SUM(cnt) OVER () AS n, SUM(cp) OVER () AS np
+    FROM r
+), d AS (
+    SELECT LEAST(CAST(CEIL(cume * {LIFT_DECILES}.0 / n) AS INTEGER),
+                 {LIFT_DECILES}) AS decile,
+        cnt, cp, n, np
+    FROM c
+)
+SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(SUM(cp) AS BIGINT) AS n_pos,
+    ROUND(SUM(cp) * 1.0 / SUM(cnt), 6) AS response_rate,
+    ROUND((SUM(cp) * 1.0 / SUM(cnt)) / (MAX(np) * 1.0 / MAX(n)), 6) AS lift
+FROM d GROUP BY decile""",
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / gains table: rank by score (``value``) descending, cut into
+    {LIFT_DECILES} grouped-data deciles, report each decile's
+    '{AUC_POS}' response rate and its lift over the base rate — the
+    "does the top decile convert 3x?" readout behind every targeting
+    decision. Grouped-data semantics: a tied score lands wholly in the
+    decile of its cumulative END position (documented deviation from
+    row-ntile, which would split ties engine-dependently).
+
+    Scale: deciles derive from the cumulative count over the DISTINCT
+    score rollup — never a corpus-wide ntile window. One scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.count(F.when(F.col("event_type") == AUC_POS, 1))
+        .cast("bigint")
+        .alias("cp"),
+    )
+    cum = Window.orderBy(F.col("value").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    c = r.select(
+        "cnt",
+        "cp",
+        F.sum("cnt").over(cum).alias("cume"),
+        F.sum("cnt").over(tot).alias("n"),
+        F.sum("cp").over(tot).alias("np"),
+    )
+    d = c.select(
+        F.least(
+            F.ceil(F.col("cume") * float(LIFT_DECILES) / F.col("n")).cast(
+                "int"
+            ),
+            F.lit(LIFT_DECILES),
+        ).alias("decile"),
+        "cnt",
+        "cp",
+        "n",
+        "np",
+    )
+    rate = F.sum("cp") * 1.0 / F.sum("cnt")
+    return d.groupBy("decile").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum("cp").cast("bigint").alias("n_pos"),
+        F.round(rate, 6).alias("response_rate"),
+        F.round(rate / (F.max("np") * 1.0 / F.max("n")), 6).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drift monitoring + multiple testing: PSI between time slices, and
+# Benjamini-Hochberg FDR over the per-class mean tests.
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_SMOOTH = 0.5  # Laplace count added per bin so empty bins stay finite
+
+
+@query(
+    "q_psi",
+    oracle=f"""
+WITH mm AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx,
+        (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS split_us
+    FROM events
+), binned AS (
+    SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {PSI_BINS}) AS INTEGER),
+                 {PSI_BINS - 1}) AS bin,
+        CASE WHEN epoch_us(ts) < split_us THEN 1 ELSE 0 END AS in_a
+    FROM events CROSS JOIN mm
+), counts AS (
+    SELECT bin, CAST(SUM(in_a) AS BIGINT) AS ca,
+        CAST(SUM(1 - in_a) AS BIGINT) AS cb
+    FROM binned GROUP BY bin
+), dense AS (
+    SELECT CAST(g.b AS INTEGER) AS bin, COALESCE(c.ca, 0) AS ca,
+        COALESCE(c.cb, 0) AS cb
+    FROM range(0, {PSI_BINS}) g(b) LEFT JOIN counts c ON c.bin = g.b
+), terms AS (
+    SELECT bin, ca, cb,
+        (ca + {PSI_SMOOTH}) / (SUM(ca) OVER () + {PSI_SMOOTH} * {PSI_BINS})
+            AS pa,
+        (cb + {PSI_SMOOTH}) / (SUM(cb) OVER () + {PSI_SMOOTH} * {PSI_BINS})
+            AS pb
+    FROM dense
+)
+SELECT bin, ca AS n_first_half, cb AS n_second_half,
+    ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term,
+    ROUND(SUM((pa - pb) * LN(pa / pb)) OVER (), 6) AS psi_total
+FROM terms""",
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the ``value`` distribution between
+    the first and second half of the observed time span (split at the
+    midpoint of the microsecond epoch range — exact integer arithmetic
+    in both engines) — THE standard drift monitor a scoring pipeline
+    runs between snapshots (rule of thumb: <0.1 stable, >0.25 drifted).
+    {PSI_BINS} equi-width bins over the global min-max, DENSIFIED so an
+    empty bin contributes its Laplace-smoothed term (the q_benford
+    lesson: absence must surface, not vanish).
+
+    Scale: one conditional-agg pass (two counts per bin); windows run
+    over the {PSI_BINS}-row bin table only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.floor(
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+        ).alias("split_us"),
+    )
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * PSI_BINS
+            ).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("split_us"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    dense = (
+        spark.range(0, PSI_BINS)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy()
+    pa = (F.col("ca") + PSI_SMOOTH) / (
+        F.sum("ca").over(w) + PSI_SMOOTH * PSI_BINS
+    )
+    pb = (F.col("cb") + PSI_SMOOTH) / (
+        F.sum("cb").over(w) + PSI_SMOOTH * PSI_BINS
+    )
+    term = (pa - pb) * F.log(pa / pb)
+    return dense.select(
+        "bin",
+        F.col("ca").alias("n_first_half"),
+        F.col("cb").alias("n_second_half"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
+    )
+
+
+BH_Q = 0.10  # FDR level
+
+# Two-sided normal p-value via the Abramowitz & Stegun 7.1.26 erfc
+# polynomial (|error| < 1.5e-7): p = erfc(|z| / sqrt(2)).  The SAME
+# arithmetic expression text evaluates in both dialects so the doubles
+# agree far below the 6 dp round.
+_ERFC_SQL = (
+    "((((( 1.061405429 * __T__ - 1.453152027) * __T__ + 1.421413741)"
+    " * __T__ - 0.284496736) * __T__ + 0.254829592) * __T__)"
+    " * EXP(-(__X__) * (__X__))"
+)
+
+
+def _erfc_of(x_sql: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x_sql})))"
+    return _ERFC_SQL.replace("__T__", t).replace("__X__", f"({x_sql})")
+
+
+@query(
+    "q_bh_fdr",
+    oracle=f"""
+WITH per_g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(value) AS s1, SUM(value * value) AS s2
+    FROM events GROUP BY event_type
+), aug AS (
+    SELECT event_type, n, s1, s2,
+        SUM(n) OVER () AS nt, SUM(s1) OVER () AS st1, SUM(s2) OVER () AS st2
+    FROM per_g
+), z AS (
+    SELECT event_type, n,
+        ((s1 / n) - ((st1 - s1) / (nt - n)))
+        / SQRT(((s2 - s1 * s1 / n) / (n - 1)) / n
+               + (((st2 - s2) - (st1 - s1) * (st1 - s1) / (nt - n))
+                  / (nt - n - 1)) / (nt - n)) AS z
+    FROM aug
+), p AS (
+    SELECT event_type, n, z, {_erfc_of('ABS(z) / 1.4142135623730951')} AS p
+    FROM z
+), ranked AS (
+    SELECT event_type, n, z, p,
+        ROW_NUMBER() OVER (ORDER BY p, event_type) AS i,
+        COUNT(*) OVER () AS m
+    FROM p
+)
+SELECT event_type, n, ROUND(z, 6) AS z_stat, ROUND(p, 6) AS p_value,
+    ROUND(LEAST(MIN(p * m / i) OVER (
+        ORDER BY i DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ), 1.0), 6) AS p_adj,
+    LEAST(MIN(p * m / i) OVER (
+        ORDER BY i DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ), 1.0) <= {BH_Q} AS rejected
+FROM ranked""",
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the family of one-vs-rest
+    mean tests (each event class's Welch z against all other events) —
+    the multiple-testing guard every per-segment drift dashboard needs
+    (5 segments at p<0.05 each is NOT 5 discoveries). Adjusted
+    p_(i) = min_j>=i (p_(j) * m / j), rejected at q={BH_Q}. The normal
+    p-value uses the A&S 7.1.26 erfc polynomial — identical expression
+    text in both dialects, error < 1.5e-7, far below the 6 dp round.
+
+    Scale: per-class sufficient statistics (n, SUM x, SUM x^2) in ONE
+    partial-agg pass; the rest-of-corpus moments derive by subtracting
+    from the window totals, so K tests cost one scan; the BH ranking
+    windows run over the K-row test table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    w = Window.partitionBy()
+    aug = per_g.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        F.sum("n").over(w).alias("nt"),
+        F.sum("s1").over(w).alias("st1"),
+        F.sum("s2").over(w).alias("st2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    nt, st1, st2 = F.col("nt"), F.col("st1"), F.col("st2")
+    vg = (s2 - s1 * s1 / n) / (n - 1)
+    vr = ((st2 - s2) - (st1 - s1) * (st1 - s1) / (nt - n)) / (nt - n - 1)
+    z = ((s1 / n) - ((st1 - s1) / (nt - n))) / F.sqrt(vg / n + vr / (nt - n))
+    zdf = aug.select("event_type", "n", z.alias("z"))
+    p = zdf.select(
+        "event_type",
+        "n",
+        "z",
+        F.expr(_erfc_of("ABS(z) / 1.4142135623730951")).alias("p"),
+    )
+    ranked = p.select(
+        "event_type",
+        "n",
+        "z",
+        "p",
+        F.row_number().over(Window.orderBy("p", "event_type")).alias("i"),
+        F.count("*").over(w).alias("m"),
+    )
+    wmin = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.least(
+        F.min(F.col("p") * F.col("m") / F.col("i")).over(wmin), F.lit(1.0)
+    )
+    return ranked.select(
+        "event_type",
+        "n",
+        F.round("z", 6).alias("z_stat"),
+        F.round("p", 6).alias("p_value"),
+        F.round(adj, 6).alias("p_adj"),
+        (adj <= BH_Q).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend statistics over the daily rollup: Mann-Kendall, Theil-Sen, and
+# Kendall's tau-b from the contingency grid.  All pairwise work runs at
+# ROLLUP scale (days / cells), never over the event stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, SUM(value) AS y FROM events GROUP BY 1
+), pairs AS (
+    SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+    FROM daily a JOIN daily b ON b.day > a.day
+), t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), ties AS (
+    SELECT COALESCE(SUM(c * (c - 1.0) * (2 * c + 5)), 0) AS tt
+    FROM (SELECT COUNT(*) AS c FROM daily GROUP BY y) g WHERE c > 1
+), s AS (
+    SELECT CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS ss FROM pairs
+)
+SELECT t.n AS n_days, s.ss AS s_stat,
+    ROUND(CASE WHEN s.ss = 0 THEN 0.0
+        ELSE (s.ss - (CASE WHEN s.ss > 0 THEN 1 ELSE -1 END))
+            / SQRT((t.n * (t.n - 1.0) * (2 * t.n + 5) - ties.tt) / 18.0)
+    END, 6) AS z_stat,
+    CASE WHEN s.ss > 0 THEN 'increasing' WHEN s.ss < 0 THEN 'decreasing'
+         ELSE 'none' END AS trend
+FROM s CROSS JOIN t CROSS JOIN ties""",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on the daily total-value
+    series — "is volume drifting, without assuming linearity or normal
+    noise?" S = sum over day pairs of sign(y_j - y_i), tie-corrected
+    variance, continuity-corrected z.
+
+    Scale: the corpus reduces to the |days| rollup in one partial-agg
+    pass; the O(days^2) pair join runs at rollup scale (a DECADE is
+    ~3.7k rows -> 6.7M pairs of two doubles — trivial), never over
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = pairs.agg(
+        F.coalesce(F.sum("sgn"), F.lit(0)).cast("bigint").alias("ss")
+    )
+    t = daily.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1.0) * (2 * F.col("c") + 5)),
+                F.lit(0.0),
+            ).alias("tt")
+        )
+    )
+    j = s.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(ties))
+    ss, n, tt = F.col("ss"), F.col("n"), F.col("tt")
+    sigma = F.sqrt((n * (n - 1.0) * (2 * n + 5) - tt) / 18.0)
+    cc = F.when(ss > 0, 1).otherwise(-1)
+    return j.select(
+        n.alias("n_days"),
+        ss.alias("s_stat"),
+        F.round(
+            F.when(ss == 0, 0.0).otherwise((ss - cc) / sigma), 6
+        ).alias("z_stat"),
+        F.when(ss > 0, "increasing")
+        .when(ss < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, SUM(value) AS y FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(datediff('day', MIN(day) OVER (), day) AS BIGINT) AS x, y
+    FROM daily
+), slopes AS (
+    SELECT (b.y - a.y) / (b.x - a.x) AS slope
+    FROM idx a JOIN idx b ON b.x > a.x
+), ranked AS (
+    SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+        COUNT(*) OVER () AS m
+    FROM slopes
+), med AS (
+    SELECT AVG(slope) AS slope, CAST(MAX(m) AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+), resid AS (
+    SELECT i.y - med.slope * i.x AS r0, med.slope, med.n_pairs
+    FROM idx i CROSS JOIN med
+), rranked AS (
+    SELECT r0, slope, n_pairs, ROW_NUMBER() OVER (ORDER BY r0) AS rn,
+        COUNT(*) OVER () AS k
+    FROM resid
+)
+SELECT CAST(MAX(k) AS BIGINT) AS n_days, MAX(n_pairs) AS n_pairs,
+    ROUND(MAX(slope), 6) AS slope_per_day,
+    ROUND(AVG(r0), 6) AS intercept
+FROM rranked WHERE rn IN ((k + 1) // 2, (k + 2) // 2)""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend line for the daily total-value series:
+    slope = median of all pairwise slopes, intercept = median residual —
+    the breakdown-resistant alternative to OLS (up to 29% outlier days
+    cannot move it). Medians are taken as the mean of the middle one/two
+    ORDERED rows (engine-identical; never percentile interpolation,
+    which differs across engines).
+
+    Scale: pairwise slopes exist only at daily-rollup scale (|days|^2 /
+    2 pairs of two doubles); both median windows run over that bounded
+    table. The corpus is scanned once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    w = Window.partitionBy()
+    idx = daily.select(
+        F.datediff("day", F.min("day").over(w)).cast("bigint").alias("x"),
+        "y",
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+            "slope"
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count("*").over(w).alias("m"),
+    )
+    mid = (F.col("rn") == F.floor((F.col("m") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("m") + 2) / 2)
+    )
+    med = ranked.filter(mid).agg(
+        F.avg("slope").alias("slope"),
+        F.max("m").cast("bigint").alias("n_pairs"),
+    )
+    resid = idx.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r0"),
+        "slope",
+        "n_pairs",
+    )
+    rranked = resid.select(
+        "r0",
+        "slope",
+        "n_pairs",
+        F.row_number().over(Window.orderBy("r0")).alias("rn"),
+        F.count("*").over(w).alias("k"),
+    )
+    midr = (F.col("rn") == F.floor((F.col("k") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("k") + 2) / 2)
+    )
+    return rranked.filter(midr).agg(
+        F.max("k").cast("bigint").alias("n_days"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("slope"), 6).alias("slope_per_day"),
+        F.round(F.avg("r0"), 6).alias("intercept"),
+    )
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+WITH rated AS (
+    SELECT CASE WHEN n_chars < {KAPPA_CHAR_CUTS[0]} THEN 0
+                WHEN n_chars < {KAPPA_CHAR_CUTS[1]} THEN 1 ELSE 2 END AS ra,
+        CASE WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[0]} THEN 0
+             WHEN len(string_split(text, ' ')) < {KAPPA_WORD_CUTS[1]} THEN 1
+             ELSE 2 END AS rb
+    FROM documents
+), cells AS (
+    SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS c FROM rated GROUP BY 1, 2
+), pairs AS (
+    SELECT
+        CAST(COALESCE(SUM(CASE WHEN c2.ra > c1.ra AND c2.rb > c1.rb
+                         THEN c1.c * c2.c END), 0) AS BIGINT) AS conc,
+        CAST(COALESCE(SUM(CASE WHEN c2.ra > c1.ra AND c2.rb < c1.rb
+                         THEN c1.c * c2.c END), 0) AS BIGINT) AS disc
+    FROM cells c1 CROSS JOIN cells c2
+), m AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+        SUM(c) * (SUM(c) - 1) / 2.0 AS n0,
+        (SELECT SUM(t * (t - 1) / 2.0)
+         FROM (SELECT SUM(c) AS t FROM cells GROUP BY ra) ma) AS n1,
+        (SELECT SUM(t * (t - 1) / 2.0)
+         FROM (SELECT SUM(c) AS t FROM cells GROUP BY rb) mb) AS n2
+    FROM cells
+)
+SELECT m.n, p.conc AS concordant, p.disc AS discordant,
+    ROUND((p.conc - p.disc) / SQRT((m.n0 - m.n1) * (m.n0 - m.n2)), 6)
+        AS tau_b
+FROM pairs p CROSS JOIN m""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between the two ordinal document
+    raters of q_cohens_kappa (char-length class vs word-length class) —
+    the ordinal-association companion to Spearman, with the tie-adjusted
+    denominator. Computed from the CONTINGENCY GRID: concordant /
+    discordant pair mass is a sum of c1*c2 over ordered cell pairs, so
+    the O(n^2) pair space never exists — only the (|A| x |B|)^2 cell
+    pairs (here 81).
+
+    Scale: one grouping pass to the cell grid; everything after runs on
+    <=9 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ra = (
+        F.when(F.col("n_chars") < KAPPA_CHAR_CUTS[0], 0)
+        .when(F.col("n_chars") < KAPPA_CHAR_CUTS[1], 1)
+        .otherwise(2)
+    )
+    nw = F.size(F.split(F.col("text"), " "))
+    rb = (
+        F.when(nw < KAPPA_WORD_CUTS[0], 0)
+        .when(nw < KAPPA_WORD_CUTS[1], 1)
+        .otherwise(2)
+    )
+    cells = (
+        docs.select(ra.alias("ra"), rb.alias("rb"))
+        .groupBy("ra", "rb")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    c1 = cells.select(
+        F.col("ra").alias("a1"), F.col("rb").alias("b1"), F.col("c").alias("n1")
+    )
+    c2 = cells.select(
+        F.col("ra").alias("a2"), F.col("rb").alias("b2"), F.col("c").alias("n2")
+    )
+    prod = F.col("n1") * F.col("n2")
+    pairs = c1.crossJoin(F.broadcast(c2)).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("a2") > F.col("a1")) & (F.col("b2") > F.col("b1")),
+                    prod,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("a2") > F.col("a1")) & (F.col("b2") < F.col("b1")),
+                    prod,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    ma = cells.groupBy("ra").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2.0).alias("n1m")
+    )
+    mb = cells.groupBy("rb").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2.0).alias("n2m")
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        (F.sum("c") * (F.sum("c") - 1) / 2.0).alias("n0"),
+    )
+    j = (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+    )
+    return j.select(
+        "n",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("n1m")) * (F.col("n0") - F.col("n2m"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

@@ -888,3 +888,137 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+@query(
+    "q_js_divergence",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, w.w AS word
+    FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+    WHERE w.w <> ''
+), vocab AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS c_all FROM tok GROUP BY word
+), vn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c_all) AS BIGINT) AS n_all
+    FROM vocab
+), src AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_src FROM tok GROUP BY 1, 2
+), sn AS (
+    SELECT source, CAST(SUM(c_src) AS BIGINT) AS n_src FROM src GROUP BY source
+), terms AS (
+    SELECT s.source,
+        (COALESCE(sc.c_src, 0) + {KL_SMOOTH}) / (sn.n_src + {KL_SMOOTH} * vn.v)
+            AS p,
+        (v.c_all + {KL_SMOOTH}) / (vn.n_all + {KL_SMOOTH} * vn.v) AS q
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN vocab v CROSS JOIN vn
+    JOIN sn ON sn.source = s.source
+    LEFT JOIN src sc ON sc.source = s.source AND sc.word = v.word
+)
+SELECT source,
+    ROUND(0.5 * SUM(p * LN(p / ((p + q) / 2)))
+          + 0.5 * SUM(q * LN(q / ((p + q) / 2))), 6) AS js_divergence,
+    ROUND((0.5 * SUM(p * LN(p / ((p + q) / 2)))
+           + 0.5 * SUM(q * LN(q / ((p + q) / 2)))) / LN(2), 6) AS js_bits
+FROM terms GROUP BY source""",
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus blend — q_source_kl's SYMMETRIC, bounded companion
+    (JS is finite even on disjoint support and js_bits lives in [0,1],
+    so sources are comparable on an absolute scale — the number data-
+    mixing dashboards actually plot). Same add-half smoothing and the
+    same (source x vocab) grid shape as q_source_kl: one pass over the
+    exploded token stream, vocab-keyed grid join, missing-word mass via
+    LEFT JOIN + COALESCE, never row-wise densification."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c_all"))
+    vn = vocab.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_all").cast("bigint").alias("n_all"),
+    )
+    src = tok.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("c_src")
+    )
+    sn = src.groupBy("source").agg(F.sum("c_src").cast("bigint").alias("n_src"))
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(vocab).crossJoin(F.broadcast(vn)).join(
+        F.broadcast(sn), "source"
+    )
+    terms = grid.join(src, ["source", "word"], "left").select(
+        "source",
+        (
+            (F.coalesce(F.col("c_src"), F.lit(0)) + KL_SMOOTH)
+            / (F.col("n_src") + KL_SMOOTH * F.col("v"))
+        ).alias("p"),
+        (
+            (F.col("c_all") + KL_SMOOTH) / (F.col("n_all") + KL_SMOOTH * F.col("v"))
+        ).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js = 0.5 * F.sum(F.col("p") * F.log(F.col("p") / m)) + 0.5 * F.sum(
+        F.col("q") * F.log(F.col("q") / m)
+    )
+    import math as _math
+
+    return terms.groupBy("source").agg(
+        F.round(js, 6).alias("js_divergence"),
+        F.round(js / _math.log(2), 6).alias("js_bits"),
+    )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, w.w AS word
+    FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+    WHERE w.w <> ''
+), tc AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), d AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_types, SUM(c * LN(c)) AS slc
+    FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+    ROUND(LN(n_tokens) - slc / n_tokens, 6) AS entropy,
+    ROUND(n_types * 1.0 / n_tokens, 6) AS ttr
+FROM d""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type-token ratio — the
+    lexical-diversity quality signals (low entropy flags template/spam
+    pages that length and stopword ratios miss; used alongside
+    q_repetition_ratio in curation filters). Uses the identity
+    H = ln(n) - (1/n) * sum(c * ln c), so the per-(doc, word) rollup is
+    the ONLY state — no per-row probability materialization.
+
+    Scale: one token explode + one (doc_id, word) groupBy — the exact
+    exchange shape q_tfidf already runs; the per-doc reduce is keyed by
+    doc_id, so everything partial-aggregates map-side."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tc = tok.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    d = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("slc"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log("n_tokens") - F.col("slc") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+        F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
+    )

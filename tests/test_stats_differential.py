@@ -406,3 +406,259 @@ def test_zipf_fit_matches_numpy(spark):
     assert abs(row.zipf_slope - slope) < 1e-4
     r2 = np.corrcoef(x, y)[0, 1] ** 2
     assert abs(row.r2 - r2) < 1e-4
+
+
+def test_auc_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_pos, r.n_neg, r.auc)
+        for r in all_queries()["q_auc_eval"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    scores = ev["value"].to_numpy()
+    ranks = _rankdata(scores)
+    for et in ev["event_type"].unique():
+        pos = (ev["event_type"] == et).to_numpy()
+        npos, nneg = int(pos.sum()), int((~pos).sum())
+        auc = (ranks[pos].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
+        gp, gn, ga = got[et]
+        assert (gp, gn) == (npos, nneg)
+        assert abs(ga - auc) < 1e-5, (et, ga, auc)
+
+
+def test_calibration_brier_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import AUC_POS, CAL_BINS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_calibration_bins"](spark, SF_ORACLE).collect()
+    ev = _events()
+    v = ev["value"].to_numpy()
+    p = (v - v.min()) / (v.max() - v.min())
+    y = (ev["event_type"] == AUC_POS).to_numpy().astype(float)
+    brier = np.mean((p - y) ** 2)
+    bins = np.minimum((p * CAL_BINS).astype(int), CAL_BINS - 1)
+    for r in rows:
+        m = bins == r.bin
+        assert r.n == int(m.sum())
+        assert abs(r.mean_p - p[m].mean()) < 1e-5
+        assert abs(r.frac_pos - y[m].mean()) < 1e-5
+        assert abs(r.brier - brier) < 1e-5
+
+
+def test_lift_deciles_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import AUC_POS, LIFT_DECILES
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = {r.decile: r for r in
+            all_queries()["q_lift_deciles"](spark, SF_ORACLE).collect()}
+    ev = _events()
+    # grouped-data deciles: a tied score lands in the decile of its
+    # cumulative END position, scores ranked descending
+    vals, counts = np.unique(ev["value"].to_numpy(), return_counts=True)
+    pos = np.array([
+        ((ev["value"] == v) & (ev["event_type"] == AUC_POS)).sum()
+        for v in vals
+    ])
+    order = np.argsort(-vals)
+    cume = np.cumsum(counts[order])
+    n = cume[-1]
+    dec = np.minimum(np.ceil(cume * LIFT_DECILES / n).astype(int),
+                     LIFT_DECILES)
+    base = pos.sum() / n
+    for d in np.unique(dec):
+        m = dec == d
+        nr = counts[order][m].sum()
+        npos = pos[order][m].sum()
+        r = rows[int(d)]
+        assert r.n_rows == nr and r.n_pos == npos
+        assert abs(r.response_rate - npos / nr) < 1e-6
+        assert abs(r.lift - (npos / nr) / base) < 1e-5
+
+
+def test_psi_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import PSI_BINS, PSI_SMOOTH
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_psi"](spark, SF_ORACLE).collect()
+    ev = _events()
+    v = ev["value"].to_numpy()
+    us = ev["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+    split = (us.min() + us.max()) // 2
+    bins = np.minimum(
+        ((v - v.min()) / (v.max() - v.min()) * PSI_BINS).astype(int),
+        PSI_BINS - 1,
+    )
+    in_a = us < split
+    ca = np.array([(bins[in_a] == b).sum() for b in range(PSI_BINS)])
+    cb = np.array([(bins[~in_a] == b).sum() for b in range(PSI_BINS)])
+    pa = (ca + PSI_SMOOTH) / (ca.sum() + PSI_SMOOTH * PSI_BINS)
+    pb = (cb + PSI_SMOOTH) / (cb.sum() + PSI_SMOOTH * PSI_BINS)
+    terms = (pa - pb) * np.log(pa / pb)
+    assert len(rows) == PSI_BINS
+    for r in rows:
+        assert r.n_first_half == ca[r.bin] and r.n_second_half == cb[r.bin]
+        assert abs(r.psi_term - terms[r.bin]) < 1e-5
+        assert abs(r.psi_total - terms.sum()) < 1e-5
+
+
+def test_bh_fdr_matches_pure_python(spark):
+    import math
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = {r.event_type: r for r in
+            all_queries()["q_bh_fdr"](spark, SF_ORACLE).collect()}
+    ev = _events()
+    stats = {}
+    allv = ev["value"].to_numpy()
+    for et in ev["event_type"].unique():
+        g = ev[ev.event_type == et]["value"].to_numpy()
+        rest = ev[ev.event_type != et]["value"].to_numpy()
+        z = (g.mean() - rest.mean()) / math.sqrt(
+            g.var(ddof=1) / len(g) + rest.var(ddof=1) / len(rest)
+        )
+        # math.erfc is the exact reference; the operator uses the A&S
+        # 7.1.26 polynomial (|err| < 1.5e-7)
+        p = math.erfc(abs(z) / math.sqrt(2))
+        stats[et] = (len(g), z, p)
+    assert len(allv) == sum(s[0] for s in stats.values())
+    m = len(stats)
+    ordered = sorted(stats.items(), key=lambda kv: (kv[1][2], kv[0]))
+    adj, run = {}, 1.0
+    for i in range(m, 0, -1):
+        et, (_, _, p) = ordered[i - 1]
+        run = min(run, p * m / i)
+        adj[et] = run
+    for et, (n, z, p) in stats.items():
+        r = rows[et]
+        assert r.n == n
+        assert abs(r.z_stat - z) < 1e-4
+        assert abs(r.p_value - p) < 1e-5
+        assert abs(r.p_adj - adj[et]) < 1e-5
+
+
+def test_mann_kendall_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_mann_kendall"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    daily = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")["value"].sum().sort_index().to_numpy()
+    )
+    n = len(daily)
+    s = 0
+    for i in range(n):
+        s += int(np.sign(daily[i + 1:] - daily[i]).sum())
+    _, counts = np.unique(daily, return_counts=True)
+    tt = (counts * (counts - 1.0) * (2 * counts + 5))[counts > 1].sum()
+    var = (n * (n - 1.0) * (2 * n + 5) - tt) / 18.0
+    z = 0.0 if s == 0 else (s - np.sign(s)) / np.sqrt(var)
+    assert row.n_days == n and row.s_stat == s
+    assert abs(row.z_stat - z) < 1e-5
+
+
+def test_theil_sen_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_theil_sen"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    daily = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")["value"].sum().sort_index()
+    )
+    y = daily.to_numpy()
+    x = np.arange(len(y), dtype=float)
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(y)) for j in range(i + 1, len(y))
+    ]
+    slopes.sort()
+    m = len(slopes)
+    med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+    resid = np.sort(y - med * x)
+    k = len(resid)
+    intercept = (resid[(k - 1) // 2] + resid[k // 2]) / 2.0
+    assert row.n_days == k and row.n_pairs == m
+    assert abs(row.slope_per_day - med) < 1e-5
+    assert abs(row.intercept - intercept) < 1e-4
+
+
+def test_kendall_tau_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.stats import (
+        KAPPA_CHAR_CUTS,
+        KAPPA_WORD_CUTS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_kendall_tau"](spark, SF_ORACLE).collect()[0]
+    docs = _duck("SELECT n_chars, len(string_split(text, ' ')) AS nw "
+                 "FROM documents")
+    ra = np.digitize(docs["n_chars"].to_numpy(), KAPPA_CHAR_CUTS)
+    rb = np.digitize(docs["nw"].to_numpy(), KAPPA_WORD_CUTS)
+    n = len(ra)
+    conc = disc = 0
+    for i in range(n):
+        da, db = ra[i + 1:] - ra[i], rb[i + 1:] - rb[i]
+        conc += int(((da * db) > 0).sum())
+        disc += int(((da * db) < 0).sum())
+    n0 = n * (n - 1) / 2.0
+    n1 = sum(t * (t - 1) / 2.0 for t in np.bincount(ra))
+    n2 = sum(t * (t - 1) / 2.0 for t in np.bincount(rb))
+    tau = (conc - disc) / np.sqrt((n0 - n1) * (n0 - n2))
+    assert row.concordant == conc and row.discordant == disc
+    assert abs(row.tau_b - tau) < 1e-5
+
+
+def test_js_divergence_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.text import KL_SMOOTH
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {r.source: (r.js_divergence, r.js_bits) for r in
+           all_queries()["q_js_divergence"](spark, SF_ORACLE).collect()}
+    docs = _duck("SELECT source, text FROM documents")
+    from collections import Counter
+
+    corpus = Counter()
+    per_src = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        words = [w for w in text.split(" ") if w]
+        corpus.update(words)
+        per_src.setdefault(src, Counter()).update(words)
+    vocab = sorted(corpus)
+    v = len(vocab)
+    n_all = sum(corpus.values())
+    q = np.array([(corpus[w] + KL_SMOOTH) / (n_all + KL_SMOOTH * v)
+                  for w in vocab])
+    for src, cnt in per_src.items():
+        n_src = sum(cnt.values())
+        p = np.array([(cnt[w] + KL_SMOOTH) / (n_src + KL_SMOOTH * v)
+                      for w in vocab])
+        m = (p + q) / 2
+        js = 0.5 * (p * np.log(p / m)).sum() + 0.5 * (q * np.log(q / m)).sum()
+        assert abs(got[src][0] - js) < 1e-5, src
+        assert abs(got[src][1] - js / np.log(2)) < 1e-5, src
+        assert -1e-9 <= got[src][1] <= 1.0 + 1e-9  # JS in bits is bounded
+
+
+def test_token_entropy_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_token_entropy"](spark, SF_ORACLE).collect()
+    docs = _duck("SELECT doc_id, text FROM documents")
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    from collections import Counter
+
+    checked = 0
+    for r in rows[:50]:
+        words = [w for w in texts[r.doc_id].split(" ") if w]
+        cnt = np.array(list(Counter(words).values()), dtype=float)
+        p = cnt / cnt.sum()
+        h = -(p * np.log(p)).sum()
+        assert r.n_tokens == len(words)
+        assert r.n_types == len(cnt)
+        assert abs(r.entropy - h) < 1e-5
+        assert abs(r.ttr - len(cnt) / len(words)) < 1e-6
+        checked += 1
+    assert checked == 50
