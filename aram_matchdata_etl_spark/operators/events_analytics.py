@@ -1190,3 +1190,71 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_gap_s", 6).alias("mean_gap_s"),
         F.round(b, 6).alias("burstiness"),
     )
+
+
+SEASONAL_LAG = 7  # weekly seasonality
+
+
+@query(
+    "q_seasonal_naive",
+    oracle=f"""
+WITH daily0 AS (
+    SELECT CAST(ts AS DATE) AS day, SUM(value) AS y FROM events GROUP BY 1
+), spans AS (
+    SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily0
+), cal AS (
+    SELECT CAST(u.d AS DATE) AS day
+    FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL '1 day')) u(d)
+), daily AS (
+    SELECT c.day, COALESCE(d.y, 0) AS y
+    FROM cal c LEFT JOIN daily0 d USING (day)
+), joined AS (
+    SELECT a.day, a.y, s7.y AS f7, s1.y AS f1
+    FROM daily a
+    JOIN daily s7 ON s7.day = a.day - {SEASONAL_LAG}
+    JOIN daily s1 ON s1.day = a.day - 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+    ROUND(AVG(ABS(y - f7)), 6) AS mae_seasonal,
+    ROUND(AVG(2 * ABS(y - f7) / (ABS(y) + ABS(f7))), 6) AS smape_seasonal,
+    ROUND(AVG(ABS(y - f1)), 6) AS mae_naive1,
+    ROUND(1.0 - AVG(ABS(y - f7)) / AVG(ABS(y - f1)), 6) AS skill_vs_naive1
+FROM joined""",
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on the daily total-value series:
+    forecast(d) = actual(d - {SEASONAL_LAG}), scored with MAE and sMAPE
+    over every day that has a week-old ancestor, plus the skill score
+    against the lag-1 naive baseline — the sanity floor every real
+    forecasting model must beat before it ships (and the standard
+    denominator of the MASE metric). Evaluation is restricted to days
+    where BOTH lags exist so the two MAEs compare the same window.
+
+    Scale: the corpus reduces to the gap-filled daily rollup once
+    (the q_autocorr calendar pattern); both lag joins are DATE-key
+    self-joins at rollup scale, and only the one-row readout leaves."""
+    ev = load_table(spark, sf_dir, "events")
+    daily0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    spans = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = cal.join(daily0, "day", "left").select(
+        "day", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    s7 = daily.select(F.col("day").alias("d7"), F.col("y").alias("f7"))
+    s1 = daily.select(F.col("day").alias("d1k"), F.col("y").alias("f1"))
+    joined = daily.join(
+        s7, F.col("d7") == F.date_sub(F.col("day"), SEASONAL_LAG)
+    ).join(s1, F.col("d1k") == F.date_sub(F.col("day"), 1))
+    err7 = F.abs(F.col("y") - F.col("f7"))
+    err1 = F.abs(F.col("y") - F.col("f1"))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.round(F.avg(err7), 6).alias("mae_seasonal"),
+        F.round(
+            F.avg(2 * err7 / (F.abs(F.col("y")) + F.abs(F.col("f7")))), 6
+        ).alias("smape_seasonal"),
+        F.round(F.avg(err1), 6).alias("mae_naive1"),
+        F.round(1.0 - F.avg(err7) / F.avg(err1), 6).alias("skill_vs_naive1"),
+    )

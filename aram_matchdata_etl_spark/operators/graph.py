@@ -1060,3 +1060,68 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = merged.select("doc_id", "rank", "dangling", "seed")
     _free_checkpoint(wedges)
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
+
+
+HILL_DMIN = 2  # power-law tail cutoff for the Hill estimator
+
+
+@query(
+    "q_degree_dist",
+    oracle=f"""
+WITH {LINK_GRAPH_SQL},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY a
+), dist AS (
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
+), hill AS (
+    SELECT COUNT(*) AS k, SUM(LN(degree / ({HILL_DMIN} - 0.5))) AS s
+    FROM deg WHERE degree >= {HILL_DMIN}
+)
+SELECT degree, n_nodes,
+    ROUND(SUM(n_nodes) OVER (ORDER BY degree DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        * 1.0 / SUM(n_nodes) OVER (), 6) AS ccdf,
+    ROUND(1.0 + hill.k / hill.s, 6) AS hill_alpha
+FROM dist CROSS JOIN hill""",
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected link graph with its CCDF and
+    the Hill/Clauset MLE power-law exponent
+    (alpha = 1 + k / sum ln(d_i / (d_min - 1/2)), tail at
+    d_min = {HILL_DMIN}) — the first diagnostic run on any web graph:
+    a heavy tail here is exactly what forecasts skewed shuffles in the
+    PageRank/k-core family (the q_gini early-warning, graph edition).
+    Isolated documents carry no edges and are absent by construction.
+
+    Scale: degrees are one groupBy over the symmetric edge list; the
+    distribution, CCDF window, and Hill sum all run at max-degree scale
+    (hundreds of rows on a web graph), never over nodes or edges."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    und = canonical_und(link_graph(docs))
+    deg = (
+        sym_edges(und)
+        .groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    dist = deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    hill = deg.filter(F.col("degree") >= HILL_DMIN).agg(
+        F.count("*").alias("k"),
+        F.sum(F.log(F.col("degree") / (HILL_DMIN - 0.5))).alias("s"),
+    )
+    wd = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return dist.crossJoin(F.broadcast(hill)).select(
+        "degree",
+        "n_nodes",
+        F.round(
+            F.sum("n_nodes").over(wd) * 1.0 / F.sum("n_nodes").over(wall), 6
+        ).alias("ccdf"),
+        F.round(1.0 + F.col("k") / F.col("s"), 6).alias("hill_alpha"),
+    )

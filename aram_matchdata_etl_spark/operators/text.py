@@ -1022,3 +1022,111 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy"),
         F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
     )
+
+
+@query(
+    "q_heaps_fit",
+    oracle="""
+WITH tok AS (
+    SELECT source, w.w AS word
+    FROM documents, UNNEST(string_split(text, ' ')) AS w(w)
+    WHERE w.w <> ''
+), per_src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab
+    FROM tok GROUP BY source
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+    ROUND(regr_slope(LN(vocab), LN(n_tokens)), 6) AS heaps_beta,
+    ROUND(EXP(regr_intercept(LN(vocab), LN(n_tokens))), 6) AS heaps_k,
+    ROUND(regr_r2(LN(vocab), LN(n_tokens)), 6) AS r2
+FROM per_src""",
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * N^beta across sources (log-log OLS of
+    vocabulary size on token count, one point per source) — the
+    vocabulary-growth model that sizes tokenizer vocab and predicts how
+    many NEW types the next shard of a 100 TB corpus will add (natural
+    text: beta ~ 0.4-0.6; beta near 1 flags id-like/synthetic junk).
+    Companion to q_zipf_fit, which fits the rank side of the same law.
+
+    Scale: one pass over the exploded token stream into a per-(source,
+    word) distinct + per-source count — the q_source_kl exchange family;
+    the regression consumes |sources| points via builtin regr_* partial
+    aggregates."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_src = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_distinct("word").cast("bigint").alias("vocab"),
+    )
+    lv, ln_ = F.log("vocab"), F.log("n_tokens")
+    return per_src.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.round(F.regr_slope(lv, ln_), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, ln_)), 6).alias("heaps_k"),
+        F.round(F.regr_r2(lv, ln_), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_readability",
+    oracle="""
+WITH s AS (
+    SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS BIGINT) AS n_words,
+        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+            AS BIGINT) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+    ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+          - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+FROM s""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic curation-filter
+    readability score, with the standard cheap proxies: syllables =
+    vowel-group runs (a run never crosses a space, so one corpus-wide
+    regex count equals the per-word sum), sentences = terminal-
+    punctuation runs clamped to >= 1 (the synthetic fixture has no
+    punctuation, so every doc honestly scores as one long sentence —
+    documented degeneracy, not a bug; real corpora exercise the count).
+    Both engines run the same character-class regexes (Java regex and
+    RE2 agree on these).
+
+    Scale: pure narrow per-row expressions — whole-stage codegen, no
+    exchange at all."""
+    df = _docs(spark, sf_dir)
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    ).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.size(
+        F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)")
+    ).cast("bigint")
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") * 1.0 / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )

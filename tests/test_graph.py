@@ -318,3 +318,39 @@ def test_hits_empty_nodes_returns_empty(spark):
     nodes = spark.createDataFrame([], "doc_id long")
     edges = spark.createDataFrame([], "src long, dst long")
     assert hits(nodes, edges, rounds=2, tag="empty_probe").count() == 0
+
+
+def test_degree_dist_matches_python(spark):
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.operators.graph import (
+        HILL_DMIN,
+        canonical_und,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    und = [
+        (r["a"], r["b"])
+        for r in canonical_und(link_graph(docs)).collect()
+    ]
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    dist = Counter(deg.values())
+    tail = [d for d in deg.values() if d >= HILL_DMIN]
+    alpha = 1.0 + len(tail) / sum(
+        np.log(d / (HILL_DMIN - 0.5)) for d in tail
+    )
+    rows = all_queries()["q_degree_dist"](spark, SF).collect()
+    assert {r.degree: r.n_nodes for r in rows} == dict(dist)
+    total = sum(dist.values())
+    for r in rows:
+        ge = sum(n for d, n in dist.items() if d >= r.degree)
+        assert abs(r.ccdf - ge / total) < 1e-6
+        assert abs(r.hill_alpha - alpha) < 1e-5
+    # CCDF is monotone non-increasing in degree
+    by_deg = sorted(rows, key=lambda r: r.degree)
+    for lo, hi in zip(by_deg, by_deg[1:]):
+        assert lo.ccdf >= hi.ccdf

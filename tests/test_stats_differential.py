@@ -662,3 +662,72 @@ def test_token_entropy_matches_numpy(spark):
         assert abs(r.ttr - len(cnt) / len(words)) < 1e-6
         checked += 1
     assert checked == 50
+
+
+def test_seasonal_naive_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        SEASONAL_LAG,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_seasonal_naive"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    daily = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")["value"].sum().sort_index()
+    )
+    # fixture has no calendar gaps; the operator gap-fills to zero first
+    assert (daily.index[1:] - daily.index[:-1]).days.max() == 1
+    y = daily.to_numpy()
+    f7, f1 = y[:-SEASONAL_LAG], y[SEASONAL_LAG - 1:-1]
+    act = y[SEASONAL_LAG:]
+    e7 = np.abs(act - f7)
+    e1 = np.abs(act - f1)
+    assert row.n_eval == len(act)
+    assert abs(row.mae_seasonal - e7.mean()) < 1e-5
+    assert abs(row.smape_seasonal
+               - (2 * e7 / (np.abs(act) + np.abs(f7))).mean()) < 1e-6
+    assert abs(row.mae_naive1 - e1.mean()) < 1e-5
+    assert abs(row.skill_vs_naive1 - (1 - e7.mean() / e1.mean())) < 1e-5
+
+
+def test_heaps_fit_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_heaps_fit"](spark, SF_ORACLE).collect()[0]
+    docs = _duck("SELECT source, text FROM documents")
+    pts = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        words = [w for w in text.split(" ") if w]
+        n, v = pts.get(src, (0, set()))
+        pts[src] = (n + len(words), v | set(words))
+    x = np.log([n for n, _ in pts.values()])
+    yv = np.log([len(v) for _, v in pts.values()])
+    slope, intercept = np.polyfit(x, yv, 1)
+    r2 = np.corrcoef(x, yv)[0, 1] ** 2
+    assert row.n_sources == len(pts)
+    assert abs(row.heaps_beta - slope) < 1e-4
+    assert abs(row.heaps_k - np.exp(intercept)) < 1e-3
+    assert abs(row.r2 - r2) < 1e-4
+    assert 0.0 < row.heaps_beta <= 1.0  # vocabulary growth is sublinear
+
+
+def test_readability_matches_pure_python(spark):
+    import re
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_readability"](spark, SF_ORACLE).collect()
+    docs = _duck("SELECT doc_id, text FROM documents")
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for r in rows[:50]:
+        text = texts[r.doc_id]
+        words = [w for w in text.split(" ") if w]
+        sent = max(len(re.findall(r"[.!?]+", text)), 1)
+        syl = len(re.findall(r"[aeiouyAEIOUY]+", text))
+        flesch = (206.835 - 1.015 * (len(words) / sent)
+                  - 84.6 * (syl / len(words)))
+        assert r.n_words == len(words)
+        assert r.n_sentences == sent
+        assert r.n_syllables == syl
+        assert abs(r.flesch - flesch) < 1e-3
