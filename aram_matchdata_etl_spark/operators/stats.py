@@ -2292,3 +2292,233 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+WITH rollup AS (
+    SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY value, event_type
+), totals AS (
+    SELECT value, SUM(cnt) AS c FROM rollup GROUP BY value
+), ranks AS (
+    SELECT value, c,
+        SUM(c) OVER (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - c + (c + 1) / 2.0 AS avg_rank
+    FROM totals
+), per_group AS (
+    SELECT r.event_type,
+        SUM(r.cnt * k.avg_rank) AS rg, SUM(r.cnt) AS ng
+    FROM rollup r JOIN ranks k ON r.value = k.value
+    GROUP BY r.event_type
+), s AS (
+    SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        CAST(COUNT(*) AS INTEGER) AS n_groups,
+        SUM(rg * rg / ng) AS srr
+    FROM per_group
+), t AS (SELECT SUM(POW(c, 3) - c) AS tie FROM ranks)
+SELECT n, n_groups,
+    ROUND(12.0 / (n * (n + 1.0)) * srr - 3 * (n + 1.0), 6) AS h_stat,
+    ROUND((12.0 / (n * (n + 1.0)) * srr - 3 * (n + 1.0))
+        / (1 - tie / (POW(n, 3) - n)), 6) AS h_corrected
+FROM s CROSS JOIN t""",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-group generalization of Mann-Whitney
+    (q_mannwhitney_u): one rank test across ALL event types at once,
+    with the standard tie correction. The k-sample nonparametric readout
+    for "do any of these variants differ at all" before pairwise tests.
+
+    Scale-correct formulation (same discipline as Mann-Whitney): the
+    corpus reduces to a (value, group) rollup in ONE pass; average ranks
+    derive from a cumulative sum over the ordered DISTINCT-value table
+    (never a corpus-wide rank window); per-group rank sums aggregate
+    from the rollup joined back to the rank table at distinct-value
+    scale. Driver sees one row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = ev.groupBy("value", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    totals = rollup.groupBy("value").agg(F.sum("cnt").alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("c")
+    ranks = totals.select(
+        "value", "c", (F.sum(c).over(w) - c + (c + 1) / 2.0).alias("avg_rank")
+    )
+    per_group = (
+        rollup.join(ranks.select("value", "avg_rank"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt") * F.col("avg_rank")).alias("rg"),
+            F.sum("cnt").alias("ng"),
+        )
+    )
+    s = per_group.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("n_groups"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("srr"),
+    )
+    t = ranks.agg(F.sum(F.pow(c, 3) - c).alias("tie"))
+    n = F.col("n")
+    h = 12.0 / (n * (n + 1.0)) * F.col("srr") - 3 * (n + 1.0)
+    return s.crossJoin(F.broadcast(t)).select(
+        "n",
+        "n_groups",
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / (1 - F.col("tie") / (F.pow(n, 3) - n)), 6).alias(
+            "h_corrected"
+        ),
+    )
+
+
+@query(
+    "q_levene_test",
+    oracle="""
+WITH med AS (
+    SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, ABS(e.value - med.m) AS z
+    FROM events e JOIN med ON e.event_type = med.event_type
+), per_group AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        SUM(z) AS sz, SUM(z * z) AS szz
+    FROM dev GROUP BY event_type
+), s AS (
+    SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        CAST(COUNT(*) AS INTEGER) AS k,
+        SUM(sz) AS sz_all,
+        SUM(sz * sz / ng) AS sb,
+        SUM(szz - sz * sz / ng) AS sw
+    FROM per_group
+)
+SELECT n, k,
+    ROUND((sb - sz_all * sz_all / n) / (k - 1.0)
+        / (sw / (n - k * 1.0)), 6) AS f_stat
+FROM s""",
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centering) for equal
+    variances across event types — the guard run before trusting a
+    pooled-variance readout, robust to the heavy tails that break
+    Bartlett's test. F = between-group / within-group mean square of the
+    absolute deviations z = |x - median(group)|.
+
+    Two passes by construction (medians, then deviation aggregates), the
+    second fused into one conditional agg; the per-group medians
+    broadcast back, so no corpus shuffle beyond the two groupBys. The
+    between/within decomposition uses sufficient statistics only
+    (n, sum z, sum z^2 per group) — never a second scan per group."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("z")
+    )
+    per_group = dev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    s = per_group.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("k"),
+        F.sum("sz").alias("sz_all"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("ng")).alias("sb"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("ng")).alias(
+            "sw"
+        ),
+    )
+    between = (F.col("sb") - F.col("sz_all") * F.col("sz_all") / F.col("n")) / (
+        F.col("k") - 1.0
+    )
+    within = F.col("sw") / (F.col("n") - F.col("k") * 1.0)
+    return s.select("n", "k", F.round(between / within, 6).alias("f_stat"))
+
+
+@query(
+    "q_effect_sizes",
+    oracle="""
+WITH assigned AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS variant, value,
+        CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS converted
+    FROM events
+), s AS (
+    SELECT
+        COUNT(CASE WHEN variant = 0 THEN 1 END) AS n0,
+        COUNT(CASE WHEN variant = 1 THEN 1 END) AS n1,
+        AVG(CASE WHEN variant = 0 THEN value END) AS mean0,
+        AVG(CASE WHEN variant = 1 THEN value END) AS mean1,
+        VAR_SAMP(CASE WHEN variant = 0 THEN value END) AS v0,
+        VAR_SAMP(CASE WHEN variant = 1 THEN value END) AS v1,
+        AVG(CASE WHEN variant = 0 THEN converted END) AS p0,
+        AVG(CASE WHEN variant = 1 THEN converted END) AS p1
+    FROM assigned
+), eff AS (
+    SELECT n0, n1, p0, p1,
+        (mean1 - mean0) / SQRT(((n0 - 1) * v0 + (n1 - 1) * v1)
+            / (n0 + n1 - 2.0)) AS d,
+        (p0 * n0 + p1 * n1) / (n0 + n1) AS pp
+    FROM s
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+    ROUND(d, 6) AS cohens_d,
+    ROUND(d * (1 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6) AS hedges_g,
+    ROUND(p0, 6) AS p0, ROUND(p1, 6) AS p1,
+    ROUND((p1 - p0) / SQRT(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)), 6)
+        AS prop_z,
+    ROUND(p1 / p0, 6) AS risk_ratio
+FROM eff""",
+)
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the q_ab_test experiment readout:
+    Cohen's d on the continuous metric (pooled SD), its small-sample
+    Hedges' g correction, and — on the binary purchase outcome — the
+    pooled two-proportion z statistic and risk ratio. Significance
+    (q_ab_test's t) says WHETHER variants differ; these say BY HOW MUCH
+    in comparable units, which is what a launch decision reads.
+
+    ONE conditional-aggregate pass: every input to every effect size is
+    a sufficient statistic with map-side partials; the driver sees a
+    single row."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "value",
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("converted"),
+    )
+    v0 = F.col("variant") == 0
+    v1 = F.col("variant") == 1
+    s = assigned.agg(
+        F.count(F.when(v0, 1)).alias("n0"),
+        F.count(F.when(v1, 1)).alias("n1"),
+        F.avg(F.when(v0, F.col("value"))).alias("mean0"),
+        F.avg(F.when(v1, F.col("value"))).alias("mean1"),
+        F.var_samp(F.when(v0, F.col("value"))).alias("v0"),
+        F.var_samp(F.when(v1, F.col("value"))).alias("v1"),
+        F.avg(F.when(v0, F.col("converted"))).alias("p0"),
+        F.avg(F.when(v1, F.col("converted"))).alias("p1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    d = (F.col("mean1") - F.col("mean0")) / F.sqrt(
+        ((n0 - 1) * F.col("v0") + (n1 - 1) * F.col("v1")) / (n0 + n1 - 2.0)
+    )
+    pp = (F.col("p0") * n0 + F.col("p1") * n1) / (n0 + n1)
+    return s.select(
+        n0.cast("bigint").alias("n0"),
+        n1.cast("bigint").alias("n1"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6).alias("hedges_g"),
+        F.round("p0", 6).alias("p0"),
+        F.round("p1", 6).alias("p1"),
+        F.round(
+            (F.col("p1") - F.col("p0"))
+            / F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)),
+            6,
+        ).alias("prop_z"),
+        F.round(F.col("p1") / F.col("p0"), 6).alias("risk_ratio"),
+    )

@@ -731,3 +731,75 @@ def test_readability_matches_pure_python(spark):
         assert r.n_sentences == sent
         assert r.n_syllables == syl
         assert abs(r.flesch - flesch) < 1e-3
+
+
+def test_kruskal_wallis_matches_direct_formula(spark):
+    """Re-derive H from average ranks over the pooled sample (the
+    scipy.stats.kruskal formulation) and compare both the raw and
+    tie-corrected statistics."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_kruskal_wallis"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    pooled = ev["value"].to_numpy()
+    ranks = _rankdata(pooled)
+    n = len(pooled)
+    srr = 0.0
+    groups = list(ev.groupby("event_type"))
+    for _, g in groups:
+        r = ranks[g.index.to_numpy()]
+        srr += r.sum() ** 2 / len(r)
+    h = 12.0 / (n * (n + 1)) * srr - 3 * (n + 1)
+    _, counts = np.unique(pooled, return_counts=True)
+    tie = float((counts.astype(np.float64) ** 3 - counts).sum())
+    hc = h / (1 - tie / (n**3 - n))
+    assert row.n == n and row.n_groups == len(groups)
+    assert abs(row.h_stat - h) < 1e-4, (row.h_stat, h)
+    assert abs(row.h_corrected - hc) < 1e-4, (row.h_corrected, hc)
+
+
+def test_levene_matches_direct_formula(spark):
+    """Brown-Forsythe re-derived row-at-a-time: median-centered absolute
+    deviations, then the classic one-way ANOVA F on them (the
+    scipy.stats.levene(center='median') formulation)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_levene_test"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    zs = []
+    for _, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        zs.append(np.abs(v - np.median(v)))
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    grand = np.concatenate(zs).mean()
+    between = sum(len(z) * (z.mean() - grand) ** 2 for z in zs) / (k - 1)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs) / (n - k)
+    f = between / within
+    assert row.n == n and row.k == k
+    assert abs(row.f_stat - f) < 1e-4, (row.f_stat, f)
+
+
+def test_effect_sizes_match_direct_formula(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_effect_sizes"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    variant = (ev["user_id"] % 2).to_numpy()
+    val = ev["value"].to_numpy()
+    conv = (ev["event_type"] == "purchase").to_numpy().astype(float)
+    a, b = val[variant == 0], val[variant == 1]
+    n0, n1 = len(a), len(b)
+    sp = np.sqrt(
+        ((n0 - 1) * a.var(ddof=1) + (n1 - 1) * b.var(ddof=1)) / (n0 + n1 - 2)
+    )
+    d = (b.mean() - a.mean()) / sp
+    g = d * (1 - 3.0 / (4 * (n0 + n1) - 9))
+    p0, p1 = conv[variant == 0].mean(), conv[variant == 1].mean()
+    pp = (p0 * n0 + p1 * n1) / (n0 + n1)
+    z = (p1 - p0) / np.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert (row.n0, row.n1) == (n0, n1)
+    assert abs(row.cohens_d - d) < 1e-6
+    assert abs(row.hedges_g - g) < 1e-6
+    assert abs(row.prop_z - z) < 1e-6
+    assert abs(row.risk_ratio - p1 / p0) < 1e-6
