@@ -136,3 +136,165 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ips",
         F.md5(F.col("text_redacted")).alias("redacted_fp"),
     )
+
+
+# --- re-identification audits -------------------------------------------
+# k-anonymity / l-diversity over quasi-identifier classes: the governance
+# readout a training-data release runs AFTER redaction — scrubbing direct
+# identifiers (q_pii_redact) does not stop linkage attacks through
+# quasi-identifier combinations (Sweeney 2002, k-anonymity; Machanavajjhala
+# 2007, l-diversity). The fixture's QI tuple is (lang, source, doc-length
+# bucket): language + provenance + size is exactly the metadata a released
+# corpus ships per document.
+
+K_ANON_K = 5
+K_ANON_WIDTHS = (50, 100, 200, 400)  # generalization ladder, chars/bucket
+L_DIV_L = 3
+L_DIV_WIDTH = 100
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+WITH widths AS (SELECT UNNEST(ARRAY{list(K_ANON_WIDTHS)}) AS width),
+classes AS (
+    SELECT w.width, d.lang, d.source,
+        CAST(FLOOR(d.n_chars / w.width) AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d CROSS JOIN widths w
+    GROUP BY w.width, d.lang, d.source, bucket
+), ladder AS (
+    SELECT width,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(MIN(n) AS BIGINT) AS min_class_size,
+        CAST(COUNT(CASE WHEN n < {K_ANON_K} THEN 1 END) AS BIGINT)
+            AS n_violations,
+        CAST(COALESCE(SUM(CASE WHEN n < {K_ANON_K} THEN n END), 0) AS BIGINT)
+            AS records_at_risk,
+        ROUND(COALESCE(SUM(CASE WHEN n < {K_ANON_K} THEN n END), 0)
+            * 1.0 / SUM(n), 6) AS pct_at_risk
+    FROM classes GROUP BY width
+)
+SELECT width, n_classes, min_class_size, n_violations, records_at_risk,
+    pct_at_risk,
+    n_violations = 0 AS k_achieved,
+    COALESCE(width = MIN(CASE WHEN n_violations = 0 THEN width END)
+        OVER (), FALSE) AS chosen
+FROM ladder""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit with a generalization ladder: for each
+    bucket width in {K_ANON_WIDTHS}, group the corpus into
+    (lang, source, floor(n_chars/width)) quasi-identifier classes and
+    report how far the release is from k={K_ANON_K} — class count,
+    smallest class, violating classes, records at re-identification
+    risk, and which ladder rung (if any) is the MINIMAL generalization
+    achieving k for every record (`chosen`).
+
+    Scale: the widths ladder EXPLODES per row (|widths| narrow rows per
+    document — width int + QI tuple, never text), so the whole ladder is
+    ONE scan + one shuffle on the class key; every per-width readout
+    then aggregates a class table bounded by the QI domain, not the
+    corpus. The alternative — one groupBy per rung — scans the corpus
+    |widths| times."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    widths = F.array(*[F.lit(w) for w in K_ANON_WIDTHS])
+    classes = (
+        docs.select(
+            "lang", "source", "n_chars", F.explode(widths).alias("width")
+        )
+        .groupBy(
+            "width",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / F.col("width")).alias("bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    risk = F.sum(F.when(F.col("n") < K_ANON_K, F.col("n")))
+    ladder = classes.groupBy("width").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("n").cast("bigint").alias("min_class_size"),
+        F.count(F.when(F.col("n") < K_ANON_K, 1))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.coalesce(risk, F.lit(0)).cast("bigint").alias("records_at_risk"),
+        F.round(F.coalesce(risk, F.lit(0)) * 1.0 / F.sum("n"), 6).alias(
+            "pct_at_risk"
+        ),
+    )
+    best = F.min(
+        F.when(F.col("n_violations") == 0, F.col("width"))
+    ).over(Window.partitionBy())
+    return ladder.select(
+        "width",
+        "n_classes",
+        "min_class_size",
+        "n_violations",
+        "records_at_risk",
+        "pct_at_risk",
+        (F.col("n_violations") == 0).alias("k_achieved"),
+        F.coalesce(F.col("width") == best, F.lit(False)).alias("chosen"),
+    )
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+WITH cells AS (
+    SELECT lang, CAST(FLOOR(n_chars / {L_DIV_WIDTH}) AS BIGINT) AS bucket,
+        source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY lang, bucket, source
+), with_p AS (
+    SELECT lang, bucket, c,
+        c * 1.0 / SUM(c) OVER (PARTITION BY lang, bucket) AS p
+    FROM cells
+), classes AS (
+    SELECT lang, bucket,
+        CAST(SUM(c) AS BIGINT) AS n,
+        CAST(COUNT(*) AS INTEGER) AS distinct_l,
+        ROUND(-SUM(p * LN(p)), 6) AS entropy_l
+    FROM with_p GROUP BY lang, bucket
+)
+SELECT lang, bucket, n, distinct_l, entropy_l,
+    distinct_l < {L_DIV_L} AS violates_l
+FROM classes""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: within each (lang, doc-length-bucket)
+    quasi-identifier class, how diverse is the SENSITIVE attribute
+    (source — provenance can be sensitive for licensed corpora)? A class
+    can be k-anonymous yet still leak: if every record in it shares one
+    source, linkage reveals that source exactly. Reports per-class
+    distinct-l, entropy l-diversity (-sum p ln p over the class's source
+    distribution), and the l<{L_DIV_L} violation flag.
+
+    Scale: one groupBy to (class x source) cells, then a window over
+    CELLS (bounded by |QI domain| x |sources|, corpus-independent) for
+    the entropy normalization — the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / L_DIV_WIDTH).alias("bucket"),
+        "source",
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wcls = Window.partitionBy("lang", "bucket")
+    p = F.col("c") * 1.0 / F.sum("c").over(wcls)
+    with_p = cells.select("lang", "bucket", "c", p.alias("p"))
+    classes = with_p.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("distinct_l"),
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_l"),
+    )
+    return classes.select(
+        "lang",
+        "bucket",
+        "n",
+        "distinct_l",
+        "entropy_l",
+        (F.col("distinct_l") < L_DIV_L).alias("violates_l"),
+    )

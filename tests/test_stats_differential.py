@@ -803,3 +803,30 @@ def test_effect_sizes_match_direct_formula(spark):
     assert abs(row.hedges_g - g) < 1e-6
     assert abs(row.prop_z - z) < 1e-6
     assert abs(row.risk_ratio - p1 / p0) < 1e-6
+
+
+def test_l_diversity_matches_pure_python(spark):
+    """Entropy l-diversity re-derived with collections.Counter."""
+    import math
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.operators.privacy import L_DIV_WIDTH
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        (r.lang, r.bucket): (r.n, r.distinct_l, r.entropy_l)
+        for r in all_queries()["q_l_diversity"](spark, SF_ORACLE).collect()
+    }
+    docs = _duck("SELECT lang, source, n_chars FROM documents")
+    classes: dict = {}
+    for lang, source, n_chars in docs.itertuples(index=False):
+        classes.setdefault((lang, n_chars // L_DIV_WIDTH), Counter())[
+            source
+        ] += 1
+    assert set(got) == set(classes)
+    for key, counter in classes.items():
+        n = sum(counter.values())
+        ent = -sum(c / n * math.log(c / n) for c in counter.values())
+        gn, gl, ge = got[key]
+        assert gn == n and gl == len(counter)
+        assert abs(ge - ent) < 1e-4, (key, ge, ent)
