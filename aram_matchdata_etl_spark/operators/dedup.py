@@ -1195,3 +1195,50 @@ def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .filter(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="WITH "
+    + _SHINGLES_SQL.lstrip()
+    + """,
+df AS (
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM shingles
+    GROUP BY shingle
+)
+SELECT s.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+    CAST(COUNT(CASE WHEN df.df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+    ROUND(COUNT(CASE WHEN df.df = 1 THEN 1 END) * 1.0 / COUNT(*), 6)
+        AS novelty
+FROM shingles s JOIN df ON s.shingle = df.shingle
+GROUP BY s.doc_id""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-bigram shingles that occur in NO other document (corpus
+    document-frequency 1). The memorization/boilerplate exposure score a
+    training-data pipeline reads next to the dedup verdicts: near-zero
+    novelty means the doc is assembled from corpus-common n-grams
+    (template/boilerplate or a near-dup that slipped the cluster
+    threshold); it complements q_dedup_* (pairwise identity) with a
+    corpus-frequency view that needs no pair generation at all.
+
+    Scale: shingle document-frequency is ONE groupBy on the shingle key;
+    the join back to the (doc, shingle) relation reuses that same hash
+    partitioning, and the per-doc readout is a groupBy on doc_id — three
+    shuffles of narrow rows, never pairwise work. (At 100 TB the shuffle
+    key would be xxhash64(shingle) — 8 bytes instead of the string — at
+    the cost of the oracle; the semantics are hash-free.)"""
+    sh = shingles(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    uniq = F.count(F.when(F.col("df") == 1, 1))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            uniq.cast("bigint").alias("n_unique"),
+            F.round(uniq * 1.0 / F.count("*"), 6).alias("novelty"),
+        )
+    )

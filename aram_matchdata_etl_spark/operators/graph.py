@@ -1125,3 +1125,43 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ccdf"),
         F.round(1.0 + F.col("k") / F.col("s"), 6).alias("hill_alpha"),
     )
+
+
+@query(
+    "q_assortativity",
+    oracle=f"""
+WITH {LINK_GRAPH_SQL},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (
+    SELECT a AS node, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY a
+)
+SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+    ROUND(corr(da.d, db.d), 6) AS assortativity
+FROM sym
+JOIN deg da ON sym.a = da.node
+JOIN deg db ON sym.b = db.node""",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every edge (both orientations, so the
+    statistic is orientation-free). Negative r — hubs linking to leaves
+    — is the disassortative shape real web graphs have, and it is the
+    single-number forecast of how skewed the PageRank/k-core shuffles
+    will be: the q_degree_dist readout compressed to one scalar.
+
+    Scale: degrees are one groupBy over the symmetric edge list; the
+    two degree joins hash-partition on node id (edge rows stay two
+    longs + a double); corr is a single-pass sufficient-statistic
+    aggregate. No corpus text ever enters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sym = sym_edges(canonical_und(link_graph(docs), checkpoint=True))
+    deg = sym.groupBy("a").agg(
+        F.count("*").cast("double").alias("d")
+    ).withColumnRenamed("a", "node")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    joined = sym.join(da, "a").join(db, "b")
+    return joined.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.corr("da", "db"), 6).alias("assortativity"),
+    )

@@ -354,3 +354,30 @@ def test_degree_dist_matches_python(spark):
     by_deg = sorted(rows, key=lambda r: r.degree)
     for lo, hi in zip(by_deg, by_deg[1:]):
         assert lo.ccdf >= hi.ccdf
+
+
+def test_assortativity_matches_numpy(spark):
+    """Newman r re-derived in numpy over the same edge set: corr of
+    endpoint degrees across both orientations of every undirected edge."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    edges = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in link_graph(docs).collect()
+    }
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    want = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    row = all_queries()["q_assortativity"](spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - want) < 1e-4, (
+        row["assortativity"],
+        want,
+    )

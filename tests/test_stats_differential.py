@@ -830,3 +830,34 @@ def test_l_diversity_matches_pure_python(spark):
         gn, gl, ge = got[key]
         assert gn == n and gl == len(counter)
         assert abs(ge - ent) < 1e-4, (key, ge, ent)
+
+
+def test_ngram_novelty_matches_pure_python(spark):
+    """Bigram document-frequency novelty re-derived with Counter over the
+    raw text — catches a shared distinct/tokenize blind spot the
+    twin-SQL oracle cannot."""
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = _duck("SELECT doc_id, text FROM documents")
+    per_doc = {
+        r.doc_id: {
+            f"{a} {b}"
+            for a, b in zip(r.text.split(" "), r.text.split(" ")[1:])
+        }
+        for r in docs.itertuples(index=False)
+    }
+    df = Counter(sh for s in per_doc.values() for sh in s)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+        for r in all_queries()["q_ngram_novelty"](spark, SF_ORACLE).collect()
+    }
+    want_keys = {d for d, s in per_doc.items() if s}
+    assert set(got) == want_keys
+    for d in want_keys:
+        s = per_doc[d]
+        uniq = sum(1 for sh in s if df[sh] == 1)
+        n_sh, n_un, nov = got[d]
+        assert n_sh == len(s) and n_un == uniq, d
+        assert abs(nov - uniq / len(s)) < 1e-5, d
