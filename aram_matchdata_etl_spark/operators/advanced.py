@@ -262,3 +262,60 @@ def q_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="o_orderkey bigint, o_totalprice double, n_lines bigint, sum_qty double",
         )
     )
+
+
+@query(
+    "q_skyline",
+    # Deliberately a DIFFERENT algorithm than the Spark side: the oracle
+    # states the skyline DEFINITION (no dominating point exists) as a
+    # quadratic NOT EXISTS over distinct points — fine at oracle SF —
+    # while the operator uses the sort-cummax formulation. Agreement
+    # checks the algorithm, not just the arithmetic.
+    oracle="""
+WITH pts AS (
+    SELECT p_retailprice AS price, p_size AS sz,
+        CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY 1, 2
+)
+SELECT price, sz AS size, n_parts FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price <= p.price AND q.sz >= p.sz
+      AND (q.price < p.price OR q.sz > p.sz)
+)""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part beats on
+    BOTH price (lower better) and size (higher better) — the
+    multi-objective shortlist query (BNL/SFS family, Börzsönyi 2001)
+    that no SQL builtin expresses directly.
+
+    Scale-correct single-pass formulation instead of the naive O(n^2)
+    dominance anti-join: (1) ONE corpus groupBy to distinct
+    (price, size) points; (2) per-price max size — a rollup bounded by
+    |distinct prices|; (3) a cumulative max over the price-ordered
+    rollup, lagged one row so it covers STRICTLY-cheaper points only;
+    (4) broadcast-join back: a point survives iff no strictly-cheaper
+    price reached its size (lagged cummax < size) and it carries its own
+    price's max size (equal-price dominance). The corpus is touched
+    once; every window runs at distinct-price scale."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).agg(F.count("*").cast("bigint").alias("n_parts"))
+    per_price = pts.groupBy("price").agg(F.max("sz").alias("mp"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    ladder = per_price.select(
+        "price",
+        "mp",
+        F.lag(F.max("mp").over(w)).over(Window.orderBy("price")).alias("m1"),
+    )
+    joined = pts.join(F.broadcast(ladder), "price")
+    survives = (
+        F.col("m1").isNull() | (F.col("m1") < F.col("sz"))
+    ) & (F.col("sz") == F.col("mp"))
+    return joined.filter(survives).select(
+        "price", F.col("sz").alias("size"), "n_parts"
+    )

@@ -1258,3 +1258,80 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err1), 6).alias("mae_naive1"),
         F.round(1.0 - F.avg(err7) / F.avg(err1), 6).alias("skill_vs_naive1"),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+per_user AS (
+    SELECT user_id,
+        date_diff('day', MAX(CAST(ts AS DATE)), MAX(anchor.d0)) AS recency_days,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        ROUND(SUM(value), 4) AS monetary
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+), scored AS (
+    SELECT user_id, recency_days, frequency, monetary,
+        NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+        NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+        NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+    FROM per_user
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+    monetary,
+    CAST(r_score AS INTEGER) AS r_score,
+    CAST(f_score AS INTEGER) AS f_score,
+    CAST(m_score AS INTEGER) AS m_score,
+    CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_cell
+FROM scored""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic lifecycle readout: per-user
+    Recency (days from last event to the corpus anchor date), Frequency
+    (event count), Monetary (value sum), each quintile-scored 1-5 by
+    NTILE with a deterministic user_id tie-break (5 = most recent / most
+    frequent / highest spend), plus the composed 3-digit RFM cell.
+
+    Scale: the corpus reduces to ONE per-user rollup (groupBy user_id,
+    all three metrics as map-side partials; the anchor date broadcasts);
+    the three NTILE windows then rank the USER table, not the event
+    stream. A global NTILE is a total sort of that rollup — the standard
+    rollup-first trade this repo's window family documents; if even the
+    user table outgrew a sort, the quintile cuts would come from
+    approx quantiles and a broadcast range join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("d0"), F.max(F.to_date("ts")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    )
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), F.col("user_id")))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("int").alias("r_score"),
+        f_.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
