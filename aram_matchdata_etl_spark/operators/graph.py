@@ -1165,3 +1165,101 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / 2).cast("bigint").alias("n_edges"),
         F.round(F.corr("da", "db"), 6).alias("assortativity"),
     )
+
+
+TEXTRANK_ROUNDS = 12
+
+
+def _textrank_oracle_sql(rounds: int = TEXTRANK_ROUNDS, d: float = DAMPING) -> str:
+    """Unrolled-PageRank oracle over the word co-occurrence graph — the
+    _pagerank_oracle_sql pattern with the md5 link graph swapped for
+    adjacent-word edges and word-string node ids."""
+    stages = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+    SELECT w.dst, SUM(w.w * p.rank) AS contrib
+    FROM w JOIN {prev} p ON p.word = w.src GROUP BY w.dst
+), r{i} AS MATERIALIZED (
+    SELECT n.word, n.dangling,
+        (1 - {d}) / cnt.n
+        + {d} * ((SELECT SUM(CASE WHEN dangling THEN rank ELSE 0 END)
+                  FROM {prev}) / cnt.n
+                 + COALESCE(c.contrib, 0)) AS rank
+    FROM {prev} n CROSS JOIN cnt LEFT JOIN c{i} c ON c.dst = n.word
+)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(stages)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+adj AS (
+    SELECT DISTINCT t[i] AS wa, t[i + 1] AS wb
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE t[i] <> t[i + 1]
+),
+und AS (SELECT DISTINCT LEAST(wa, wb) AS a, GREATEST(wa, wb) AS b FROM adj),
+edges AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+nodes AS (SELECT DISTINCT UNNEST(t) AS word FROM toks),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+w AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 / d.deg AS w FROM edges e JOIN deg d USING (src)
+),
+r0 AS MATERIALIZED (
+    SELECT word, 1.0 / cnt.n AS rank,
+        word NOT IN (SELECT src FROM edges) AS dangling
+    FROM nodes CROSS JOIN cnt
+),
+{body}
+SELECT word, ROUND(rank, 9) AS rank FROM {prev}"""
+
+
+@query("q_textrank_keywords", oracle=_textrank_oracle_sql())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (undirected edges between ADJACENT
+    distinct words, symmetrized) — the unsupervised keyword-importance
+    score a curation pipeline reads next to TF-IDF: TF-IDF rewards
+    rarity, TextRank rewards centrality in how the corpus actually
+    composes words. Reuses the generic pagerank() kernel — the operator
+    is input-agnostic, exactly as its docstring promises — and the
+    unrolled-CTE oracle trick, so the full {TEXTRANK_ROUNDS}-round float
+    trajectory is hash-checked.
+
+    Scale: the co-occurrence edge build is the shingle pipeline's shape
+    (explode adjacent pairs -> distinct), vocabulary-bounded output;
+    the PageRank loop then runs at VOCABULARY scale (nodes = distinct
+    words, edges = distinct adjacent pairs), independent of corpus row
+    count — at 100 TB the word graph is millions of nodes, not
+    trillions of rows."""
+    from ..sources.tables import spread_input
+
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pair = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+    )
+    adj = (
+        docs.select(F.explode(pair).alias("p"))
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .filter(F.col("wa") != F.col("wb"))
+        .distinct()
+    )
+    und = adj.select(
+        F.least("wa", "wb").alias("a"), F.greatest("wa", "wb").alias("b")
+    ).distinct()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = docs.select(F.explode(toks).alias("doc_id")).distinct()
+    ranks = pagerank(
+        nodes, edges, rounds=TEXTRANK_ROUNDS, tag="q_textrank", tol=0.0
+    )
+    return ranks.select(
+        F.col("doc_id").alias("word"), F.round("rank", 9).alias("rank")
+    )

@@ -381,3 +381,52 @@ def test_assortativity_matches_numpy(spark):
         row["assortativity"],
         want,
     )
+
+
+def test_textrank_word_graph_matches_python(spark):
+    """The co-occurrence edge set and rank ordering re-derived in pure
+    Python + numpy power iteration on the same fixture corpus."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.graph import (
+        DAMPING,
+        TEXTRANK_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+    from .oracle_utils import duckdb_df
+
+    docs = duckdb_df("SELECT text FROM documents", SF)
+    und = set()
+    words = set()
+    for text in docs["text"]:
+        t = text.split(" ")
+        words.update(t)
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+    ids = {w: i for i, w in enumerate(sorted(words))}
+    n = len(ids)
+    out: dict = {}
+    for a, b in und:
+        out.setdefault(ids[a], []).append(ids[b])
+        out.setdefault(ids[b], []).append(ids[a])
+    r = np.full(n, 1.0 / n)
+    for _ in range(TEXTRANK_ROUNDS):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            targets = out.get(u)
+            if not targets:
+                dangling += r[u]
+                continue
+            share = r[u] / len(targets)
+            for v in targets:
+                nxt[v] += share
+        r = (1 - DAMPING) / n + DAMPING * (nxt + dangling / n)
+    got = {
+        row.word: row.rank
+        for row in all_queries()["q_textrank_keywords"](spark, SF).collect()
+    }
+    assert set(got) == words
+    for w, i in ids.items():
+        assert abs(got[w] - r[i]) < 1e-8, (w, got[w], r[i])
