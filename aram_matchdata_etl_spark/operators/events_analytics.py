@@ -1335,3 +1335,61 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int"),
     )
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, SUM(value) AS spend FROM events GROUP BY user_id
+), tiled AS (
+    SELECT spend, NTILE(10) OVER (ORDER BY spend, user_id) AS decile
+    FROM per_user
+), agg AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        SUM(spend) AS spend_sum
+    FROM tiled GROUP BY decile
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_users,
+    ROUND(spend_sum, 4) AS spend_sum,
+    ROUND(SUM(spend_sum) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / SUM(spend_sum) OVER (), 6) AS cum_share
+FROM agg""",
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by user-spend decile: users ranked by total value,
+    split into deciles (deterministic user_id tie-break), each decile's
+    user count, spend, and CUMULATIVE share of total spend — the
+    concentration curve q_gini summarizes to one number, kept as the
+    full 10-point readout ("the top decile holds X% of the value": the
+    exact shape that forecasts hot-key skew in per-user shuffles).
+
+    Scale: one corpus groupBy to the per-user rollup; NTILE sorts the
+    USER table (rollup-first discipline, same trade as
+    q_rfm_segmentation); the decile table is 10 rows — windows over it
+    are free."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    tiled = per_user.select(
+        "spend",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("spend"), F.col("user_id")))
+        .alias("decile"),
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("spend").alias("spend_sum"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        F.round("spend_sum", 4).alias("spend_sum"),
+        F.round(
+            F.sum("spend_sum").over(wc) / F.sum("spend_sum").over(wall), 6
+        ).alias("cum_share"),
+    )

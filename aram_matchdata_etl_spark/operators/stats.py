@@ -2522,3 +2522,139 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prop_z"),
         F.round(F.col("p1") / F.col("p0"), 6).alias("risk_ratio"),
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles — fixed literals
+# shared by both dialects (scipy.stats.norm.ppf(0.975) / .ppf(0.8)).
+Z_ALPHA_2 = 1.959963984540054
+Z_BETA = 0.8416212335729143
+
+
+@query(
+    "q_power_analysis",
+    oracle=f"""
+WITH assigned AS (
+    SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant, value
+    FROM events
+), s AS (
+    SELECT event_type,
+        COUNT(CASE WHEN variant = 0 THEN 1 END) AS n0,
+        COUNT(CASE WHEN variant = 1 THEN 1 END) AS n1,
+        AVG(CASE WHEN variant = 0 THEN value END) AS mean0,
+        VAR_SAMP(CASE WHEN variant = 0 THEN value END) AS v0,
+        VAR_SAMP(CASE WHEN variant = 1 THEN value END) AS v1
+    FROM assigned GROUP BY event_type
+)
+SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+    ROUND(({Z_ALPHA_2} + {Z_BETA}) * SQRT(v0 / n0 + v1 / n1), 6) AS mde_abs,
+    ROUND(({Z_ALPHA_2} + {Z_BETA}) * SQRT(v0 / n0 + v1 / n1) / mean0, 6)
+        AS mde_rel
+FROM s""",
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect (MDE) at
+    two-sided alpha=0.05 / power=0.80 for each event type's A/B split at
+    its CURRENT sample sizes — the "is this experiment even big enough"
+    readout run before q_ab_test is trusted. mde = (z_a/2 + z_b) *
+    se(diff) with the observed per-variant variances; mde_rel divides by
+    the control mean.
+
+    ONE conditional-aggregate pass per the family convention: variances
+    and counts are map-side sufficient statistics; output is one row per
+    event type."""
+    ev = load_table(spark, sf_dir, "events")
+    v0 = F.col("variant") == 0
+    v1 = F.col("variant") == 1
+    assigned = ev.select(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("variant"), "value"
+    )
+    s = assigned.groupBy("event_type").agg(
+        F.count(F.when(v0, 1)).alias("n0"),
+        F.count(F.when(v1, 1)).alias("n1"),
+        F.avg(F.when(v0, F.col("value"))).alias("mean0"),
+        F.var_samp(F.when(v0, F.col("value"))).alias("v0"),
+        F.var_samp(F.when(v1, F.col("value"))).alias("v1"),
+    )
+    mde = (Z_ALPHA_2 + Z_BETA) * F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    )
+    return s.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mean0"), 6).alias("mde_rel"),
+    )
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+WITH cells AS (
+    SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS c FROM documents
+    GROUP BY lang, source
+), tot AS (SELECT SUM(c) AS n FROM cells),
+probs AS (
+    SELECT c / tot.n AS p,
+        SUM(c) OVER (PARTITION BY lang) / tot.n AS px,
+        SUM(c) OVER (PARTITION BY source) / tot.n AS py
+    FROM cells CROSS JOIN tot
+),
+hx AS (
+    SELECT -SUM(cl / tot.n * LN(cl / tot.n)) AS hx
+    FROM (SELECT lang, SUM(c) AS cl FROM cells GROUP BY lang) m
+    CROSS JOIN tot
+),
+hy AS (
+    SELECT -SUM(cs / tot.n * LN(cs / tot.n)) AS hy
+    FROM (SELECT source, SUM(c) AS cs FROM cells GROUP BY source) m
+    CROSS JOIN tot
+),
+mi AS (SELECT SUM(p * LN(p / (px * py))) AS mi FROM probs)
+SELECT ROUND(mi, 6) AS mi, ROUND(hx, 6) AS h_lang, ROUND(hy, 6) AS h_source,
+    ROUND(mi / SQRT(hx * hy), 6) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source, with the
+    marginal entropies and the normalized MI — the dependence readout
+    that complements q_chi_squared (significance) with an
+    information-theoretic effect size, and closes the information family
+    next to q_js_divergence / q_token_entropy.
+
+    Scale: one groupBy to the (lang x source) cell table; every margin
+    and entropy is a window or re-aggregation over CELLS (bounded by the
+    attribute domains, corpus-independent)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    tot = F.sum("c").over(Window.partitionBy())
+    probs = cells.select(
+        (F.col("c") / tot).alias("p"),
+        (F.sum("c").over(Window.partitionBy("lang")) / tot).alias("px"),
+        (F.sum("c").over(Window.partitionBy("source")) / tot).alias("py"),
+    )
+    mx = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    my = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    hx = mx.crossJoin(F.broadcast(cells.agg(F.sum("c").alias("n")))).agg(
+        (-F.sum((F.col("cl") / F.col("n")) * F.log(F.col("cl") / F.col("n"))))
+        .alias("hx")
+    )
+    hy = my.crossJoin(F.broadcast(cells.agg(F.sum("c").alias("n")))).agg(
+        (-F.sum((F.col("cs") / F.col("n")) * F.log(F.col("cs") / F.col("n"))))
+        .alias("hy")
+    )
+    mi = probs.agg(
+        F.sum(F.col("p") * F.log(F.col("p") / (F.col("px") * F.col("py"))))
+        .alias("mi")
+    )
+    j = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return j.select(
+        F.round("mi", 6).alias("mi"),
+        F.round("hx", 6).alias("h_lang"),
+        F.round("hy", 6).alias("h_source"),
+        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+    )

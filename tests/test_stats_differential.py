@@ -861,3 +861,54 @@ def test_ngram_novelty_matches_pure_python(spark):
         n_sh, n_un, nov = got[d]
         assert n_sh == len(s) and n_un == uniq, d
         assert abs(nov - uniq / len(s)) < 1e-5, d
+
+
+def test_mutual_information_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_mutual_information"](spark, SF_ORACLE).collect()[0]
+    docs = _duck("SELECT lang, source FROM documents")
+    joint = docs.groupby(["lang", "source"]).size()
+    n = joint.sum()
+    p = joint / n
+    px = docs.groupby("lang").size() / n
+    py = docs.groupby("source").size() / n
+    mi = sum(
+        v * np.log(v / (px[l] * py[s])) for (l, s), v in p.items()
+    )
+    hx = -sum(v * np.log(v) for v in px)
+    hy = -sum(v * np.log(v) for v in py)
+    assert abs(row.mi - mi) < 1e-5
+    assert abs(row.h_lang - hx) < 1e-5
+    assert abs(row.h_source - hy) < 1e-5
+    assert abs(row.nmi - mi / np.sqrt(hx * hy)) < 1e-5
+
+
+def test_lorenz_curve_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = {
+        r.decile: r
+        for r in all_queries()["q_lorenz_curve"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    spend = (
+        ev.groupby("user_id")["value"].sum().reset_index()
+        .sort_values(["value", "user_id"], kind="mergesort")["value"]
+        .to_numpy()
+    )
+    n = len(spend)
+    # NTILE: first (n % 10) buckets get one extra row
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    cuts = np.cumsum([0] + sizes)
+    total = spend.sum()
+    cum = 0.0
+    for d in range(1, 11):
+        seg = spend[cuts[d - 1] : cuts[d]]
+        cum += seg.sum()
+        r = rows[d]
+        assert r.n_users == len(seg)
+        assert abs(r.spend_sum - round(seg.sum(), 4)) < 1e-6
+        assert abs(r.cum_share - cum / total) < 1e-5
+    assert rows[10].cum_share == 1.0
