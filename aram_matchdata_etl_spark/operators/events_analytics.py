@@ -1393,3 +1393,189 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("spend_sum").over(wc) / F.sum("spend_sum").over(wall), 6
         ).alias("cum_share"),
     )
+
+
+# --- Holt linear-trend smoothing -----------------------------------------
+# Double exponential smoothing: level l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}),
+# trend b_t = B(l_t - l_{t-1}) + (1-B) b_{t-1}, seeded l_0 = y_0, b_0 = 0.
+# Not a SQL primitive, and unlike EWMA the state is a 2-vector, so the
+# chunked-unroll trick needs one extra move: the transition matrix
+# A = [[1-a, 1-a], [-aB, 1-aB]] DIAGONALIZES (real distinct eigenvalues at
+# these parameters), splitting the recurrence into two independent SCALAR
+# geometric recurrences w_k,t = lam_k * w_k,t-1 + g_k * y_t — each exactly
+# the q_ewma shape, each chunked the same overflow-free way — recombined
+# linearly at the end: level = w1 + w2, trend = e1*w1 + e2*w2 (the
+# eigenbasis is chosen with first components 1). All constants are exact
+# closed-form 2x2 eigen algebra (pure math.sqrt, no numpy), printed into
+# BOTH dialects as the same double literals.
+HOLT_ALPHA, HOLT_BETA = 0.3, 0.05
+HOLT_CHUNK = 1000
+HOLT_H = 7  # forecast horizon, days
+
+
+def _holt_constants() -> dict:
+    import math
+
+    a, b = HOLT_ALPHA, HOLT_BETA
+    q = 1 - a
+    tr, det = 2 - a - a * b, 1 - a
+    disc = tr * tr - 4 * det
+    if disc <= 0:  # pragma: no cover - guards future parameter edits
+        raise ValueError(
+            "HOLT_ALPHA/HOLT_BETA give complex eigenvalues; the scalar "
+            "decomposition needs disc > 0"
+        )
+    s = math.sqrt(disc)
+    lam = ((tr + s) / 2, (tr - s) / 2)
+    e = tuple(lm / q - 1 for lm in lam)  # eigvec second components
+    den = e[1] - e[0]
+    g = ((e[1] * a - a * b) / den, (-e[0] * a + a * b) / den)  # Pinv @ c
+    p0 = (e[1] / den, -e[0] / den)  # Pinv first column (seeds w_k,0 = p0_k*y0)
+    return {"lam": lam, "e": e, "g": g, "p0": p0}
+
+
+_HOLT = _holt_constants()
+
+
+def _holt_chain_sql(k: int) -> str:
+    """One eigen component's chunked-unroll CTE chain (the q_ewma shape
+    with alpha->g_k, q->lam_k, seed u_0 = p0_k * y_0)."""
+    lam, g, p0 = _HOLT["lam"][k], _HOLT["g"][k], _HOLT["p0"][k]
+    C = HOLT_CHUNK
+    return f"""u{k} AS (
+    SELECT event_type, day, x, t,
+        CAST(FLOOR(t / {C}) AS BIGINT) AS c, t % {C} AS j,
+        CASE WHEN t = 0 THEN {p0!r} * x
+             ELSE {g!r} * x / POW({lam!r}, t % {C}) END AS u
+    FROM idx
+), ucum{k} AS (
+    SELECT event_type, day, x, c, j,
+        SUM(u) OVER (PARTITION BY event_type, c ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigu
+    FROM u{k}
+), chunkv{k} AS (
+    SELECT event_type, c, POW({lam!r}, {C - 1}) * bigu AS v
+    FROM ucum{k} WHERE j = {C - 1}
+), seed{k} AS (
+    SELECT event_type, c + 1 AS cnext,
+        v
+        + POW({lam!r}, {C}) * COALESCE(LAG(v, 1) OVER w, 0)
+        + POW({lam!r}, {2 * C}) * COALESCE(LAG(v, 2) OVER w, 0)
+        + POW({lam!r}, {3 * C}) * COALESCE(LAG(v, 3) OVER w, 0) AS s
+    FROM chunkv{k} WINDOW w AS (PARTITION BY event_type ORDER BY c)
+), w{k} AS (
+    SELECT r.event_type, r.day, r.x,
+        POW({lam!r}, r.j + 1) * COALESCE(sd.s, 0)
+        + POW({lam!r}, r.j) * r.bigu AS w
+    FROM ucum{k} r
+    LEFT JOIN seed{k} sd ON sd.event_type = r.event_type AND sd.cnext = r.c
+)"""
+
+
+_HOLT_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS x
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, day, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+    FROM daily
+), {_holt_chain_sql(0)}, {_holt_chain_sql(1)}
+SELECT w0.event_type, w0.day, ROUND(w0.x, 6) AS daily_mean,
+    ROUND(w0.w + w1.w, 6) AS level,
+    ROUND({_HOLT["e"][0]!r} * w0.w + {_HOLT["e"][1]!r} * w1.w, 6) + 0.0
+        AS trend,
+    ROUND(w0.w + w1.w
+        + {HOLT_H} * ({_HOLT["e"][0]!r} * w0.w + {_HOLT["e"][1]!r} * w1.w), 6)
+        AS forecast
+FROM w0 JOIN w1 ON w0.event_type = w1.event_type AND w0.day = w1.day"""
+
+
+@query("q_holt_linear", oracle=_HOLT_ORACLE)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of the daily value series per
+    event type (alpha={HOLT_ALPHA}, beta={HOLT_BETA}): level + trend
+    state with a {HOLT_H}-day-ahead forecast — the trend-aware upgrade of
+    q_ewma and the model-based complement of q_seasonal_naive's backtest.
+
+    Oracled despite a 2-state float recurrence: the transition matrix
+    diagonalizes into TWO scalar geometric recurrences (module comment),
+    each unrolled with q_ewma's overflow-free chunked closed form (chunk
+    C={HOLT_CHUNK}, 4-LAG seed closure), recombined linearly. Both
+    dialects run the identical FP sequence from identical double
+    literals. Corpus pass is the daily rollup; every window runs over
+    |days| rows per event type, and the two eigen chains share the same
+    partitioning (one exchange)."""
+    C = HOLT_CHUNK
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("x"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "day", "x", (F.row_number().over(w_ord) - 1).alias("t")
+    ).localCheckpoint(eager=False)
+
+    def chain(k: int) -> DataFrame:
+        lam, g, p0 = _HOLT["lam"][k], _HOLT["g"][k], _HOLT["p0"][k]
+        u = idx.select(
+            "event_type",
+            "day",
+            "x",
+            F.floor(F.col("t") / C).cast("long").alias("c"),
+            (F.col("t") % C).alias("j"),
+            F.when(F.col("t") == 0, F.lit(p0) * F.col("x"))
+            .otherwise(F.lit(g) * F.col("x") / F.pow(F.lit(lam), F.col("t") % C))
+            .alias("u"),
+        )
+        w_cum = (
+            Window.partitionBy("event_type", "c")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ucum = u.select(
+            "event_type", "day", "x", "c", "j",
+            F.sum("u").over(w_cum).alias("bigu"),
+        )
+        chunkv = ucum.filter(F.col("j") == C - 1).select(
+            "event_type", "c",
+            (F.pow(F.lit(lam), F.lit(C - 1)) * F.col("bigu")).alias("v"),
+        )
+        w_ch = Window.partitionBy("event_type").orderBy("c")
+        seed = chunkv.select(
+            "event_type",
+            (F.col("c") + 1).alias("c"),
+            (
+                F.col("v")
+                + F.pow(F.lit(lam), F.lit(C))
+                * F.coalesce(F.lag("v", 1).over(w_ch), F.lit(0.0))
+                + F.pow(F.lit(lam), F.lit(2 * C))
+                * F.coalesce(F.lag("v", 2).over(w_ch), F.lit(0.0))
+                + F.pow(F.lit(lam), F.lit(3 * C))
+                * F.coalesce(F.lag("v", 3).over(w_ch), F.lit(0.0))
+            ).alias("s"),
+        )
+        w_expr = F.pow(F.lit(lam), F.col("j") + 1) * F.coalesce(
+            F.col("s"), F.lit(0.0)
+        ) + F.pow(F.lit(lam), F.col("j")) * F.col("bigu")
+        return ucum.join(seed, ["event_type", "c"], "left").select(
+            "event_type", "day", "x", w_expr.alias(f"w{k}")
+        )
+
+    e0, e1 = _HOLT["e"]
+    joined = chain(0).join(
+        chain(1).select("event_type", "day", "w1"), ["event_type", "day"]
+    )
+    level = F.col("w0") + F.col("w1")
+    trend = F.lit(e0) * F.col("w0") + F.lit(e1) * F.col("w1")
+    return joined.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("daily_mean"),
+        F.round(level, 6).alias("level"),
+        # + 0.0 folds IEEE negative zero (trend is exactly 0 at t=0, and
+        # one engine rounds it to -0.0) — the q_cusum convention
+        (F.round(trend, 6) + 0.0).alias("trend"),
+        F.round(level + HOLT_H * trend, 6).alias("forecast"),
+    )

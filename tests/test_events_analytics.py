@@ -321,3 +321,91 @@ class TestEwmaLongSeries:
             )
             err = (grp["ewma"] - want).abs().max()
             assert err < 1e-5, (et, err)
+
+
+class TestHoltLongSeries:
+    """The Holt eigen-chunked closed form must survive multi-chunk series
+    exactly like q_ewma's (same machinery, two eigen chains): 10,500 days
+    = 10.5 chunks, ten seed handoffs per chain."""
+
+    N_DAYS = 10_500
+
+    @pytest.fixture(scope="class")
+    def long_sf_dir(self, spark, tmp_path_factory):
+        import os
+
+        sf = tmp_path_factory.mktemp("holt_long")
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ):
+            os.symlink(f"{SF}/{t}.parquet", f"{sf}/{t}.parquet")
+        import numpy as np
+        import pandas as pd
+
+        n = self.N_DAYS
+        ids = np.arange(2 * n)
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(946684800 + (ids % n) * 86400, unit="s"),
+                "user_id": ids % 97,
+                "event_type": np.where(ids < n, "view", "click"),
+                # mild upward trend + arithmetic noise so the trend state
+                # is non-trivial
+                "value": (ids % n) * 0.01 + (ids * 7919 % 1000) / 7.0,
+                "props": pd.Series([None] * (2 * n), dtype="object"),
+            }
+        ).to_parquet(f"{sf}/events.parquet", index=False)
+        return str(sf)
+
+    def test_oracle_parity_at_10k_rows(self, spark, long_sf_dir):
+        from aram_matchdata_etl_spark.operators.events_analytics import (
+            q_holt_linear,
+        )
+        from aram_matchdata_etl_spark.registry import all_oracles
+
+        from .oracle_utils import assert_matches_oracle
+
+        df = q_holt_linear(spark, long_sf_dir)
+        assert df.count() == 2 * self.N_DAYS
+        assert_matches_oracle(
+            df, all_oracles()["q_holt_linear"], long_sf_dir, "q_holt_linear@10k"
+        )
+
+    def test_matches_raw_recursion(self, spark, long_sf_dir):
+        """Third implementation: the textbook Holt loop with NO eigen
+        decomposition and NO chunking — catches a diagonalization or
+        seed-handoff bug the two-dialect (same-formula) check cannot."""
+        from aram_matchdata_etl_spark.operators.events_analytics import (
+            HOLT_ALPHA,
+            HOLT_BETA,
+            HOLT_H,
+            q_holt_linear,
+        )
+
+        got = (
+            q_holt_linear(spark, long_sf_dir)
+            .toPandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        for et, grp in got.groupby("event_type"):
+            y = grp["daily_mean"].to_numpy()
+            lv, tr = y[0], 0.0
+            want_l, want_t = [lv], [tr]
+            for x in y[1:]:
+                prev = lv
+                lv = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (lv + tr)
+                tr = HOLT_BETA * (lv - prev) + (1 - HOLT_BETA) * tr
+                want_l.append(lv)
+                want_t.append(tr)
+            import numpy as np
+
+            el = np.abs(grp["level"].to_numpy() - np.array(want_l)).max()
+            et_ = np.abs(grp["trend"].to_numpy() - np.array(want_t)).max()
+            ef = np.abs(
+                grp["forecast"].to_numpy()
+                - (np.array(want_l) + HOLT_H * np.array(want_t))
+            ).max()
+            assert el < 1e-5 and et_ < 1e-5 and ef < 1e-5, (et, el, et_, ef)
