@@ -1579,3 +1579,127 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(trend, 6) + 0.0).alias("trend"),
         F.round(level + HOLT_H * trend, 6).alias("forecast"),
     )
+
+
+@query(
+    "q_cumulative_users",
+    oracle="""
+WITH user_days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), firsts AS (
+    SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+), per_day AS (
+    SELECT ud.day,
+        CAST(COUNT(*) AS BIGINT) AS n_active,
+        CAST(COUNT(CASE WHEN f.first_day = ud.day THEN 1 END) AS BIGINT)
+            AS n_new
+    FROM user_days ud JOIN firsts f ON f.user_id = ud.user_id
+    GROUP BY ud.day
+)
+SELECT day, n_active, n_new,
+    CAST(SUM(n_new) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_users
+FROM per_day""",
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative user counts — the growth curve
+    every event pipeline reports first. A user is "new" on their
+    first-ever active day; cum_users is the running total of news (== 
+    distinct users ever seen through that day).
+
+    Scale: ONE distinct to the (user, day) rollup, a per-user MIN for
+    first-seen, per-day conditional counts, and a cumulative window over
+    the DAY table (|days| rows). The naive per-day COUNT(DISTINCT user)
+    OVER a growing frame would rescan history per day; first-seen
+    flags make the cumulative count a plain cumsum."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        user_days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.count(F.when(F.col("first_day") == F.col("day"), 1))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+DAU_MAU_WINDOW = 28  # days, inclusive of the current day
+
+
+@query(
+    "q_dau_mau",
+    oracle=f"""
+WITH user_days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), days AS (SELECT DISTINCT day FROM user_days),
+in_window AS (
+    SELECT DISTINCT d.day, ud.user_id
+    FROM days d JOIN user_days ud
+        ON ud.day <= d.day AND ud.day > d.day - INTERVAL {DAU_MAU_WINDOW} DAY
+), mau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS mau FROM in_window GROUP BY day
+), dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+)
+SELECT d.day, d.dau, m.mau,
+    ROUND(d.dau * 1.0 / m.mau, 6) AS stickiness
+FROM dau d JOIN mau m ON d.day = m.day""",
+)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily actives over {DAU_MAU_WINDOW}-day
+    rolling actives — the engagement ratio product teams watch (1.0 =
+    everyone active daily). A rolling COUNT(DISTINCT) is not a window
+    primitive in either engine; the standard decomposition is a range
+    join of the day grid against the (user, day) rollup, distinct, then
+    a plain count.
+
+    Scale: the range join fans the USER-DAY rollup out at most
+    {DAU_MAU_WINDOW}x (rollup scale, not event scale), keyed by day —
+    the same binned-interval-join shape as q_interval_join_binned. The
+    corpus itself is scanned once for the distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    days = user_days.select("day").distinct()
+    ud = user_days.select(
+        F.col("day").alias("uday"), "user_id"
+    )
+    in_window = (
+        days.join(
+            ud,
+            (F.col("uday") <= F.col("day"))
+            & (
+                F.col("uday")
+                > F.col("day") - F.expr(f"INTERVAL {DAU_MAU_WINDOW} DAYS")
+            ),
+        )
+        .select("day", "user_id")
+        .distinct()
+    )
+    mau = in_window.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("mau")
+    )
+    dau = user_days.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+    )

@@ -764,12 +764,9 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 4
 
 
-def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
-    """UNROLLED synchronous label-propagation oracle: per round, each
-    node adopts the most frequent label among its neighbors (ties -> the
-    smallest label; isolated nodes keep their own) — a deterministic
-    recurrence, so it unrolls into MATERIALIZED CTE pairs exactly like
-    _pagerank_oracle_sql."""
+def _lpa_ctes(rounds: int = LPA_ROUNDS) -> tuple[str, str]:
+    """The unrolled-LPA WITH-body (shared by the LPA oracle and the
+    modularity oracle that composes it); returns (body, final_cte)."""
     stages = []
     prev = "l0"
     for i in range(1, rounds + 1):
@@ -792,14 +789,22 @@ def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
         )
         prev = f"l{i}"
     body = ",\n".join(stages)
-    return f"""
-WITH {LINK_GRAPH_SQL},
+    return (
+        f"""{LINK_GRAPH_SQL},
 sym AS MATERIALIZED (
     SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
 ),
 l0 AS (SELECT doc_id, doc_id AS community FROM documents),
-{body}
-SELECT doc_id, community FROM {prev}"""
+{body}""",
+        prev,
+    )
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    body, last = _lpa_ctes(rounds)
+    return f"""
+WITH {body}
+SELECT doc_id, community FROM {last}"""
 
 
 @query("q_label_propagation", oracle=_lpa_oracle_sql())
@@ -819,15 +824,22 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     asynchronous/random variant) are what make the result deterministic
     and therefore testable across engines."""
     docs = load_table(spark, sf_dir, "documents")
+    return label_propagation(docs, link_graph(docs))
+
+
+def label_propagation(
+    docs: DataFrame, edges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Synchronous LPA kernel (see q_label_propagation); reused by
+    q_graph_modularity, which scores the partition it finds."""
     from pyspark.sql import Window
 
-    e = link_graph(docs)
-    und = canonical_und(e)
+    und = canonical_und(edges)
     sym = sym_edges(und).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("community")).localCheckpoint()
     prev_ckpt = labels
     w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "community")
-    for _ in range(LPA_ROUNDS):
+    for _ in range(rounds):
         votes = (
             sym.join(
                 labels.select(F.col("doc_id").alias("b"), "community"), "b"
@@ -853,6 +865,91 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_ckpt = labels
     out = labels.select("doc_id", "community")
     _free_checkpoint(sym)
+    return out
+
+
+_MOD_BODY, _MOD_LAST = _lpa_ctes()
+
+
+@query(
+    "q_graph_modularity",
+    oracle=f"""
+WITH {_MOD_BODY},
+lab AS (SELECT doc_id, community FROM {_MOD_LAST}),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und),
+intra AS (
+    SELECT la.community, CAST(COUNT(*) AS BIGINT) AS e
+    FROM und
+    JOIN lab la ON la.doc_id = und.a
+    JOIN lab lb ON lb.doc_id = und.b AND lb.community = la.community
+    GROUP BY la.community
+),
+deg AS (SELECT a AS doc_id, COUNT(*) AS d FROM sym GROUP BY a),
+comm AS (
+    SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(COALESCE(SUM(d.d), 0) AS BIGINT) AS degree_sum
+    FROM lab l LEFT JOIN deg d USING (doc_id) GROUP BY l.community
+)
+SELECT c.community, c.n_nodes,
+    COALESCE(i.e, 0) AS intra_edges, c.degree_sum,
+    ROUND(COALESCE(i.e, 0) / m.m
+        - POW(c.degree_sum / (2.0 * m.m), 2), 9) + 0.0 AS contribution
+FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m""",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community:
+    Q_c = e_c/m - (d_c/2m)^2 (intra-community edge share minus the
+    configuration-model expectation); total Q = sum of contributions.
+    The standard "did community detection find real structure" readout
+    — scoring the exact partition q_label_propagation ships, so the two
+    oracles compose: the unrolled-LPA CTE chain feeds the modularity
+    aggregation in both dialects.
+
+    Scale: beyond the LPA rounds themselves, one label join per edge
+    endpoint (two-long rows), one degree agg, and community-level
+    rollups — everything keyed on node id or community id, nothing at
+    corpus width."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = link_graph(docs)
+    und = canonical_und(edges, checkpoint=True)
+    lab = label_propagation(docs, edges).localCheckpoint()
+    m_df = und.agg(F.count("*").cast("double").alias("m"))
+    la = lab.select(F.col("doc_id").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("doc_id").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("e"))
+    )
+    deg = sym_edges(und).groupBy("a").agg(F.count("*").alias("d"))
+    comm = (
+        lab.join(deg, lab.doc_id == deg.a, "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("degree_sum"),
+        )
+    )
+    out = (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e", F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            (
+                F.round(
+                    F.coalesce("e", F.lit(0)) / F.col("m")
+                    - F.pow(F.col("degree_sum") / (2.0 * F.col("m")), 2),
+                    9,
+                )
+                + 0.0
+            ).alias("contribution"),
+        )
+    )
     return out
 
 

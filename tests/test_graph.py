@@ -430,3 +430,46 @@ def test_textrank_word_graph_matches_python(spark):
     assert set(got) == words
     for w, i in ids.items():
         assert abs(got[w] - r[i]) < 1e-8, (w, got[w], r[i])
+
+
+def test_modularity_matches_python(spark):
+    """Q re-derived in pure Python over the same LPA labels: sum of
+    per-community contributions equals the textbook double-sum form, and
+    each row matches the e/m - (d/2m)^2 definition."""
+    from aram_matchdata_etl_spark.operators.graph import label_propagation
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    und = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in link_graph(docs).collect()
+    }
+    labels = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(docs, link_graph(docs)).collect()
+    }
+    m = len(und)
+    intra: dict = {}
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if labels[a] == labels[b]:
+            intra[labels[a]] = intra.get(labels[a], 0) + 1
+    dsum: dict = {}
+    nn: dict = {}
+    for node, c in labels.items():
+        dsum[c] = dsum.get(c, 0) + deg.get(node, 0)
+        nn[c] = nn.get(c, 0) + 1
+    rows = all_queries()["q_graph_modularity"](spark, SF).collect()
+    assert {r["community"] for r in rows} == set(nn)
+    q_total = 0.0
+    for r in rows:
+        c = r["community"]
+        want = intra.get(c, 0) / m - (dsum.get(c, 0) / (2 * m)) ** 2
+        assert r["n_nodes"] == nn[c]
+        assert r["intra_edges"] == intra.get(c, 0)
+        assert r["degree_sum"] == dsum.get(c, 0)
+        assert abs(r["contribution"] - want) < 1e-8
+        q_total += r["contribution"]
+    assert -1.0 <= q_total <= 1.0

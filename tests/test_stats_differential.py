@@ -912,3 +912,41 @@ def test_lorenz_curve_matches_numpy(spark):
         assert abs(r.spend_sum - round(seg.sum(), 4)) < 1e-6
         assert abs(r.cum_share - cum / total) < 1e-5
     assert rows[10].cum_share == 1.0
+
+
+def test_dau_mau_and_cumulative_users_match_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        DAU_MAU_WINDOW,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck("SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events")
+    user_days = {(r.user_id, r.day.date()) for r in ev.itertuples(index=False)}
+    days = sorted({d for _, d in user_days})
+    per_day: dict = {}
+    first_seen: dict = {}
+    for u, d in sorted(user_days, key=lambda t: t[1]):
+        per_day.setdefault(d, set()).add(u)
+        first_seen.setdefault(u, d)
+    cum = all_queries()["q_cumulative_users"](spark, SF_ORACLE).collect()
+    got_cum = {r.day.date(): (r.n_active, r.n_new, r.cum_users) for r in cum}
+    running = 0
+    for d in days:
+        new = sum(1 for u, fd in first_seen.items() if fd == d)
+        running += new
+        assert got_cum[d] == (len(per_day[d]), new, running), d
+    got_dm = {
+        r.day.date(): (r.dau, r.mau, r.stickiness)
+        for r in all_queries()["q_dau_mau"](spark, SF_ORACLE).collect()
+    }
+    import datetime
+
+    for d in days:
+        win = {
+            u
+            for u, ud in user_days
+            if ud <= d and ud > d - datetime.timedelta(days=DAU_MAU_WINDOW)
+        }
+        dau, mau, st = got_dm[d]
+        assert (dau, mau) == (len(per_day[d]), len(win)), d
+        assert abs(st - dau / mau) < 1e-5, d
