@@ -216,3 +216,60 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("frame_preview"),
     )
+
+
+@query(
+    "q_media_dedup",
+    oracle="""
+WITH media AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS media_type,
+        md5(text) AS fp,
+        CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+), groups AS (
+    SELECT fp, MIN(doc_id) AS canonical_id,
+        CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM media GROUP BY fp
+)
+SELECT m.doc_id, m.media_type, m.fp, m.n_bytes,
+    g.canonical_id, g.group_size,
+    m.doc_id <> g.canonical_id AS is_dup
+FROM media m JOIN groups g ON m.fp = g.fp""",
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content hash — the FIRST pass every
+    multimodal pipeline runs before any decode: byte-identical payloads
+    (re-crawled or mirrored assets) collapse to one canonical id
+    (min doc_id), so the expensive decode/featurize stage downstream
+    (q_media_features) runs once per distinct asset. Spark hashes the
+    BINARY payload directly; the oracle hashes the same UTF-8 bytes via
+    md5(text) — identical digests because the synthetic payload IS the
+    encoded text (synthetic_media).
+
+    Scale: one groupBy on the 16-byte digest (payload bytes never
+    shuffle — the md5 and length are derived in the scan projection,
+    exactly the module's design rule), then a digest-keyed join back.
+    The canonical choice (min doc_id) is deterministic, mirroring
+    q_dedup_exact's keep-rule."""
+    media = synthetic_media(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.md5("payload").alias("fp"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    groups = media.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("bigint").alias("group_size"),
+    )
+    return media.join(groups, "fp").select(
+        "doc_id",
+        "media_type",
+        "fp",
+        "n_bytes",
+        "canonical_id",
+        "group_size",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )

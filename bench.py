@@ -91,6 +91,14 @@ HEADLINE = [
     "q_kmv_overlap",
     "q_mannwhitney_u",
     "q_scd2_build",
+    # round-7 second-wave representatives, one per new plan family:
+    # shingle-df join-back (novelty), vocab-scale iterative (TextRank),
+    # the 4x generalization-ladder explode (k-anonymity), and the
+    # 28x rolling-distinct range join (DAU/MAU)
+    "q_ngram_novelty",
+    "q_textrank_keywords",
+    "q_k_anonymity",
+    "q_dau_mau",
     # q_bootstrap_ci stays out: its rows x B=200 md5 grid is ~18.5 s at
     # sf0.1 — honest work (20M portable-hash evaluations), but it would
     # dominate the suite total and blur round-over-round drift; driver-
