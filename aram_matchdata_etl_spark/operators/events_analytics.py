@@ -1703,3 +1703,125 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, date_trunc('day', ts) AS day, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+            ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+            ORDER BY ts DESC, event_id DESC) AS rn_b
+    FROM events
+)
+SELECT event_type, day,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+    ROUND(MAX(value), 6) AS high,
+    ROUND(MIN(value), 6) AS low,
+    ROUND(MAX(CASE WHEN rn_b = 1 THEN value END), 6) AS close
+FROM ranked GROUP BY event_type, day""",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candlestick rollup per event
+    type — the canonical time-series downsampling shape (every metrics
+    store and market-data pipeline ships it). Open/close are the first/
+    last values by (ts, event_id) — the deterministic tie-break this
+    repo uses everywhere instead of engine-dependent arg_min on a
+    possibly-tied timestamp.
+
+    One exchange total: the two ROW_NUMBER windows and the final groupBy
+    all partition by (event_type, day), so Catalyst plans a single
+    hash-partitioning reused across all three."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    wa = Window.partitionBy("event_type", day.alias("day")).orderBy(
+        "ts", "event_id"
+    )
+    wb = Window.partitionBy("event_type", day.alias("day")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wb).alias("rn_b"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_b") == 1, F.col("value"))), 6).alias(
+            "close"
+        ),
+    )
+
+
+ROLLING_MEDIAN_DAYS = 7
+
+
+@query(
+    "q_rolling_median",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS x
+    FROM events GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+    ROUND(d.x, 6) AS daily_mean,
+    CAST(COUNT(*) AS INTEGER) AS window_n,
+    ROUND(median(r.x), 6) AS rolling_median
+FROM daily d
+JOIN daily r ON r.event_type = d.event_type
+    AND r.day <= d.day AND r.day > d.day - INTERVAL {ROLLING_MEDIAN_DAYS} DAY
+GROUP BY d.event_type, d.day, d.x""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLLING_MEDIAN_DAYS}-day rolling MEDIAN of the daily
+    series per event type — the robust smoother used where EWMA/Holt
+    (mean-based) chase outliers. A rolling exact median is not a window
+    primitive in Spark; the standard decomposition is a bounded range
+    self-join of the DAILY rollup against itself (fan-out <=
+    {ROLLING_MEDIAN_DAYS} rows per day), then an exact per-group median
+    over <= {ROLLING_MEDIAN_DAYS} values.
+
+    Scale: the corpus reduces to the daily rollup first; the self-join
+    and median run at |days| x {ROLLING_MEDIAN_DAYS} scale, corpus-
+    independent — the same rollup-before-expensive-op discipline as the
+    EWMA/CUSUM family."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    r = daily.select(
+        F.col("event_type").alias("event_type"),
+        F.col("day").alias("rday"),
+        F.col("x").alias("rx"),
+    )
+    joined = daily.join(
+        r,
+        (F.col("rday") <= F.col("day"))
+        & (
+            F.col("rday")
+            > F.col("day") - F.expr(f"INTERVAL {ROLLING_MEDIAN_DAYS} DAYS")
+        )
+        & (daily.event_type == r.event_type),
+    ).drop(r.event_type)
+    return joined.groupBy("event_type", "day", "x").agg(
+        F.count("*").cast("int").alias("window_n"),
+        F.round(F.median("rx"), 6).alias("rolling_median"),
+    ).select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("daily_mean"),
+        "window_n",
+        "rolling_median",
+    )

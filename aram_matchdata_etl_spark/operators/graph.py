@@ -1360,3 +1360,46 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("doc_id").alias("word"), F.round("rank", 9).alias("rank")
     )
+
+
+@query(
+    "q_reciprocity",
+    oracle=f"""
+WITH {LINK_GRAPH_SQL},
+recip AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+    FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+    recip.n_recip,
+    ROUND(recip.n_recip * 1.0
+        / (SELECT COUNT(*) FROM edges), 6) AS reciprocity
+FROM recip""",
+)
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of directed edges whose
+    reverse edge also exists — the one-scalar readout separating
+    mutual-link structure (citation/follower graphs differ hugely here)
+    that calibrates whether the undirected canonicalization the rest of
+    the graph family applies (canonical_und) discards meaningful
+    direction.
+
+    One self-join of the (src, dst) relation on the reversed key —
+    two-long rows, hash-partitioned once; counts aggregate map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = link_graph(docs).localCheckpoint()
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    total = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    recip = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_recip"))
+    )
+    return total.crossJoin(F.broadcast(recip)).select(
+        "n_edges",
+        "n_recip",
+        F.round(F.col("n_recip") * 1.0 / F.col("n_edges"), 6).alias(
+            "reciprocity"
+        ),
+    )

@@ -950,3 +950,53 @@ def test_dau_mau_and_cumulative_users_match_pure_python(spark):
         dau, mau, st = got_dm[d]
         assert (dau, mau) == (len(per_day[d]), len(win)), d
         assert abs(st - dau / mau) < 1e-5, d
+
+
+def test_ohlc_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck(
+        "SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value"
+        " FROM events"
+    )
+    got = {
+        (r.event_type, r.day.date()): (r.n, r.open, r.high, r.low, r.close)
+        for r in all_queries()["q_ohlc"](spark, SF_ORACLE).collect()
+    }
+    for (et, day), grp in ev.groupby(["event_type", "day"]):
+        g = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy()
+        n, o, h, l, c = got[(et, day.date())]
+        assert n == len(v)
+        assert abs(o - v[0]) < 1e-6 and abs(c - v[-1]) < 1e-6
+        assert abs(h - v.max()) < 1e-6 and abs(l - v.min()) < 1e-6
+
+
+def test_rolling_median_matches_numpy(spark):
+    import datetime
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        ROLLING_MEDIAN_DAYS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    daily = _duck(
+        "SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS x"
+        " FROM events GROUP BY 1, 2"
+    )
+    got = {
+        (r.event_type, r.day.date()): (r.window_n, r.rolling_median)
+        for r in all_queries()["q_rolling_median"](spark, SF_ORACLE).collect()
+    }
+    for et, grp in daily.groupby("event_type"):
+        series = {r.day.date(): r.x for r in grp.itertuples(index=False)}
+        for d in series:
+            win = [
+                x
+                for dd, x in series.items()
+                if dd <= d
+                and dd > d - datetime.timedelta(days=ROLLING_MEDIAN_DAYS)
+            ]
+            n, med = got[(et, d)]
+            assert n == len(win)
+            assert abs(med - np.median(win)) < 1e-5, (et, d)
