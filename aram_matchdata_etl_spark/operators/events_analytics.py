@@ -1736,16 +1736,24 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all partition by (event_type, day), so Catalyst plans a single
     hash-partitioning reused across all three."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    wa = Window.partitionBy("event_type", day.alias("day")).orderBy(
-        "ts", "event_id"
+    # project the day column BEFORE the windows: partitioning by the
+    # materialized attribute lets the two windows and the final groupBy
+    # share one exchange (partitioning by the raw date_trunc expression
+    # plans a second one — pinned in test_plans.py)
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
     )
-    wb = Window.partitionBy("event_type", day.alias("day")).orderBy(
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wb = Window.partitionBy("event_type", "day").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    ranked = ev.select(
+    ranked = base.select(
         "event_type",
-        day.alias("day"),
+        "day",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wb).alias("rn_b"),

@@ -380,3 +380,48 @@ def test_gini_single_scan_rollup_first(spark):
     plan = _plan(spark, "q_gini")
     assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_single_exchange(spark):
+    """q_ohlc's two ROW_NUMBER windows and the final groupBy all cluster
+    by (event_type, day): ONE hash exchange total."""
+    plan = _plan(spark, "q_ohlc")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_k_anonymity_single_corpus_shuffle(spark):
+    """The generalization ladder must be ONE scan + one class-key shuffle
+    (widths explode per row), never one aggregation pass per rung: the
+    plan carries exactly one Generate (explode) and the scan appears
+    once."""
+    plan = _plan(spark, "q_k_anonymity")
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_skyline_no_cartesian_no_smj(spark):
+    """The sort-cummax skyline must keep the dominance test at
+    distinct-price scale: broadcast join back, no cartesian product, no
+    sort-merge join of the corpus against itself."""
+    plan = _plan(spark, "q_skyline")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_single_user_rollup(spark):
+    """RFM reduces the corpus to ONE per-user rollup before any NTILE —
+    exactly one user_id hash exchange (the anchor-date scalar adds a
+    second scan, but never a second corpus shuffle)."""
+    plan = _plan(spark, "q_rfm_segmentation")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan  # anchor scalar + rollup
+
+
+def test_kruskal_windows_post_rollup(spark):
+    """Kruskal-Wallis's rank cumsum must run over the distinct-value
+    rollup — the corpus-side plan is aggregates only (no Window before
+    the first HashAggregate over events)."""
+    plan = _plan(spark, "q_kruskal_wallis")
+    scan_to_first_agg = plan.split("HashAggregate")[-1]
+    assert "Window" not in scan_to_first_agg, plan
