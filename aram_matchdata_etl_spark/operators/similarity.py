@@ -885,3 +885,68 @@ def q_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine"), "rnk"
         )
     )
+
+
+EMB_OUTLIER_Z = 2.5
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + f""",
+pts AS (
+    SELECT vec_id, label,
+        generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS val
+    FROM emb
+), cent AS (
+    SELECT label, dim, AVG(val) AS c FROM pts GROUP BY label, dim
+), dist AS (
+    SELECT p.vec_id, p.label,
+        SUM((p.val - c.c) * (p.val - c.c)) AS d2
+    FROM pts p JOIN cent c ON p.label = c.label AND p.dim = c.dim
+    GROUP BY p.vec_id, p.label
+), stats AS (
+    SELECT label, AVG(d2) AS mu, STDDEV_SAMP(d2) AS sd FROM dist
+    GROUP BY label
+)
+SELECT d.vec_id, d.label, ROUND(d.d2, 6) AS dist2,
+    ROUND((d.d2 - s.mu) / s.sd, 6) AS z,
+    (d.d2 - s.mu) / s.sd > {EMB_OUTLIER_Z} AS is_outlier
+FROM dist d JOIN stats s ON d.label = s.label""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding outlier score: squared distance to the OWN
+    label's centroid, z-scored within the label, flagged past
+    z > {EMB_OUTLIER_Z} — the mislabeled/corrupted-sample detector run
+    before embeddings feed dedup or ANN (a vector far from its class
+    prototype is a labeling error or an encoder failure). One-sided by
+    design: unusually CLOSE to the centroid is not a defect.
+
+    Scale: composes q_embedding_centroids' long-form aggregation (the
+    100 TB-safe way to average vectors); per-vector distances are a
+    (label, dim)-keyed join of the exploded points against the tiny
+    centroid table (broadcast), re-aggregated per vec_id — scalars
+    through every shuffle, never whole vectors."""
+    emb = embeddings_d(spark, sf_dir)
+    pts = emb.select("vec_id", "label", F.posexplode("vec").alias("dim", "val"))
+    cent = pts.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    dist = (
+        pts.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+            .alias("d2")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d2").alias("mu"), F.stddev_samp("d2").alias("sd")
+    )
+    z = (F.col("d2") - F.col("mu")) / F.col("sd")
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round("d2", 6).alias("dist2"),
+        F.round(z, 6).alias("z"),
+        (z > EMB_OUTLIER_Z).alias("is_outlier"),
+    )

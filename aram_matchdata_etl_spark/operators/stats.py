@@ -2658,3 +2658,100 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hy", 6).alias("h_source"),
         F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
     )
+
+
+@query(
+    "q_did",
+    oracle="""
+WITH anchor AS (
+    SELECT epoch_us(MIN(ts))
+        + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS cut_us
+    FROM events
+),
+assigned AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS treated,
+        CAST(epoch_us(ts) >= anchor.cut_us AS INTEGER) AS post,
+        value
+    FROM events CROSS JOIN anchor
+), cells AS (
+    SELECT treated, post,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        AVG(value) AS mean,
+        VAR_SAMP(value) AS v
+    FROM assigned GROUP BY treated, post
+), wide AS (
+    SELECT
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS m00,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS m01,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS m10,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS m11,
+        SUM(v / n) AS se2,
+        CAST(SUM(n) AS BIGINT) AS n
+    FROM cells
+)
+SELECT n,
+    ROUND(m00, 6) AS control_pre, ROUND(m01, 6) AS control_post,
+    ROUND(m10, 6) AS treated_pre, ROUND(m11, 6) AS treated_post,
+    ROUND((m11 - m10) - (m01 - m00), 6) AS did,
+    ROUND(((m11 - m10) - (m01 - m00)) / SQRT(se2), 6) AS z_stat
+FROM wide""",
+)
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-effect readout when
+    randomization is absent — (treated post - treated pre) minus
+    (control post - control pre) cancels both the group baseline and the
+    common time trend. Treated = user_id parity (the repo's standing
+    variant hash), pre/post split at the corpus midpoint timestamp; SE
+    from the four cell variances (independent-cells normal approx).
+    Completes the experiment family: q_ab_test (randomized), q_cuped
+    (variance reduction), q_effect_sizes (magnitude), q_power_analysis
+    (design), q_did (observational).
+
+    ONE pass to the 2x2 cell table (conditional aggregates, map-side
+    partials; the midpoint anchor is a broadcast scalar), then scalar
+    algebra on four rows."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer epoch-microsecond midpoint: floor-div arithmetic is exact
+    # and engine-identical (interval division is not)
+    anchor = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+            ).cast("long")
+        ).alias("cut_us")
+    )
+    assigned = ev.crossJoin(F.broadcast(anchor)).select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        (F.unix_micros(F.col("ts")) >= F.col("cut_us")).cast("int").alias("post"),
+        "value",
+    )
+    cells = assigned.groupBy("treated", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("v"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean"))
+        )
+
+    wide = cells.agg(
+        cell(0, 0).alias("m00"),
+        cell(0, 1).alias("m01"),
+        cell(1, 0).alias("m10"),
+        cell(1, 1).alias("m11"),
+        F.sum(F.col("v") / F.col("n")).alias("se2"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return wide.select(
+        "n",
+        F.round("m00", 6).alias("control_pre"),
+        F.round("m01", 6).alias("control_post"),
+        F.round("m10", 6).alias("treated_pre"),
+        F.round("m11", 6).alias("treated_post"),
+        F.round(did, 6).alias("did"),
+        F.round(did / F.sqrt(F.col("se2")), 6).alias("z_stat"),
+    )

@@ -1000,3 +1000,51 @@ def test_rolling_median_matches_numpy(spark):
             n, med = got[(et, d)]
             assert n == len(win)
             assert abs(med - np.median(win)) < 1e-5, (et, d)
+
+
+def test_did_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_did"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    us = ev["ts"].astype("int64") // 1000  # epoch micros
+    cut = us.min() + (us.max() - us.min()) // 2
+    treated = (ev["user_id"] % 2).to_numpy()
+    post = (us >= cut).to_numpy()
+    v = ev["value"].to_numpy()
+    means = {}
+    se2 = 0.0
+    for t in (0, 1):
+        for p in (0, 1):
+            cell = v[(treated == t) & (post == p)]
+            means[(t, p)] = cell.mean()
+            se2 += cell.var(ddof=1) / len(cell)
+    did = (means[(1, 1)] - means[(1, 0)]) - (means[(0, 1)] - means[(0, 0)])
+    assert row.n == len(v)
+    assert abs(row.did - did) < 1e-5
+    assert abs(row.z_stat - did / np.sqrt(se2)) < 1e-5
+
+
+def test_embedding_outliers_match_numpy(spark):
+    from aram_matchdata_etl_spark.operators.similarity import EMB_OUTLIER_Z
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    emb = _duck("SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings")
+    got = {
+        r.vec_id: (r.label, r.dist2, r.z, r.is_outlier)
+        for r in all_queries()["q_embedding_outliers"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(got) == set(emb["vec_id"])
+    for label, grp in emb.groupby("label"):
+        mat = np.vstack(grp["vec"].to_numpy())
+        cent = mat.mean(axis=0)
+        d2 = ((mat - cent) ** 2).sum(axis=1)
+        mu, sd = d2.mean(), d2.std(ddof=1)
+        for vid, dd in zip(grp["vec_id"], d2):
+            gl, gd, gz, go = got[vid]
+            assert gl == label
+            assert abs(gd - dd) < 1e-5
+            assert abs(gz - (dd - mu) / sd) < 1e-4
+            assert go == bool((dd - mu) / sd > EMB_OUTLIER_Z)
