@@ -425,6 +425,10 @@ SCALE_TIER = [
     "q_funnel",              # MIN-over-partition window cascade
     "q_tfidf",               # corpus term aggregation + join-back
     "q_web_curation_pipeline",  # fused multi-stage curation
+    # q_ngram_novelty is NOT tiered: its plan family (corpus term
+    # aggregation + join-back) is q_tfidf's, already measured above, and
+    # a 16th entry pushes the worst-case final line past the 1900-char
+    # budget (test_bench_contract::test_realistic_line_with_scale_tier_fits)
 ]
 SCALE_TIER_K = 10
 # bump when the replication recipe changes so a stale materialized tier
