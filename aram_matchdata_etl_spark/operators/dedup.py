@@ -1242,3 +1242,99 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(uniq * 1.0 / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "q_lsh_candidate_eval",
+    oracle="WITH "
+    + _lsh_ctes()
+    + f""",
+tinter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+    FROM hs a JOIN hs b ON b.x = a.x AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT t.doc_a, t.doc_b
+    FROM tinter t
+    JOIN hsizes sa ON sa.doc_id = t.doc_a
+    JOIN hsizes sb ON sb.doc_id = t.doc_b
+    WHERE t.ni * 1.0 / (sa.n + sb.n - t.ni) >= {JACCARD_THRESHOLD}
+),
+m AS (
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+         JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+            AS n_true_candidates
+)
+SELECT n_truth, n_candidates, n_true_candidates,
+    ROUND(n_true_candidates * 1.0 / n_truth, 6) AS recall,
+    ROUND(n_true_candidates * 1.0 / n_candidates, 6) AS precision
+FROM m""",
+)
+def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality readout: recall and precision of the
+    CANDIDATE set (pre-verification) against the exact hash-set Jaccard
+    truth at the same threshold — the number a pipeline owner tunes
+    bands x rows against (recall = how many true near-dups the buckets
+    surface; precision = how much of the verify budget is wasted on
+    false candidates). Complements the pytest recall assertions with a
+    driver-hashed, user-runnable query; both engines derive truth AND
+    candidates from the identical md5/affine pipeline (_lsh_ctes), so
+    the four counters are bit-identical.
+
+    Scale caveat, stated honestly: TRUTH needs the exact pair join —
+    quadratic on hot shingle-hashes — so this is an OFFLINE evaluation
+    run on a sample (exactly how production tunes LSH), not a step of
+    the dedup path itself; the operator composes the same
+    candidates-then-verify pieces the scale path uses."""
+    sets = shingle_hash_sets(spark, sf_dir)
+    cand = lsh_candidate_pairs(minhash_signatures(sets)).localCheckpoint(
+        eager=False
+    )
+    hs = sets.select("doc_id", F.explode("hs").alias("x"))
+    sizes = sets.select("doc_id", F.size("hs").alias("n"))
+    a, b = hs.alias("a"), hs.alias("b")
+    tinter = (
+        a.join(
+            b,
+            (F.col("b.x") == F.col("a.x"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    truth = (
+        tinter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_true_cand = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_true_candidates")
+    )
+    j = (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true_cand))
+    )
+    return j.select(
+        "n_truth",
+        "n_candidates",
+        "n_true_candidates",
+        F.round(F.col("n_true_candidates") * 1.0 / F.col("n_truth"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("n_true_candidates") * 1.0 / F.col("n_candidates"), 6
+        ).alias("precision"),
+    )
