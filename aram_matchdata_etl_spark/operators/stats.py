@@ -2755,3 +2755,246 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 6).alias("did"),
         F.round(did / F.sqrt(F.col("se2")), 6).alias("z_stat"),
     )
+
+
+# --- one-way ANOVA (parametric k-group mean comparison) ----------------------
+
+
+@query(
+    "q_anova_oneway",
+    oracle="""
+WITH g AS (
+    SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(value) AS s,
+        SUM(value * value) AS ss
+    FROM events GROUP BY event_type
+), gm AS (
+    SELECT SUM(s) / SUM(n) AS grand_mean FROM g
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        SUM(n) AS n_total,
+        MAX(grand_mean) AS grand_mean,
+        SUM(n * POW(s / n - grand_mean, 2)) AS ssb,
+        SUM(ss - s * s / n) AS ssw
+    FROM g CROSS JOIN gm
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+    ROUND(grand_mean, 6) AS grand_mean,
+    ROUND(ssb / (k - 1), 6) AS ms_between,
+    ROUND(ssw / (n_total - k), 6) AS ms_within,
+    ROUND((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat,
+    ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+FROM tot""",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the event-type groups — the parametric
+    complement of q_kruskal_wallis (rank-based) and the k-group
+    generalization of q_ab_test. Sufficient statistics only: per-group
+    (n, sum, sum-of-squares) partial-aggregate map-side in ONE pass; SSB
+    and SSW derive algebraically (SSW_g = ss_g - s_g^2/n_g, exact in both
+    dialects because it is the SAME subtraction on the SAME doubles), and
+    the k-row group table reduces to one readout row. At 100 TB the
+    corpus never shuffles — only k triples do."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+    import pyspark.sql.window as W
+
+    w = W.Window.partitionBy()
+    tot = g.select(
+        "n",
+        "s",
+        "ss",
+        (F.sum("s").over(w) / F.sum("n").over(w)).alias("gm"),
+    ).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.max("gm").alias("grand_mean"),
+        F.sum(F.col("n") * F.pow(F.col("s") / F.col("n") - F.col("gm"), 2)).alias(
+            "ssb"
+        ),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n_total") - F.col("k"))
+    return tot.select(
+        "k",
+        "n_total",
+        F.round("grand_mean", 6).alias("grand_mean"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+# --- Jarque-Bera normality test ----------------------------------------------
+
+
+@query(
+    "q_jarque_bera",
+    oracle="""
+WITH mu AS (
+    SELECT event_type, AVG(value) AS m FROM events GROUP BY event_type
+), mom AS (
+    SELECT e.event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        AVG(POW(value - m, 3)) / POW(STDDEV_POP(value), 3) AS g1,
+        AVG(POW(value - m, 4)) / POW(VAR_POP(value), 2) - 3 AS g2
+    FROM events e JOIN mu USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT event_type, n,
+    ROUND(g1, 6) AS skew,
+    ROUND(g2, 6) AS excess_kurtosis,
+    ROUND(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) AS jb_stat,
+    CAST(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) > 5.991465 AS BOOLEAN)
+        AS reject_normal_5pct
+FROM mom""",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: JB = n/6*(g1^2 + g2^2/4)
+    from the POPULATION skewness g1 and excess kurtosis g2 — exactly the
+    moments Spark's single-pass skewness()/kurtosis() builtins produce
+    (the oracle recomputes them via the q_stats_moments two-pass mean-join
+    because DuckDB's builtins are bias-corrected sample statistics).
+    Decision column against the chi-square(2) 5% critical value 5.991.
+    One event_type exchange; a normality gate over 100 TB of feature
+    columns is one scan."""
+    mom = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.skewness("value").alias("g1"),
+            F.kurtosis("value").alias("g2"),
+        )
+    )
+    jb = F.col("n") / 6.0 * (
+        F.col("g1") * F.col("g1") + F.col("g2") * F.col("g2") / 4.0
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.round("g1", 6).alias("skew"),
+        F.round("g2", 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        (jb > 5.991465).alias("reject_normal_5pct"),
+    )
+
+
+# --- Wilson score confidence interval ----------------------------------------
+
+_WILSON_Z = 1.959964  # two-sided 95%
+
+
+@query(
+    "q_wilson_ci",
+    oracle=f"""
+WITH g AS (
+    SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        AVG(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) AS p
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, ROUND(p, 6) AS p_hat,
+    ROUND((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+           - {_WILSON_Z} * SQRT(p * (1 - p) / n
+                 + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+          / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_lo,
+    ROUND((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+           + {_WILSON_Z} * SQRT(p * (1 - p) / n
+                 + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+          / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_hi
+FROM g
+ORDER BY event_type""",
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for a per-group proportion (share of
+    high-value events, the conversion-rate readout shape). Unlike the
+    Wald interval it never leaves [0,1] and stays calibrated at small n
+    or extreme p — the right default for dashboard proportions. ONE
+    conditional-aggregate pass to (n, p) per group; the interval is
+    scalar algebra on the k-row rollup."""
+    z = _WILSON_Z
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg(F.when(F.col("value") > 100, 1.0).otherwise(0.0)).alias("p"),
+        )
+    )
+    n, p = F.col("n"), F.col("p")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return g.select(
+        "event_type",
+        "n",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+# --- Herfindahl-Hirschman concentration index --------------------------------
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+WITH cells AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY lang, source
+), shares AS (
+    SELECT lang, c / SUM(c) OVER (PARTITION BY lang) AS share
+    FROM cells
+)
+SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_sources,
+    ROUND(SUM(share * share) * 10000, 6) AS hhi,
+    ROUND(1.0 / SUM(share * share), 6) AS effective_sources,
+    ROUND(MAX(share), 6) AS top_share
+FROM shares GROUP BY lang ORDER BY lang""",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit per language: Herfindahl-Hirschman index
+    (sum of squared shares, x10000 in the antitrust convention), its
+    inverse (the effective number of sources), and the top source's
+    share. The training-data governance readout: a lang whose HHI
+    approaches 10000 is a single-source monoculture no matter how many
+    rows it has. Corpus reduces to (lang x source) cells in one
+    partial-agg pass; shares are a window over the bounded cell table."""
+    from pyspark.sql import Window
+
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    share = (F.col("c") / F.sum("c").over(Window.partitionBy("lang"))).alias(
+        "share"
+    )
+    return (
+        cells.select("lang", share)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.round(F.sum(F.col("share") * F.col("share")) * 10000, 6).alias(
+                "hhi"
+            ),
+            F.round(1.0 / F.sum(F.col("share") * F.col("share")), 6).alias(
+                "effective_sources"
+            ),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("lang")
+    )
