@@ -1833,3 +1833,222 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_n",
         "rolling_median",
     )
+
+
+# --- activity streaks (gaps-and-islands) -------------------------------------
+
+
+@query(
+    "q_streaks",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id,
+        CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS dayno
+    FROM events
+), isl AS (
+    SELECT user_id, dayno,
+        dayno - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayno)
+            AS grp
+    FROM daily
+), streaks AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+    FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+    CAST(SUM(len) AS BIGINT) AS active_days,
+    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+    CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY user_id ORDER BY user_id""",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the canonical
+    gaps-and-islands pattern: an island's members share (dayno -
+    row_number) because consecutive days advance both by exactly 1. Two
+    windows and two aggregations, ALL partitioned by user_id on the
+    (user, day) ROLLUP — the corpus collapses to at most users x days
+    rows in the first DISTINCT, so the windows never see raw events; one
+    user_id exchange end-to-end at any corpus size."""
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("dayno"),
+        )
+        .distinct()
+    )
+    grp = F.col("dayno") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("dayno")
+    )
+    streaks = (
+        daily.select("user_id", "dayno", grp.alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("active_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- churn label generation ---------------------------------------------------
+
+CHURN_WINDOW_DAYS = 7  # "churned" = silent for the corpus's final week
+
+
+@query(
+    "q_churn_labels",
+    oracle=f"""
+WITH anchor AS (
+    SELECT date_trunc('day', MAX(ts))
+           - INTERVAL {CHURN_WINDOW_DAYS - 1} DAY AS cut
+    FROM events
+), per_user AS (
+    SELECT user_id,
+        date_trunc('week', MIN(ts)) AS cohort_week,
+        MAX(ts) AS last_seen,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(CASE WHEN last_seen < cut THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_churned,
+    ROUND(AVG(CASE WHEN last_seen < cut THEN 1.0 ELSE 0.0 END), 6)
+        AS churn_rate,
+    ROUND(AVG(n_events), 6) AS avg_events_per_user
+FROM per_user CROSS JOIN anchor
+GROUP BY cohort_week ORDER BY cohort_week""",
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation, the supervised-training complement of
+    q_retention_cohorts: a user is labeled churned when silent for the
+    corpus's final {CHURN_WINDOW_DAYS}-day window, rolled up by
+    first-seen cohort week. ONE pass to the per-user (first, last, n)
+    rollup — min/max/count all partial-aggregate — then a broadcast
+    scalar cutoff and a cohort-week aggregation over the USER table.
+    The per-user frame (not emitted here) is exactly the label set a
+    churn model trains on; the cohort rollup is its drift dashboard."""
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(
+        F.date_sub(
+            F.date_trunc("day", F.max("ts")), CHURN_WINDOW_DAYS - 1
+        ).alias("cut")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    churned = (F.col("last_seen") < F.col("cut")).cast("int")
+    return (
+        per_user.crossJoin(F.broadcast(anchor))
+        .groupBy("cohort_week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(churned).cast("bigint").alias("n_churned"),
+            F.round(F.avg(churned.cast("double")), 6).alias("churn_rate"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_user"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+# --- position-based (U-shaped) multi-touch attribution ------------------------
+
+
+@query(
+    "q_attribution_position",
+    oracle=f"""
+WITH purchases AS (
+    SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+    FROM events WHERE event_type = 'purchase'
+), touches AS (
+    SELECT user_id, event_id AS touch_id, event_type AS channel,
+        epoch_us(ts) AS tus
+    FROM events WHERE event_type IN ('view', 'click')
+), joined AS (
+    SELECT p.purchase_id, t.channel, t.tus,
+        ROW_NUMBER() OVER w_asc AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT) AS m
+    FROM purchases p JOIN touches t
+      ON p.user_id = t.user_id
+     AND t.tus < p.pus
+     AND t.tus >= p.pus - {ATTR_LOOKBACK_H * 3600 * 1_000_000}
+    WINDOW w_asc AS (PARTITION BY p.purchase_id ORDER BY t.tus, t.touch_id)
+), weighted AS (
+    SELECT channel,
+        CASE WHEN m = 1 THEN 1.0
+             WHEN m = 2 THEN 0.5
+             WHEN rn = 1 OR rn = m THEN 0.4
+             ELSE 0.2 / (m - 2) END AS w
+    FROM joined
+)
+SELECT channel,
+    ROUND(SUM(w), 6) AS credit,
+    CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM weighted GROUP BY channel ORDER BY channel""",
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    splits its credit over the view/click touches in its 24 h lookback —
+    40% to the first touch, 40% to the last, 20% spread over the middle
+    (single touch takes 100%, a pair splits 50/50). Complements
+    q_attribution_last_touch (winner-take-all) with the fractional-credit
+    readout marketers actually reconcile spend against.
+
+    Scale shape: the purchasesxtouches pairing is a user_id equi-join
+    with a time-range predicate — both sides co-partition on user_id, so
+    row multiplication is bounded by touches-per-user-day (the
+    q_interval_join_binned family); the position windows then partition
+    by purchase_id over already-joined rows. No corpus-wide window, no
+    unbounded fan-out."""
+    ev = _events(spark, sf_dir)
+    look_us = ATTR_LOOKBACK_H * 3600 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - look_us)
+    )
+    w_asc = Window.partitionBy("purchase_id").orderBy("tus", "touch_id")
+    ranked = joined.select(
+        "purchase_id",
+        "channel",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("purchase_id"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    w = (
+        F.when(F.col("m") == 1, F.lit(1.0))
+        .when(F.col("m") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("m")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("m") - 2))
+    )
+    return (
+        ranked.select("channel", w.alias("w"))
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("w"), 6).alias("credit"),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
