@@ -1338,3 +1338,80 @@ def q_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true_candidates") * 1.0 / F.col("n_candidates"), 6
         ).alias("precision"),
     )
+
+
+# --- containment dedup (subset/quote-expansion duplicates) -------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "q_dedup_containment",
+    oracle="WITH "
+    + _SHINGLES_SQL.lstrip()
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingles a
+    JOIN shingles b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a AS contained_doc, doc_b AS container_doc,
+    ROUND(n_common / sa.n, 6) AS containment,
+    CAST(sa.n AS BIGINT) AS n_shingles_contained,
+    CAST(sb.n AS BIGINT) AS n_shingles_container
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE n_common / sa.n >= {CONTAINMENT_THRESHOLD} AND sa.n <= sb.n
+ORDER BY contained_doc, container_doc""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment
+    |A∩B| / |A| >= 0.8 with |A| <= |B|: catches the quote-expansion /
+    boilerplate-wrapper duplicates Jaccard structurally misses — a short
+    article fully embedded in a longer aggregation page has Jaccard
+    |A|/|B| (arbitrarily low) but containment ~1. The directed output
+    names which doc is the contained one (the removal candidate) and
+    which is its container.
+
+    Exact small-scale baseline in the q_dedup_ngram_jaccard family: the
+    shingle equi-join is quadratic on hot shingles, and the LSH banding /
+    prefix-filter machinery (q_dedup_minhash_lsh, q_setsim_prefix_join)
+    is the documented scale path — for containment the standard
+    candidates-then-verify variant indexes only each doc's
+    ceil((1-t)*|A|)+1 rarest shingles. Integer set arithmetic throughout,
+    so the containment double is bit-identical cross-engine."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("n_common") / F.col("na") >= CONTAINMENT_THRESHOLD)
+            & (F.col("na") <= F.col("nb"))
+        )
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
+            F.col("na").cast("bigint").alias("n_shingles_contained"),
+            F.col("nb").cast("bigint").alias("n_shingles_container"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -1036,3 +1036,75 @@ def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# --- CDC apply (change-log -> snapshot) --------------------------------------
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+WITH log AS (
+    SELECT user_id,
+        CASE event_type WHEN 'signup' THEN 'I'
+                        WHEN 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+        value, ts, event_id
+    FROM events
+), latest AS (
+    SELECT user_id, op, value,
+        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+)
+SELECT user_id, op AS last_op, ROUND(value, 6) AS last_value, n_changes
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse an insert/update/delete change
+    log to the live snapshot with latest-wins semantics — the batch core
+    of every lakehouse MERGE (the op mapping here derives a deterministic
+    I/U/D log from the events fixture; in production it is the Debezium
+    `op` field). A key whose LAST change is a delete leaves the snapshot
+    entirely (tombstone); everything else surfaces its most recent value
+    with the change count as audit metadata.
+
+    Scale shape: one user_id exchange shared by both windows (count +
+    row_number over the same partition), then a rank-1 filter — never a
+    self-join against "current state", which is how CDC apply quadratic
+    blowups happen. Ties broken by (ts, event_id) so replayed logs are
+    idempotent. Complements q_idempotent_upsert (per-batch sink
+    semantics) and q_scd2_build (full history); this is the
+    snapshot-read path."""
+    log = _events(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    pk = Window.partitionBy("user_id")
+    latest = log.select(
+        "user_id",
+        "op",
+        "value",
+        F.count("*").over(pk).cast("bigint").alias("n_changes"),
+        F.row_number()
+        .over(pk.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.round("value", 6).alias("last_value"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
