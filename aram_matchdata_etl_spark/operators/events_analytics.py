@@ -2052,3 +2052,85 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- classical seasonal decomposition ----------------------------------------
+
+STL_PERIOD = 7  # weekly seasonality on the daily series
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        AVG(value) AS y
+    FROM events GROUP BY 1
+), trended AS (
+    SELECT day, y,
+        CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+        dayofweek(day) AS dow
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas_raw AS (
+    SELECT dow, AVG(y - trend) AS s_raw
+    FROM trended WHERE trend IS NOT NULL GROUP BY dow
+), seas AS (
+    SELECT dow, s_raw - (SELECT AVG(s_raw) FROM seas_raw) AS seasonal
+    FROM seas_raw
+)
+SELECT t.day, ROUND(t.y, 6) AS y,
+    ROUND(t.trend, 6) AS trend,
+    ROUND(s.seasonal, 6) AS seasonal,
+    ROUND(t.y - t.trend - s.seasonal, 6) AS resid
+FROM trended t JOIN seas s USING (dow)
+ORDER BY t.day""",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily mean-value
+    series: trend = centered 7-day moving average (emitted only where the
+    window is FULL — the standard edge convention), seasonal = day-of-week
+    means of the detrended series re-centered to sum zero, residual = the
+    rest. The model-based anomaly baseline: q_anomaly_zscore flags against
+    a rolling mean; flagging against trend+seasonal separates "weekend
+    dip" from "real drop". (Named for the STL role it plays; the smoother
+    is the classical moving-average one, not LOESS.)
+
+    Scale shape: the corpus collapses to the DAILY rollup in one
+    partial-agg pass; every window and the dow table after that is
+    bounded by the calendar (rows = days, 7-row seasonal table), the
+    re-centering constant is a broadcast scalar subquery."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "y",
+        F.when(F.count("*").over(w) == 7, F.avg("y").over(w)).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas_raw = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw"))
+    )
+    center = seas_raw.agg(F.avg("s_raw").alias("c"))
+    seas = seas_raw.crossJoin(F.broadcast(center)).select(
+        "dow", (F.col("s_raw") - F.col("c")).alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            F.round("y", 6).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+        .orderBy("day")
+    )

@@ -583,6 +583,29 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary case identically in both dialects."""
     from pyspark.sql import Window
 
+    km = _life_table(spark, sf_dir)
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    dead_end = F.min(F.col("n_risk") - F.col("n_events")).over(w_cum) == 0
+    ln_term = F.log(F.nullif(1 - F.col("n_events") * 1.0 / F.col("n_risk"), F.lit(0)))
+    survival = F.when(dead_end, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6)
+    )
+    return km.select(
+        "duration",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        survival.alias("survival"),
+    )
+
+
+def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival life table (duration, n_events, n_censored, n_risk)
+    for the view->purchase spell definition — the common rollup under
+    q_kaplan_meier (product-limit survival) and q_nelson_aalen
+    (cumulative hazard)."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     # anchor FIRST, then take the first purchase AT-OR-AFTER the anchor:
     # a one-pass global MIN(purchase ts) would censor users whose first
@@ -622,8 +645,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_prev = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
-    km = rollup.select(
+    return rollup.select(
         "duration",
         "n_events",
         "n_censored",
@@ -632,17 +654,75 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum(removed).over(w_prev), F.lit(0))
         ).alias("n_risk"),
     )
-    dead_end = F.min(F.col("n_risk") - F.col("n_events")).over(w_cum) == 0
-    ln_term = F.log(F.nullif(1 - F.col("n_events") * 1.0 / F.col("n_risk"), F.lit(0)))
-    survival = F.when(dead_end, F.lit(0.0)).otherwise(
-        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6)
-    )
+
+
+# Life-table CTE chain shared by the KM and Nelson-Aalen oracles.
+_LIFE_TABLE_CTES = """
+tv_tbl AS (
+    SELECT user_id, MIN(ts) AS tv FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), per_user AS (
+    SELECT e.user_id, t.tv,
+        MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= t.tv
+                 THEN e.ts END) AS tp,
+        MAX(e.ts) AS tl
+    FROM events e JOIN tv_tbl t USING (user_id)
+    GROUP BY e.user_id, t.tv
+), spells AS (
+    SELECT user_id,
+        CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        CAST(FLOOR((epoch_us(CASE WHEN tp IS NOT NULL THEN tp ELSE tl END)
+                    - epoch_us(tv)) / 86400000000.0) AS BIGINT) AS duration
+    FROM per_user
+), rollup AS (
+    SELECT duration,
+        CAST(SUM(observed) AS BIGINT) AS n_events,
+        CAST(SUM(1 - observed) AS BIGINT) AS n_censored
+    FROM spells GROUP BY duration
+), life AS (
+    SELECT duration, n_events, n_censored,
+        SUM(n_events + n_censored) OVER ()
+            - COALESCE(SUM(n_events + n_censored) OVER (
+                ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) AS n_risk
+    FROM rollup
+)"""
+
+
+@query(
+    "q_nelson_aalen",
+    oracle="WITH "
+    + _LIFE_TABLE_CTES.lstrip()
+    + """
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+    ROUND(SUM(n_events * 1.0 / n_risk) OVER (
+        ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ), 6) AS cum_hazard,
+    ROUND(SUM(n_events * 1.0 / (n_risk * n_risk)) OVER (
+        ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ), 6) AS hazard_var
+FROM life""",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = sum over death times <= t of
+    d_i/n_i, with its variance estimator sum d_i/n_i^2 — the additive
+    complement of q_kaplan_meier's product-limit curve (and the better
+    estimator in heavy ties / small-risk-set tails, since it never hits
+    the S(t)=0 absorbing state). Shares q_kaplan_meier's exact life-table
+    rollup (_life_table): the corpus reduces to per-duration (d, c, n)
+    rows before the only unpartitioned windows, which run over the
+    distinct-duration table — days, bounded at any corpus size."""
+    from pyspark.sql import Window
+
+    km = _life_table(spark, sf_dir)
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    d, n = F.col("n_events"), F.col("n_risk")
     return km.select(
         "duration",
-        F.col("n_risk").cast("bigint").alias("n_risk"),
+        n.cast("bigint").alias("n_risk"),
         "n_events",
-        "n_censored",
-        survival.alias("survival"),
+        F.round(F.sum(d * 1.0 / n).over(w_cum), 6).alias("cum_hazard"),
+        F.round(F.sum(d * 1.0 / (n * n)).over(w_cum), 6).alias("hazard_var"),
     )
 
 
