@@ -950,3 +950,215 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (z > EMB_OUTLIER_Z).alias("is_outlier"),
     )
+
+
+# --- Lloyd k-means, fixed-round, HASH-ORACLED --------------------------------
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iteration in long form (the q_pagerank
+    MATERIALIZED-CTE trick applied to an iterative ML trainer): round r's
+    assignment is an argmin via ROW_NUMBER over the per-(vec, centroid)
+    summed squared distance, its centroid update a (cid, dim) AVG. The
+    final assignment is all-integer, so the driver hash is exact; the
+    float distances only ever DECIDE an argmin (well-separated at every
+    round on real embeddings), never surface in the output."""
+    parts = [
+        """emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), pts AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS val
+    FROM emb
+), c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, dim, val FROM pts WHERE vec_id < """
+        + str(KMEANS_K)
+        + "\n)"
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+            ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.val - c.val) * (p.val - c.val)), c.cid
+            ) AS rn
+        FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.cid
+    ) WHERE rn = 1
+)""")
+        if r < KMEANS_ROUNDS:
+            parts.append(f""", c{r} AS MATERIALIZED (
+    SELECT a.cid, p.dim, AVG(p.val) AS val
+    FROM a{r} a JOIN pts p ON a.vec_id = p.vec_id
+    GROUP BY a.cid, p.dim
+)""")
+    parts.append(
+        f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+FROM a{KMEANS_ROUNDS} ORDER BY vec_id"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@query("q_kmeans_lloyd", oracle=_kmeans_oracle())
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus, k=8, THREE fixed rounds,
+    deterministic seeding (the k lowest vec_ids) — the first iterative
+    ML TRAINER under the exact driver hash gate (the prior frontier was
+    iterative graph analytics: q_pagerank et al.). Fixed round count and
+    (distance, cid) tie-breaking make both engines' assignments
+    identical; the emitted (vec_id, cluster) frame is all-integer, so
+    the value hash is exact, not tolerance-based.
+
+    Scale shape per round: assignment is ONE scan with the kxd centroid
+    matrix folded into the plan as literals (512 scalars — broadcast by
+    construction; a k*d too big for literals would broadcast-join a
+    centroid frame instead), distances via zip_with/aggregate inside
+    codegen, argmin via array_min on (dist, cid) structs — no shuffle at
+    all. The update is the q_embedding_centroids long-form aggregation:
+    n x d SCALARS shuffle (never vectors), k x d rows return to the
+    driver (bounded, the same convergence-read class as BPE's argmax).
+    Total: 3 scans, 2 scalar-rollup shuffles, zero corpus-wide joins.
+    k-means at 100 TB is exactly this loop with a sampled init."""
+    emb = embeddings_d(spark, sf_dir).select("vec_id", "vec")
+    seeds = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seeds]
+
+    def assign(centroids):
+        structs = []
+        for cid, cv in centroids:
+            lit_vec = F.array(*[F.lit(x) for x in cv])
+            dist = F.aggregate(
+                F.zip_with(F.col("vec"), lit_vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(
+                    dist.alias("d"), F.lit(cid).cast("long").alias("cid")
+                )
+            )
+        return emb.select(
+            "vec_id", "vec", F.array_min(F.array(*structs))["cid"].alias("cid")
+        )
+
+    for _ in range(KMEANS_ROUNDS - 1):
+        assigned = assign(cents)
+        rows = (
+            assigned.select("cid", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("val"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.val)
+        cents = [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return (
+        assign(cents)
+        .select("vec_id", F.col("cid").cast("bigint").alias("cluster"))
+        .orderBy("vec_id")
+    )
+
+
+# --- k-NN label classification (holdout eval) --------------------------------
+
+KNN_K = 10
+KNN_HOLDOUT = 100  # vec_id < KNN_HOLDOUT are the test split
+
+
+@query(
+    "q_knn_classify",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + f""",
+nb AS (
+    SELECT query_id, label FROM (
+        SELECT q.vec_id AS query_id, c.label,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.vec, c.vec) / (q.vnorm * c.vnorm)
+                    DESC, c.vec_id
+            ) AS rnk
+        FROM emb q, emb c
+        WHERE q.vec_id < {KNN_HOLDOUT} AND c.vec_id >= {KNN_HOLDOUT}
+    ) t WHERE rnk <= {KNN_K}
+), votes AS (
+    SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+    FROM nb GROUP BY query_id, label
+), pred AS (
+    SELECT query_id, label AS predicted_label, n_votes,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY n_votes DESC, label) AS pr
+    FROM votes
+)
+SELECT p.query_id AS vec_id, e.label AS true_label,
+    p.predicted_label, p.n_votes,
+    (p.predicted_label = e.label) AS correct
+FROM pred p JOIN emb e ON p.query_id = e.vec_id
+WHERE p.pr = 1 ORDER BY vec_id""",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification with a deterministic holdout: the first
+    {KNN_HOLDOUT} vectors are the test split, everything else the
+    reference set; each query takes the plurality label of its 10
+    nearest cosine neighbors (ties: larger vote count, then lower label).
+    The standard embedding-quality probe — if k-NN accuracy over labels
+    is low, no downstream classifier will rescue the encoder.
+
+    Scale shape: identical to q_similarity_topk — broadcast the bounded
+    query split, ONE corpus scan, per-query rank window; the vote count
+    and argmax then run on q x k rows. The brute-force scan is the exact
+    baseline; q_ann_ivf/q_ann_graph are the sub-linear scale paths for
+    when the query side is the whole corpus."""
+    emb = embeddings_d(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < KNN_HOLDOUT).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    ref = emb.filter(F.col("vec_id") >= KNN_HOLDOUT)
+    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
+    nb = (
+        F.broadcast(q)
+        .crossJoin(ref)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label"),
+            cosine.alias("raw_cosine"),
+            "vec_id",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+    votes = nb.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    pr = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.col("label")
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(pr))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
