@@ -1048,3 +1048,220 @@ def test_embedding_outliers_match_numpy(spark):
             assert abs(gd - dd) < 1e-5
             assert abs(gz - (dd - mu) / sd) < 1e-4
             assert go == bool((dd - mu) / sd > EMB_OUTLIER_Z)
+
+
+def test_anova_oneway_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_anova_oneway"](spark, SF_ORACLE).collect()[0]
+    ev = _events()
+    groups = [g["value"].to_numpy() for _, g in ev.groupby("event_type")]
+    allv = np.concatenate(groups)
+    gm = allv.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.k == k and row.n_total == n
+    assert abs(row.f_stat - f) < 1e-4, (row.f_stat, f)
+    assert abs(row.eta_sq - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_jarque_bera_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_jarque_bera"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    for et, g in ev.groupby("event_type"):
+        x = g["value"].to_numpy()
+        n = len(x)
+        m = x.mean()
+        s = x.std()  # population
+        g1 = ((x - m) ** 3).mean() / s**3
+        g2 = ((x - m) ** 4).mean() / s**4 - 3
+        jb = n / 6.0 * (g1**2 + g2**2 / 4.0)
+        r = got[et]
+        assert r.n == n
+        assert abs(r.skew - g1) < 1e-5
+        assert abs(r.excess_kurtosis - g2) < 1e-5
+        assert abs(r.jb_stat - jb) < 1e-2 * max(1.0, jb)
+
+
+def test_wilson_ci_matches_direct_formula(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_wilson_ci"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    z = 1.959964
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        p = (g["value"].to_numpy() > 100).mean()
+        center = p + z * z / (2 * n)
+        half = z * np.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        denom = 1 + z * z / n
+        r = got[et]
+        assert r.n == n and abs(r.p_hat - p) < 1e-6
+        assert abs(r.ci_lo - (center - half) / denom) < 1e-6
+        assert abs(r.ci_hi - (center + half) / denom) < 1e-6
+        # interval sanity: contains p_hat, stays in [0, 1]
+        assert 0.0 <= r.ci_lo <= p <= r.ci_hi <= 1.0
+
+
+def test_nelson_aalen_matches_pure_python(spark):
+    """Re-derive the cumulative hazard from raw per-user spells (the same
+    view->purchase definition) in pure Python, including the at-risk
+    bookkeeping — shared-rollup bugs with q_kaplan_meier would surface
+    here identically to the KM anchoring bug this file caught."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.duration: r
+        for r in all_queries()["q_nelson_aalen"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    spells = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["ts"]
+        if views.empty:
+            continue
+        tv = views.min()
+        purch = g[(g["event_type"] == "purchase") & (g["ts"] >= tv)]["ts"]
+        end = purch.min() if not purch.empty else g["ts"].max()
+        dur = int(
+            np.floor(
+                (end.value - tv.value) / 1000 / 86400000000.0
+            )
+        )
+        spells[uid] = (dur, not purch.empty)
+    durations = sorted({d for d, _ in spells.values()})
+    at_risk = len(spells)
+    H = 0.0
+    V = 0.0
+    for d in durations:
+        events_d = sum(1 for dd, obs in spells.values() if dd == d and obs)
+        total_d = sum(1 for dd, _ in spells.values() if dd == d)
+        H += events_d / at_risk
+        V += events_d / at_risk**2
+        r = got[d]
+        assert r.n_risk == at_risk, (d, r.n_risk, at_risk)
+        assert r.n_events == events_d
+        assert abs(r.cum_hazard - H) < 1e-5
+        assert abs(r.hazard_var - V) < 1e-6
+        at_risk -= total_d
+    assert set(got) == set(durations)
+
+
+def test_seasonal_decompose_matches_numpy(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = (
+        all_queries()["q_seasonal_decompose"](spark, SF_ORACLE)
+        .orderBy("day")
+        .collect()
+    )
+    ev = _events()
+    daily = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")["value"]
+        .mean()
+        .sort_index()
+    )
+    y = daily.to_numpy()
+    days = daily.index
+    trend = np.full(len(y), np.nan)
+    for i in range(3, len(y) - 3):
+        trend[i] = y[i - 3 : i + 4].mean()
+    dows = np.array([d.dayofweek for d in days])
+    detr = y - trend
+    s_raw = {
+        dow: np.nanmean(detr[dows == dow]) for dow in np.unique(dows)
+    }
+    c = np.mean(list(s_raw.values()))
+    seasonal = {k: v - c for k, v in s_raw.items()}
+    assert len(rows) == len(y)
+    for i, r in enumerate(rows):
+        assert abs(r.y - y[i]) < 1e-5
+        if np.isnan(trend[i]):
+            assert r.trend is None
+        else:
+            assert abs(r.trend - trend[i]) < 1e-5
+            assert abs(r.resid - (y[i] - trend[i] - seasonal[dows[i]])) < 1e-5
+        assert abs(r.seasonal - seasonal[dows[i]]) < 1e-5
+    # decomposition identity where trend exists: y = trend + seasonal + resid
+    for r in rows:
+        if r.trend is not None:
+            assert abs(r.y - (r.trend + r.seasonal + r.resid)) < 5e-6
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """Pure-numpy Lloyd with the identical seeding / round count /
+    tie-break must produce the identical hard assignment — this checks
+    the ALGORITHM (argmin structure, update order), where the DuckDB
+    oracle unroll shares the long-form SQL formulation."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.vec_id: r.cluster
+        for r in all_queries()["q_kmeans_lloyd"](spark, SF_ORACLE).collect()
+    }
+    emb = _duck("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    cents = {int(i): X[ids == i][0] for i in range(KMEANS_K)}
+    assign = None
+    for r in range(KMEANS_ROUNDS):
+        cid_list = sorted(cents)
+        C = np.stack([cents[c] for c in cid_list])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.array([cid_list[j] for j in d2.argmin(axis=1)])
+        if r < KMEANS_ROUNDS - 1:
+            cents = {
+                int(c): X[assign == c].mean(axis=0)
+                for c in np.unique(assign)
+            }
+    want = dict(zip((int(i) for i in ids), (int(a) for a in assign)))
+    assert got == want
+
+
+def test_knn_classify_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.similarity import (
+        KNN_HOLDOUT,
+        KNN_K,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.vec_id: (r.predicted_label, r.true_label, r.correct)
+        for r in all_queries()["q_knn_classify"](spark, SF_ORACLE).collect()
+    }
+    emb = _duck("SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id")
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    test_m = ids < KNN_HOLDOUT
+    ref_m = ~test_m
+    sims = X[test_m] @ X[ref_m].T
+    ref_ids = ids[ref_m]
+    ref_labels = labels[ref_m]
+    for qi, qid in enumerate(ids[test_m]):
+        # sort by (-sim, vec_id) to mirror the deterministic tie-break
+        order = np.lexsort((ref_ids, -sims[qi]))[:KNN_K]
+        votes = {}
+        for j in order:
+            votes[ref_labels[j]] = votes.get(ref_labels[j], 0) + 1
+        pred = min(votes, key=lambda c: (-votes[c], c))
+        p, t, correct = got[int(qid)]
+        assert p == pred, (qid, p, pred)
+        assert t == labels[ids == qid][0]
+        assert correct == (p == t)
