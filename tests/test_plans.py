@@ -425,3 +425,47 @@ def test_kruskal_windows_post_rollup(spark):
     plan = _plan(spark, "q_kruskal_wallis")
     scan_to_first_agg = plan.split("HashAggregate")[-1]
     assert "Window" not in scan_to_first_agg, plan
+
+
+def test_streaks_windows_post_distinct_rollup(spark):
+    """Gaps-and-islands runs its windows over the (user, day) DISTINCT
+    rollup, partitioned by user_id — one user_id exchange family, no
+    unpartitioned window anywhere."""
+    plan = _plan(spark, "q_streaks")
+    assert "hashpartitioning(user_id" in plan, plan
+    # every Window must be user_id-partitioned (no global windows)
+    for frag in plan.split("Window")[1:]:
+        head = frag[:200]
+        if "windowspecdefinition" in head:
+            assert "user_id" in head, plan
+
+
+def test_cdc_apply_single_exchange(spark):
+    """CDC latest-wins: both windows (change count + recency rank) share
+    ONE user_id exchange; never a state self-join."""
+    plan = _plan(spark, "q_cdc_apply")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_assignment_shuffle_free(spark):
+    """Lloyd assignment folds the k x d centroid matrix into the plan as
+    literals: the FINAL assignment (the returned frame) is scan ->
+    project -> sort, with no join and no aggregation exchange on the
+    corpus side (the output sort is the only exchange)."""
+    plan = _plan(spark, "q_kmeans_lloyd")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # rangepartitioning for sort
+
+
+def test_attribution_position_copartitions_on_user(spark):
+    """The purchases x touches pairing is a user_id EQUI-join — broadcast
+    when the purchase side is small (what AQE picks at fixture scale),
+    shuffle-on-user_id at corpus scale; the range predicate must stay a
+    post-join filter, never a nested-loop join condition."""
+    plan = _plan(spark, "q_attribution_position")
+    assert (
+        "BroadcastHashJoin [user_id" in plan
+        or "hashpartitioning(user_id" in plan
+    ), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
