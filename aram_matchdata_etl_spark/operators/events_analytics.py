@@ -2134,3 +2134,200 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- power-user curve ---------------------------------------------------------
+
+
+@query(
+    "q_power_user_curve",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+        CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days
+    FROM events GROUP BY user_id
+), hist AS (
+    SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY active_days
+)
+SELECT active_days, n_users,
+    ROUND(SUM(n_users) OVER (ORDER BY active_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          * 1.0 / SUM(n_users) OVER (), 6) AS share_at_least
+FROM hist ORDER BY active_days""",
+)
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: the engagement histogram (how many users were
+    active on exactly d days) with the reverse-cumulative share (fraction
+    of users active on AT LEAST d days) — the L28-style distribution that
+    q_dau_mau's averages hide. Corpus -> per-user distinct-day rollup
+    (one user_id exchange) -> a histogram bounded by the calendar; the
+    cumulative window runs over days-sized rows."""
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct(F.date_trunc("day", F.col("ts")))
+            .cast("bigint")
+            .alias("active_days")
+        )
+    )
+    hist = per_user.groupBy("active_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    w_desc = Window.orderBy(F.col("active_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("active_days").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.select(
+            "active_days",
+            "n_users",
+            F.round(
+                F.sum("n_users").over(w_desc) * 1.0 / F.sum("n_users").over(w_all),
+                6,
+            ).alias("share_at_least"),
+        )
+        .orderBy("active_days")
+    )
+
+
+# --- session entry/exit flows -------------------------------------------------
+
+
+@query(
+    "q_session_entry_exit",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                 > {SESSION_GAP_S * 1_000_000}
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_type, ts, event_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_no
+    FROM marked
+), flows AS (
+    SELECT user_id, session_no,
+        FIRST_VALUE(event_type) OVER s AS entry_type,
+        LAST_VALUE(event_type) OVER s AS exit_type
+    FROM sess
+    WINDOW s AS (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM (SELECT DISTINCT user_id, session_no, entry_type, exit_type FROM flows)
+GROUP BY entry_type, exit_type ORDER BY entry_type, exit_type""",
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit flow matrix over 30-min-gap sessions: which event type
+    opens a session vs which one it dies on — the landing/abandonment
+    readout product teams pair with q_session_stats' bounce rate.
+    Composes q_sessionize's gap test; the session markers, the running
+    session number, and BOTH boundary lookups share the single user_id
+    exchange (the (user, session) sub-partition is a no-shuffle
+    refinement of it), then the corpus reduces to the k x k flow cells."""
+    ev = _events(spark, sf_dir)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(order_w)
+    is_new = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev_us) > SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_no", F.sum("is_new").over(run_w)
+    )
+    s_w = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    flows = sess.select(
+        "user_id",
+        "session_no",
+        F.first("event_type").over(s_w).alias("entry_type"),
+        F.last("event_type").over(s_w).alias("exit_type"),
+    ).distinct()
+    return (
+        flows.groupBy("entry_type", "exit_type")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+# --- bipartite co-engagement projection ---------------------------------------
+
+
+@query(
+    "q_event_cooccurrence",
+    oracle="""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+    ROUND(n_both / SQRT(sa.n * sb.n), 6) AS cosine,
+    ROUND(n_both * 1.0 / (sa.n + sb.n - n_both), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.type_a = sa.event_type
+JOIN sizes sb ON pairs.type_b = sb.event_type
+ORDER BY type_a, type_b""",
+)
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user x event-type graph onto event
+    types: for every type pair, how many users do BOTH, with cosine and
+    Jaccard normalization — the co-engagement matrix behind
+    "users who X also Y". The projection runs on the DISTINCT (user,
+    type) rollup (corpus collapses first), and the self-join fan-out per
+    user is bounded by the TYPE vocabulary (k^2 per user worst case, k
+    small and fixed) — never quadratic in users or events. Same family
+    as q_collocations (word co-occurrence) but over the behavioral
+    bipartite graph."""
+    ut = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+            F.round(
+                F.col("n_both") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

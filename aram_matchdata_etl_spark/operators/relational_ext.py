@@ -471,3 +471,45 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_map.select(
         "o_custkey", F.explode("by_priority").alias("priority", "n")
     )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+WITH counts AS (
+    SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS c
+    FROM part GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand AS mode_brand, c AS n_rows
+FROM (
+    SELECT p_type, p_brand, c,
+        ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY c DESC, p_brand) AS rn
+    FROM counts
+)
+WHERE rn = 1 ORDER BY p_type""",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break (largest
+    count, then lexicographically smallest value) — the categorical
+    companion to q_quantile. Two-level aggregation: the corpus reduces to
+    (group, value) cells FIRST (partial-agg map-side), then the argmax
+    window runs over cells only — never a rank window over raw rows (the
+    naive formulation's corpus-wide sort). Spark's mode() builtin is
+    deliberately avoided: its tie behavior is undefined, which can never
+    hash-match a second engine."""
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("c").desc(), "p_brand")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_type", F.col("p_brand").alias("mode_brand"), F.col("c").alias("n_rows")
+        )
+        .orderBy("p_type")
+    )

@@ -1130,3 +1130,76 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# --- lexical diversity --------------------------------------------------------
+
+
+@query(
+    "q_lexical_diversity",
+    oracle="""
+WITH per_doc AS (
+    SELECT doc_id, source,
+        len(list_distinct(string_split(text, ' '))) * 1.0
+            / len(string_split(text, ' ')) AS ttr
+    FROM documents
+), wcount AS (
+    SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY source, w
+)
+SELECT p.source,
+    CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+    ROUND(AVG(p.ttr), 6) AS avg_ttr,
+    MAX(v.vocab) AS vocab_size,
+    ROUND(MAX(v.hapax_share), 6) AS hapax_share
+FROM per_doc p
+JOIN (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+        AVG(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) AS hapax_share
+    FROM wcount GROUP BY source
+) v ON p.source = v.source
+GROUP BY p.source ORDER BY p.source""",
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: mean type-token ratio (a
+    per-doc ARRAY expression — array_distinct/size inside codegen, no
+    explode), vocabulary size, and hapax share (fraction of the source's
+    vocabulary occurring exactly once — high hapax = rich or noisy,
+    near-zero = templated). The repetition/quality family's
+    vocabulary-level complement to q_token_entropy and
+    q_repetition_ratio. One word-explode groupBy for the vocab rollup
+    (word-keyed, partial-agg), one broadcast join of the k-row source
+    profile back to the per-doc TTR aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(words)) * 1.0 / F.size(words)).alias("ttr"),
+    )
+    wcount = (
+        docs.select("source", F.explode(words).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    vocab = wcount.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.avg(F.when(F.col("c") == 1, 1.0).otherwise(0.0)).alias("hapax_share"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+        .join(F.broadcast(vocab), "source")
+        .select(
+            "source",
+            "n_docs",
+            "avg_ttr",
+            "vocab_size",
+            F.round("hapax_share", 6).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
