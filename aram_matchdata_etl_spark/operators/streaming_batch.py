@@ -1041,9 +1041,7 @@ def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- CDC apply (change-log -> snapshot) --------------------------------------
 
 
-@query(
-    "q_cdc_apply",
-    oracle="""
+_CDC_ORACLE = """
 WITH log AS (
     SELECT user_id,
         CASE event_type WHEN 'signup' THEN 'I'
@@ -1060,8 +1058,10 @@ WITH log AS (
 )
 SELECT user_id, op AS last_op, ROUND(value, 6) AS last_value, n_changes
 FROM latest WHERE rn = 1 AND op <> 'D'
-ORDER BY user_id""",
-)
+ORDER BY user_id"""
+
+
+@query("q_cdc_apply", oracle=_CDC_ORACLE)
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture apply: collapse an insert/update/delete change
     log to the live snapshot with latest-wins semantics — the batch core
@@ -1108,3 +1108,69 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_STREAM_CDC_RUNS = 0
+
+
+@query("q_stream_cdc_live", oracle=_CDC_ORACLE)
+def q_stream_cdc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIXTH live stateful-streaming gate query: CDC latest-wins apply
+    on a REAL stream. The derived I/U/D change log replays through the
+    shared three-slice spool as three micro-batches; the
+    applyInPandasWithState tracker (streaming/stateful.py::cdc_tracker)
+    folds each trigger into per-key (count, latest-watermark, op, value)
+    state and emits the key's current snapshot. The final answer takes
+    each user's LAST emitted snapshot (max n_changes — strictly
+    increasing, so it identifies the final trigger that saw the key),
+    drops delete-tombstoned keys, and must hash-match q_cdc_apply's
+    BATCH oracle exactly: the change count accumulates across all three
+    triggers, so parity is impossible unless the state store carries —
+    this is the streaming shape of a foreachBatch MERGE INTO
+    (upsert_sink's transactional twin) under the exact driver gate."""
+    import shutil
+
+    global _STREAM_CDC_RUNS
+    _STREAM_CDC_RUNS += 1
+    run_id = _STREAM_CDC_RUNS
+
+    from ..streaming.crawl import run_to_completion
+    from ..streaming.stateful import apply_cdc
+
+    log = _events(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    src, stream = _spool_event_slices(spark, log, "graft_cdc_stream_")
+    try:
+        table = f"cdc_live_{run_id}"
+        run_to_completion(
+            apply_cdc(
+                stream.select("user_id", "op", "value", "ts_us", "event_id")
+            ),
+            query_name=table,
+            output_mode="update",
+        )
+        emitted = spark.table(table)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_changes").desc())
+        result = (
+            emitted.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("last_op") != "D"))
+            .select(
+                "user_id",
+                "last_op",
+                F.round("last_value", 6).alias("last_value"),
+                "n_changes",
+            )
+            .orderBy("user_id")
+        )
+        return result.localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

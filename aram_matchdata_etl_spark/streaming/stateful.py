@@ -310,3 +310,66 @@ def streaming_funnel(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming CDC latest-wins apply (lakehouse MERGE state across triggers) -
+
+CDC_OUTPUT_SCHEMA = (
+    "user_id long, last_op string, last_value double, n_changes long"
+)
+CDC_STATE_SCHEMA = "n long, ts_us long, eid long, op string, val double"
+
+
+def cdc_tracker():
+    """applyInPandasWithState function for streaming CDC apply: per-key
+    state is (change count, latest (ts, event_id) watermark, latest op,
+    latest value). Each micro-batch folds its rows into the state with
+    latest-wins semantics and emits the key's CURRENT snapshot row — the
+    streaming half of q_cdc_apply's batch collapse, and the state access
+    pattern of a foreachBatch MERGE INTO against a lakehouse table
+    (state here plays the target-table role; the count makes the emitted
+    row depend on EVERY prior trigger, so cross-trigger state carriage
+    is what the batch-parity gate actually proves)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, ts_us, eid, op, val = state.get
+        else:
+            n, ts_us, eid, op, val = 0, -(2**62), -(2**62), "", 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            n += len(pdf)
+            last = pdf.iloc[-1]
+            cand = (int(last["ts_us"]), int(last["event_id"]))
+            if cand > (ts_us, eid):
+                ts_us, eid = cand
+                op, val = str(last["op"]), float(last["value"])
+        state.update((int(n), int(ts_us), int(eid), op, float(val)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "last_op": [op],
+                "last_value": [val],
+                "n_changes": [int(n)],
+            }
+        )
+
+    return fn
+
+
+def apply_cdc(stream: DataFrame) -> DataFrame:
+    """Apply the streaming CDC latest-wins tracker, keyed by user_id."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        cdc_tracker(),
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
