@@ -314,3 +314,81 @@ def test_stream_join_state_survives_restart(spark, tmp_path):
     # run 2 read only slice 2: matches came from RESTORED purchase
     # state, not a re-read of slice 1
     assert q2.lastProgress["numInputRows"] <= len(ev[ev.ts >= cut])
+
+
+def test_cdc_state_survives_restart(spark, tmp_path):
+    """Kill-and-restart recovery on the q_stream_cdc_live path: the change
+    log replays as two SEPARATE stream runs over one checkpoint. The
+    emitted n_changes accumulates per key across triggers, so the final
+    per-key snapshot can only match the batch latest-wins collapse if the
+    (count, watermark, op, value) state was RESTORED from the state store
+    at the restart — a fresh state would restart every carried key's
+    count at zero."""
+    from aram_matchdata_etl_spark.sources.tables import load_table
+    from aram_matchdata_etl_spark.streaming.stateful import apply_cdc
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    out = str(tmp_path / "cdc_out")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "ts",
+    )
+    half_a = log.filter(F.col("ts") < "2024-01-16").drop("ts")
+    half_b = log.filter(F.col("ts") >= "2024-01-16").drop("ts")
+
+    def run_once(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            apply_cdc(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, eid: b.withColumn(
+                "batch_id", F.lit(eid)
+            ).write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(half_a)
+    run_once(half_b)
+
+    from pyspark.sql import Window
+
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_changes").desc())
+    got = {
+        (r.user_id, r.last_op, round(r.last_value, 6), r.n_changes)
+        for r in emitted.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "D"))
+        .collect()
+    }
+    batch_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    want = {
+        (r.user_id, r.op, round(r.value, 6), r.n_changes)
+        for r in log.withColumn("rn", F.row_number().over(batch_w))
+        .withColumn(
+            "n_changes",
+            F.count("*").over(Window.partitionBy("user_id")),
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert got == want
