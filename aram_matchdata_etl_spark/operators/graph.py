@@ -1403,3 +1403,112 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity"
         ),
     )
+
+
+# --- sampled-source closeness / harmonic centrality --------------------------
+
+CLOSENESS_SOURCES = 4  # deterministic sample: the lowest-id edge endpoints
+
+
+@query(
+    "q_closeness_sampled",
+    oracle=f"""
+WITH RECURSIVE {LINK_GRAPH_SQL},
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+srcs AS (
+    SELECT s FROM (SELECT DISTINCT a AS s FROM sym) ORDER BY s
+    LIMIT {CLOSENESS_SOURCES}
+),
+bfs(s, doc_id, d) AS (
+    SELECT s, s AS doc_id, 0 AS d FROM srcs
+    UNION
+    SELECT bfs.s, sym.b AS doc_id, bfs.d + 1 AS d
+    FROM bfs JOIN sym ON sym.a = bfs.doc_id
+    WHERE bfs.d < {BFS_CAP}
+),
+dist AS (
+    SELECT s, doc_id, MIN(d) AS d FROM bfs GROUP BY s, doc_id
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_sources_reached,
+    CAST(SUM(d) AS BIGINT) AS total_dist,
+    ROUND(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END), 6) AS harmonic
+FROM dist GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness/harmonic centrality: hop distances from a
+    DETERMINISTIC source sample (the {CLOSENESS_SOURCES} lowest-id edge
+    endpoints) to every reachable node, rolled up per node as total
+    distance and harmonic sum (1/d handles unreachable pairs gracefully;
+    with the sample as the full node set this IS exact harmonic
+    centrality). The Eppstein–Wang estimator shape: closeness from k
+    sampled sources converges at O(1/sqrt(k)), and the per-source cost is
+    one BFS — the only centrality family affordable at 100 TB (exact
+    betweenness/closeness are all-pairs).
+
+    Spark side is MULTI-source frontier BFS: ONE loop runs all sources
+    simultaneously over (source, node) pair states — the frontier join is
+    edge-keyed exactly like q_shortest_paths, the visited anti-join is on
+    the pair, so total work is O(k * edges) with k folded into the SAME
+    round count (max eccentricity), not k sequential BFS runs. Oracled by
+    carrying the source through the recursive CTE's UNION dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    telemetry: dict = {"rounds": 0, "frontier_per_round": []}
+    PR_TELEMETRY["bfs_q_closeness_sampled"] = telemetry
+    e = link_graph(docs)
+    und = canonical_und(e)
+    sym = sym_edges(und).localCheckpoint()
+    srcs = (
+        sym.select(F.col("a").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(CLOSENESS_SOURCES)
+    )
+    visited = srcs.select(
+        "s", F.col("s").alias("doc_id"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = visited
+    prev_v, prev_f = visited, frontier
+    d = 0
+    while True:
+        d += 1
+        nxt = (
+            sym.join(
+                frontier.select("s", F.col("doc_id").alias("a")), "a"
+            )
+            .select("s", F.col("b").alias("doc_id"))
+            .distinct()
+            .join(visited, ["s", "doc_id"], "left_anti")
+            .select("s", "doc_id", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        telemetry["rounds"] += 1
+        telemetry["frontier_per_round"].append(n)
+        if n == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited.count()
+        _free_checkpoint(prev_v)
+        _free_checkpoint(prev_f)
+        prev_v, prev_f = visited, nxt
+        frontier = nxt
+    out = (
+        visited.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources_reached"),
+            F.sum("dist").cast("bigint").alias("total_dist"),
+            F.round(
+                F.sum(
+                    F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("harmonic"),
+        )
+        .orderBy("doc_id")
+    )
+    return out.localCheckpoint()
