@@ -2331,3 +2331,81 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- cohort lifetime value ----------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, MIN(ts) AS t0,
+        date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), cohort_sizes AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM first_seen GROUP BY cohort_week
+), cells AS (
+    SELECT f.cohort_week,
+        CAST(FLOOR((epoch_us(e.ts) - epoch_us(f.t0))
+                   / (7 * 86400000000.0)) AS BIGINT) AS weeks_since,
+        SUM(CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0 END)
+            AS revenue
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.weeks_since, s.n_users,
+    ROUND(SUM(c.revenue) OVER (PARTITION BY c.cohort_week
+              ORDER BY c.weeks_since
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / s.n_users, 6) AS cum_ltv_per_user
+FROM cells c JOIN cohort_sizes s USING (cohort_week)
+ORDER BY cohort_week, weeks_since""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per user
+    by (first-seen cohort week, weeks since first seen) — the payback
+    readout that tells you WHEN a cohort's value arrives, where
+    q_retention_cohorts only says whether users come back. Age anchored
+    per user (integer epoch-microsecond floor-div, the engine-identical
+    arithmetic q_did established); the corpus reduces to (cohort, age)
+    revenue cells in one user-keyed join + partial-agg pass, and the
+    cumulative window runs over the bounded cohort x age grid."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    weeks_since = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t0")))
+        / (7 * 86400000000.0)
+    ).cast("bigint")
+    cells = (
+        ev.join(first_seen, "user_id")
+        .groupBy(F.col("cohort_week"), weeks_since.alias("weeks_since"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("weeks_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_users",
+            F.round(F.sum("revenue").over(w) / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

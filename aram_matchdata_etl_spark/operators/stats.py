@@ -3078,3 +3078,79 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- precision-recall AUC (average precision) --------------------------------
+
+
+@query(
+    "q_pr_auc",
+    oracle="""
+WITH per_tv AS (
+    SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), per_v AS (
+    SELECT value, CAST(SUM(c) AS BIGINT) AS ct FROM per_tv GROUP BY value
+), cum AS (
+    SELECT value, ct,
+        SUM(ct) OVER (ORDER BY value DESC) AS cum_n
+    FROM per_v
+), cls AS (
+    SELECT t.event_type, t.value, t.c, cum.cum_n,
+        SUM(t.c) OVER (PARTITION BY t.event_type ORDER BY t.value DESC)
+            AS cum_pos,
+        CAST(SUM(t.c) OVER (PARTITION BY t.event_type) AS BIGINT) AS n_pos
+    FROM per_tv t JOIN cum ON cum.value = t.value
+)
+SELECT event_type, n_pos,
+    ROUND(SUM(c * (cum_pos * 1.0 / cum_n)) / n_pos, 6) AS pr_auc
+FROM cls GROUP BY event_type, n_pos ORDER BY event_type""",
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest precision-recall AUC (average precision) per event
+    class, scored by ``value`` descending — the ROC AUC companion that
+    stays honest under class imbalance (a 0.1% positive class can post
+    0.99 ROC AUC while ranking garbage; AP cannot). Tie convention
+    pinned for cross-engine equality: every positive in a tied score
+    group takes the precision at the GROUP END (cum counts through the
+    whole group), the standard step-interpolation on distinct scores.
+
+    Same scale discipline as q_auc_eval: ONE (type, value) cell rollup,
+    global cumulative counts over the DISTINCT-value table, per-class
+    cumulative positives over cells — one scan, K rows out, never a
+    corpus-wide rank window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_tv = ev.groupBy("event_type", "value").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per_v = per_tv.groupBy("value").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    w_desc = Window.orderBy(F.col("value").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.select("value", F.sum("ct").over(w_desc).alias("cum_n"))
+    w_cls = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy("event_type")
+    cls = per_tv.join(cum, "value").select(
+        "event_type",
+        "c",
+        "cum_n",
+        F.sum("c").over(w_cls).alias("cum_pos"),
+        F.sum("c").over(w_tot).cast("bigint").alias("n_pos"),
+    )
+    return (
+        cls.groupBy("event_type", "n_pos")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * (F.col("cum_pos") * 1.0 / F.col("cum_n")))
+                / F.col("n_pos"),
+                6,
+            ).alias("pr_auc")
+        )
+        .orderBy("event_type")
+    )
