@@ -1265,3 +1265,81 @@ def test_knn_classify_matches_numpy(spark):
         assert p == pred, (qid, p, pred)
         assert t == labels[ids == qid][0]
         assert correct == (p == t)
+
+
+def test_pr_auc_matches_pure_python(spark):
+    """Average precision with the group-end tie convention, re-derived
+    row-at-a-time in pure Python."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_pos, r.pr_auc)
+        for r in all_queries()["q_pr_auc"](spark, SF_ORACLE).collect()
+    }
+    ev = _events()
+    vals = ev["value"].to_numpy()
+    for et in ev["event_type"].unique():
+        pos = (ev["event_type"] == et).to_numpy()
+        order = np.argsort(-vals, kind="mergesort")
+        sv = vals[order]
+        sp = pos[order]
+        # walk distinct-score groups in descending order
+        ap = 0.0
+        cum_n = 0
+        cum_pos = 0
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            g_pos = int(sp[i : j + 1].sum())
+            cum_n += j - i + 1
+            cum_pos += g_pos
+            ap += g_pos * (cum_pos / cum_n)
+            i = j + 1
+        ap /= pos.sum()
+        n_pos, pr = got[et]
+        assert n_pos == pos.sum()
+        assert abs(pr - ap) < 1e-6, (et, pr, ap)
+
+
+def test_closeness_sampled_matches_pure_python_bfs(spark):
+    """Multi-source BFS distances re-derived with a dict/deque BFS over
+    the same md5-bucket link graph (read back from the operator's own
+    edge builder — the GRAPH is shared, the TRAVERSAL is independent)."""
+    from collections import deque
+
+    from aram_matchdata_etl_spark.operators.graph import (
+        CLOSENESS_SOURCES,
+        canonical_und,
+        link_graph,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+    from aram_matchdata_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    und = canonical_und(link_graph(docs)).collect()
+    adj: dict[int, set[int]] = {}
+    for r in und:
+        adj.setdefault(r.a, set()).add(r.b)
+        adj.setdefault(r.b, set()).add(r.a)
+    srcs = sorted(adj)[:CLOSENESS_SOURCES]
+    acc: dict[int, list[int]] = {}
+    for s in srcs:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for node, d in dist.items():
+            acc.setdefault(node, []).append(d)
+    rows = all_queries()["q_closeness_sampled"](spark, SF_ORACLE).collect()
+    assert {r.doc_id for r in rows} == set(acc)
+    for r in rows:
+        ds = acc[r.doc_id]
+        assert r.n_sources_reached == len(ds)
+        assert r.total_dist == sum(ds)
+        assert abs(r.harmonic - sum(1.0 / d for d in ds if d > 0)) < 1e-5
