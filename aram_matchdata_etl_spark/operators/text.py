@@ -1203,3 +1203,102 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- RAKE keyword extraction --------------------------------------------------
+
+RAKE_TOP = 25
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, t[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+        UNNEST(generate_series(1, len(t))) AS g(i)
+), content AS (
+    SELECT doc_id, pos, word,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM toks WHERE word NOT IN {_STOP_SQL}
+), phrase_rows AS (
+    SELECT doc_id, grp, word,
+        CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+    FROM content
+), word_stats AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        CAST(SUM(plen) AS BIGINT) AS degree
+    FROM phrase_rows GROUP BY word
+), phrases AS (
+    SELECT p.doc_id, p.grp,
+        string_agg(c.word, ' ' ORDER BY c.pos) AS phrase,
+        SUM(w.degree * 1.0 / w.freq) AS score
+    FROM (SELECT DISTINCT doc_id, grp FROM phrase_rows) p
+    JOIN content c ON c.doc_id = p.doc_id AND c.grp = p.grp
+    JOIN word_stats w ON w.word = c.word
+    GROUP BY p.doc_id, p.grp
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+    ROUND(MAX(score), 6) AS score
+FROM phrases
+GROUP BY phrase
+ORDER BY MAX(score) DESC, phrase LIMIT {RAKE_TOP}""",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free word runs — found with the gaps-and-islands
+    trick (pos - row_number) INSIDE text processing — scored by
+    sum over member words of degree(w)/freq(w), where freq counts phrase
+    memberships and degree sums the lengths of the phrases containing
+    the word (words that live in long phrases score high). The
+    graph-free complement of q_textrank_keywords: no iteration, two
+    word-keyed aggregations, corpus-scale-safe by construction (all
+    shuffles key on word / (doc, phrase) — phrase strings themselves
+    shuffle only for the final distinct-phrase rollup).
+
+    Top {RAKE_TOP} by (score desc, phrase) — deterministic; identical
+    phrases share the identical score by construction (scores derive
+    from corpus-global word stats), so MAX(score) is exact, not a
+    tie-break hack."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    content = toks.filter(~F.col("word").isin(*STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    plen_w = Window.partitionBy("doc_id", "grp")
+    phrase_rows = content.select(
+        "doc_id", "grp", "word", F.count("*").over(plen_w).cast("bigint").alias("plen")
+    )
+    word_stats = phrase_rows.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    phrases = (
+        content.join(F.broadcast(word_stats), "word")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum(F.col("degree") * 1.0 / F.col("freq")).alias("score"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOP)
+    )
