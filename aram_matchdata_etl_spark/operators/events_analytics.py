@@ -2409,3 +2409,96 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# --- seasonal-residual anomaly flags ------------------------------------------
+
+SEAS_ANOM_Z = 2.0
+
+
+@query(
+    "q_anomaly_seasonal",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        AVG(value) AS y
+    FROM events GROUP BY 1
+), trended AS (
+    SELECT day, y,
+        CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+        dayofweek(day) AS dow
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas_raw AS (
+    SELECT dow, AVG(y - trend) AS s_raw
+    FROM trended WHERE trend IS NOT NULL GROUP BY dow
+), seas AS (
+    SELECT dow, s_raw - (SELECT AVG(s_raw) FROM seas_raw) AS seasonal
+    FROM seas_raw
+), resids AS (
+    SELECT t.day, t.y, t.trend, s.seasonal,
+        t.y - t.trend - s.seasonal AS resid
+    FROM trended t JOIN seas s USING (dow)
+    WHERE t.trend IS NOT NULL
+), sd AS (
+    SELECT STDDEV_SAMP(resid) AS sd_r FROM resids
+)
+SELECT day, ROUND(y, 6) AS y,
+    ROUND(trend + seasonal, 6) AS expected,
+    ROUND(resid / sd_r, 6) AS resid_z
+FROM resids CROSS JOIN sd
+WHERE ABS(resid / sd_r) > {SEAS_ANOM_Z}
+ORDER BY day""",
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based anomaly detection: flag days whose residual against
+    the trend+seasonal expectation (q_seasonal_decompose's classical
+    fit) exceeds {SEAS_ANOM_Z} residual standard deviations — separates
+    "weekend dip" (absorbed by the seasonal term) from "real drop",
+    which a raw rolling z-score (q_anomaly_zscore) structurally cannot.
+    Everything after the one-pass daily rollup runs on calendar-bounded
+    rows; the residual sd is a broadcast scalar."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "y",
+        F.when(F.count("*").over(w) == 7, F.avg("y").over(w)).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas_raw = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw"))
+    )
+    center = seas_raw.agg(F.avg("s_raw").alias("c"))
+    seas = seas_raw.crossJoin(F.broadcast(center)).select(
+        "dow", (F.col("s_raw") - F.col("c")).alias("seasonal")
+    )
+    resids = (
+        trended.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "y",
+            "trend",
+            "seasonal",
+            (F.col("y") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        )
+    )
+    sd = resids.agg(F.stddev_samp("resid").alias("sd_r"))
+    return (
+        resids.crossJoin(F.broadcast(sd))
+        .filter(F.abs(F.col("resid") / F.col("sd_r")) > SEAS_ANOM_Z)
+        .select(
+            "day",
+            F.round("y", 6).alias("y"),
+            F.round(F.col("trend") + F.col("seasonal"), 6).alias("expected"),
+            F.round(F.col("resid") / F.col("sd_r"), 6).alias("resid_z"),
+        )
+        .orderBy("day")
+    )
