@@ -816,3 +816,64 @@ def test_setsim_prefix_join_is_lossless(spark, texts, threshold):
         for r in setsim_prefix_pairs(sh, threshold).collect()
     }
     assert got == want
+
+
+days_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user (few => overlap)
+        st.integers(min_value=0, max_value=25),  # dayno (small => streaks)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(days=days_strategy)
+def test_streaks_match_python_reference(spark, days):
+    """The gaps-and-islands kernel (dayno - row_number grouping) against
+    a brute-force consecutive-run scan over the sorted distinct day
+    set — duplicate (user, day) activity must collapse, singleton days
+    count as streaks of 1."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, d) for u, d in days], "user_id long, dayno long"
+    ).distinct()
+    grp = F.col("dayno") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("dayno")
+    )
+    got = {
+        r.user_id: (r.active_days, r.n_streaks, r.longest)
+        for r in df.select("user_id", "dayno", grp.alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").alias("active_days"),
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("longest"),
+        )
+        .collect()
+    }
+    by_user: dict[int, set[int]] = {}
+    for u, d in days:
+        by_user.setdefault(u, set()).add(d)
+    for u, ds in by_user.items():
+        sd = sorted(ds)
+        runs = []
+        cur = 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[u] == (len(sd), len(runs), max(runs)), (u, got[u], runs)
