@@ -1930,7 +1930,7 @@ GROUP BY cohort_week ORDER BY cohort_week""",
 def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn-label generation, the supervised-training complement of
     q_retention_cohorts: a user is labeled churned when silent for the
-    corpus's final {CHURN_WINDOW_DAYS}-day window, rolled up by
+    corpus's final 7-day window, rolled up by
     first-seen cohort week. ONE pass to the per-user (first, last, n)
     rollup — min/max/count all partial-aggregate — then a broadcast
     scalar cutoff and a cohort-week aggregation over the USER table.
@@ -2453,7 +2453,7 @@ ORDER BY day""",
 def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based anomaly detection: flag days whose residual against
     the trend+seasonal expectation (q_seasonal_decompose's classical
-    fit) exceeds {SEAS_ANOM_Z} residual standard deviations — separates
+    fit) exceeds 2.0 residual standard deviations — separates
     "weekend dip" (absorbed by the seasonal term) from "real drop",
     which a raw rolling z-score (q_anomaly_zscore) structurally cannot.
     Everything after the one-pass daily rollup runs on calendar-bounded

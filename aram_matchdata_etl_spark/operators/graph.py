@@ -1439,7 +1439,7 @@ FROM dist GROUP BY doc_id ORDER BY doc_id""",
 )
 def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source closeness/harmonic centrality: hop distances from a
-    DETERMINISTIC source sample (the {CLOSENESS_SOURCES} lowest-id edge
+    DETERMINISTIC source sample (the 4 lowest-id edge
     endpoints) to every reachable node, rolled up per node as total
     distance and harmonic sum (1/d handles unreachable pairs gracefully;
     with the sample as the full node set this IS exact harmonic

@@ -1110,7 +1110,7 @@ WHERE p.pr = 1 ORDER BY vec_id""",
 )
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label classification with a deterministic holdout: the first
-    {KNN_HOLDOUT} vectors are the test split, everything else the
+    100 vectors are the test split, everything else the
     reference set; each query takes the plurality label of its 10
     nearest cosine neighbors (ties: larger vote count, then lower label).
     The standard embedding-quality probe — if k-NN accuracy over labels

@@ -1256,7 +1256,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on word / (doc, phrase) — phrase strings themselves
     shuffle only for the final distinct-phrase rollup).
 
-    Top {RAKE_TOP} by (score desc, phrase) — deterministic; identical
+    Top 25 by (score desc, phrase) — deterministic; identical
     phrases share the identical score by construction (scores derive
     from corpus-global word stats), so MAX(score) is exact, not a
     tie-break hack."""
