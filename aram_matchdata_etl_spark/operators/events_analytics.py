@@ -2502,3 +2502,126 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- time-windowed funnel -----------------------------------------------------
+
+FUNNEL_STAGE_WINDOW_H = 24
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+WITH anchored AS (
+    SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+    FROM events
+), a2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0
+                        AND epoch_us(ts) - epoch_us(t0)
+                            <= {FUNNEL_STAGE_WINDOW_H * 3600 * 1_000_000}
+                   THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+    FROM anchored
+), a3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1
+                        AND epoch_us(ts) - epoch_us(t1)
+                            <= {FUNNEL_STAGE_WINDOW_H * 3600 * 1_000_000}
+                   THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+    FROM a2
+), c AS (
+    SELECT COUNT(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS n0,
+        COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n1,
+        COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2
+    FROM a3
+)
+SELECT stage_no, stage, n_users,
+    ROUND(n_users / NULLIF((SELECT n0 FROM c), 0), 6) AS conversion
+FROM (
+    SELECT 1 AS stage_no, 'view' AS stage, n0 AS n_users FROM c
+    UNION ALL SELECT 2, 'click', n1 FROM c
+    UNION ALL SELECT 3, 'purchase', n2 FROM c
+)""",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: each stage must follow the previous WITHIN
+    24 h, the product-analytics default (an unbounded funnel — q_funnel —
+    counts a purchase a month after the view as a conversion; bounded
+    windows measure the journey you can actually act on). Same
+    window-cascade shape and single user_id exchange as q_funnel: the
+    deadline is one extra integer-microsecond predicate inside each
+    MIN-over-partition anchor, so the 100 TB cost is identical."""
+    ev = _events(spark, sf_dir)
+    win_us = FUNNEL_STAGE_WINDOW_H * 3600 * 1_000_000
+    u = Window.partitionBy("user_id")
+    t0 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(u)
+    a1 = ev.select("user_id", "ts", "event_type", t0.alias("t0"))
+    t1 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("t0"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t0"))
+                <= win_us
+            ),
+            F.col("ts"),
+        )
+    ).over(u)
+    a2 = a1.select("*", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t1"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t1"))
+                <= win_us
+            ),
+            F.col("ts"),
+        )
+    ).over(u)
+    a3 = a2.select("*", t2.alias("t2"))
+    c = a3.agg(
+        F.count_distinct(
+            F.when(F.col("t0").isNotNull(), F.col("user_id"))
+        ).alias("n0"),
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n1"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n2"),
+    )
+    stages = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_no"),
+                    F.lit("view").alias("stage"),
+                    F.col("n0").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_no"),
+                    F.lit("click").alias("stage"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_no"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n2").alias("n_users"),
+                ),
+            )
+        ).alias("s"),
+        F.col("n0"),
+    )
+    return stages.select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(
+            F.col("s.n_users") / F.nullif(F.col("n0"), F.lit(0)), 6
+        ).alias("conversion"),
+    )

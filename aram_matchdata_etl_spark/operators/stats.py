@@ -3154,3 +3154,184 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- weighted quantiles -------------------------------------------------------
+
+WQ_QUANTILES = (0.25, 0.5, 0.75)
+
+
+@query(
+    "q_weighted_quantile",
+    oracle=f"""
+WITH per_v AS (
+    SELECT event_type, value, SUM(value) AS w
+    FROM events WHERE value > 0 GROUP BY event_type, value
+), cum AS (
+    SELECT event_type, value,
+        SUM(w) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+        SUM(w) OVER (PARTITION BY event_type) AS tw
+    FROM per_v
+), qs AS (
+    SELECT q FROM UNNEST(ARRAY[{", ".join(str(q) for q in WQ_QUANTILES)}])
+        AS t(q)
+)
+SELECT event_type, q,
+    ROUND(MIN(value), 6) AS weighted_quantile
+FROM cum CROSS JOIN qs
+WHERE cw >= q * tw
+GROUP BY event_type, q
+ORDER BY event_type, q""",
+)
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted quantiles per group (weight = the value itself here:
+    'the revenue level below which a quarter of revenue sits' — the
+    Lorenz-curve inverse; any non-negative weight column slots in). The
+    weighted analogue of percentile_disc, which NO engine builtin
+    provides consistently: the smallest value whose cumulative weight
+    reaches q * total.
+
+    q_mannwhitney_u discipline: the corpus reduces to the per-DISTINCT-
+    value weight rollup in one partial-agg pass; cumulative weights are
+    windows over that rollup; the quantile probe is a 3-row broadcast
+    cross join + min-aggregation over the cell table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    per_v = ev.groupBy("event_type", "value").agg(F.sum("value").alias("w"))
+    w_cum = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = per_v.select(
+        "event_type",
+        "value",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    qs = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(q,) for q in WQ_QUANTILES], "q double"
+        )
+    )
+    return (
+        cum.crossJoin(qs)
+        .filter(F.col("cw") >= F.col("q") * F.col("tw"))
+        .groupBy("event_type", "q")
+        .agg(F.round(F.min("value"), 6).alias("weighted_quantile"))
+        .orderBy("event_type", "q")
+    )
+
+
+# --- delta-method ratio metric + sample-ratio-mismatch check ------------------
+
+
+@query(
+    "q_ratio_metric_delta",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+        SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+        CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+), s AS (
+    SELECT variant,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        AVG(x) AS mx, AVG(y) AS my,
+        VAR_SAMP(x) AS vx, VAR_SAMP(y) AS vy, COVAR_SAMP(x, y) AS cxy
+    FROM per_user GROUP BY variant
+)
+SELECT variant, n,
+    ROUND(mx / my, 6) AS ratio,
+    ROUND((vx - 2 * (mx / my) * cxy + (mx / my) * (mx / my) * vy)
+          / (my * my) / n, 6) AS ratio_var
+FROM s ORDER BY variant""",
+)
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    event), per experiment variant — the experimentation-platform
+    staple: user-level ratios are biased and event-level t-tests are
+    wrong (events within a user correlate), so the correct readout is
+    mean(x)/mean(y) over the USER rollup with
+    Var = (vx - 2r*cxy + r^2*vy) / my^2 / n. Completes the experiment
+    family around q_ab_test (plain means) and q_cuped (variance
+    reduction). One pass to per-user (x, y), one tiny variant rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    s = per_user.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    return s.select(
+        "variant",
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(
+            (F.col("vx") - 2 * r * F.col("cxy") + r * r * F.col("vy"))
+            / (F.col("my") * F.col("my"))
+            / F.col("n"),
+            6,
+        ).alias("ratio_var"),
+    ).orderBy("variant")
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+WITH per_variant AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+), tot AS (SELECT SUM(n_users) AS n FROM per_variant)
+SELECT p.variant, p.n_users,
+    ROUND(p.n_users / t.n, 6) AS share,
+    ROUND(POW(p.n_users - t.n / 2.0, 2) / (t.n / 2.0), 6) AS chi2_term,
+    CAST(SUM(POW(p.n_users - t.n / 2.0, 2) / (t.n / 2.0)) OVER ()
+         > 3.841459 AS BOOLEAN) AS srm_flag
+FROM per_variant p CROSS JOIN tot t
+ORDER BY p.variant""",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square goodness-of-fit of the
+    observed variant split against the designed 50/50 (critical value
+    3.841 = chi-square(1) at 5%). The first thing a trustworthy
+    experiment platform checks — a flagged SRM invalidates every other
+    readout. Distinct-user counts per variant (one exchange), then
+    scalar algebra on two rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_variant = (
+        ev.select((F.col("user_id") % 2).cast("int").alias("variant"), "user_id")
+        .groupBy("variant")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+    tot = per_variant.agg(F.sum("n_users").alias("n"))
+    chi2_term = F.pow(F.col("n_users") - F.col("n") / 2.0, 2) / (
+        F.col("n") / 2.0
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_variant.crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n"), 6).alias("share"),
+            F.round(chi2_term, 6).alias("chi2_term"),
+            (F.sum(chi2_term).over(w_all) > 3.841459).alias("srm_flag"),
+        )
+        .orderBy("variant")
+    )
