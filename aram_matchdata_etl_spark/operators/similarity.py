@@ -1162,3 +1162,78 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+RP_OUT_DIM = 16
+RP_N_OUT = 200  # emit the projection of the first N vectors
+
+
+@query(
+    "q_random_projection",
+    oracle="WITH "
+    + _ORACLE_EMB_CTE.lstrip()
+    + f""",
+pts AS (
+    SELECT vec_id, generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS val
+    FROM emb WHERE vec_id < {RP_N_OUT}
+), proj AS (
+    SELECT CAST(i // {RP_OUT_DIM} AS BIGINT) AS dim,
+        CAST(i % {RP_OUT_DIM} AS INTEGER) AS j,
+        CASE WHEN ('0x' || substr(md5('rp_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                  % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS sgn
+    FROM UNNEST(generate_series(0, 64 * {RP_OUT_DIM} - 1)) AS t(i)
+)
+SELECT p.vec_id, pr.j,
+    ROUND(SUM(p.val * pr.sgn) / SQRT({RP_OUT_DIM}.0), 6) AS pval
+FROM pts p JOIN proj pr USING (dim)
+GROUP BY p.vec_id, pr.j
+ORDER BY p.vec_id, pr.j""",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    DETERMINISTIC Rademacher (+-1) matrix derived from the repo's
+    portable md5 hash — the sketching step that makes downstream
+    similarity work 4x cheaper while preserving pairwise distances to
+    (1 +- eps) (JL lemma; +-1 entries per Achlioptas 2003, no Gaussians
+    needed). The matrix is never materialized ANYWHERE persistent: both
+    engines regenerate it from the hash, which is how a 100 TB pipeline
+    avoids shipping projection state entirely.
+
+    Long-form matmul: points explode to (vec, dim, val) scalars, the
+    64 x 16 matrix (1024 rows) broadcast-joins on dim, one (vec, j)
+    partial-agg — the q_embedding_centroids shuffle discipline: scalars
+    move, vectors never."""
+    emb = embeddings_d(spark, sf_dir).filter(F.col("vec_id") < RP_N_OUT)
+    pts = emb.select("vec_id", F.posexplode("vec").alias("dim", "val"))
+    idx = spark.range(64 * RP_OUT_DIM)
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rp_"), F.col("id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        1.0,
+    ).otherwise(-1.0)
+    proj = idx.select(
+        (F.col("id") / RP_OUT_DIM).cast("bigint").alias("dim"),
+        (F.col("id") % RP_OUT_DIM).cast("int").alias("j"),
+        sgn.alias("sgn"),
+    )
+    return (
+        pts.join(F.broadcast(proj), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("sgn")) / float(RP_OUT_DIM) ** 0.5,
+                6,
+            ).alias("pval")
+        )
+        .orderBy("vec_id", "j")
+    )

@@ -1540,3 +1540,116 @@ def q_perplexity_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("unscored").alias("bucket"), F.lit(False).alias("keep"),
     )
     return bucketed.unionByName(unscored)
+
+
+# --- m-estimate target encoding ----------------------------------------------
+
+TARGET_ENC_M = 20.0  # smoothing pseudo-count
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s
+    FROM events GROUP BY event_type
+), gstats AS (
+    SELECT SUM(s) / SUM(n) AS gm FROM g
+)
+SELECT event_type, n,
+    ROUND(s / n, 6) AS raw_mean,
+    ROUND((s + {TARGET_ENC_M} * gm) / (n + {TARGET_ENC_M}), 6) AS encoded,
+    ROUND(gm, 6) AS global_mean
+FROM g CROSS JOIN gstats ORDER BY event_type""",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding: replace a categorical feature by its
+    smoothed target mean (sum + m*global)/(n + m) — the high-cardinality
+    categorical featurizer (label encoding loses order information,
+    one-hot explodes width; this is what gradient-boosting pipelines
+    actually use). m=20 pseudo-counts shrink rare categories toward the
+    global mean, the overfitting guard. ONE pass to per-category (n,
+    sum) — partial-agg map-side at any cardinality — plus a broadcast
+    global-mean scalar; the encoder table joins back to training rows as
+    a broadcast map (the q_label_encode deployment shape)."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"), F.sum("value").alias("s")
+        )
+    )
+    glob = g.agg((F.sum("s") / F.sum("n")).alias("gm"))
+    m = TARGET_ENC_M
+    return (
+        g.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("raw_mean"),
+            F.round(
+                (F.col("s") + m * F.col("gm")) / (F.col("n") + m), 6
+            ).alias("encoded"),
+            F.round("gm", 6).alias("global_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- hashing-trick featurization ---------------------------------------------
+
+FEATHASH_DIM = 64
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hashed AS (
+    SELECT doc_id,
+        {_bucket_sql("word", FEATHASH_DIM)} AS bucket,
+        CASE WHEN ('0x' || substr(md5('sign_' || word), 1, 8))::BIGINT % 2 = 0
+             THEN 1 ELSE -1 END AS sgn
+    FROM toks
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+    CAST(SUM(sgn) AS BIGINT) AS feature_val
+FROM hashed GROUP BY doc_id, bucket
+HAVING SUM(sgn) <> 0
+ORDER BY doc_id, bucket""",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): every token
+    maps to one of 64 buckets via the repo's portable md5 bucket hash,
+    signed by an independent hash bit so collisions cancel in
+    expectation — unbounded vocabulary to fixed width with NO dictionary
+    (the q_label_encode alternative when the vocab itself is too big to
+    broadcast). Output is the sparse long-form (doc, bucket, value)
+    frame — integer-exact cross-engine. One explode + one (doc, bucket)
+    partial-agg; no corpus-global state of any kind, which is the whole
+    point at 100 TB."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    sgn = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sign_"), F.col("word"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    hashed = toks.select(
+        "doc_id",
+        hash_bucket(F.col("word"), FEATHASH_DIM).cast("int").alias("bucket"),
+        sgn.alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("feature_val"))
+        .filter(F.col("feature_val") != 0)
+        .orderBy("doc_id", "bucket")
+    )
