@@ -1343,3 +1343,69 @@ def test_closeness_sampled_matches_pure_python_bfs(spark):
         assert r.n_sources_reached == len(ds)
         assert r.total_dist == sum(ds)
         assert abs(r.harmonic - sum(1.0 / d for d in ds if d > 0)) < 1e-5
+
+
+def test_random_projection_preserves_distances(spark):
+    """The JL guarantee itself: squared pairwise distances after the
+    16-dim Rademacher projection concentrate around the originals
+    (E[d_proj^2] = d_orig^2; k=16 gives wide but bounded spread). Checked
+    on every consecutive pair of the emitted vectors."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_random_projection"](spark, SF_ORACLE).collect()
+    proj: dict[int, dict[int, float]] = {}
+    for r in rows:
+        proj.setdefault(r.vec_id, {})[r.j] = r.pval
+    emb = _duck(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200"
+        " ORDER BY vec_id"
+    )
+    orig = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples(index=False)
+    }
+    ids = sorted(orig)
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d_o = float(((orig[a] - orig[b]) ** 2).sum())
+        pa = np.array([proj[a][j] for j in range(16)])
+        pb = np.array([proj[b][j] for j in range(16)])
+        d_p = float(((pa - pb) ** 2).sum())
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    ratios = np.array(ratios)
+    # per-pair spread is chi2_16/16; mean over ~200 pairs is tight
+    assert 0.85 < ratios.mean() < 1.15, ratios.mean()
+    assert (ratios > 0.15).all() and (ratios < 3.5).all(), (
+        ratios.min(),
+        ratios.max(),
+    )
+
+
+def test_feature_hashing_matches_pure_python(spark):
+    """Re-derive the signed bucket sums with hashlib directly."""
+    import hashlib
+
+    from aram_matchdata_etl_spark.operators.training import FEATHASH_DIM
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        (r.doc_id, r.bucket): r.feature_val
+        for r in all_queries()["q_feature_hashing"](spark, SF_ORACLE).collect()
+    }
+    docs = _duck("SELECT doc_id, text FROM documents")
+    want: dict[tuple[int, int], int] = {}
+    for r in docs.itertuples(index=False):
+        for w in r.text.split(" "):
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % FEATHASH_DIM
+            s = (
+                1
+                if int(hashlib.md5(f"sign_{w}".encode()).hexdigest()[:8], 16)
+                % 2
+                == 0
+                else -1
+            )
+            key = (r.doc_id, b)
+            want[key] = want.get(key, 0) + s
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
