@@ -2625,3 +2625,90 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_users") / F.nullif(F.col("n0"), F.lit(0)), 6
         ).alias("conversion"),
     )
+
+
+# --- top session paths --------------------------------------------------------
+
+PATH_PREFIX_LEN = 5
+PATH_TOP = 20
+
+
+@query(
+    "q_session_paths",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                 > {SESSION_GAP_S * 1_000_000}
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_type, ts, event_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_no
+    FROM marked
+), pref AS (
+    SELECT user_id, session_no, event_type, ts, event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                           ORDER BY ts, event_id) AS rn
+    FROM sess
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id, session_no,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM pref WHERE rn <= {PATH_PREFIX_LEN}
+    GROUP BY user_id, session_no
+)
+GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}""",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: the first 5 event types of every 30-min-gap
+    session, joined into a '>' path string, ranked by frequency — the
+    user-journey readout between q_markov_transitions (memoryless) and
+    full sequence mining. Session numbering and the prefix rank share
+    the ONE user_id exchange (q_sessionize's discipline); path
+    aggregation shuffles a short string per SESSION, not per event; the
+    final top-20 is TakeOrdered over the distinct-path counts."""
+    ev = _events(spark, sf_dir)
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(order_w)
+    is_new = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev_us) > SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_no", F.sum("is_new").over(run_w)
+    )
+    s_w = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    pref = sess.withColumn("rn", F.row_number().over(s_w)).filter(
+        F.col("rn") <= PATH_PREFIX_LEN
+    )
+    paths = (
+        pref.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+    )

@@ -257,3 +257,120 @@ def q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.md5(F.col("text_redacted")).alias("clean_fp"),
     )
+
+
+# --- Bloom-prefiltered blocklist join ----------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4  # hash functions
+
+
+@query(
+    "q_bloom_blocklist",
+    oracle=f"""
+WITH bad AS (
+    SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 50 = 0
+), seeds AS (
+    SELECT CAST(s AS INTEGER) AS s
+    FROM UNNEST(generate_series(0, {BLOOM_K - 1})) AS t(s)
+), bits AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5(CAST(s AS VARCHAR) || '_' || fp), 1, 8))::BIGINT
+            % {BLOOM_M} AS bit
+    FROM bad CROSS JOIN seeds
+), docfp AS (
+    SELECT doc_id, source, md5(text) AS fp FROM documents
+), probed AS (
+    SELECT d.doc_id, d.source, d.fp,
+        CAST(COUNT(b.bit) AS INTEGER) AS hits
+    FROM docfp d
+    CROSS JOIN seeds s
+    LEFT JOIN bits b
+      ON ('0x' || substr(md5(CAST(s.s AS VARCHAR) || '_' || d.fp), 1, 8))::BIGINT
+             % {BLOOM_M} = b.bit
+    GROUP BY d.doc_id, d.source, d.fp
+), flagged AS (
+    SELECT p.doc_id, p.source,
+        p.hits = {BLOOM_K} AS is_candidate,
+        bad.fp IS NOT NULL AS is_blocked
+    FROM probed p LEFT JOIN bad ON p.fp = bad.fp
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+    CAST(SUM(CASE WHEN is_candidate THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bloom_candidates,
+    CAST(SUM(CASE WHEN is_candidate AND NOT is_blocked THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_false_positives
+FROM flagged GROUP BY source ORDER BY source""",
+)
+def q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered blocklist audit — the LOSSLESS prefilter pattern
+    (q_setsim_prefix_join's family) applied to membership joins: the
+    blocklist compresses to a {BLOOM_M}-bit Bloom set (k={BLOOM_K}
+    md5-derived positions per key), the corpus probes the BIT TABLE (at
+    most {BLOOM_M} rows broadcast — bounded by m no matter how large the
+    blocklist grows), and only bloom-candidates need the exact
+    fingerprint verify join. Bloom-negatives are PROVABLY clean, so the
+    expensive exact join shrinks to the candidate set; the emitted
+    false-positive count is the knob-tuning readout (fp rate ~
+    (1-e^(-kn/m))^k). Every hash is the repo's portable md5 bucket, so
+    candidate sets — not just final verdicts — are bit-identical
+    cross-engine, and the oracle checks the PREFILTER, not only the
+    verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    bad = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    seeds = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("s"))
+
+    def bit(fp_col, s_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(s_col.cast("string"), F.lit("_"), fp_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_M
+        )
+
+    bits = (
+        bad.crossJoin(F.broadcast(seeds))
+        .select(bit(F.col("fp"), F.col("s")).alias("bit"))
+        .distinct()
+    )
+    docfp = docs.select("doc_id", "source", F.md5("text").alias("fp"))
+    probed = (
+        docfp.crossJoin(F.broadcast(seeds))
+        .select("doc_id", "source", "fp", bit(F.col("fp"), F.col("s")).alias("bit"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id", "source", "fp")
+        .agg(F.count("hit").cast("int").alias("hits"))
+    )
+    flagged = probed.join(
+        F.broadcast(bad.withColumn("blocked", F.lit(1))), "fp", "left"
+    ).select(
+        "source",
+        (F.col("hits") == BLOOM_K).alias("is_candidate"),
+        F.col("blocked").isNotNull().alias("is_blocked"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_blocked").cast("int")).cast("bigint").alias("n_blocked"),
+            F.sum(F.col("is_candidate").cast("int"))
+            .cast("bigint")
+            .alias("n_bloom_candidates"),
+            F.sum((F.col("is_candidate") & ~F.col("is_blocked")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_positives"),
+        )
+        .orderBy("source")
+    )
