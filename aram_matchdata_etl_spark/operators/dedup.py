@@ -1386,16 +1386,29 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    # n_common is symmetric: generate each unordered pair ONCE (a < b,
+    # halving the hot-shingle join work vs the naive a <> b form — a
+    # measured 2x at sf0.1) and emit both orientations afterwards
+    canon = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_common"))
+        # materialize: the union below reads this twice, and without the
+        # checkpoint each branch would re-execute the whole shingle join
+        .localCheckpoint()
+    )
+    inter = canon.unionByName(
+        canon.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_common",
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
