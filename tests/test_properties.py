@@ -877,3 +877,52 @@ def test_streaks_match_python_reference(spark, days):
                 cur = 1
         runs.append(cur)
         assert got[u] == (len(sd), len(runs), max(runs)), (u, got[u], runs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30).map(str.strip).filter(bool),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_containment_prefix_join_is_lossless(spark, texts, threshold):
+    """The directed containment prefix filter
+    (q_dedup_containment_prefix) returns EXACTLY the all-shingle-join
+    answer on arbitrary tie-heavy corpora — the asymmetric-prefix proof
+    (only the contained side is pruned) exercised at several
+    thresholds."""
+    from aram_matchdata_etl_spark.operators.dedup import (
+        bigram_col,
+        containment_prefix_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id", F.explode(bigram_col(toks)).alias("shingle")
+    ).distinct()
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_prefix_pairs(sh, threshold).collect()
+    }
+    # brute force in pure Python
+    by_doc: dict[int, set[str]] = {}
+    for r in sh.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {}
+    for a, sa in by_doc.items():
+        for b, sb in by_doc.items():
+            if a == b or len(sa) > len(sb):
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold and len(sa & sb) > 0:
+                want[(a, b)] = round(c, 6)
+    assert got == want, (got, want)
