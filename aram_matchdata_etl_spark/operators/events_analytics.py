@@ -2712,3 +2712,151 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP)
     )
+
+
+# --- daily latency-style percentile bands ------------------------------------
+
+BAND_PCTS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_percentile_bands_daily",
+    oracle=f"""
+WITH per_v AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+        CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT day, value,
+        SUM(c) OVER (PARTITION BY day ORDER BY value) AS cw,
+        SUM(c) OVER (PARTITION BY day) AS tw
+    FROM per_v
+), qs AS (
+    SELECT q FROM UNNEST(ARRAY[{", ".join(str(q) for q in BAND_PCTS)}]) AS t(q)
+)
+SELECT day, q, ROUND(MIN(value), 6) AS pct_value
+FROM cum CROSS JOIN qs
+WHERE cw >= CEIL(q * tw)
+GROUP BY day, q ORDER BY day, q""",
+)
+def q_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99 bands of the value metric — the ops-dashboard
+    latency readout (one line per band over time). EXACT percentile_disc
+    semantics (smallest value whose cumulative count reaches ceil(q*n)),
+    computed the q_mannwhitney_u way: the corpus reduces to per-(day,
+    DISTINCT value) counts in one partial-agg pass, cumulative counts
+    run per-day over that rollup, and the three probes are a broadcast
+    cross join — never a per-day sort of raw rows, never approximate
+    unless you opt into q_quantile_approx's sketch."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per_v = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.partitionBy("day").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("day")
+    cum = per_v.select(
+        "day",
+        "value",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_tot).alias("tw"),
+    )
+    qs = F.broadcast(
+        ev.sparkSession.createDataFrame([(q,) for q in BAND_PCTS], "q double")
+    )
+    return (
+        cum.crossJoin(qs)
+        .filter(F.col("cw") >= F.ceil(F.col("q") * F.col("tw")))
+        .groupBy("day", "q")
+        .agg(F.round(F.min("value"), 6).alias("pct_value"))
+        .orderBy("day", "q")
+    )
+
+
+# --- seasonality strength readout --------------------------------------------
+
+
+@query(
+    "q_seasonality_strength",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        AVG(value) AS y
+    FROM events GROUP BY 1
+), trended AS (
+    SELECT day, y,
+        CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+        dayofweek(day) AS dow
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas_raw AS (
+    SELECT dow, AVG(y - trend) AS s_raw
+    FROM trended WHERE trend IS NOT NULL GROUP BY dow
+), seas AS (
+    SELECT dow, s_raw - (SELECT AVG(s_raw) FROM seas_raw) AS seasonal
+    FROM seas_raw
+), resids AS (
+    SELECT t.y - t.trend AS detrended,
+        t.y - t.trend - s.seasonal AS resid
+    FROM trended t JOIN seas s USING (dow)
+    WHERE t.trend IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+    ROUND(VAR_SAMP(detrended), 6) AS var_detrended,
+    ROUND(VAR_SAMP(resid), 6) AS var_resid,
+    ROUND(GREATEST(0.0, 1.0 - VAR_SAMP(resid) / VAR_SAMP(detrended)), 6)
+        AS seasonality_strength
+FROM resids""",
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-strength readout (Hyndman's FS = max(0, 1 -
+    Var(resid)/Var(detrended)) over the classical decomposition): one
+    number answering "does this metric actually have a weekly cycle
+    worth modeling?" — the triage statistic before reaching for
+    q_seasonal_naive / q_holt_linear / q_anomaly_seasonal. Same bounded
+    calendar-rollup machinery as q_seasonal_decompose, reduced to a
+    single row."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "y",
+        F.when(F.count("*").over(w) == 7, F.avg("y").over(w)).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas_raw = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw"))
+    )
+    center = seas_raw.agg(F.avg("s_raw").alias("c"))
+    seas = seas_raw.crossJoin(F.broadcast(center)).select(
+        "dow", (F.col("s_raw") - F.col("c")).alias("seasonal")
+    )
+    resids = (
+        trended.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(seas), "dow")
+        .select(
+            (F.col("y") - F.col("trend")).alias("detrended"),
+            (F.col("y") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        )
+    )
+    return resids.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.var_samp("detrended"), 6).alias("var_detrended"),
+        F.round(F.var_samp("resid"), 6).alias("var_resid"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_samp("resid") / F.var_samp("detrended"),
+            ),
+            6,
+        ).alias("seasonality_strength"),
+    )
