@@ -1023,6 +1023,13 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (bounded, the same convergence-read class as BPE's argmax).
     Total: 3 scans, 2 scalar-rollup shuffles, zero corpus-wide joins.
     k-means at 100 TB is exactly this loop with a sampled init."""
+    return lloyd_assignments(spark, sf_dir)
+
+
+def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_kmeans_lloyd kernel, reusable (q_kmeans_silhouette composes
+    it): runs the fixed-round Lloyd loop and returns the final
+    (vec_id, cluster) assignment frame."""
     emb = embeddings_d(spark, sf_dir).select("vec_id", "vec")
     seeds = (
         emb.filter(F.col("vec_id") < KMEANS_K)
@@ -1236,4 +1243,96 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pval")
         )
         .orderBy("vec_id", "j")
+    )
+
+
+# --- simplified silhouette (centroid-based cluster quality) ------------------
+
+
+def _silhouette_oracle() -> str:
+    """Extends the unrolled Lloyd chain: final centroids from the final
+    assignment, per-(vec, centroid) distances in long form, then the
+    simplified silhouette s = (b - a) / max(a, b) rolled up per
+    cluster."""
+    base = _kmeans_oracle()
+    # strip the final SELECT; keep the CTE chain through a{ROUNDS}
+    chain = base[: base.rindex("\nSELECT vec_id")]
+    r = KMEANS_ROUNDS
+    return (
+        chain
+        + f""", cfin AS MATERIALIZED (
+    SELECT a.cid, p.dim, AVG(p.val) AS val
+    FROM a{r} a JOIN pts p ON a.vec_id = p.vec_id
+    GROUP BY a.cid, p.dim
+), dists AS MATERIALIZED (
+    SELECT p.vec_id, c.cid,
+        SUM((p.val - c.val) * (p.val - c.val)) AS d2
+    FROM pts p JOIN cfin c ON p.dim = c.dim
+    GROUP BY p.vec_id, c.cid
+), sil AS (
+    SELECT d.vec_id, a.cid,
+        SQRT(MAX(CASE WHEN d.cid = a.cid THEN d.d2 END)) AS a_dist,
+        SQRT(MIN(CASE WHEN d.cid <> a.cid THEN d.d2 END)) AS b_dist
+    FROM dists d JOIN a{r} a ON d.vec_id = a.vec_id
+    GROUP BY d.vec_id, a.cid
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+    ROUND(AVG((b_dist - a_dist) / GREATEST(a_dist, b_dist)), 6)
+        AS mean_silhouette
+FROM sil GROUP BY cid ORDER BY cluster"""
+    )
+
+
+@query("q_kmeans_silhouette", oracle=_silhouette_oracle())
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster:
+    a = distance to the OWN final centroid, b = distance to the nearest
+    OTHER centroid, s = (b - a)/max(a, b) averaged per cluster — the
+    cluster-quality readout that at 100 TB replaces the classic
+    silhouette (whose pairwise a/b terms are O(n^2); the centroid form
+    is the standard linear surrogate and ranks clusters identically in
+    practice). Composes lloyd_assignments; everything after the loop is
+    one long-form distance rollup against the k x d centroid table —
+    scalars shuffle, k^2 never appears."""
+    assigned = lloyd_assignments(spark, sf_dir).localCheckpoint()
+    emb = embeddings_d(spark, sf_dir).select("vec_id", "vec")
+    pts = emb.select("vec_id", F.posexplode("vec").alias("dim", "val"))
+    cfin = (
+        assigned.join(emb, "vec_id")
+        .select(F.col("cluster").alias("cid"), F.posexplode("vec").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("cval"))
+    )
+    dists = (
+        pts.join(F.broadcast(cfin), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    sil = (
+        dists.join(assigned, "vec_id")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sqrt(
+                F.max(F.when(F.col("cid") == F.col("cluster"), F.col("d2")))
+            ).alias("a_dist"),
+            F.sqrt(
+                F.min(F.when(F.col("cid") != F.col("cluster"), F.col("d2")))
+            ).alias("b_dist"),
+        )
+    )
+    s = (F.col("b_dist") - F.col("a_dist")) / F.greatest(
+        F.col("a_dist"), F.col("b_dist")
+    )
+    return (
+        sil.groupBy(F.col("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg(s), 6).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
     )

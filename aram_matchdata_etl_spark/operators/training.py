@@ -1653,3 +1653,83 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("feature_val") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+# --- deterministic negative sampling -----------------------------------------
+
+NEG_PER_POS = 2
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+WITH pos AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), negs AS (
+    SELECT u.user_id, t.event_type,
+        ROW_NUMBER() OVER (
+            PARTITION BY u.user_id
+            ORDER BY ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '_'
+                || t.event_type), 1, 8))::BIGINT, t.event_type
+        ) AS rk
+    FROM (SELECT DISTINCT user_id FROM pos) u
+    CROSS JOIN types t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.user_id = u.user_id AND p.event_type = t.event_type
+    )
+)
+SELECT user_id, event_type, CAST(1 AS INTEGER) AS label FROM pos
+UNION ALL
+SELECT user_id, event_type, 0 FROM negs WHERE rk <= {NEG_PER_POS}
+ORDER BY user_id, label DESC, event_type""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair generation for an implicit-feedback model: every
+    observed (user, event_type) interaction is a positive; per user, up
+    to {NEG_PER_POS} NON-interacted types become negatives, chosen by
+    the portable md5 hash order — deterministic, so the training set is
+    reproducible across engines and runs (the property np.random-based
+    samplers can't give a distributed pipeline). The non-interaction
+    set is built as interacted-ANTI-join against the type vocabulary:
+    candidates are |users| x |types| rows with the vocabulary
+    broadcast — the quadratic user x item space never materializes
+    beyond each user's vocabulary-bounded row (at real item
+    cardinalities the vocabulary side would first shrink to a
+    popularity-sampled candidate pool, same plan shape)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select("user_id", "event_type").distinct()
+    types = ev.select("event_type").distinct()
+    users = pos.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(types)).join(
+        pos, ["user_id", "event_type"], "left_anti"
+    )
+    hsh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("_"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(hsh, F.col("event_type"))
+    negs = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_PER_POS)
+        .select("user_id", "event_type", F.lit(0).alias("label"))
+    )
+    out = pos.select(
+        "user_id", "event_type", F.lit(1).alias("label")
+    ).unionByName(negs)
+    return out.orderBy("user_id", F.desc("label"), "event_type")
