@@ -1174,3 +1174,74 @@ def q_stream_cdc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+_STREAM_ENRICH_RUNS = 0
+
+
+@query(
+    "q_stream_enrich_live",
+    oracle="""
+WITH dim AS (
+    SELECT c_custkey, c_mktsegment, c_nationkey
+    FROM customer
+), keyed AS (
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+        d.c_mktsegment AS segment
+    FROM events e
+    JOIN dim d
+      ON d.c_custkey = e.user_id % (SELECT MAX(c_custkey) + 1 FROM customer)
+)
+SELECT segment, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    ROUND(SUM(value), 4) AS total_value
+FROM keyed GROUP BY segment, event_type
+ORDER BY segment, event_type""",
+)
+def q_stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEVENTH live streaming gate query, exercising the one join
+    mechanism not yet under the hash gate: STREAM-STATIC enrichment —
+    each micro-batch of the event stream joins the static customer
+    dimension (the canonical bronze->silver enrichment step; Spark
+    re-resolves the static side per trigger, broadcast-joining it
+    against each batch). Stateless by design — the gate here proves the
+    per-trigger join plumbing and the cross-trigger AGGREGATION of
+    enriched results, complementing the five stateful mechanisms and
+    the stream-stream join. The user->customer key is the deterministic
+    modulo mapping (every user resolves; no null segment branch to
+    hide in)."""
+    import shutil
+
+    global _STREAM_ENRICH_RUNS
+    _STREAM_ENRICH_RUNS += 1
+    run_id = _STREAM_ENRICH_RUNS
+
+    from ..streaming.crawl import run_to_completion
+
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.agg((F.max("c_custkey") + 1).alias("n")).first()["n"]
+    dim = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    src, stream = _spool_event_slices(spark, ev, "graft_enrich_stream_")
+    try:
+        enriched = (
+            stream.withColumn("c_custkey", F.col("user_id") % F.lit(int(n_cust)))
+            .join(F.broadcast(dim), "c_custkey")
+            .select("event_id", "segment", "event_type", "value")
+        )
+        table = f"enrich_live_{run_id}"
+        run_to_completion(enriched, query_name=table)
+        return (
+            spark.table(table)
+            .groupBy("segment", "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .orderBy("segment", "event_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
