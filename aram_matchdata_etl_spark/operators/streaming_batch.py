@@ -1245,3 +1245,95 @@ def q_stream_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+_STREAM_TIMEOUT_RUNS = 0
+
+SESSION_CLOSE_DELAY = "0 seconds"  # watermark delay for the timeout query
+
+
+def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the EventTimeTimeout sessionizer over the three-slice spool;
+    returns the emitted (user_id, start_us, end_us, n_events) frame."""
+    import shutil
+
+    global _STREAM_TIMEOUT_RUNS
+    _STREAM_TIMEOUT_RUNS += 1
+    run_id = _STREAM_TIMEOUT_RUNS
+
+    from ..streaming.crawl import run_to_completion
+    from ..streaming.stateful import close_sessions
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    src, stream = _spool_event_slices(spark, ev, "graft_timeout_stream_")
+    try:
+        prepared = stream.withWatermark("ts", SESSION_CLOSE_DELAY).select(
+            "user_id", "ts", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        table = f"timeout_sessions_{run_id}"
+        run_to_completion(
+            close_sessions(prepared, 1800),
+            query_name=table,
+            output_mode="append",
+        )
+        return spark.table(table).localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "q_stream_timeout_sessions_live",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+             OR LAG(epoch_us(ts)) OVER w IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts, event_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM marked
+), per_sess AS (
+    SELECT user_id, session_no,
+        MIN(epoch_us(ts)) AS start_us,
+        MAX(epoch_us(ts)) AS end_us,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+), flagged AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY session_no DESC) = 1 AS is_last
+    FROM per_sess
+), wm AS (SELECT MAX(epoch_us(ts)) AS wm_us FROM events)
+SELECT user_id, start_us, end_us, n_events
+FROM flagged CROSS JOIN wm
+WHERE NOT is_last
+   OR (end_us + 1800 * 1000000) // 1000 < wm_us // 1000
+ORDER BY user_id, start_us""",
+)
+def q_stream_timeout_sessions_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EIGHTH live streaming gate query, and the first to put
+    **event-time TIMEOUTS** (GroupStateTimeout.EventTimeTimeout) under
+    the exact hash gate — the one stateful-streaming mechanism the
+    NoTimeout trackers left unexercised. Custom sessionization in
+    applyInPandasWithState: gap-closed sessions emit when their closing
+    event arrives; each key's TRAILING session emits only when Spark's
+    watermark passes last_event + gap and invokes the function with
+    hasTimedOut (no data for the key needed).
+
+    The oracle replays the timeout rule deterministically: with a
+    0-second watermark delay over the mtime-pinned three-slice spool,
+    availableNow runs a final timeout pass after the last data batch, so
+    a trailing session fires iff floor((end+gap)/1ms) < floor(final
+    watermark/1ms) — the millisecond floors are Spark's internal
+    watermark granularity, EMPIRICALLY pinned (143 of 150 fixture
+    trailing sessions fire; the 7 ending within the gap of corpus end
+    stay in state forever, exactly as a real deployment would hold them
+    open). Integer microsecond outputs -> exact hash equality."""
+    return stream_timeout_sessions(spark, sf_dir).orderBy(
+        "user_id", "start_us"
+    )

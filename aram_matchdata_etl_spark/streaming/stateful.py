@@ -373,3 +373,92 @@ def apply_cdc(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- event-time-timeout session closer ---------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, cnt long"
+
+
+def session_closer(gap_s: int):
+    """applyInPandasWithState function exercising EVENT-TIME TIMEOUTS —
+    the one GroupStateTimeout mechanism the other stateful operators
+    (NoTimeout) leave untested. Per key the state is the single open
+    session (sessions are time-ordered, so at most one is open). A
+    session closed by a LATER event of the same key (gap exceeded)
+    emits immediately — that closure is final regardless of watermark.
+    The key's trailing session instead registers an event-time timeout
+    at last_event + gap: Spark invokes the function again WITHOUT data
+    once the watermark passes that point (even if the key never appears
+    in another batch), which is when the trailing session emits. What
+    the driver gate proves: gap-splits, cross-trigger session
+    continuation, AND watermark-driven timeout firing all behave
+    exactly as the batch oracle's deterministic replay predicts."""
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = ["user_id", "start_us", "end_us", "n_events"]
+        if state.hasTimedOut:
+            start_us, last_us, cnt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[int(user_id), int(start_us), int(last_us), int(cnt)]],
+                columns=cols,
+            )
+            return
+        open_sess = state.get if state.exists else None
+        closed: list[list[int]] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+            # vectorized gap-split of the batch
+            brk = np.nonzero(np.diff(ts) > gap_us)[0] + 1
+            seg_starts = np.concatenate(([0], brk))
+            seg_ends = np.concatenate((brk, [len(ts)]))
+            for s, e in zip(seg_starts, seg_ends):
+                seg = (int(ts[s]), int(ts[e - 1]), int(e - s))
+                if open_sess is not None and seg[0] - open_sess[1] <= gap_us:
+                    open_sess = (
+                        int(open_sess[0]),
+                        seg[1],
+                        int(open_sess[2]) + seg[2],
+                    )
+                else:
+                    if open_sess is not None:
+                        closed.append(
+                            [int(user_id), *[int(x) for x in open_sess]]
+                        )
+                    open_sess = seg
+        if open_sess is not None:
+            state.update(
+                (int(open_sess[0]), int(open_sess[1]), int(open_sess[2]))
+            )
+            state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+        yield pd.DataFrame(closed, columns=cols) if closed else pd.DataFrame(
+            columns=cols
+        )
+
+    return fn
+
+
+def close_sessions(stream: DataFrame, gap_s: int) -> DataFrame:
+    """Apply the event-time-timeout sessionizer. The stream must carry a
+    watermarked `ts` plus precomputed `ts_us`/`event_id` columns."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        session_closer(gap_s),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
