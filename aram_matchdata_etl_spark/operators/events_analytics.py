@@ -2860,3 +2860,104 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality_strength"),
     )
+
+
+# --- funnel conversion by experiment variant ----------------------------------
+
+
+@query(
+    "q_funnel_by_variant",
+    oracle="""
+WITH anchored AS (
+    SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+    FROM events
+), a2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t0 THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+    FROM anchored
+), per_variant AS (
+    SELECT variant,
+        CAST(COUNT(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_entered,
+        CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_converted
+    FROM a2 GROUP BY variant
+), pooled AS (
+    SELECT SUM(n_converted) * 1.0 / SUM(n_entered) AS p_pool FROM per_variant
+)
+SELECT variant, n_entered, n_converted,
+    ROUND(n_converted * 1.0 / n_entered, 6) AS conversion,
+    ROUND(n_converted * 1.0 / n_entered
+          - SUM(CASE WHEN variant = 0
+                     THEN n_converted * 1.0 / n_entered ELSE 0 END) OVER (),
+          6) AS lift_abs,
+    ROUND((n_converted * 1.0 / n_entered
+           - SUM(CASE WHEN variant = 0
+                      THEN n_converted * 1.0 / n_entered ELSE 0 END) OVER ())
+          / NULLIF(SQRT(p_pool * (1 - p_pool)
+                * (1.0 / n_entered
+                   + 1.0 / SUM(CASE WHEN variant = 0 THEN n_entered END)
+                         OVER ())), 0), 6) AS z_vs_control
+FROM per_variant CROSS JOIN pooled
+ORDER BY variant""",
+)
+def q_funnel_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion per experiment variant (view -> first purchase
+    at-or-after), with each variant's absolute lift and two-proportion
+    z-score against control (variant 0, pooled-variance form) — the
+    readout an experimenter actually ships: q_funnel's cascade anchors
+    restricted to entry/exit, split by the standing user-parity variant
+    hash. One user_id window exchange, a 2-row variant rollup, scalar
+    algebra after."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    u = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(u)
+    a1 = ev.select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "ts",
+        "event_type",
+        t0.alias("t0"),
+    )
+    t1 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0")),
+            F.col("ts"),
+        )
+    ).over(u)
+    a2 = a1.select("*", t1.alias("t1"))
+    pv = a2.groupBy("variant").agg(
+        F.count_distinct(
+            F.when(F.col("t0").isNotNull(), F.col("user_id"))
+        ).cast("bigint").alias("n_entered"),
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).cast("bigint").alias("n_converted"),
+    )
+    w_all = Window.partitionBy()
+    conv = F.col("n_converted") * 1.0 / F.col("n_entered")
+    p_ctl = F.sum(F.when(F.col("variant") == 0, conv).otherwise(0.0)).over(w_all)
+    n_ctl = F.sum(F.when(F.col("variant") == 0, F.col("n_entered"))).over(w_all)
+    p_pool = F.sum(F.col("n_converted")).over(w_all) * 1.0 / F.sum(
+        F.col("n_entered")
+    ).over(w_all)
+    z = (conv - p_ctl) / F.nullif(
+        F.sqrt(
+            p_pool
+            * (1 - p_pool)
+            * (1.0 / F.col("n_entered") + 1.0 / n_ctl)
+        ),
+        F.lit(0.0),
+    )
+    return pv.select(
+        "variant",
+        "n_entered",
+        "n_converted",
+        F.round(conv, 6).alias("conversion"),
+        F.round(conv - p_ctl, 6).alias("lift_abs"),
+        F.round(z, 6).alias("z_vs_control"),
+    ).orderBy("variant")
