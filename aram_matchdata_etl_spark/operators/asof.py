@@ -282,3 +282,98 @@ def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["last_price"],
         bucket_width=ASOF_BUCKET_WIDTH,
     )
+
+
+@query(
+    "q_join_nearest",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, event_type, value,
+        LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+            IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+        FIRST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+            IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+    FROM events
+)
+SELECT event_id, user_id,
+    CAST(CASE
+        WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+        WHEN next_us IS NULL THEN epoch_us(ts) - prev_us
+        WHEN prev_us IS NULL THEN next_us - epoch_us(ts)
+        WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+            THEN epoch_us(ts) - prev_us
+        ELSE next_us - epoch_us(ts)
+    END AS BIGINT) AS nearest_gap_us,
+    CASE
+        WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+        WHEN next_us IS NULL THEN 'before'
+        WHEN prev_us IS NULL THEN 'after'
+        WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts) THEN 'before'
+        ELSE 'after'
+    END AS nearest_side
+FROM tagged WHERE event_type = 'purchase'
+ORDER BY event_id""",
+)
+def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event temporal join (both directions): each purchase finds
+    its closest click of the same user — backward OR forward, ties to
+    backward — widening the as-of family (q_asof_join is
+    backward-only, the SQL-standard semantics; sensor/event alignment
+    often wants nearest). Implementation is the interleaved-window
+    trick: one user_id exchange carries BOTH the
+    LAST_VALUE(IGNORE NULLS) lookback and the FIRST_VALUE lookahead
+    over the mixed event stream — never a purchases x clicks join, so
+    no fan-out exists to bound. Integer microsecond gaps -> exact
+    hash."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    prev_us = F.last(click_us, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_us = F.first(click_us, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        prev_us.alias("prev_us"),
+        next_us.alias("next_us"),
+    )
+    d_prev = F.col("us") - F.col("prev_us")
+    d_next = F.col("next_us") - F.col("us")
+    both_null = F.col("prev_us").isNull() & F.col("next_us").isNull()
+    gap = (
+        F.when(both_null, F.lit(None))
+        .when(F.col("next_us").isNull(), d_prev)
+        .when(F.col("prev_us").isNull(), d_next)
+        .when(d_prev <= d_next, d_prev)
+        .otherwise(d_next)
+    )
+    side = (
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(F.col("next_us").isNull(), F.lit("before"))
+        .when(F.col("prev_us").isNull(), F.lit("after"))
+        .when(d_prev <= d_next, F.lit("before"))
+        .otherwise(F.lit("after"))
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            gap.cast("bigint").alias("nearest_gap_us"),
+            side.alias("nearest_side"),
+        )
+        .orderBy("event_id")
+    )
