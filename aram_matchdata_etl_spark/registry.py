@@ -50,6 +50,7 @@ def _load_operator_modules() -> None:
         graph,
         layout,
         linkage,
+        market,
         match_pipeline,
         multimodal,
         privacy,
