@@ -1,0 +1,563 @@
+"""Classic-ML kit under the exact driver hash gate: multinomial Naive
+Bayes text classification (the fastText/CCNet-style quality-classifier
+shape LLM pipelines use for corpus filtering), entropy decision-stump
+split search (the inner loop of tree learners), and ridge-regularized
+Newton/IRLS logistic regression — the repo's SECOND iterative ML
+trainer hash-oracled via an unrolled per-round CTE chain (the
+q_kmeans_lloyd pattern extended from argmin assignment to a linear
+solve).
+
+All three reduce the corpus to bounded sufficient statistics before any
+model math — the property that survives a 100 TB scale-up:
+- Naive Bayes trains on the (class x vocab) count grid: ONE token
+  groupBy, then the grid (|V| * C rows — broadcast-sized for bounded
+  vocabularies, hash-joinable beyond) scores test tokens with no
+  per-class corpus passes.
+- The stump evaluates EVERY candidate split from one conditional
+  rollup pass: per (feature, bin) counts, then a cumulative window over
+  the ~90-row rollup — candidate thresholds never touch the corpus.
+- Newton-IRLS folds the current betas into the row expression as
+  LITERALS (no join) and reduces each round to 9 machine-double sums
+  (the 3x3 Hessian + gradient); only those scalars reach the driver,
+  which solves by Cramer's rule with a formula mirrored token-for-token
+  in the oracle SQL so both engines drift identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+
+NB_TEST_MOD = 5  # doc_id % 5 == 0 -> test, else train
+
+
+_NB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, w
+    FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+train AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} <> 0),
+train_docs AS (
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM train GROUP BY 1
+),
+nn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM train_docs),
+vocab AS (SELECT DISTINCT w FROM train),
+vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+wc AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM train GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_c FROM wc GROUP BY 1),
+grid AS (
+    SELECT t.source, vw.w,
+        LN((COALESCE(wc.cnt, 0) + 1.0) / (t.tot_c + vs.v)) AS loglik
+    FROM tot t CROSS JOIN vocab vw CROSS JOIN vsize vs
+    LEFT JOIN wc ON wc.source = t.source AND wc.w = vw.w
+),
+test_tf AS (
+    SELECT doc_id, MIN(source) AS actual, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE doc_id % {NB_TEST_MOD} = 0 GROUP BY doc_id, w
+),
+scored AS (
+    SELECT tt.doc_id, tt.actual, g.source,
+        SUM(tt.tf * g.loglik) AS ll
+    FROM test_tf tt JOIN grid g ON g.w = tt.w
+    GROUP BY 1, 2, 3
+),
+full_score AS (
+    SELECT s.doc_id, s.actual, s.source,
+        ROUND(s.ll + LN(td.n_docs * 1.0 / nn.n_total), 6) AS score
+    FROM scored s JOIN train_docs td ON td.source = s.source CROSS JOIN nn
+)
+SELECT doc_id, actual, source AS predicted, score,
+    CAST(source = actual AS INTEGER) AS correct
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, source
+    ) AS rn
+    FROM full_score
+) WHERE rn = 1"""
+
+
+@query("q_naive_bayes", oracle=_NB_SQL)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes over document tokens: train on doc_id %
+    {NB_TEST_MOD} != 0 with the source as the class, Laplace(+1)
+    smoothing over the train vocabulary, predict the held-out fold by
+    argmax of log prior + sum tf * log P(w|c). The quality-classifier
+    pattern of LLM data pipelines (CCNet / GPT-3's Wikipedia-vs-crawl
+    filter) with the linear scorer swapped for its generative twin.
+
+    Determinism: per-(doc, class) log-likelihoods are rounded to 6 dp
+    BEFORE the argmax (absorbing float sum-order noise between
+    engines), ties break on class name. Test words outside the train
+    vocabulary drop out in both dialects (inner join against the
+    grid).
+
+    Fixture note: the synthetic sources draw from ONE shared ~31-word
+    vocabulary with near-uniform frequencies, so held-out accuracy
+    sits at/below the 1/C chance line (the classic tiny-vocab
+    leave-one-out anti-correlation) — the gate verifies the exact
+    distributed scoring machinery, and the pure-Python differential in
+    tests/test_mlkit.py verifies the formula, not fixture accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    train = toks.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    train_docs = train.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    nn = train_docs.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    vocab = train.select("w").distinct()
+    vsize = vocab.agg(F.count("*").cast("bigint").alias("v"))
+    wc = train.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = wc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot_c"))
+    grid = (
+        tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vsize))
+        .join(F.broadcast(wc), ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.log(
+                (F.coalesce("cnt", F.lit(0)) + 1.0)
+                / (F.col("tot_c") + F.col("v"))
+            ).alias("loglik"),
+        )
+    )
+    test_tf = (
+        toks.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+        .groupBy("doc_id", "w")
+        .agg(
+            F.min("source").alias("actual"),
+            F.count("*").cast("bigint").alias("tf"),
+        )
+    )
+    scored = (
+        test_tf.join(F.broadcast(grid), "w")
+        .groupBy("doc_id", "actual", "source")
+        .agg(F.sum(F.col("tf") * F.col("loglik")).alias("ll"))
+    )
+    full_score = (
+        scored.join(F.broadcast(train_docs), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "actual",
+            "source",
+            F.round(
+                F.col("ll") + F.log(F.col("n_docs") / F.col("n_total")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("source"))
+    return (
+        full_score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("source").alias("predicted"),
+            "score",
+            (F.col("source") == F.col("actual")).cast("int").alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump
+
+PRICE_BINS = 20  # equi-width bins for l_extendedprice
+
+
+_STUMP_SQL = f"""
+WITH mm AS (
+    SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+    FROM lineitem
+),
+binned AS (
+    SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(y) AS BIGINT) AS pos
+    FROM (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+            f.feature,
+            CASE f.feature
+                WHEN 'quantity' THEN CAST(l_quantity AS INTEGER)
+                WHEN 'discount' THEN CAST(ROUND(l_discount * 100, 0) AS INTEGER)
+                ELSE LEAST(CAST(FLOOR((l_extendedprice - mn) / (mx - mn)
+                    * {PRICE_BINS}) AS INTEGER), {PRICE_BINS - 1})
+            END AS bin
+        FROM lineitem CROSS JOIN mm
+        CROSS JOIN (
+            SELECT unnest(['quantity', 'discount', 'price']) AS feature
+        ) f
+    ) GROUP BY 1, 2
+),
+cum AS (
+    SELECT feature, bin,
+        SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+        SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS pl,
+        SUM(n) OVER (PARTITION BY feature) AS nt,
+        SUM(pos) OVER (PARTITION BY feature) AS pt
+    FROM binned
+),
+gains AS (
+    SELECT feature, bin AS split_bin,
+        CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+        ROUND(
+            (CASE WHEN pt = 0 OR pt = nt THEN 0.0 ELSE
+                -(pt * 1.0 / nt) * LN(pt * 1.0 / nt)
+                - (1 - pt * 1.0 / nt) * LN(1 - pt * 1.0 / nt) END)
+            - (nl * 1.0 / nt) * (CASE WHEN pl = 0 OR pl = nl THEN 0.0 ELSE
+                -(pl * 1.0 / nl) * LN(pl * 1.0 / nl)
+                - (1 - pl * 1.0 / nl) * LN(1 - pl * 1.0 / nl) END)
+            - ((nt - nl) * 1.0 / nt)
+              * (CASE WHEN pt - pl = 0 OR pt - pl = nt - nl THEN 0.0 ELSE
+                -((pt - pl) * 1.0 / (nt - nl)) * LN((pt - pl) * 1.0 / (nt - nl))
+                - (1 - (pt - pl) * 1.0 / (nt - nl))
+                  * LN(1 - (pt - pl) * 1.0 / (nt - nl)) END),
+            9) AS gain
+    FROM cum WHERE nl < nt
+)
+SELECT feature, split_bin, n_left, n_right, ROUND(gain, 6) AS gain
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY feature ORDER BY gain DESC, split_bin
+    ) AS rn
+    FROM gains
+) WHERE rn = 1"""
+
+
+def _entropy(pos, n):
+    """Binary entropy of a (pos, n) count pair as a Column, 0*ln0 = 0."""
+    p = pos / n
+    return (
+        F.when((pos == 0) | (pos == n), F.lit(0.0))
+        .otherwise(-p * F.log(p) - (1 - p) * F.log(1 - p))
+    )
+
+
+@query("q_best_split", oracle=_STUMP_SQL)
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy decision stump: the best binary split per feature
+    (quantity / discount / equi-width price bin) for predicting
+    l_returnflag = 'R', by information gain — the inner loop of every
+    tree learner, run as pure aggregation.
+
+    Plan: ONE corpus pass builds the (feature, bin) rollup (the
+    3-feature fan-out is an explode over structs, not three scans);
+    every candidate threshold is then a cumulative window over the
+    ~90-row rollup. Gain is rounded to 9 dp before ranking so the
+    argmax order cannot depend on float sum-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    price_bin = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * PRICE_BINS
+        ).cast("int"),
+        F.lit(PRICE_BINS - 1),
+    )
+    fanned = (
+        li.crossJoin(F.broadcast(mm))
+        .select(
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("quantity").alias("feature"),
+                        F.col("l_quantity").cast("int").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("discount").alias("feature"),
+                        F.round(F.col("l_discount") * 100, 0)
+                        .cast("int")
+                        .alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("price").alias("feature"),
+                        price_bin.alias("bin"),
+                    ),
+                )
+            ).alias("fb"),
+        )
+        .select("y", "fb.feature", "fb.bin")
+    )
+    binned = fanned.groupBy("feature", "bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wcum = Window.partitionBy("feature").orderBy("bin")
+    wall = Window.partitionBy("feature")
+    cum = binned.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("pt"),
+    )
+    nl, pl, nt, pt = (F.col(c) for c in ("nl", "pl", "nt", "pt"))
+    gain = F.round(
+        _entropy(pt, nt)
+        - (nl / nt) * _entropy(pl, nl)
+        - ((nt - nl) / nt) * _entropy(pt - pl, nt - nl),
+        9,
+    )
+    gains = cum.filter(nl < nt).select(
+        "feature",
+        F.col("bin").alias("split_bin"),
+        nl.cast("bigint").alias("n_left"),
+        (nt - nl).cast("bigint").alias("n_right"),
+        gain.alias("gain"),
+    )
+    w = Window.partitionBy("feature").orderBy(
+        F.desc("gain"), F.asc("split_bin")
+    )
+    return (
+        gains.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            "split_bin",
+            "n_left",
+            "n_right",
+            F.round("gain", 6).alias("gain"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newton / IRLS logistic regression
+
+LR_ROUNDS = 4
+LR_RIDGE = 1.0  # added to every Hessian diagonal (incl. intercept)
+LR_X1_CENTER = 10.0  # ln(o_totalprice) centering constant
+LR_EPOCH = "1995-01-01"  # day-count origin for the date feature
+LR_X2_SCALE = 1000.0
+
+_FEATS_SQL = f"""
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+        LN(o_totalprice) - {LR_X1_CENTER} AS x1,
+        DATE_DIFF('day', DATE '{LR_EPOCH}', CAST(o_orderdate AS DATE))
+            / {LR_X2_SCALE} AS x2
+    FROM orders
+"""
+
+
+def _solve_sql(b: str, s: str) -> tuple[str, str, str]:
+    """Cramer's-rule Newton-step expressions (as SQL text) for the ridge
+    3x3 system H d = g, H = [[sw+L, swx1, swx2], [swx1, sw11+L, sw12],
+    [swx2, sw12, sw22+L]] — token-for-token the same structure the
+    Python driver evaluates, so both engines perform identical IEEE
+    operations on their (order-differing) sums."""
+    L = f"{LR_RIDGE!r}"
+    a11, a12, a13 = f"({s}.sw + {L})", f"{s}.swx1", f"{s}.swx2"
+    a22, a23, a33 = f"({s}.sw11 + {L})", f"{s}.sw12", f"({s}.sw22 + {L})"
+    g0, g1, g2 = f"{s}.g0", f"{s}.g1", f"{s}.g2"
+    det = (
+        f"({a11} * ({a22} * {a33} - {a23} * {a23})"
+        f" - {a12} * ({a12} * {a33} - {a23} * {a13})"
+        f" + {a13} * ({a12} * {a23} - {a22} * {a13}))"
+    )
+    d0 = (
+        f"({g0} * ({a22} * {a33} - {a23} * {a23})"
+        f" - {a12} * ({g1} * {a33} - {a23} * {g2})"
+        f" + {a13} * ({g1} * {a23} - {a22} * {g2}))"
+    )
+    d1 = (
+        f"({a11} * ({g1} * {a33} - {g2} * {a23})"
+        f" - {g0} * ({a12} * {a33} - {a23} * {a13})"
+        f" + {a13} * ({a12} * {g2} - {g1} * {a13}))"
+    )
+    d2 = (
+        f"({a11} * ({a22} * {g2} - {g1} * {a23})"
+        f" - {a12} * ({a12} * {g2} - {g1} * {a13})"
+        f" + {g0} * ({a12} * {a23} - {a22} * {a13}))"
+    )
+    return (
+        f"{b}.b0 + {d0} / {det}",
+        f"{b}.b1 + {d1} / {det}",
+        f"{b}.b2 + {d2} / {det}",
+    )
+
+
+def _solve_py(b, s):
+    """Python twin of _solve_sql — identical operation structure."""
+    L = LR_RIDGE
+    sw, swx1, swx2, sw11, sw12, sw22, g0, g1, g2 = s
+    a11, a12, a13 = sw + L, swx1, swx2
+    a22, a23, a33 = sw11 + L, sw12, sw22 + L
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    d0 = (
+        g0 * (a22 * a33 - a23 * a23)
+        - a12 * (g1 * a33 - a23 * g2)
+        + a13 * (g1 * a23 - a22 * g2)
+    )
+    d1 = (
+        a11 * (g1 * a33 - g2 * a23)
+        - g0 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * g2 - g1 * a13)
+    )
+    d2 = (
+        a11 * (a22 * g2 - g1 * a23)
+        - a12 * (a12 * g2 - g1 * a13)
+        + g0 * (a12 * a23 - a22 * a13)
+    )
+    return (b[0] + d0 / det, b[1] + d1 / det, b[2] + d2 / det)
+
+
+_SUMS_SQL = """SELECT
+    SUM(p * (1 - p)) AS sw,
+    SUM(p * (1 - p) * x1) AS swx1,
+    SUM(p * (1 - p) * x2) AS swx2,
+    SUM(p * (1 - p) * x1 * x1) AS sw11,
+    SUM(p * (1 - p) * x1 * x2) AS sw12,
+    SUM(p * (1 - p) * x2 * x2) AS sw22,
+    SUM(y - p) AS g0,
+    SUM((y - p) * x1) AS g1,
+    SUM((y - p) * x2) AS g2"""
+
+
+def _logreg_oracle() -> str:
+    parts = [f"feats AS ({_FEATS_SQL})", "b0 AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"]
+    for k in range(LR_ROUNDS):
+        b, nb, p, s = f"b{k}", f"b{k + 1}", f"p{k}", f"s{k}"
+        parts.append(
+            f"""{p} AS (
+    SELECT y, x1, x2,
+        1 / (1 + EXP(-({b}.b0 + {b}.b1 * x1 + {b}.b2 * x2))) AS p
+    FROM feats CROSS JOIN {b})"""
+        )
+        parts.append(f"{s} AS ({_SUMS_SQL} FROM {p})")
+        e0, e1, e2 = _solve_sql(b, s)
+        parts.append(
+            f"{nb} AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2"
+            f" FROM {s} CROSS JOIN {b})"
+        )
+    bf = f"b{LR_ROUNDS}"
+    parts.append(
+        f"""pf AS (
+    SELECT y, 1 / (1 + EXP(-({bf}.b0 + {bf}.b1 * x1 + {bf}.b2 * x2))) AS p
+    FROM feats CROSS JOIN {bf})"""
+    )
+    parts.append(
+        """ll AS (
+    SELECT SUM(CASE WHEN y = 1.0 THEN -LN(p) ELSE -LN(1 - p) END)
+        / COUNT(*) AS log_loss
+    FROM pf)"""
+    )
+    final = f"""
+SELECT param, ROUND(value, 6) AS value FROM (
+    SELECT 'beta0' AS param, b0 AS value FROM {bf}
+    UNION ALL SELECT 'beta1', b1 FROM {bf}
+    UNION ALL SELECT 'beta2', b2 FROM {bf}
+    UNION ALL SELECT 'log_loss', log_loss FROM ll
+)"""
+    return "WITH " + ",\n".join(parts) + final
+
+
+def logreg_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        (F.log("o_totalprice") - LR_X1_CENTER).alias("x1"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(LR_EPOCH))
+            / LR_X2_SCALE
+        ).alias("x2"),
+    )
+
+
+def logreg_newton(feats: DataFrame, rounds: int = LR_ROUNDS) -> tuple:
+    """Run `rounds` ridge-Newton steps from beta = 0; returns the final
+    (b0, b1, b2). Per round: ONE aggregation of 9 double sums (the 3x3
+    Hessian + gradient sufficient statistics) — the only driver traffic
+    — then the literal-folded betas re-enter the row expression, so no
+    join, no broadcast, no extra exchange ever happens."""
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(rounds):
+        z = (
+            F.lit(beta[0])
+            + F.lit(beta[1]) * F.col("x1")
+            + F.lit(beta[2]) * F.col("x2")
+        )
+        p = 1 / (1 + F.exp(-z))
+        w = p * (1 - p)
+        r = feats.agg(
+            F.sum(w),
+            F.sum(w * F.col("x1")),
+            F.sum(w * F.col("x2")),
+            F.sum(w * F.col("x1") * F.col("x1")),
+            F.sum(w * F.col("x1") * F.col("x2")),
+            F.sum(w * F.col("x2") * F.col("x2")),
+            F.sum(F.col("y") - p),
+            F.sum((F.col("y") - p) * F.col("x1")),
+            F.sum((F.col("y") - p) * F.col("x2")),
+        ).first()
+        beta = _solve_py(beta, tuple(r))
+    return beta
+
+
+@query("q_logreg_newton", oracle=_logreg_oracle())
+def q_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regularized Newton (IRLS) logistic regression predicting
+    fulfilled orders (o_orderstatus = 'F') from ln(o_totalprice) and the
+    order-date day count — {LR_ROUNDS} fixed rounds from beta = 0,
+    lambda = {LR_RIDGE} on every Hessian diagonal. The second iterative
+    ML TRAINER under the exact hash gate: the oracle unrolls the same
+    rounds as a CTE chain whose Cramer-solve SQL is generated from the
+    same template the Python driver evaluates (_solve_sql/_solve_py),
+    so the two engines perform structurally identical float math and
+    the 6-dp-rounded coefficients hash-match.
+
+    Scale: betas fold into the row expression as literals — each round
+    is one whole-stage-codegen map + a 9-double tree-reduce; nothing
+    but 9 scalars crosses the driver boundary per round, and the final
+    log-loss is one more such pass."""
+    feats = logreg_feats(spark, sf_dir).localCheckpoint()
+    beta = logreg_newton(feats)
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    p = 1 / (1 + F.exp(-z))
+    ll = feats.agg(
+        (
+            F.sum(F.when(F.col("y") == 1.0, -F.log(p)).otherwise(-F.log(1 - p)))
+            / F.count("*")
+        ).alias("log_loss")
+    )
+    spark = feats.sparkSession
+    betas = spark.createDataFrame(
+        [("beta0", beta[0]), ("beta1", beta[1]), ("beta2", beta[2])],
+        "param string, value double",
+    )
+    out = betas.unionAll(
+        ll.select(F.lit("log_loss").alias("param"), F.col("log_loss").alias("value"))
+    )
+    return out.select("param", F.round("value", 6).alias("value"))

@@ -52,6 +52,7 @@ def _load_operator_modules() -> None:
         linkage,
         market,
         match_pipeline,
+        mlkit,
         multimodal,
         privacy,
         relational,

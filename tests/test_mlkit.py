@@ -1,0 +1,181 @@
+"""Third-implementation differentials for the classic-ML kit: pure
+Python / numpy re-derivations of Naive Bayes scoring, stump information
+gain, and Newton-IRLS logistic regression on the same fixture, so a
+formula wrong the same way in both SQL dialects still fails."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from .conftest import SF_ORACLE
+
+
+def _duck(sql):
+    from .oracle_utils import duckdb_df
+
+    return duckdb_df(sql, SF_ORACLE)
+
+
+def test_naive_bayes_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import NB_TEST_MOD
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = _duck("SELECT doc_id, source, text FROM documents")
+    train_tf = defaultdict(Counter)  # class -> word counts
+    n_docs = Counter()
+    vocab = set()
+    tests = []
+    for doc_id, source, text in zip(docs["doc_id"], docs["source"], docs["text"]):
+        words = [w for w in text.split(" ") if w]
+        if int(doc_id) % NB_TEST_MOD == 0:
+            tests.append((int(doc_id), source, words))
+        else:
+            train_tf[source].update(words)
+            n_docs[source] += 1
+            vocab.update(words)
+    n_total = sum(n_docs.values())
+    v = len(vocab)
+    tot = {c: sum(tf.values()) for c, tf in train_tf.items()}
+    want = {}
+    for doc_id, actual, words in tests:
+        best = None
+        for c in sorted(n_docs):
+            ll = math.log(n_docs[c] / n_total)
+            for w in words:
+                if w in vocab:
+                    ll += math.log((train_tf[c][w] + 1.0) / (tot[c] + v))
+            key = (round(ll, 6), c)
+            # argmax on the ROUNDED score, ties -> lexicographically
+            # smallest class (mirrors ORDER BY score DESC, source)
+            if best is None or key[0] > best[0] or (
+                key[0] == best[0] and c < best[1]
+            ):
+                best = key
+        want[doc_id] = (actual, best[1], best[0])
+    got = {
+        r.doc_id: (r.actual, r.predicted, r.score)
+        for r in all_queries()["q_naive_bayes"](spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(want)
+    for k, (actual, pred, score) in got.items():
+        wa, wp, ws = want[k]
+        assert (actual, pred) == (wa, wp), k
+        assert abs(score - ws) < 2e-6, k
+
+
+def test_best_split_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import PRICE_BINS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    li = _duck(
+        "SELECT l_quantity, l_discount, l_extendedprice, l_returnflag"
+        " FROM lineitem"
+    )
+    y = (li["l_returnflag"] == "R").to_numpy().astype(np.int64)
+
+    def entropy(pos, n):
+        if n == 0 or pos == 0 or pos == n:
+            return 0.0
+        p = pos / n
+        return -p * math.log(p) - (1 - p) * math.log(1 - p)
+
+    mn, mx = li["l_extendedprice"].min(), li["l_extendedprice"].max()
+    feats = {
+        "quantity": li["l_quantity"].to_numpy().astype(np.int64),
+        "discount": np.round(li["l_discount"].to_numpy() * 100).astype(np.int64),
+        "price": np.minimum(
+            np.floor(
+                (li["l_extendedprice"].to_numpy() - mn) / (mx - mn) * PRICE_BINS
+            ).astype(np.int64),
+            PRICE_BINS - 1,
+        ),
+    }
+    want = {}
+    for name, bins in feats.items():
+        nt, pt = len(y), int(y.sum())
+        h_parent = entropy(pt, nt)
+        best = None
+        for b in sorted(set(bins))[:-1]:
+            mask = bins <= b
+            nl, plft = int(mask.sum()), int(y[mask].sum())
+            g = round(
+                h_parent
+                - nl / nt * entropy(plft, nl)
+                - (nt - nl) / nt * entropy(pt - plft, nt - nl),
+                9,
+            )
+            if best is None or g > best[0]:
+                best = (g, b, nl, nt - nl)
+        want[name] = best
+    got = {
+        r.feature: (r.gain, r.split_bin, r.n_left, r.n_right)
+        for r in all_queries()["q_best_split"](spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(want)
+    for name, (gain, sb, nl, nr) in got.items():
+        wg, wb, wnl, wnr = want[name]
+        assert (sb, nl, nr) == (wb, wnl, wnr), name
+        assert abs(gain - wg) < 2e-6, name
+
+
+def test_logreg_matches_numpy_irls(spark):
+    """Re-derive the ridge-Newton iterate with numpy.linalg.solve (a
+    DIFFERENT solver than the Cramer template both engines share) and
+    check the trained betas + the null-model sanity bound."""
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        LR_RIDGE,
+        LR_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    feats = _duck(
+        """SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+            LN(o_totalprice) - 10.0 AS x1,
+            DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                / 1000.0 AS x2
+        FROM orders"""
+    )
+    y = feats["y"].to_numpy()
+    X = np.column_stack(
+        [np.ones(len(y)), feats["x1"].to_numpy(), feats["x2"].to_numpy()]
+    )
+    beta = np.zeros(3)
+    for _ in range(LR_ROUNDS):
+        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        w = p * (1 - p)
+        H = (X * w[:, None]).T @ X + LR_RIDGE * np.eye(3)
+        g = X.T @ (y - p)
+        beta = beta + np.linalg.solve(H, g)
+    p = 1.0 / (1.0 + np.exp(-X @ beta))
+    want_loss = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+
+    got = {
+        r.param: r.value
+        for r in all_queries()["q_logreg_newton"](spark, SF_ORACLE).collect()
+    }
+    for i in range(3):
+        assert abs(got[f"beta{i}"] - beta[i]) < 1e-6, (i, got, beta)
+    assert abs(got["log_loss"] - want_loss) < 1e-6
+    # must beat (or tie) the null model's entropy on the train data
+    pbar = y.mean()
+    null_loss = -(pbar * math.log(pbar) + (1 - pbar) * math.log(1 - pbar))
+    assert got["log_loss"] <= null_loss + 1e-9
+
+
+def test_mlkit_plans(spark):
+    """Plan pins: the NB grid joins broadcast; the stump's 3-feature
+    fan-out is ONE corpus scan (no repeated parquet scans of lineitem)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    nb = all_queries()["q_naive_bayes"](spark, SF_ORACLE)
+    plan = nb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    stump = all_queries()["q_best_split"](spark, SF_ORACLE)
+    splan = stump._jdf.queryExecution().executedPlan().toString()
+    # lineitem appears in two scans max: the min/max pass + the rollup
+    assert splan.count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in splan or "BroadcastNestedLoopJoin" in splan
