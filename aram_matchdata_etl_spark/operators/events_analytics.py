@@ -2961,3 +2961,85 @@ def q_funnel_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(conv - p_ctl, 6).alias("lift_abs"),
         F.round(z, 6).alias("z_vs_control"),
     ).orderBy("variant")
+
+
+@query(
+    "q_precedence_pairs",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, event_type, MIN(ts) AS first_ts
+    FROM events GROUP BY 1, 2
+),
+ordered AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS n_before,
+        AVG((epoch_us(b.first_ts) - epoch_us(a.first_ts)) / 1e6) AS gap_s
+    FROM firsts a
+    JOIN firsts b ON a.user_id = b.user_id
+        AND a.event_type <> b.event_type
+        AND a.first_ts < b.first_ts
+    GROUP BY 1, 2
+),
+adopters AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM firsts a
+    JOIN firsts b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+)
+SELECT o.type_a, o.type_b, o.n_before, ad.n_both,
+    ROUND(o.n_before * 1.0 / ad.n_both, 6) AS precede_share,
+    ROUND(o.gap_s, 6) AS avg_gap_s
+FROM ordered o JOIN adopters ad USING (type_a, type_b)""",
+)
+def q_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adoption-order mining: for every ordered event-type pair (a, b),
+    how many users did a for the FIRST time strictly before their first
+    b, what share of both-type adopters that is, and the average gap
+    between the two first-times — the sequential-pattern readout
+    (which features lead into which) that complements q_event_trigrams'
+    consecutive-step view and q_markov_transitions' step probabilities
+    with a whole-history precedence relation.
+
+    Scale: the corpus reduces to the (user, type) FIRST-SEEN rollup in
+    one pass; both the precedence and the both-adopter joins run at
+    rollup scale (|users| x |types| rows, |types|^2 per user), and gaps
+    are integer-microsecond differences (engine-identical) averaged at
+    rollup scale. Users whose two first-times tie exactly count in
+    neither direction, in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_ts").alias("ts_a"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("first_ts").alias("ts_b"),
+    )
+    joined = a.join(b, "user_id").filter(F.col("type_a") != F.col("type_b"))
+    ordered = (
+        joined.filter(F.col("ts_a") < F.col("ts_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_before"),
+            F.avg(
+                (F.unix_micros("ts_b") - F.unix_micros("ts_a")) / 1e6
+            ).alias("gap_s"),
+        )
+    )
+    both = joined.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    return ordered.join(both, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_before",
+        "n_both",
+        F.round(F.col("n_before") / F.col("n_both"), 6).alias("precede_share"),
+        F.round("gap_s", 6).alias("avg_gap_s"),
+    )

@@ -308,3 +308,73 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+TRIPLE_SUP = 3  # minimum triple (co-occurrence) count
+
+
+@query(
+    "q_itemset_triples",
+    oracle=f"""
+WITH items AS ({_ITEMS_SQL}),
+n AS (SELECT COUNT(DISTINCT bid) AS n_baskets FROM items),
+triples AS (
+    SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+        CAST(COUNT(*) AS BIGINT) AS triple_count
+    FROM items a
+    JOIN items b ON a.bid = b.bid AND a.item < b.item
+    JOIN items c ON a.bid = c.bid AND b.item < c.item
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {TRIPLE_SUP}
+)
+SELECT item_a, item_b, item_c, triple_count,
+    ROUND(triple_count * 1.0 / n_baskets, 6) AS support
+FROM triples CROSS JOIN n""",
+)
+def q_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets via the A-Priori candidate-generation join:
+    instead of enumerating every within-basket triple (|basket|^3 / 6
+    per basket — the oracle's brute-force definition), first count
+    pairs, keep only pairs with support >= {TRIPLE_SUP} (monotonicity:
+    a frequent triple's sub-pairs are at least as frequent, so this
+    prune is LOSSLESS), locate the baskets containing each surviving
+    pair, and extend by one item ordered above the pair. The oracle is
+    the unpruned brute-force triple count, so the driver gate doubles
+    as a completeness proof for the prune — the q_setsim_prefix_join
+    pattern applied to A-Priori.
+
+    Scale: the uniform fixture is the WORST case for A-Priori (nearly
+    every pair survives pass 2, so pruning only wins ~3x here); on a
+    real skewed catalog pass-2 pruning removes almost all pairs and the
+    candidate stream collapses by orders of magnitude. Either way the
+    candidate join moves only (basket, item) ids, never item bodies,
+    and the extension join shuffles on bid — one co-partitioned key."""
+    items = _baskets(spark, sf_dir).localCheckpoint(eager=False)
+    n = items.agg(F.countDistinct("bid").alias("n_baskets"))
+    fp = (
+        pair_counts(items)
+        .filter(F.col("pair_count") >= TRIPLE_SUP)
+        .select("item_a", "item_b")
+    )
+    a = items.select("bid", F.col("item").alias("item_a"))
+    b = items.select("bid", F.col("item").alias("item_b"))
+    pair_sites = fp.join(a, "item_a").join(b, ["bid", "item_b"])
+    c = items.select("bid", F.col("item").alias("item_c"))
+    cand = pair_sites.join(c, "bid").filter(
+        F.col("item_c") > F.col("item_b")
+    )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").cast("bigint").alias("triple_count"))
+        .filter(F.col("triple_count") >= TRIPLE_SUP)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "triple_count",
+            F.round(F.col("triple_count") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+        )
+    )

@@ -12,7 +12,7 @@ this module is that capability expressed as distributed aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -3334,4 +3334,109 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(chi2_term).over(w_all) > 3.841459).alias("srm_flag"),
         )
         .orderBy("variant")
+    )
+
+
+CONF_ALPHA = 0.1  # split-conformal miscoverage target (90% intervals)
+
+
+@query(
+    "q_conformal_interval",
+    oracle=f"""
+WITH train AS (
+    SELECT event_type, AVG(value) AS yhat
+    FROM events WHERE event_id % 4 IN (0, 1) GROUP BY 1
+),
+cal AS (
+    SELECT e.event_type, e.event_id, ABS(e.value - t.yhat) AS r
+    FROM events e JOIN train t USING (event_type)
+    WHERE e.event_id % 4 = 2
+),
+kth AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+        LEAST(CAST(CEIL((1 - {CONF_ALPHA}) * (COUNT(*) + 1)) AS BIGINT),
+              COUNT(*)) AS k
+    FROM cal GROUP BY 1
+),
+q AS (
+    SELECT c.event_type, k.n_cal, c.r AS q_alpha
+    FROM (
+        SELECT event_type, r, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY r, event_id
+        ) AS rn
+        FROM cal
+    ) c JOIN kth k ON k.event_type = c.event_type AND c.rn = k.k
+)
+SELECT q.event_type, q.n_cal, ROUND(q.q_alpha, 6) AS q_alpha,
+    CAST(COUNT(*) AS BIGINT) AS n_test,
+    ROUND(AVG(CASE WHEN ABS(e.value - t.yhat) <= q.q_alpha
+        THEN 1.0 ELSE 0.0 END), 6) AS coverage
+FROM events e
+JOIN train t USING (event_type)
+JOIN q ON q.event_type = e.event_type
+WHERE e.event_id % 4 = 3
+GROUP BY 1, 2, 3""",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Papadopoulos 2002 / Vovk):
+    train a per-event-type mean predictor on folds 0-1, take the
+    ceil((1-alpha)(n+1))-th smallest absolute residual on the
+    calibration fold 2 as the interval half-width, and measure empirical
+    coverage on the held-out fold 3 — the distribution-free uncertainty
+    wrapper modern ML-ops puts around ANY point model, with its finite-
+    sample >= 1-alpha coverage guarantee.
+
+    Scale: the predictor and the fold split are one groupBy each; the
+    calibration quantile is the EXACT order statistic (rank via one
+    per-type window at calibration-fold scale, ties broken by
+    event_id), and coverage is a conditional aggregate — no corpus-
+    wide sort, no sampling. Folds key off event_id so the split is
+    deterministic and reproducible in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    train = (
+        ev.filter(F.col("event_id") % 4 < 2)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("yhat"))
+    )
+    cal = (
+        ev.filter(F.col("event_id") % 4 == 2)
+        .join(F.broadcast(train), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("value") - F.col("yhat")).alias("r"),
+        )
+    )
+    kth = cal.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.least(
+            F.ceil((1 - CONF_ALPHA) * (F.count("*") + 1)).cast("bigint"),
+            F.count("*"),
+        ).alias("k"),
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "event_id")
+    q = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(kth), "event_type")
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", "n_cal", F.col("r").alias("q_alpha"))
+    )
+    test = (
+        ev.filter(F.col("event_id") % 4 == 3)
+        .join(F.broadcast(train), "event_type")
+        .join(F.broadcast(q), "event_type")
+    )
+    return test.groupBy(
+        "event_type", "n_cal", F.round("q_alpha", 6).alias("q_alpha")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.abs(F.col("value") - F.col("yhat")) <= F.col("q_alpha"),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("coverage"),
     )

@@ -1302,3 +1302,58 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(RAKE_TOP)
     )
+
+
+PHRASES = (("table", "hash"), ("part", "filter"), ("merge", "group"))
+
+
+@query(
+    "q_phrase_search",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+        unnest(string_split(text, ' ')) AS w,
+        generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+phrases AS (
+    SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in PHRASES)})
+        p(w1, w2)
+)
+SELECT p.w1 || ' ' || p.w2 AS phrase, a.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM phrases p
+JOIN toks a ON a.w = p.w1
+JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = p.w2
+GROUP BY 1, 2""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: exact adjacent-bigram matches per
+    document for a fixed phrase list, via the inverted positional index
+    (token, position) self-joined at distance 1 — the retrieval
+    mechanism behind quoted-phrase queries, complementing q_bm25_topk's
+    bag-of-words ranking and q_collocations' corpus-level statistics.
+
+    Scale: the positional index is built in one pass; BOTH join legs
+    are pre-filtered to the phrase vocabulary (a broadcast of the tiny
+    phrase list), so only postings of queried words shuffle — the
+    corpus-wide token stream never joins itself. Position arithmetic
+    is integer and identical in both engines (relative offset +1 on
+    each engine's own subscript base)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    phrases = spark.createDataFrame(list(PHRASES), "w1 string, w2 string")
+    a = toks.select("doc_id", F.col("w").alias("w1"), F.col("pos").alias("pa"))
+    b = toks.select("doc_id", F.col("w").alias("w2"), F.col("pos").alias("pb"))
+    return (
+        F.broadcast(phrases)
+        .join(a, "w1")
+        .join(b, ["doc_id", "w2"])
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"), "doc_id"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+    )

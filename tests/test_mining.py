@@ -1,0 +1,135 @@
+"""Third-implementation differentials for the round-7 mining batch:
+A-Priori triples (incl. an explicit monotonicity check of the prune the
+Spark plan relies on), precedence pairs, positional phrase search, and
+split-conformal intervals."""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from .conftest import SF_ORACLE
+
+
+def _duck(sql):
+    from .oracle_utils import duckdb_df
+
+    return duckdb_df(sql, SF_ORACLE)
+
+
+def test_itemset_triples_match_and_prune_is_lossless(spark):
+    from aram_matchdata_etl_spark.operators.market import TRIPLE_SUP
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = _duck(
+        """SELECT DISTINCT o_custkey AS bid, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+    )
+    baskets = defaultdict(set)
+    for bid, item in zip(df["bid"], df["item"]):
+        baskets[int(bid)].add(int(item))
+    triples = Counter()
+    pairs = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for p in itertools.combinations(s, 2):
+            pairs[p] += 1
+        for t in itertools.combinations(s, 3):
+            triples[t] += 1
+    want = {t: c for t, c in triples.items() if c >= TRIPLE_SUP}
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.triple_count
+        for r in all_queries()["q_itemset_triples"](spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    # the prune the Spark plan uses: every frequent triple's (a, b)
+    # sub-pair must itself be frequent at the SAME threshold
+    for (a, b, c), _ in want.items():
+        assert pairs[(a, b)] >= TRIPLE_SUP
+
+
+def test_precedence_pairs_match_pandas(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck("SELECT user_id, event_type, ts FROM events")
+    firsts = (
+        ev.groupby(["user_id", "event_type"])["ts"].min().reset_index()
+    )
+    per_user = defaultdict(dict)
+    for u, t, ts in zip(firsts["user_id"], firsts["event_type"], firsts["ts"]):
+        per_user[int(u)][t] = ts
+    n_before = Counter()
+    n_both = Counter()
+    gaps = defaultdict(list)
+    for u, tmap in per_user.items():
+        for ta, tb in itertools.permutations(tmap, 2):
+            n_both[(ta, tb)] += 1
+            if tmap[ta] < tmap[tb]:
+                n_before[(ta, tb)] += 1
+                gaps[(ta, tb)].append((tmap[tb] - tmap[ta]).total_seconds())
+    got = {
+        (r.type_a, r.type_b): (r.n_before, r.n_both, r.precede_share, r.avg_gap_s)
+        for r in all_queries()["q_precedence_pairs"](spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(n_before)
+    for k, (nb, nboth, share, gap) in got.items():
+        assert nb == n_before[k]
+        assert nboth == n_both[k]
+        assert abs(share - nb / nboth) < 1e-6
+        assert abs(gap - sum(gaps[k]) / len(gaps[k])) < 1e-4
+
+
+def test_phrase_search_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.text import PHRASES
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = _duck("SELECT doc_id, text FROM documents")
+    want = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        for w1, w2 in PHRASES:
+            hits = sum(
+                1
+                for i in range(len(words) - 1)
+                if words[i] == w1 and words[i + 1] == w2
+            )
+            if hits:
+                want[(f"{w1} {w2}", int(doc_id))] = hits
+    got = {
+        (r.phrase, r.doc_id): r.n_matches
+        for r in all_queries()["q_phrase_search"](spark, SF_ORACLE).collect()
+    }
+    assert got == dict(want)
+    assert len(got) > 0
+
+
+def test_conformal_interval_matches_numpy_and_covers(spark):
+    from aram_matchdata_etl_spark.operators.stats import CONF_ALPHA
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck("SELECT event_id, event_type, value FROM events")
+    got = {
+        r.event_type: (r.n_cal, r.q_alpha, r.n_test, r.coverage)
+        for r in all_queries()["q_conformal_interval"](spark, SF_ORACLE).collect()
+    }
+    for etype, grp in ev.groupby("event_type"):
+        folds = grp["event_id"].to_numpy() % 4
+        y = grp["value"].to_numpy()
+        yhat = y[folds < 2].mean()
+        r_cal = np.abs(y[folds == 2] - yhat)
+        n_cal = len(r_cal)
+        k = min(math.ceil((1 - CONF_ALPHA) * (n_cal + 1)), n_cal)
+        q = np.sort(r_cal)[k - 1]
+        r_test = np.abs(y[folds == 3] - yhat)
+        cov = float((r_test <= q).mean())
+        gn, gq, gnt, gcov = got[etype]
+        assert gn == n_cal
+        assert abs(gq - q) < 1e-6
+        assert gnt == len(r_test)
+        assert abs(gcov - cov) < 1e-6
+        # finite-sample conformal guarantee (exchangeable folds):
+        # empirical test coverage should sit near 1 - alpha
+        assert gcov >= 1 - CONF_ALPHA - 0.05, etype
