@@ -442,15 +442,20 @@ _SUMS_SQL = """SELECT
     SUM((y - p) * x2) AS g2"""
 
 
-def _logreg_oracle() -> str:
-    parts = [f"feats AS ({_FEATS_SQL})", "b0 AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"]
+def _newton_chain(pfx: str, feats: str) -> list[str]:
+    """The unrolled ridge-Newton CTE chain over the CTE named `feats`,
+    all intermediate names prefixed with `pfx` so several chains (folds,
+    ablations) can coexist in one oracle. Final betas live in
+    `{pfx}b{LR_ROUNDS}`."""
+    parts = [f"{pfx}b0 AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"]
     for k in range(LR_ROUNDS):
-        b, nb, p, s = f"b{k}", f"b{k + 1}", f"p{k}", f"s{k}"
+        b, nb = f"{pfx}b{k}", f"{pfx}b{k + 1}"
+        p, s = f"{pfx}p{k}", f"{pfx}s{k}"
         parts.append(
             f"""{p} AS (
     SELECT y, x1, x2,
         1 / (1 + EXP(-({b}.b0 + {b}.b1 * x1 + {b}.b2 * x2))) AS p
-    FROM feats CROSS JOIN {b})"""
+    FROM {feats} CROSS JOIN {b})"""
         )
         parts.append(f"{s} AS ({_SUMS_SQL} FROM {p})")
         e0, e1, e2 = _solve_sql(b, s)
@@ -458,18 +463,25 @@ def _logreg_oracle() -> str:
             f"{nb} AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2"
             f" FROM {s} CROSS JOIN {b})"
         )
-    bf = f"b{LR_ROUNDS}"
-    parts.append(
-        f"""pf AS (
-    SELECT y, 1 / (1 + EXP(-({bf}.b0 + {bf}.b1 * x1 + {bf}.b2 * x2))) AS p
-    FROM feats CROSS JOIN {bf})"""
-    )
-    parts.append(
-        """ll AS (
+    return parts
+
+
+def _ll_cte(name: str, feats: str, beta: str) -> str:
+    """Mean negative log-likelihood of `beta` evaluated on `feats`."""
+    return f"""{name} AS (
     SELECT SUM(CASE WHEN y = 1.0 THEN -LN(p) ELSE -LN(1 - p) END)
         / COUNT(*) AS log_loss
-    FROM pf)"""
-    )
+    FROM (
+        SELECT y,
+            1 / (1 + EXP(-({beta}.b0 + {beta}.b1 * x1 + {beta}.b2 * x2))) AS p
+        FROM {feats} CROSS JOIN {beta}) t)"""
+
+
+def _logreg_oracle() -> str:
+    parts = [f"feats AS ({_FEATS_SQL})"]
+    parts.extend(_newton_chain("", "feats"))
+    bf = f"b{LR_ROUNDS}"
+    parts.append(_ll_cte("ll", "feats", bf))
     final = f"""
 SELECT param, ROUND(value, 6) AS value FROM (
     SELECT 'beta0' AS param, b0 AS value FROM {bf}
@@ -561,3 +573,168 @@ def q_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         ll.select(F.lit("log_loss").alias("param"), F.col("log_loss").alias("value"))
     )
     return out.select("param", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Model selection on top of the Newton trainer
+
+LR_CV_FOLDS = 3
+
+
+def logreg_loss(feats: DataFrame, beta: tuple) -> float:
+    """Mean negative log-likelihood of literal betas on `feats` — one
+    whole-stage-codegen pass, one scalar back."""
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    p = 1 / (1 + F.exp(-z))
+    return feats.agg(
+        (
+            F.sum(
+                F.when(F.col("y") == 1.0, -F.log(p)).otherwise(-F.log(1 - p))
+            )
+            / F.count("*")
+        ).alias("log_loss")
+    ).first()[0]
+
+
+def _logreg_cv_oracle() -> str:
+    parts = [
+        f"base AS (SELECT f.*, o_orderkey % {LR_CV_FOLDS} AS fold FROM"
+        f" ({_FEATS_SQL.replace('SELECT', 'SELECT o_orderkey,', 1)}) f)"
+    ]
+    selects = []
+    for f in range(LR_CV_FOLDS):
+        pfx = f"f{f}_"
+        parts.append(
+            f"{pfx}train AS (SELECT y, x1, x2 FROM base WHERE fold <> {f})"
+        )
+        parts.append(
+            f"{pfx}val AS (SELECT y, x1, x2 FROM base WHERE fold = {f})"
+        )
+        parts.extend(_newton_chain(pfx, f"{pfx}train"))
+        bf = f"{pfx}b{LR_ROUNDS}"
+        parts.append(_ll_cte(f"{pfx}ll", f"{pfx}val", bf))
+        selects.append(
+            f"SELECT {f} AS fold, b0, b1, b2, log_loss"
+            f" FROM {bf} CROSS JOIN {pfx}ll"
+        )
+    final = f"""
+SELECT fold, ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+    ROUND(b2, 6) AS beta2, ROUND(log_loss, 6) AS val_log_loss
+FROM ({" UNION ALL ".join(selects)})"""
+    return "WITH " + ",\n".join(parts) + final
+
+
+@query("q_logreg_cv", oracle=_logreg_cv_oracle())
+def q_logreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LR_CV_FOLDS}-fold cross-validation of the ridge-Newton logistic
+    trainer: folds keyed on o_orderkey % {LR_CV_FOLDS} (deterministic in
+    both engines), each fold's model trained on the other folds with
+    the full {LR_ROUNDS}-round Newton recursion and scored by held-out
+    mean log-loss — the model-selection loop (is the model stable
+    across folds? is val loss ~ train loss?) run entirely as
+    sufficient-statistic passes. The oracle unrolls ALL
+    {LR_CV_FOLDS} x {LR_ROUNDS} Newton rounds as prefixed CTE chains.
+
+    Scale: per fold per round one codegen map + 9-double reduce over
+    the train partitions; the fold filter is a pushed-down predicate,
+    never a shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        (F.log("o_totalprice") - LR_X1_CENTER).alias("x1"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(LR_EPOCH))
+            / LR_X2_SCALE
+        ).alias("x2"),
+        (F.col("o_orderkey") % LR_CV_FOLDS).alias("fold"),
+    ).localCheckpoint()
+    rows = []
+    for f in range(LR_CV_FOLDS):
+        train = feats.filter(F.col("fold") != f).select("y", "x1", "x2")
+        val = feats.filter(F.col("fold") == f).select("y", "x1", "x2")
+        beta = logreg_newton(train)
+        rows.append((f, beta[0], beta[1], beta[2], logreg_loss(val, beta)))
+    out = spark.createDataFrame(
+        rows, "fold int, b0 double, b1 double, b2 double, ll double"
+    )
+    return out.select(
+        "fold",
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+        F.round("ll", 6).alias("val_log_loss"),
+    )
+
+
+_ABLATIONS = (
+    ("full", "x1", "x2"),
+    ("drop_x1", "0.0", "x2"),
+    ("drop_x2", "x1", "0.0"),
+)
+
+
+def _ablation_oracle() -> str:
+    parts = [f"basef AS ({_FEATS_SQL})"]
+    selects = []
+    for i, (model, e1, e2) in enumerate(_ABLATIONS):
+        pfx = f"m{i}_"
+        parts.append(
+            f"{pfx}feats AS (SELECT y, {e1} AS x1, {e2} AS x2 FROM basef)"
+        )
+        parts.extend(_newton_chain(pfx, f"{pfx}feats"))
+        bf = f"{pfx}b{LR_ROUNDS}"
+        parts.append(_ll_cte(f"{pfx}ll", f"{pfx}feats", bf))
+        selects.append(
+            f"SELECT '{model}' AS model, b0, b1, b2, log_loss"
+            f" FROM {bf} CROSS JOIN {pfx}ll"
+        )
+    final = f"""
+SELECT model, ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+    ROUND(b2, 6) AS beta2, ROUND(log_loss, 6) AS log_loss,
+    ROUND(log_loss - (SELECT log_loss FROM m0_ll), 6) AS delta_vs_full
+FROM ({" UNION ALL ".join(selects)})"""
+    return "WITH " + ",\n".join(parts) + final
+
+
+@query("q_feature_ablation", oracle=_ablation_oracle())
+def q_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-ablation importance for the Newton logistic model:
+    retrain with each feature column REPLACED BY ZERO and report the
+    train log-loss increase over the full model — proper retrained
+    ablation (not permutation), the importance measure that accounts
+    for feature substitution. Zeroing a column inside the SAME 3-var
+    ridge machinery is exactly the 2-var ridge fit (the zeroed
+    coordinate's Hessian row collapses to the ridge term and its
+    gradient to 0, so its Newton step is identically 0) — one solver,
+    every ablation, both engines.
+
+    Scale: three sufficient-statistic chains over the same checkpointed
+    features frame; nothing but scalars leaves the executors."""
+    feats = logreg_feats(spark, sf_dir).localCheckpoint()
+    rows = []
+    for model, e1, e2 in _ABLATIONS:
+        mf = feats.select(
+            "y",
+            (F.col("x1") if e1 == "x1" else F.lit(0.0)).alias("x1"),
+            (F.col("x2") if e2 == "x2" else F.lit(0.0)).alias("x2"),
+        )
+        beta = logreg_newton(mf)
+        rows.append((model, beta[0], beta[1], beta[2], logreg_loss(mf, beta)))
+    full_ll = rows[0][4]
+    out = spark.createDataFrame(
+        [r + (r[4] - full_ll,) for r in rows],
+        "model string, b0 double, b1 double, b2 double,"
+        " ll double, delta double",
+    )
+    return out.select(
+        "model",
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+        F.round("ll", 6).alias("log_loss"),
+        F.round("delta", 6).alias("delta_vs_full"),
+    )

@@ -3440,3 +3440,187 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# Studentized-range critical value q(0.05, k=5 groups, df=inf) / sqrt(2):
+# the classic table constant, fixed because the fixture's residual df is
+# in the thousands (the df=120 value is 3.92 and df=inf is 3.858 — we are
+# far past 120).
+TUKEY_Q_CRIT = 3.858
+
+
+@query(
+    "q_tukey_hsd",
+    oracle=f"""
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(value) AS s, SUM(value * value) AS ss
+    FROM events GROUP BY 1
+),
+mse AS (
+    SELECT SUM(ss - s * s / n) / (SUM(n) - COUNT(*)) AS mse FROM g
+)
+SELECT a.event_type AS group_a, b.event_type AS group_b,
+    a.n AS n_a, b.n AS n_b,
+    ROUND(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+    ROUND(ABS(a.s / a.n - b.s / b.n)
+        / SQRT(mse.mse / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat,
+    CAST(ABS(a.s / a.n - b.s / b.n)
+        / SQRT(mse.mse / 2 * (1.0 / a.n + 1.0 / b.n))
+        > {TUKEY_Q_CRIT} AS INTEGER) AS significant
+FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN mse""",
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's HSD post-hoc test: every pairwise comparison of the
+    per-event-type value means after q_anova_oneway rejects — the
+    studentized-range statistic q = |mean_i - mean_j| /
+    sqrt(MSE/2 (1/n_i + 1/n_j)) against the alpha=0.05, k=5, df=inf
+    critical value {TUKEY_Q_CRIT}. The family-wise-error-controlled
+    answer to "WHICH groups differ", completing the ANOVA ->
+    post-hoc workflow (q_bh_fdr covers the FDR alternative).
+
+    Scale: one conditional-agg pass reduces the corpus to k rows of
+    (n, sum, sum-of-squares); MSE and all k(k-1)/2 comparisons are
+    arithmetic on that rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    mse = g.agg(
+        (
+            F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.sum("n") - F.count("*"))
+        ).alias("mse")
+    )
+    a = g.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n").alias("n_a"),
+        (F.col("s") / F.col("n")).alias("mean_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n").alias("n_b"),
+        (F.col("s") / F.col("n")).alias("mean_b"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(mse)
+    )
+    diff = F.col("mean_a") - F.col("mean_b")
+    se = F.sqrt(
+        F.col("mse") / 2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    q = F.abs(diff) / se
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(q, 6).alias("q_stat"),
+        (q > TUKEY_Q_CRIT).cast("int").alias("significant"),
+    )
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, SUM(value) AS y FROM events GROUP BY 1
+),
+med AS (
+    SELECT y AS med FROM (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, day) AS rn,
+            COUNT(*) OVER () AS n
+        FROM daily
+    ) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+),
+signs AS (
+    SELECT day, CASE WHEN y > med THEN 1 ELSE 0 END AS s
+    FROM daily CROSS JOIN med WHERE y <> med
+),
+runs AS (
+    SELECT s,
+        CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+             OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+    FROM signs
+),
+agg AS (
+    SELECT CAST(SUM(s) AS BIGINT) AS n1,
+        CAST(SUM(1 - s) AS BIGINT) AS n2,
+        CAST(SUM(new_run) AS BIGINT) AS r
+    FROM runs
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+    ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+        / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+               / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
+FROM agg""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily total-value
+    series around its (lower) median: count maximal runs of above/below-
+    median days and standardize against the run-count null distribution
+    — too FEW runs exposes trend/autocorrelation, too many exposes
+    oscillation; the nonparametric complement of q_autocorr and the
+    classic residual-independence check after any fit in the
+    forecasting family. Days exactly at the median drop (standard
+    treatment); the median is the deterministic lower order statistic
+    (rank ceil(n/2), ties broken by day) so both engines pick the
+    identical pivot.
+
+    Scale: the corpus reduces to the daily rollup in one pass; the
+    sign/run windows run over ~tens of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    wmed = Window.orderBy("y", "day")
+    med = (
+        daily.select(
+            "y",
+            F.row_number().over(wmed).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select(F.col("y").alias("med"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "day", F.when(F.col("y") > F.col("med"), 1).otherwise(0).alias("s")
+        )
+    )
+    wday = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wday).isNull()
+            | (F.lag("s").over(wday) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+        F.sum("new_run").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z"),
+    )

@@ -133,3 +133,54 @@ def test_conformal_interval_matches_numpy_and_covers(spark):
         # finite-sample conformal guarantee (exchangeable folds):
         # empirical test coverage should sit near 1 - alpha
         assert gcov >= 1 - CONF_ALPHA - 0.05, etype
+
+
+def test_tukey_hsd_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import TUKEY_Q_CRIT
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck("SELECT event_type, value FROM events")
+    groups = {t: g["value"].to_numpy() for t, g in ev.groupby("event_type")}
+    n_total = sum(len(v) for v in groups.values())
+    k = len(groups)
+    sse = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    mse = sse / (n_total - k)
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.mean_diff, r.q_stat, r.significant)
+        for r in all_queries()["q_tukey_hsd"](spark, SF_ORACLE).collect()
+    }
+    names = sorted(groups)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    }
+    for (a, b), (na, nb, diff, q, sig) in got.items():
+        va, vb = groups[a], groups[b]
+        assert (na, nb) == (len(va), len(vb))
+        wdiff = va.mean() - vb.mean()
+        wq = abs(wdiff) / math.sqrt(mse / 2 * (1 / len(va) + 1 / len(vb)))
+        assert abs(diff - wdiff) < 1e-6
+        assert abs(q - wq) < 1e-5
+        assert sig == int(wq > TUKEY_Q_CRIT)
+
+
+def test_runs_test_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    daily = _duck(
+        "SELECT CAST(ts AS DATE) AS day, SUM(value) AS y"
+        " FROM events GROUP BY 1 ORDER BY day"
+    )
+    ys = daily["y"].to_numpy()
+    med = sorted(ys)[math.ceil(len(ys) / 2) - 1]
+    signs = [1 if y > med else 0 for y in ys if y != med]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (runs - mu) / math.sqrt(var)
+    row = all_queries()["q_runs_test"](spark, SF_ORACLE).collect()[0]
+    assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, runs)
+    assert abs(row.z - z) < 1e-6

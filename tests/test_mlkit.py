@@ -179,3 +179,92 @@ def test_mlkit_plans(spark):
     # lineitem appears in two scans max: the min/max pass + the rollup
     assert splan.count("lineitem.parquet") <= 2
     assert "CartesianProduct" not in splan or "BroadcastNestedLoopJoin" in splan
+
+
+def _feats_np():
+    feats = _duck(
+        """SELECT o_orderkey,
+            CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+            LN(o_totalprice) - 10.0 AS x1,
+            DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                / 1000.0 AS x2
+        FROM orders"""
+    )
+    y = feats["y"].to_numpy()
+    X = np.column_stack(
+        [np.ones(len(y)), feats["x1"].to_numpy(), feats["x2"].to_numpy()]
+    )
+    return feats["o_orderkey"].to_numpy(), y, X
+
+
+def _irls(y, X, rounds, ridge):
+    beta = np.zeros(X.shape[1])
+    for _ in range(rounds):
+        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        w = p * (1 - p)
+        H = (X * w[:, None]).T @ X + ridge * np.eye(X.shape[1])
+        beta = beta + np.linalg.solve(H, X.T @ (y - p))
+    return beta
+
+
+def _loss(y, X, beta):
+    p = 1.0 / (1.0 + np.exp(-X @ beta))
+    return float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+
+
+def test_logreg_cv_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        LR_CV_FOLDS,
+        LR_RIDGE,
+        LR_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    keys, y, X = _feats_np()
+    got = {
+        r.fold: (r.beta0, r.beta1, r.beta2, r.val_log_loss)
+        for r in all_queries()["q_logreg_cv"](spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(range(LR_CV_FOLDS))
+    for f in range(LR_CV_FOLDS):
+        train = keys % LR_CV_FOLDS != f
+        beta = _irls(y[train], X[train], LR_ROUNDS, LR_RIDGE)
+        vloss = _loss(y[~train], X[~train], beta)
+        gb = got[f]
+        for i in range(3):
+            assert abs(gb[i] - beta[i]) < 1e-6, (f, i)
+        assert abs(gb[3] - vloss) < 1e-6, f
+
+
+def test_feature_ablation_matches_numpy(spark):
+    """The zeroed-column trick must equal a TRUE lower-dimensional ridge
+    fit: compare the drop_x1/drop_x2 rows against 2-column numpy IRLS
+    (intercept + surviving feature), not against the 3x3 machinery."""
+    from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE, LR_ROUNDS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    _, y, X = _feats_np()
+    got = {
+        r.model: (r.beta0, r.beta1, r.beta2, r.log_loss, r.delta_vs_full)
+        for r in all_queries()["q_feature_ablation"](spark, SF_ORACLE).collect()
+    }
+    full = _irls(y, X, LR_ROUNDS, LR_RIDGE)
+    full_loss = _loss(y, X, full)
+    for i in range(3):
+        assert abs(got["full"][i] - full[i]) < 1e-6
+    assert abs(got["full"][3] - full_loss) < 1e-6
+    assert got["full"][4] == 0.0
+
+    for model, keep in (("drop_x1", 2), ("drop_x2", 1)):
+        X2 = X[:, [0, keep]]
+        beta2 = _irls(y, X2, LR_ROUNDS, LR_RIDGE)
+        loss2 = _loss(y, X2, beta2)
+        b = got[model]
+        assert abs(b[0] - beta2[0]) < 1e-6, model  # intercept
+        surviving = b[keep]
+        dropped = b[3 - keep]
+        assert abs(surviving - beta2[1]) < 1e-6, model
+        assert dropped == 0.0, model  # the zeroed coordinate never moves
+        assert abs(b[3] - loss2) < 1e-6, model
+        assert abs(b[4] - (loss2 - full_loss)) < 2e-6, model
+        assert b[4] >= -1e-9, model  # ablation can't beat the full fit
