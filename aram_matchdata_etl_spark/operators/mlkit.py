@@ -738,3 +738,266 @@ def q_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ll", 6).alias("log_loss"),
         F.round("delta", 6).alias("delta_vs_full"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GLM family: the same sufficient-statistic Newton machinery, other links
+
+_POIS_FEATS_SQL = """
+    SELECT CAST(COUNT(*) AS DOUBLE) AS y,
+        CASE WHEN dayofweek(any_value(d)) IN (0, 6) THEN 1.0 ELSE 0.0 END
+            AS x1,
+        (date_diff('day', DATE '2024-01-01', any_value(d))) / 30.0 AS x2
+    FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events) t
+    GROUP BY user_id, d
+"""
+
+_POIS_SUMS_SQL = """SELECT
+    SUM(p) AS sw,
+    SUM(p * x1) AS swx1,
+    SUM(p * x2) AS swx2,
+    SUM(p * x1 * x1) AS sw11,
+    SUM(p * x1 * x2) AS sw12,
+    SUM(p * x2 * x2) AS sw22,
+    SUM(y - p) AS g0,
+    SUM((y - p) * x1) AS g1,
+    SUM((y - p) * x2) AS g2"""
+
+
+def _poisson_chain(pfx: str, feats: str) -> list[str]:
+    """Unrolled Poisson-GLM Newton chain: identical Cramer solve, with
+    the log link's mu = exp(z) playing both the IRLS weight and the
+    fitted mean (column alias `p` so the shared solve template
+    applies)."""
+    parts = [f"{pfx}b0 AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"]
+    for k in range(LR_ROUNDS):
+        b, nb = f"{pfx}b{k}", f"{pfx}b{k + 1}"
+        p, s = f"{pfx}p{k}", f"{pfx}s{k}"
+        parts.append(
+            f"""{p} AS (
+    SELECT y, x1, x2, EXP({b}.b0 + {b}.b1 * x1 + {b}.b2 * x2) AS p
+    FROM {feats} CROSS JOIN {b})"""
+        )
+        parts.append(f"{s} AS ({_POIS_SUMS_SQL} FROM {p})")
+        e0, e1, e2 = _solve_sql(b, s)
+        parts.append(
+            f"{nb} AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2"
+            f" FROM {s} CROSS JOIN {b})"
+        )
+    return parts
+
+
+def _poisson_oracle() -> str:
+    parts = [f"feats AS ({_POIS_FEATS_SQL})"]
+    parts.extend(_poisson_chain("", "feats"))
+    bf = f"b{LR_ROUNDS}"
+    parts.append(
+        f"""dev AS (
+    SELECT 2 * SUM(CASE WHEN y > 0 THEN y * LN(y / p) ELSE 0 END - (y - p))
+        / COUNT(*) AS mean_deviance
+    FROM (
+        SELECT y, EXP({bf}.b0 + {bf}.b1 * x1 + {bf}.b2 * x2) AS p
+        FROM feats CROSS JOIN {bf}) t)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT param, ROUND(value, 6) AS value FROM (
+    SELECT 'beta0' AS param, b0 AS value FROM {bf}
+    UNION ALL SELECT 'beta1', b1 FROM {bf}
+    UNION ALL SELECT 'beta2', b2 FROM {bf}
+    UNION ALL SELECT 'mean_deviance', mean_deviance FROM dev
+)"""
+    )
+
+
+@query("q_poisson_glm", oracle=_poisson_oracle())
+def q_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM (log link) on per-user-day event counts — rate ~
+    exp(b0 + b1*is_weekend + b2*month_progress) — the canonical count-
+    data regression (traffic/usage modeling), trained with the SAME
+    ridge-Cramer Newton machinery as the logistic trainer: for the log
+    link, IRLS weight and fitted mean coincide (w = mu), so only the
+    one column expression changes. Fixed {LR_ROUNDS} rounds from 0;
+    output includes the mean Poisson deviance (the GLM goodness-of-fit
+    twin of log-loss).
+
+    Scale: the count grain is one groupBy; each round is one codegen
+    map + a 9-double reduce; the deviance one more pass."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count("*").cast("double").alias("y"))
+        .select(
+            "y",
+            F.when(F.dayofweek("d").isin(1, 7), 1.0).otherwise(0.0).alias("x1"),
+            (F.datediff(F.col("d"), F.lit("2024-01-01")) / 30.0).alias("x2"),
+        )
+        .localCheckpoint()
+    )
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(LR_ROUNDS):
+        z = (
+            F.lit(beta[0])
+            + F.lit(beta[1]) * F.col("x1")
+            + F.lit(beta[2]) * F.col("x2")
+        )
+        mu = F.exp(z)
+        r = feats.agg(
+            F.sum(mu),
+            F.sum(mu * F.col("x1")),
+            F.sum(mu * F.col("x2")),
+            F.sum(mu * F.col("x1") * F.col("x1")),
+            F.sum(mu * F.col("x1") * F.col("x2")),
+            F.sum(mu * F.col("x2") * F.col("x2")),
+            F.sum(F.col("y") - mu),
+            F.sum((F.col("y") - mu) * F.col("x1")),
+            F.sum((F.col("y") - mu) * F.col("x2")),
+        ).first()
+        beta = _solve_py(beta, tuple(r))
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    mu = F.exp(z)
+    dev = feats.agg(
+        (
+            2
+            * F.sum(
+                F.when(
+                    F.col("y") > 0, F.col("y") * F.log(F.col("y") / mu)
+                ).otherwise(0.0)
+                - (F.col("y") - mu)
+            )
+            / F.count("*")
+        ).alias("mean_deviance")
+    )
+    out = spark.createDataFrame(
+        [("beta0", beta[0]), ("beta1", beta[1]), ("beta2", beta[2])],
+        "param string, value double",
+    ).unionAll(
+        dev.select(
+            F.lit("mean_deviance").alias("param"),
+            F.col("mean_deviance").alias("value"),
+        )
+    )
+    return out.select("param", F.round("value", 6).alias("value"))
+
+
+_OLS_FEATS_SQL = """
+    SELECT LN(o.o_totalprice) AS y,
+        CAST(c.n_items AS DOUBLE) AS x1,
+        date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE))
+            / 1000.0 AS x2
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+    ) c ON c.l_orderkey = o.o_orderkey
+"""
+
+_OLS_SUMS_SQL = """SELECT
+    SUM(1.0) AS sw,
+    SUM(x1) AS swx1,
+    SUM(x2) AS swx2,
+    SUM(x1 * x1) AS sw11,
+    SUM(x1 * x2) AS sw12,
+    SUM(x2 * x2) AS sw22,
+    SUM(y) AS g0,
+    SUM(y * x1) AS g1,
+    SUM(y * x2) AS g2"""
+
+
+def _ols_oracle() -> str:
+    zero = "zb AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"
+    e0, e1, e2 = _solve_sql("zb", "s")
+    return f"""WITH feats AS ({_OLS_FEATS_SQL}),
+{zero},
+s AS ({_OLS_SUMS_SQL} FROM feats),
+beta AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2 FROM s CROSS JOIN zb),
+fit AS (
+    SELECT y, beta.b0 + beta.b1 * x1 + beta.b2 * x2 AS yhat
+    FROM feats CROSS JOIN beta
+),
+centered AS (
+    SELECT y, yhat, AVG(y) OVER () AS ym FROM fit
+),
+r2 AS (
+    SELECT 1 - SUM((y - yhat) * (y - yhat))
+        / SUM((y - ym) * (y - ym)) AS r2
+    FROM centered
+)
+SELECT param, ROUND(value, 6) AS value FROM (
+    SELECT 'beta0' AS param, b0 AS value FROM beta
+    UNION ALL SELECT 'beta1', b1 FROM beta
+    UNION ALL SELECT 'beta2', b2 FROM beta
+    UNION ALL SELECT 'r2', r2 FROM r2
+)"""
+
+
+@query("q_ridge_ols", oracle=_ols_oracle())
+def q_ridge_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge linear regression: ln(order total) ~ item count
+    + order-date drift, solved from ONE pass of sufficient statistics
+    (X'X, X'y as 9 double sums) with the shared Cramer template — ridge
+    OLS is exactly one Newton step from zero with unit IRLS weights, so
+    the logistic/Poisson/OLS family shares a single solver in both
+    engines. Output: coefficients + in-sample R^2.
+
+    Scale: the item-count feature is the only join (an orderkey-
+    co-partitioned count rollup); the solve is driver arithmetic on 9
+    scalars; R^2 is one more codegen pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    feats = (
+        orders.join(counts, orders.o_orderkey == counts.l_orderkey)
+        .select(
+            F.log("o_totalprice").alias("y"),
+            F.col("n_items").cast("double").alias("x1"),
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit(LR_EPOCH))
+                / LR_X2_SCALE
+            ).alias("x2"),
+        )
+        .localCheckpoint()
+    )
+    r = feats.agg(
+        F.sum(F.lit(1.0)),
+        F.sum("x1"),
+        F.sum("x2"),
+        F.sum(F.col("x1") * F.col("x1")),
+        F.sum(F.col("x1") * F.col("x2")),
+        F.sum(F.col("x2") * F.col("x2")),
+        F.sum("y"),
+        F.sum(F.col("y") * F.col("x1")),
+        F.sum(F.col("y") * F.col("x2")),
+    ).first()
+    beta = _solve_py((0.0, 0.0, 0.0), tuple(r))
+    yhat = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    ybar = Window.partitionBy()
+    r2 = feats.select(
+        "y", yhat.alias("yhat"), F.avg("y").over(ybar).alias("ym")
+    ).agg(
+        (
+            1
+            - F.sum((F.col("y") - F.col("yhat")) ** 2)
+            / F.sum((F.col("y") - F.col("ym")) ** 2)
+        ).alias("r2")
+    )
+    out = spark.createDataFrame(
+        [("beta0", beta[0]), ("beta1", beta[1]), ("beta2", beta[2])],
+        "param string, value double",
+    ).unionAll(
+        r2.select(F.lit("r2").alias("param"), F.col("r2").alias("value"))
+    )
+    return out.select("param", F.round("value", 6).alias("value"))

@@ -3624,3 +3624,177 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("n_runs"),
         F.round((r - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+WOE_BINS = 10
+WOE_SMOOTH = 0.5
+
+
+@query(
+    "q_woe_iv",
+    oracle=f"""
+WITH mm AS (
+    SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+    FROM lineitem
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / (mx - mn)
+            * {WOE_BINS}) AS INTEGER), {WOE_BINS - 1}) AS bin,
+        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+    FROM lineitem CROSS JOIN mm
+),
+b AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(bad) AS BIGINT) AS n_bad,
+        CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
+    FROM binned GROUP BY bin
+),
+t AS (
+    SELECT bin, n, n_bad, n_good,
+        (n_good + {WOE_SMOOTH}) / SUM(n_good) OVER () AS pg,
+        (n_bad + {WOE_SMOOTH}) / SUM(n_bad) OVER () AS pb
+    FROM b
+)
+SELECT bin, n, n_bad,
+    ROUND(LN(pg / pb), 6) AS woe,
+    ROUND(SUM((pg - pb) * LN(pg / pb)) OVER (), 6) AS iv_total
+FROM t""",
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of the price
+    feature against the returned-line target — the credit-scoring
+    feature transform (and the supervised complement of
+    q_target_encoding's m-estimate): per equi-width price bin,
+    WOE = ln(P(bin|good) / P(bin|bad)) with +{WOE_SMOOTH} smoothing,
+    and the corpus-level IV = sum (pg - pb) * WOE repeated per row
+    (rule of thumb: IV < 0.02 useless, > 0.3 strong).
+
+    Scale: one conditional-agg pass to the {WOE_BINS}-bin rollup
+    (equi-width from a broadcast min/max, NOT a global-sort NTILE);
+    the windows run over {WOE_BINS} rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * WOE_BINS
+            ).cast("int"),
+            F.lit(WOE_BINS - 1),
+        ).alias("bin"),
+        (F.col("l_returnflag") == "R").cast("int").alias("bad"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).cast("bigint").alias("n_good"),
+    )
+    w = Window.partitionBy()
+    t = b.select(
+        "bin",
+        "n",
+        "n_bad",
+        ((F.col("n_good") + WOE_SMOOTH) / F.sum("n_good").over(w)).alias("pg"),
+        ((F.col("n_bad") + WOE_SMOOTH) / F.sum("n_bad").over(w)).alias("pb"),
+    )
+    return t.select(
+        "bin",
+        "n",
+        "n_bad",
+        F.round(F.log(F.col("pg") / F.col("pb")), 6).alias("woe"),
+        F.round(
+            F.sum(
+                (F.col("pg") - F.col("pb")) * F.log(F.col("pg") / F.col("pb"))
+            ).over(w),
+            6,
+        ).alias("iv_total"),
+    )
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=f"""
+WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+scored AS (
+    SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {CAL_BINS}) AS INTEGER),
+                 {CAL_BINS - 1}) AS bin,
+        CASE WHEN event_type = '{AUC_POS}' THEN 1.0 ELSE 0.0 END AS y
+    FROM events CROSS JOIN mm
+),
+b AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy
+    FROM scored GROUP BY bin
+),
+ranges AS (
+    SELECT j.bin AS j, k.bin AS k,
+        SUM(m.sy) / SUM(m.n) AS avg_jk
+    FROM b j
+    JOIN b k ON j.bin <= k.bin
+    JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+    GROUP BY 1, 2
+),
+minmax AS (
+    SELECT x.bin, r.j, MIN(r.avg_jk) AS mn_over_k
+    FROM b x
+    JOIN ranges r ON r.j <= x.bin AND r.k >= x.bin
+    GROUP BY 1, 2
+),
+iso AS (
+    SELECT bin, MAX(mn_over_k) AS iso_prob FROM minmax GROUP BY 1
+)
+SELECT b.bin, b.n, ROUND(b.sy / b.n, 6) AS frac_pos,
+    ROUND(iso.iso_prob, 6) AS iso_prob
+FROM b JOIN iso USING (bin)""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the
+    q_calibration_bins reliability table, via the minimax
+    characterization of isotonic regression: iso(b) = max over j <= b of
+    min over k >= b of the COUNT-WEIGHTED mean positive rate on bins
+    [j..k] — exactly the pool-adjacent-violators solution (proved
+    equivalent in tests/test_mining.py against a numpy PAV), computed
+    set-wise so no sequential pooling loop exists. The production
+    calibration-map trainer (Zadrozny & Elkan 2002) for turning raw
+    scores into probabilities.
+
+    Scale: the corpus reduces to the {CAL_BINS}-bin (n, sum-y) rollup in
+    one pass; the O(B^3) range/minimax joins run on B = {CAL_BINS} rows
+    — constant work regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    p = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    scored = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(p * CAL_BINS).cast("int"), F.lit(CAL_BINS - 1)
+        ).alias("bin"),
+        F.when(F.col("event_type") == AUC_POS, 1.0).otherwise(0.0).alias("y"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("y").alias("sy")
+    )
+    j = b.select(F.col("bin").alias("j"))
+    k = b.select(F.col("bin").alias("k"))
+    m = b.select(F.col("bin").alias("mb"), "n", "sy")
+    ranges = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .join(m, (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg((F.sum("sy") / F.sum("n")).alias("avg_jk"))
+    )
+    x = b.select(F.col("bin"))
+    minmax = (
+        x.join(ranges, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("avg_jk").alias("mn_over_k"))
+    )
+    iso = minmax.groupBy("bin").agg(F.max("mn_over_k").alias("iso_prob"))
+    return b.join(iso, "bin").select(
+        "bin",
+        "n",
+        F.round(F.col("sy") / F.col("n"), 6).alias("frac_pos"),
+        F.round("iso_prob", 6).alias("iso_prob"),
+    )

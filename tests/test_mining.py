@@ -184,3 +184,75 @@ def test_runs_test_matches_pure_python(spark):
     row = all_queries()["q_runs_test"](spark, SF_ORACLE).collect()[0]
     assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, runs)
     assert abs(row.z - z) < 1e-6
+
+
+def test_woe_iv_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.stats import WOE_BINS, WOE_SMOOTH
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    li = _duck("SELECT l_extendedprice AS p, l_returnflag = 'R' AS bad"
+               " FROM lineitem")
+    p = li["p"].to_numpy()
+    bad = li["bad"].to_numpy().astype(int)
+    mn, mx = p.min(), p.max()
+    bins = np.minimum(
+        np.floor((p - mn) / (mx - mn) * WOE_BINS).astype(int), WOE_BINS - 1
+    )
+    got = {
+        r.bin: (r.n, r.n_bad, r.woe, r.iv_total)
+        for r in all_queries()["q_woe_iv"](spark, SF_ORACLE).collect()
+    }
+    good_tot = (1 - bad).sum()
+    bad_tot = bad.sum()
+    iv = 0.0
+    woes = {}
+    for b in sorted(set(bins)):
+        m = bins == b
+        ng, nb = int((1 - bad)[m].sum()), int(bad[m].sum())
+        pg = (ng + WOE_SMOOTH) / good_tot
+        pb = (nb + WOE_SMOOTH) / bad_tot
+        woes[b] = (int(m.sum()), nb, math.log(pg / pb))
+        iv += (pg - pb) * math.log(pg / pb)
+    assert set(got) == set(woes)
+    for b, (n, nb, woe, iv_total) in got.items():
+        wn, wnb, wwoe = woes[b]
+        assert (n, nb) == (wn, wnb)
+        assert abs(woe - wwoe) < 1e-6
+        assert abs(iv_total - iv) < 1e-6
+
+
+def _pav(y, w):
+    """Pool-adjacent-violators for weighted isotonic regression."""
+    blocks = [[yi * wi, wi, [i]] for i, (yi, wi) in enumerate(zip(y, w))]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] / out[-2][1] > out[-1][0] / out[-1][1]:
+            s2, w2, i2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += w2
+            out[-1][2].extend(i2)
+    fit = [0.0] * len(y)
+    for s, ww, idx in out:
+        for i in idx:
+            fit[i] = s / ww
+    return fit
+
+
+def test_isotonic_calibration_equals_pav(spark):
+    """The minimax formula both engines compute must equal the classic
+    sequential PAV algorithm (the textbook equivalence theorem) and be
+    monotone non-decreasing."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_isotonic_calibration"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.bin,
+    )
+    y = [r.frac_pos for r in rows]
+    w = [r.n for r in rows]
+    want = _pav(y, w)
+    for r, pv in zip(rows, want):
+        assert abs(r.iso_prob - pv) < 2e-6, r.bin
+    iso = [r.iso_prob for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
