@@ -1001,3 +1001,369 @@ def q_ridge_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.select(F.lit("r2").alias("param"), F.col("r2").alias("value"))
     )
     return out.select("param", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Feature selection / attribution
+
+CHI2_TOPK = 3
+
+
+@query(
+    "q_chi2_feature_selection",
+    oracle=f"""
+WITH dw AS (
+    SELECT DISTINCT doc_id, source, w FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dw),
+cls AS (
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_c
+    FROM dw GROUP BY 1
+),
+dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+a AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM dw GROUP BY 1, 2
+),
+cells AS (
+    SELECT a.source, a.w, a.a,
+        dfw.df - a.a AS b,
+        cls.n_c - a.a AS c,
+        n.n_docs - cls.n_c - (dfw.df - a.a) AS d,
+        n.n_docs AS nn
+    FROM a JOIN dfw USING (w) JOIN cls USING (source) CROSS JOIN n
+),
+scored AS (
+    SELECT source, w, a, ROUND(
+        nn * 1.0 * (a * d - b * c) * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+    FROM cells
+    WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+)
+SELECT source, w AS word, a AS n_docs_with, chi2,
+    CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY chi2 DESC, w
+    ) AS rnk FROM scored
+) WHERE rnk <= {CHI2_TOPK}""",
+)
+def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection for text classification: per class,
+    the top-{CHI2_TOPK} tokens by the 2x2 presence/class chi-squared
+    statistic — the standard vocabulary-pruning step before training a
+    classifier like q_naive_bayes (and, run on its own, the "which
+    words characterize this source" diagnostic). All four contingency
+    cells derive from three integer rollups (per-(word, class) doc
+    counts, per-word document frequency, per-class doc counts), so the
+    statistic is exact integer arithmetic divided once — identical
+    doubles in both engines; ranking uses the 6-dp-rounded value with
+    a word tie-break.
+
+    Scale: one distinct over (doc, word) presence pairs, three
+    rollups, and a window over |V| x C scored rows — the corpus never
+    joins itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    n = dw.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    cls = dw.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_c")
+    )
+    dfw = dw.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    a = dw.groupBy("source", "w").agg(F.count("*").cast("bigint").alias("a"))
+    cells = (
+        a.join(F.broadcast(dfw), "w")
+        .join(F.broadcast(cls), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("df") - F.col("a")).alias("b"),
+            (F.col("n_c") - F.col("a")).alias("c"),
+            (F.col("n_docs") - F.col("n_c") - (F.col("df") - F.col("a"))).alias(
+                "d"
+            ),
+            F.col("n_docs").alias("nn"),
+        )
+    )
+    ad_bc = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    denom = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    scored = cells.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("c")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+    ).select(
+        "source",
+        "w",
+        "a",
+        F.round(F.col("nn") * ad_bc * ad_bc / denom, 6).alias("chi2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= CHI2_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("word"),
+            F.col("a").alias("n_docs_with"),
+            "chi2",
+            "rnk",
+        )
+    )
+
+
+_SHAPLEY_MODELS = (
+    ("null", "0.0", "0.0"),
+    ("only_x1", "x1", "0.0"),
+    ("only_x2", "0.0", "x2"),
+    ("full", "x1", "x2"),
+)
+
+
+def _shapley_oracle() -> str:
+    parts = [f"basef AS ({_FEATS_SQL})"]
+    for i, (_, e1, e2) in enumerate(_SHAPLEY_MODELS):
+        pfx = f"v{i}_"
+        parts.append(
+            f"{pfx}feats AS (SELECT y, {e1} AS x1, {e2} AS x2 FROM basef)"
+        )
+        parts.extend(_newton_chain(pfx, f"{pfx}feats"))
+        parts.append(
+            _ll_cte(f"{pfx}ll", f"{pfx}feats", f"{pfx}b{LR_ROUNDS}")
+        )
+    final = """
+SELECT feature, ROUND(value, 6) AS shapley_value FROM (
+    SELECT 'x1' AS feature,
+        0.5 * ((l0.log_loss - l1.log_loss) + (l2.log_loss - l3.log_loss))
+            AS value
+    FROM v0_ll l0, v1_ll l1, v2_ll l2, v3_ll l3
+    UNION ALL
+    SELECT 'x2',
+        0.5 * ((l0.log_loss - l2.log_loss) + (l1.log_loss - l3.log_loss))
+    FROM v0_ll l0, v1_ll l1, v2_ll l2, v3_ll l3
+)"""
+    return "WITH " + ",\n".join(parts) + final
+
+
+@query("q_shapley_attribution", oracle=_shapley_oracle())
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley attribution of the logistic model's log-loss
+    reduction over its two features: retrain on all 4 feature subsets
+    (the zeroed-column trick — one ridge solver for every subset) and
+    average each feature's marginal contribution over both join orders
+    — phi_i = 1/2 [(v(i) - v(0)) + (v(full) - v(other))] with v = loss
+    reduction. Efficiency (phi_1 + phi_2 = full-model reduction) holds
+    by construction and is asserted in tests. The model-attribution
+    primitive (SHAP's exact small-d case), done with sufficient-
+    statistic passes only.
+
+    Scale: 4 Newton chains x {LR_ROUNDS} rounds, each one codegen map +
+    9-double reduce over the checkpointed features frame."""
+    feats = logreg_feats(spark, sf_dir).localCheckpoint()
+    losses = []
+    for _, e1, e2 in _SHAPLEY_MODELS:
+        mf = feats.select(
+            "y",
+            (F.col("x1") if e1 == "x1" else F.lit(0.0)).alias("x1"),
+            (F.col("x2") if e2 == "x2" else F.lit(0.0)).alias("x2"),
+        )
+        losses.append(logreg_loss(mf, logreg_newton(mf)))
+    l0, l1, l2, l3 = losses
+    phi1 = 0.5 * ((l0 - l1) + (l2 - l3))
+    phi2 = 0.5 * ((l0 - l2) + (l1 - l3))
+    out = spark.createDataFrame(
+        [("x1", phi1), ("x2", phi2)], "feature string, v double"
+    )
+    return out.select("feature", F.round("v", 6).alias("shapley_value"))
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps: the third iterative trainer under the gate
+
+BOOST_ROUNDS = 4
+BOOST_NU = 0.5  # learning rate
+
+_BOOST_BASE_SQL = """
+    SELECT CAST(l_quantity AS INTEGER) AS qbin,
+        CAST(ROUND(l_discount * 100, 0) AS INTEGER) AS dbin,
+        LN(l_extendedprice) AS y
+    FROM lineitem
+"""
+
+
+def _boost_round_sql(k: int) -> list[str]:
+    """CTEs for boosting round k: residual rollup -> cumulative split
+    scan -> 6-dp-rounded gain argmax -> literal-free residual update
+    (the chosen split rides along as a 1-row CROSS JOIN)."""
+    prev = f"resid{k - 1}"
+    return [
+        f"""fan{k} AS (
+    SELECT 'quantity' AS feature, qbin AS bin, r FROM {prev}
+    UNION ALL SELECT 'discount', dbin, r FROM {prev})""",
+        f"""roll{k} AS (
+    SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(r) AS sr
+    FROM fan{k} GROUP BY 1, 2)""",
+        f"""cum{k} AS (
+    SELECT feature, bin,
+        SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS cn,
+        SUM(sr) OVER (PARTITION BY feature ORDER BY bin) AS csr,
+        SUM(n) OVER (PARTITION BY feature) AS tn,
+        SUM(sr) OVER (PARTITION BY feature) AS tsr
+    FROM roll{k})""",
+        f"""gains{k} AS (
+    SELECT feature, bin,
+        csr / cn AS ml, (tsr - csr) / (tn - cn) AS mr,
+        ROUND(cn * (csr / cn) * (csr / cn)
+            + (tn - cn) * ((tsr - csr) / (tn - cn))
+              * ((tsr - csr) / (tn - cn)), 6) AS gain
+    FROM cum{k} WHERE cn < tn)""",
+        f"""best{k} AS (
+    SELECT feature, bin, ml, mr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY gain DESC, feature, bin) AS rn
+        FROM gains{k}
+    ) WHERE rn = 1)""",
+        f"""resid{k} AS (
+    SELECT qbin, dbin,
+        r - {BOOST_NU!r} * CASE
+            WHEN b.feature = 'quantity' AND qbin <= b.bin THEN b.ml
+            WHEN b.feature = 'quantity' THEN b.mr
+            WHEN dbin <= b.bin THEN b.ml
+            ELSE b.mr END AS r
+    FROM {prev} CROSS JOIN best{k} b)""",
+        f"mse{k} AS (SELECT AVG(r * r) AS mse FROM resid{k})",
+    ]
+
+
+def _boost_oracle() -> str:
+    parts = [
+        f"basef AS ({_BOOST_BASE_SQL})",
+        "m0 AS (SELECT AVG(y) AS f0 FROM basef)",
+        "resid0 AS (SELECT qbin, dbin, y - f0 AS r FROM basef CROSS JOIN m0)",
+    ]
+    selects = []
+    for k in range(1, BOOST_ROUNDS + 1):
+        parts.extend(_boost_round_sql(k))
+        selects.append(
+            f"SELECT {k} AS round, b.feature, b.bin AS split_bin,"
+            f" ROUND(b.ml, 6) AS left_mean, ROUND(b.mr, 6) AS right_mean,"
+            f" ROUND(m.mse, 6) AS train_mse"
+            f" FROM best{k} b CROSS JOIN mse{k} m"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
+@query("q_stump_boost", oracle=_boost_oracle())
+def q_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares gradient boosting with depth-1 trees (stumps):
+    {BOOST_ROUNDS} rounds of fit-stump-to-residuals on ln(line price)
+    over the quantity/discount bins, learning rate {BOOST_NU} — the
+    THIRD iterative ML trainer under the exact driver hash gate
+    (after k-means and Newton logistic), and the one whose per-round
+    model is a DATA-DEPENDENT argmax (the chosen split), not just a
+    parameter vector. Gains are rounded to 6 dp before the argmax and
+    ties break on (feature, bin), so the split choice — the branch
+    point of the whole recursion — cannot flip on float sum-order
+    noise between engines; the log-scale target keeps gain noise ~1e-11
+    against a 6-dp grid.
+
+    Scale: each round is ONE residual rollup pass (2-feature struct
+    fan-out), a window over the ~60-row rollup, a 1-row collect of the
+    winning split (5 scalars — the only driver traffic), and a
+    literal-folded residual update; residuals are carried by a lazy
+    localCheckpoint so round k never replays rounds 1..k-1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("int").alias("qbin"),
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("dbin"),
+        F.log("l_extendedprice").alias("y"),
+    )
+    f0 = base.agg(F.avg("y")).first()[0]
+    resid = base.select(
+        "qbin", "dbin", (F.col("y") - F.lit(f0)).alias("r")
+    ).localCheckpoint(eager=False)
+    rows = []
+    for k in range(1, BOOST_ROUNDS + 1):
+        fan = resid.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("quantity").alias("feature"),
+                        F.col("qbin").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("discount").alias("feature"),
+                        F.col("dbin").alias("bin"),
+                    ),
+                )
+            ).alias("fb"),
+            "r",
+        ).select("fb.feature", "fb.bin", "r")
+        roll = fan.groupBy("feature", "bin").agg(
+            F.count("*").cast("bigint").alias("n"), F.sum("r").alias("sr")
+        )
+        wcum = Window.partitionBy("feature").orderBy("bin")
+        wall = Window.partitionBy("feature")
+        cum = roll.select(
+            "feature",
+            "bin",
+            F.sum("n").over(wcum).alias("cn"),
+            F.sum("sr").over(wcum).alias("csr"),
+            F.sum("n").over(wall).alias("tn"),
+            F.sum("sr").over(wall).alias("tsr"),
+        ).filter(F.col("cn") < F.col("tn"))
+        ml = F.col("csr") / F.col("cn")
+        mr = (F.col("tsr") - F.col("csr")) / (F.col("tn") - F.col("cn"))
+        gains = cum.select(
+            "feature",
+            "bin",
+            ml.alias("ml"),
+            mr.alias("mr"),
+            F.round(
+                F.col("cn") * ml * ml + (F.col("tn") - F.col("cn")) * mr * mr,
+                6,
+            ).alias("gain"),
+        )
+        wbest = Window.orderBy(F.desc("gain"), F.asc("feature"), F.asc("bin"))
+        best = (
+            gains.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select("feature", "bin", "ml", "mr")
+            .first()
+        )
+        bin_col = F.col("qbin") if best.feature == "quantity" else F.col("dbin")
+        step = F.when(bin_col <= best.bin, best.ml).otherwise(best.mr)
+        new_resid = resid.select(
+            "qbin", "dbin", (F.col("r") - BOOST_NU * step).alias("r")
+        ).localCheckpoint(eager=False)
+        mse = new_resid.agg(F.avg(F.col("r") * F.col("r"))).first()[0]
+        rows.append((k, best.feature, best.bin, best.ml, best.mr, mse))
+        resid = new_resid
+    out = spark.createDataFrame(
+        rows,
+        "round int, feature string, split_bin int,"
+        " left_mean double, right_mean double, train_mse double",
+    )
+    return out.select(
+        "round",
+        "feature",
+        "split_bin",
+        F.round("left_mean", 6).alias("left_mean"),
+        F.round("right_mean", 6).alias("right_mean"),
+        F.round("train_mse", 6).alias("train_mse"),
+    )

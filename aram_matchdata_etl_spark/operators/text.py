@@ -1357,3 +1357,84 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_matches"))
     )
+
+
+LOGODDS_A, LOGODDS_B = "src0", "src1"  # the two corpora compared
+LOGODDS_PRIOR = 0.5  # uniform Dirichlet pseudo-count per word
+
+
+@query(
+    "q_log_odds_ratio",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE source IN ('{LOGODDS_A}', '{LOGODDS_B}')
+),
+wc AS (
+    SELECT w,
+        CAST(SUM(CASE WHEN source = '{LOGODDS_A}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ya,
+        CAST(SUM(CASE WHEN source = '{LOGODDS_B}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS yb
+    FROM toks WHERE w <> '' GROUP BY 1
+),
+tot AS (
+    SELECT SUM(ya) AS na, SUM(yb) AS nb,
+        CAST(COUNT(*) AS BIGINT) AS v
+    FROM wc
+)
+SELECT w AS word, ya AS n_a, yb AS n_b,
+    ROUND(
+        (LN((ya + {LOGODDS_PRIOR})
+            / (na + {LOGODDS_PRIOR} * v - ya - {LOGODDS_PRIOR}))
+         - LN((yb + {LOGODDS_PRIOR})
+            / (nb + {LOGODDS_PRIOR} * v - yb - {LOGODDS_PRIOR})))
+        / SQRT(1.0 / (ya + {LOGODDS_PRIOR}) + 1.0 / (yb + {LOGODDS_PRIOR})),
+        6) AS z_score
+FROM wc CROSS JOIN tot""",
+)
+def q_log_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe et al. (2008) "Fightin' Words" log-odds ratio with a
+    Dirichlet prior, comparing the {LOGODDS_A} and {LOGODDS_B} corpora:
+    per word, the difference of smoothed log-odds standardized by its
+    estimated variance 1/(y_a + a) + 1/(y_b + a). The principled
+    "which words distinguish these two corpora" statistic — unlike raw
+    frequency ratios it neither explodes on rare words (the prior
+    shrinks them) nor ignores sampling noise (the z standardization) —
+    complementing q_chi2_feature_selection's presence-based ranking and
+    q_source_kl's distribution-level divergence.
+
+    Scale: one token pass to the per-word count rollup; totals ride in
+    as a broadcast scalar; all arithmetic on |V| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("source").isin(LOGODDS_A, LOGODDS_B))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = toks.groupBy("w").agg(
+        F.sum((F.col("source") == LOGODDS_A).cast("int"))
+        .cast("bigint")
+        .alias("ya"),
+        F.sum((F.col("source") == LOGODDS_B).cast("int"))
+        .cast("bigint")
+        .alias("yb"),
+    )
+    tot = wc.agg(
+        F.sum("ya").alias("na"),
+        F.sum("yb").alias("nb"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    a = LOGODDS_PRIOR
+    ya, yb = F.col("ya"), F.col("yb")
+    na, nb, v = F.col("na"), F.col("nb"), F.col("v")
+    delta = F.log((ya + a) / (na + a * v - ya - a)) - F.log(
+        (yb + a) / (nb + a * v - yb - a)
+    )
+    var = 1.0 / (ya + a) + 1.0 / (yb + a)
+    return wc.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("word"),
+        ya.alias("n_a"),
+        yb.alias("n_b"),
+        F.round(delta / F.sqrt(var), 6).alias("z_score"),
+    )

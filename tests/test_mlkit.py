@@ -339,3 +339,152 @@ def test_ridge_ols_matches_numpy(spark):
     # the synthetic fixture draws o_totalprice independently of the
     # lineitem rows, so R^2 is near zero — assert only its validity
     assert 0.0 <= got["r2"] < 1.0
+
+
+def test_chi2_feature_selection_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import CHI2_TOPK
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = _duck("SELECT doc_id, source, text FROM documents")
+    presence = defaultdict(set)  # (source, word) -> docs
+    class_docs = defaultdict(set)
+    word_docs = defaultdict(set)
+    all_docs = set()
+    for doc_id, source, text in zip(docs["doc_id"], docs["source"], docs["text"]):
+        all_docs.add(doc_id)
+        class_docs[source].add(doc_id)
+        for w in set(x for x in text.split(" ") if x):
+            presence[(source, w)].add(doc_id)
+            word_docs[w].add(doc_id)
+    n = len(all_docs)
+    want = {}
+    for source in class_docs:
+        scored = []
+        for (s, w), dset in presence.items():
+            if s != source:
+                continue
+            a = len(dset)
+            b = len(word_docs[w]) - a
+            c = len(class_docs[source]) - a
+            d = n - len(class_docs[source]) - b
+            denom = (a + b) * (c + d) * (a + c) * (b + d)
+            if denom == 0:
+                continue
+            chi2 = round(n * (a * d - b * c) ** 2 / denom, 6)
+            scored.append((-chi2, w, a))
+        for rnk, (negchi, w, a) in enumerate(sorted(scored)[:CHI2_TOPK], 1):
+            want[(source, rnk)] = (w, a, -negchi)
+    got = {
+        (r.source, r.rnk): (r.word, r.n_docs_with, r.chi2)
+        for r in all_queries()["q_chi2_feature_selection"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert got == want
+
+
+def test_shapley_attribution_matches_numpy_and_is_efficient(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE, LR_ROUNDS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    _, y, X = _feats_np()
+    losses = []
+    for mask in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        Xm = X.copy()
+        if not mask[0]:
+            Xm[:, 1] = 0.0
+        if not mask[1]:
+            Xm[:, 2] = 0.0
+        beta = _irls(y, Xm, LR_ROUNDS, LR_RIDGE)
+        losses.append(_loss(y, Xm, beta))
+    l0, l1, l2, l3 = losses
+    phi1 = 0.5 * ((l0 - l1) + (l2 - l3))
+    phi2 = 0.5 * ((l0 - l2) + (l1 - l3))
+    got = {
+        r.feature: r.shapley_value
+        for r in all_queries()["q_shapley_attribution"](spark, SF_ORACLE).collect()
+    }
+    assert abs(got["x1"] - phi1) < 1e-6
+    assert abs(got["x2"] - phi2) < 1e-6
+    # efficiency: attributions sum to the full model's loss reduction
+    assert abs((got["x1"] + got["x2"]) - (l0 - l3)) < 2e-6
+
+
+def test_stump_boost_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        BOOST_NU,
+        BOOST_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    li = _duck(
+        "SELECT CAST(l_quantity AS INTEGER) AS qbin,"
+        " CAST(ROUND(l_discount * 100, 0) AS INTEGER) AS dbin,"
+        " LN(l_extendedprice) AS y FROM lineitem"
+    )
+    qbin = li["qbin"].to_numpy()
+    dbin = li["dbin"].to_numpy()
+    r = li["y"].to_numpy() - li["y"].to_numpy().mean()
+    want = []
+    for k in range(1, BOOST_ROUNDS + 1):
+        cands = []
+        for fname, bins in (("quantity", qbin), ("discount", dbin)):
+            for t in sorted(set(bins))[:-1]:
+                m = bins <= t
+                nl, nr = int(m.sum()), int((~m).sum())
+                ml, mr = r[m].mean(), r[~m].mean()
+                gain = round(nl * ml * ml + nr * mr * mr, 6)
+                cands.append((-gain, fname, int(t), ml, mr))
+        _, fname, t, ml, mr = sorted(cands)[0]
+        bins = qbin if fname == "quantity" else dbin
+        r = r - BOOST_NU * np.where(bins <= t, ml, mr)
+        want.append((k, fname, t, ml, mr, float((r * r).mean())))
+    got = sorted(
+        all_queries()["q_stump_boost"](spark, SF_ORACLE).collect(),
+        key=lambda x: x.round,
+    )
+    assert len(got) == BOOST_ROUNDS
+    prev_mse = None
+    for row, (k, fname, t, ml, mr, mse) in zip(got, want):
+        assert (row.round, row.feature, row.split_bin) == (k, fname, t)
+        assert abs(row.left_mean - ml) < 1e-6
+        assert abs(row.right_mean - mr) < 1e-6
+        assert abs(row.train_mse - mse) < 1e-6
+        if prev_mse is not None:  # boosting must monotonically improve
+            assert row.train_mse < prev_mse
+        prev_mse = row.train_mse
+
+
+def test_log_odds_ratio_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.text import (
+        LOGODDS_A,
+        LOGODDS_B,
+        LOGODDS_PRIOR,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = _duck(
+        f"SELECT source, text FROM documents"
+        f" WHERE source IN ('{LOGODDS_A}', '{LOGODDS_B}')"
+    )
+    ca, cb = Counter(), Counter()
+    for source, text in zip(docs["source"], docs["text"]):
+        tgt = ca if source == LOGODDS_A else cb
+        tgt.update(w for w in text.split(" ") if w)
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    a = LOGODDS_PRIOR
+    got = {
+        r.word: (r.n_a, r.n_b, r.z_score)
+        for r in all_queries()["q_log_odds_ratio"](spark, SF_ORACLE).collect()
+    }
+    assert set(got) == vocab
+    for w in vocab:
+        ya, yb = ca[w], cb[w]
+        delta = math.log((ya + a) / (na + a * v - ya - a)) - math.log(
+            (yb + a) / (nb + a * v - yb - a)
+        )
+        z = delta / math.sqrt(1 / (ya + a) + 1 / (yb + a))
+        gn_a, gn_b, gz = got[w]
+        assert (gn_a, gn_b) == (ya, yb)
+        assert abs(gz - z) < 1e-6, w
