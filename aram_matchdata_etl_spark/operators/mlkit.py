@@ -1367,3 +1367,406 @@ def q_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("right_mean", 6).alias("right_mean"),
         F.round("train_mse", 6).alias("train_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Causal family: uplift + inverse-propensity weighting on the A/B split
+
+_CAUSAL_FEATS_SQL = """
+    SELECT CAST(user_id % 2 AS DOUBLE) AS t,
+        CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS DOUBLE) AS y,
+        LN(1 + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS x1,
+        COALESCE(AVG(CASE WHEN event_type = 'view' THEN value END), 0.0)
+            AS x2,
+        SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+            AS outcome
+    FROM events GROUP BY user_id
+"""
+
+
+def _causal_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("y"),
+            F.log(
+                1
+                + F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                )
+            ).alias("x1"),
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            ).alias("x2"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("outcome"),
+        )
+        .withColumn("t", (F.col("user_id") % 2).cast("double"))
+        .drop("user_id")
+        .localCheckpoint()
+    )
+
+
+def _uplift_oracle() -> str:
+    parts = [f"feats AS ({_CAUSAL_FEATS_SQL})"]
+    for v in (0, 1):
+        parts.append(
+            f"v{v}_feats AS (SELECT y, x1, x2 FROM feats WHERE t = {v}.0)"
+        )
+        parts.extend(_newton_chain(f"v{v}_", f"v{v}_feats"))
+        parts.append(
+            _ll_cte(f"v{v}_ll", f"v{v}_feats", f"v{v}_b{LR_ROUNDS}")
+        )
+    b0, b1 = f"v0_b{LR_ROUNDS}", f"v1_b{LR_ROUNDS}"
+    parts.append(
+        f"""uplift AS (
+    SELECT AVG(
+        1 / (1 + EXP(-(t1.b0 + t1.b1 * x1 + t1.b2 * x2)))
+        - 1 / (1 + EXP(-(t0.b0 + t0.b1 * x1 + t0.b2 * x2)))) AS ate
+    FROM feats CROSS JOIN {b0} t0 CROSS JOIN {b1} t1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT param, ROUND(value, 6) AS value FROM (
+    SELECT 'v0_beta0' AS param, b0 AS value FROM {b0}
+    UNION ALL SELECT 'v0_beta1', b1 FROM {b0}
+    UNION ALL SELECT 'v0_beta2', b2 FROM {b0}
+    UNION ALL SELECT 'v0_log_loss', log_loss FROM v0_ll
+    UNION ALL SELECT 'v1_beta0', b0 FROM {b1}
+    UNION ALL SELECT 'v1_beta1', b1 FROM {b1}
+    UNION ALL SELECT 'v1_beta2', b2 FROM {b1}
+    UNION ALL SELECT 'v1_log_loss', log_loss FROM v1_ll
+    UNION ALL SELECT 'ate_uplift', ate FROM uplift
+)"""
+    )
+
+
+@query("q_uplift_tlearner", oracle=_uplift_oracle())
+def q_uplift_tlearner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-learner uplift model on the user_id-parity A/B split: one
+    Newton logistic conversion model per variant (features = view
+    activity, view value), uplift = mean over ALL users of
+    p_treated(x) - p_control(x) — the heterogeneous-treatment-effect
+    workhorse that upgrades q_ab_test's single ATE into a model-based
+    estimate. Both variant models and the uplift averaging pass are
+    hash-oracled via the shared unrolled Newton CTE chains.
+
+    Scale: the user grain is one groupBy; each variant chain is
+    {LR_ROUNDS} sufficient-statistic passes over its (pushed-down)
+    partition; the uplift readout is one more codegen pass."""
+    feats = _causal_feats(spark, sf_dir)
+    betas = {}
+    rows = []
+    for v in (0, 1):
+        part = feats.filter(F.col("t") == float(v)).select("y", "x1", "x2")
+        b = logreg_newton(part)
+        betas[v] = b
+        rows.extend(
+            [
+                (f"v{v}_beta0", b[0]),
+                (f"v{v}_beta1", b[1]),
+                (f"v{v}_beta2", b[2]),
+                (f"v{v}_log_loss", logreg_loss(part, b)),
+            ]
+        )
+
+    def _p(b):
+        z = (
+            F.lit(b[0])
+            + F.lit(b[1]) * F.col("x1")
+            + F.lit(b[2]) * F.col("x2")
+        )
+        return 1 / (1 + F.exp(-z))
+
+    ate = feats.agg(F.avg(_p(betas[1]) - _p(betas[0]))).first()[0]
+    rows.append(("ate_uplift", ate))
+    out = feats.sparkSession.createDataFrame(
+        rows, "param string, value double"
+    )
+    return out.select("param", F.round("value", 6).alias("value"))
+
+
+IPW_CLIP = 0.05  # propensity clipping bound
+
+
+def _ipw_oracle() -> str:
+    parts = [
+        f"feats AS ({_CAUSAL_FEATS_SQL})",
+        "pfeats AS (SELECT t AS y, x1, x2 FROM feats)",
+    ]
+    parts.extend(_newton_chain("pr_", "pfeats"))
+    bf = f"pr_b{LR_ROUNDS}"
+    parts.append(
+        f"""wts AS (
+    SELECT t, outcome,
+        LEAST(GREATEST(
+            1 / (1 + EXP(-(b.b0 + b.b1 * x1 + b.b2 * x2))),
+            {IPW_CLIP}), {1 - IPW_CLIP}) AS e
+    FROM feats CROSS JOIN {bf} b)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT ROUND(AVG(CASE WHEN t = 1.0 THEN outcome END)
+        - AVG(CASE WHEN t = 0.0 THEN outcome END), 6) AS ate_naive,
+    ROUND(SUM(t * outcome / e) / SUM(t / e)
+        - SUM((1 - t) * outcome / (1 - e)) / SUM((1 - t) / (1 - e)), 6)
+        AS ate_ipw,
+    ROUND(AVG(e), 6) AS mean_propensity,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+FROM wts"""
+    )
+
+
+@query("q_propensity_ipw", oracle=_ipw_oracle())
+def q_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE of the variant on per-user
+    purchase value: fit the propensity e(x) = P(T=1 | activity
+    features) with the shared Newton chain, clip to
+    [{IPW_CLIP}, {1 - IPW_CLIP}], and compare the naive difference of
+    means against the Hajek (self-normalized) IPW estimator — the
+    observational-causal-inference workhorse for when assignment is NOT
+    randomized. On this fixture assignment IS the user-parity split, so
+    propensities sit near 0.5 and the two estimates agree — the
+    machinery (model -> clip -> normalized reweighting) is what is
+    under test, plus its differential in tests/test_mlkit.py.
+
+    Scale: one user-grain groupBy, {LR_ROUNDS} sufficient-statistic
+    passes for the propensity model, one weighted readout pass."""
+    feats = _causal_feats(spark, sf_dir)
+    beta = logreg_newton(feats.select(F.col("t").alias("y"), "x1", "x2"))
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    e = F.least(
+        F.greatest(1 / (1 + F.exp(-z)), F.lit(IPW_CLIP)),
+        F.lit(1 - IPW_CLIP),
+    )
+    wts = feats.select("t", "outcome", e.alias("e"))
+    t, o, ecol = F.col("t"), F.col("outcome"), F.col("e")
+    return wts.agg(
+        F.round(
+            F.avg(F.when(t == 1.0, o)) - F.avg(F.when(t == 0.0, o)), 6
+        ).alias("ate_naive"),
+        F.round(
+            F.sum(t * o / ecol) / F.sum(t / ecol)
+            - F.sum((1 - t) * o / (1 - ecol)) / F.sum((1 - t) / (1 - ecol)),
+            6,
+        ).alias("ate_ipw"),
+        F.round(F.avg(ecol), 6).alias("mean_propensity"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Elastic net: coordinate descent entirely on sufficient statistics
+
+EN_L1 = 8.0
+EN_L2 = 1.0
+EN_SWEEPS = 5
+
+_EN_SUMS_SQL = """
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+        SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x3 * x3) AS s33,
+        SUM(x1 * x2) AS s12, SUM(x1 * x3) AS s13, SUM(x2 * x3) AS s23,
+        SUM(y) AS sy, SUM(y * y) AS syy,
+        SUM(y * x1) AS sy1, SUM(y * x2) AS sy2, SUM(y * x3) AS sy3
+"""
+
+
+def _g(j: int, k: int) -> str:
+    lo, hi = sorted((j, k))
+    return f"g{lo}{hi}"
+
+
+def _en_oracle() -> str:
+    feats = f"""
+    SELECT SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y,
+        LN(1 + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS x1,
+        COALESCE(AVG(CASE WHEN event_type = 'view' THEN value END), 0.0)
+            AS x2,
+        LN(1 + SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS x3
+    FROM events GROUP BY user_id
+"""
+    std_cols = ["n"]
+    for j in range(1, 4):
+        std_cols.append(f"s{j} / n AS m{j}")
+        std_cols.append(f"SQRT(s{j}{j} / n - (s{j} / n) * (s{j} / n)) AS sd{j}")
+    std_cols.append("sy / n AS my")
+    std_cols.append("SQRT(syy / n - (sy / n) * (sy / n)) AS sdy")
+    std = f"std0 AS (SELECT {', '.join(std_cols)}, s11, s22, s33, s12, s13,"
+    std += " s23, sy1, sy2, sy3, syy FROM sums)"
+    gcols = []
+    for j in range(1, 4):
+        for k in range(j, 4):
+            gcols.append(
+                f"(s{min(j, k)}{max(j, k)} - n * m{j} * m{k})"
+                f" / (sd{j} * sd{k}) AS {_g(j, k)}"
+            )
+        gcols.append(f"(sy{j} - n * m{j} * my) / (sd{j} * sdy) AS r{j}")
+    gcols.append("(syy - n * my * my) / (sdy * sdy) AS szz")
+    parts = [
+        f"feats AS ({feats})",
+        f"sums AS ({_EN_SUMS_SQL} FROM feats)",
+        std,
+        f"std AS (SELECT {', '.join(gcols)} FROM std0)",
+        "cd0_3 AS (SELECT 0.0 b1, 0.0 b2, 0.0 b3)",
+    ]
+    prev = "cd0_3"
+    for s in range(1, EN_SWEEPS + 1):
+        for j in range(1, 4):
+            name = f"cd{s}_{j}"
+            others = " + ".join(
+                f"std.{_g(j, k)} * {prev}.b{k}" for k in range(1, 4) if k != j
+            )
+            rho = f"(std.r{j} - ({others}))"
+            newb = (
+                f"SIGN({rho}) * GREATEST(ABS({rho}) - {EN_L1!r}, 0)"
+                f" / (std.{_g(j, j)} + {EN_L2!r})"
+            )
+            bs = ", ".join(
+                (f"{newb} AS b{k}" if k == j else f"{prev}.b{k} AS b{k}")
+                for k in range(1, 4)
+            )
+            parts.append(f"{name} AS (SELECT {bs} FROM {prev} CROSS JOIN std)")
+            prev = name
+    sse = (
+        "std.szz"
+        + "".join(f" - 2 * f.b{j} * std.r{j}" for j in range(1, 4))
+        + "".join(
+            f" + f.b{j} * f.b{k} * std.{_g(j, k)}"
+            + ("" if j == k else f" + f.b{k} * f.b{j} * std.{_g(j, k)}")
+            for j in range(1, 4)
+            for k in range(j, 4)
+        )
+    )
+    parts.append(
+        f"""fit AS (
+    SELECT f.b1, f.b2, f.b3,
+        1 - ({sse}) / std.szz AS r2,
+        CAST((CASE WHEN f.b1 <> 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN f.b2 <> 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN f.b3 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nnz
+    FROM {prev} f CROSS JOIN std)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT param, ROUND(value, 6) + 0.0 AS value FROM (
+    SELECT 'beta1' AS param, b1 AS value FROM fit
+    UNION ALL SELECT 'beta2', b2 FROM fit
+    UNION ALL SELECT 'beta3', b3 FROM fit
+    UNION ALL SELECT 'r2', r2 FROM fit
+    UNION ALL SELECT 'n_nonzero', nnz FROM fit
+)"""
+    )
+
+
+@query("q_elastic_net", oracle=_en_oracle())
+def q_elastic_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-net linear regression (L1 = {EN_L1}, L2 = {EN_L2}) of
+    standardized per-user purchase value on three standardized activity
+    features, by cyclic coordinate descent with the soft-threshold
+    update — the sparse-regression workhorse, and the demonstration
+    that CD needs NO per-sweep data pass: the whole optimization runs
+    on the 15 sufficient statistics (Gram matrix + moments) from ONE
+    corpus pass, with standardization applied ANALYTICALLY to the
+    moments rather than to rows. On this fixture the features are
+    nearly independent of the outcome, so the L1 penalty zeroes the two
+    weakest and keeps only the strongest (the correct lasso behavior,
+    asserted in tests). The fourth distinct trainer family under the
+    exact hash gate (argmin assignment / Newton solve / boosting argmax
+    / proximal coordinate descent).
+
+    Scale: one user-grain groupBy, one 15-double reduce; everything
+    after is engine-mirrored scalar arithmetic ({EN_SWEEPS} sweeps x 3
+    soft-threshold updates)."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("y"),
+        F.log(
+            1 + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("x1"),
+        F.coalesce(
+            F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+            F.lit(0.0),
+        ).alias("x2"),
+        F.log(
+            1 + F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        ).alias("x3"),
+    )
+    x1, x2, x3, y = (F.col(c) for c in ("x1", "x2", "x3", "y"))
+    r = feats.agg(
+        F.count("*").cast("double"),
+        F.sum(x1), F.sum(x2), F.sum(x3),
+        F.sum(x1 * x1), F.sum(x2 * x2), F.sum(x3 * x3),
+        F.sum(x1 * x2), F.sum(x1 * x3), F.sum(x2 * x3),
+        F.sum(y), F.sum(y * y),
+        F.sum(y * x1), F.sum(y * x2), F.sum(y * x3),
+    ).first()
+    (n, s1, s2, s3, s11, s22, s33, s12, s13, s23,
+     sy, syy, sy1, sy2, sy3) = r
+    m = {1: s1 / n, 2: s2 / n, 3: s3 / n}
+    sraw = {(1, 1): s11, (2, 2): s22, (3, 3): s33,
+            (1, 2): s12, (1, 3): s13, (2, 3): s23}
+    sd = {j: math.sqrt(sraw[(j, j)] / n - m[j] * m[j]) for j in (1, 2, 3)}
+    my = sy / n
+    sdy = math.sqrt(syy / n - my * my)
+    syj = {1: sy1, 2: sy2, 3: sy3}
+    G = {}
+    R = {}
+    for j in (1, 2, 3):
+        for k in (j, 2, 3):
+            if k < j:
+                continue
+            G[(j, k)] = (sraw[(j, k)] - n * m[j] * m[k]) / (sd[j] * sd[k])
+        R[j] = (syj[j] - n * m[j] * my) / (sd[j] * sdy)
+    szz = (syy - n * my * my) / (sdy * sdy)
+
+    def g(j, k):
+        return G[(min(j, k), max(j, k))]
+
+    b = {1: 0.0, 2: 0.0, 3: 0.0}
+    for _ in range(EN_SWEEPS):
+        for j in (1, 2, 3):
+            rho = R[j] - sum(g(j, k) * b[k] for k in (1, 2, 3) if k != j)
+            b[j] = (
+                math.copysign(1.0, rho)
+                * max(abs(rho) - EN_L1, 0.0)
+                / (g(j, j) + EN_L2)
+            )
+    sse = szz - sum(2 * b[j] * R[j] for j in (1, 2, 3)) + sum(
+        b[j] * b[k] * g(j, k) for j in (1, 2, 3) for k in (1, 2, 3)
+    )
+    rows = [
+        ("beta1", b[1]),
+        ("beta2", b[2]),
+        ("beta3", b[3]),
+        ("r2", 1 - sse / szz),
+        ("n_nonzero", float(sum(1 for j in (1, 2, 3) if b[j] != 0.0))),
+    ]
+    out = spark.createDataFrame(rows, "param string, value double")
+    return out.select("param", (F.round("value", 6) + 0.0).alias("value"))

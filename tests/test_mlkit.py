@@ -488,3 +488,117 @@ def test_log_odds_ratio_matches_pure_python(spark):
         gn_a, gn_b, gz = got[w]
         assert (gn_a, gn_b) == (ya, yb)
         assert abs(gz - z) < 1e-6, w
+
+
+def _causal_np():
+    u = _duck(
+        """SELECT CAST(user_id % 2 AS DOUBLE) AS t,
+            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS y,
+            LN(1 + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS x1,
+            COALESCE(AVG(CASE WHEN event_type = 'view' THEN value END), 0.0)
+                AS x2,
+            SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                AS outcome
+        FROM events GROUP BY user_id"""
+    )
+    t = u["t"].to_numpy()
+    y = u["y"].to_numpy()
+    X = np.column_stack(
+        [np.ones(len(y)), u["x1"].to_numpy(), u["x2"].to_numpy()]
+    )
+    return t, y, X, u["outcome"].to_numpy()
+
+
+def test_uplift_tlearner_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE, LR_ROUNDS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    t, y, X, _ = _causal_np()
+    betas = {}
+    for v in (0, 1):
+        m = t == v
+        betas[v] = _irls(y[m], X[m], LR_ROUNDS, LR_RIDGE)
+    p1 = 1 / (1 + np.exp(-X @ betas[1]))
+    p0 = 1 / (1 + np.exp(-X @ betas[0]))
+    ate = float((p1 - p0).mean())
+    got = {
+        r.param: r.value
+        for r in all_queries()["q_uplift_tlearner"](spark, SF_ORACLE).collect()
+    }
+    for v in (0, 1):
+        for i in range(3):
+            assert abs(got[f"v{v}_beta{i}"] - betas[v][i]) < 1e-6, (v, i)
+        m = t == v
+        assert abs(got[f"v{v}_log_loss"] - _loss(y[m], X[m], betas[v])) < 1e-6
+    assert abs(got["ate_uplift"] - ate) < 1e-6
+
+
+def test_propensity_ipw_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        IPW_CLIP,
+        LR_RIDGE,
+        LR_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    t, _, X, outcome = _causal_np()
+    beta = _irls(t, X, LR_ROUNDS, LR_RIDGE)
+    e = np.clip(1 / (1 + np.exp(-X @ beta)), IPW_CLIP, 1 - IPW_CLIP)
+    naive = outcome[t == 1].mean() - outcome[t == 0].mean()
+    ipw = (t * outcome / e).sum() / (t / e).sum() - (
+        (1 - t) * outcome / (1 - e)
+    ).sum() / ((1 - t) / (1 - e)).sum()
+    row = all_queries()["q_propensity_ipw"](spark, SF_ORACLE).collect()[0]
+    assert abs(row.ate_naive - naive) < 1e-6
+    assert abs(row.ate_ipw - ipw) < 1e-6
+    assert abs(row.mean_propensity - e.mean()) < 1e-6
+    assert row.n_users == len(t)
+    # randomized parity assignment: propensity must hover near 0.5 and
+    # the two estimators must agree to first order
+    assert 0.4 < row.mean_propensity < 0.6
+    assert abs(row.ate_ipw - row.ate_naive) < abs(naive) * 0.5 + 1.0
+
+
+def test_elastic_net_matches_numpy_cd(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        EN_L1,
+        EN_L2,
+        EN_SWEEPS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    u = _duck(
+        """SELECT SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                AS y,
+            LN(1 + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS x1,
+            COALESCE(AVG(CASE WHEN event_type = 'view' THEN value END), 0.0)
+                AS x2,
+            LN(1 + SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS x3
+        FROM events GROUP BY user_id"""
+    )
+    X = u[["x1", "x2", "x3"]].to_numpy()
+    y = u["y"].to_numpy()
+    Z = (X - X.mean(0)) / X.std(0)
+    zy = (y - y.mean()) / y.std()
+    G = Z.T @ Z
+    r = Z.T @ zy
+    b = np.zeros(3)
+    for _ in range(EN_SWEEPS):
+        for j in range(3):
+            rho = r[j] - (G[j] @ b - G[j, j] * b[j])
+            b[j] = (
+                np.sign(rho) * max(abs(rho) - EN_L1, 0) / (G[j, j] + EN_L2)
+            )
+    sse = zy @ zy - 2 * b @ r + b @ G @ b
+    r2 = 1 - sse / (zy @ zy)
+    got = {
+        x.param: x.value
+        for x in all_queries()["q_elastic_net"](spark, SF_ORACLE).collect()
+    }
+    for j in range(3):
+        assert abs(got[f"beta{j + 1}"] - b[j]) < 1e-6, j
+    assert abs(got["r2"] - r2) < 1e-6
+    assert got["n_nonzero"] == float((b != 0).sum())
+    # the L1 penalty must actually induce sparsity on this fixture
+    assert got["n_nonzero"] < 3
