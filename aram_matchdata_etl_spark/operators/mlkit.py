@@ -1770,3 +1770,467 @@ def q_elastic_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = spark.createDataFrame(rows, "param string, value double")
     return out.select("param", (F.round("value", 6) + 0.0).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Gaussian mixture via EM: the fifth trainer family under the gate
+
+GMM_ROUNDS = 3
+
+
+def _gmm_init_sql() -> str:
+    """Deterministic init: component means at the exact 25th/75th
+    order statistics (ties broken by event_id), shared sigma = the
+    population sd, equal priors."""
+    return """
+init AS (
+    SELECT
+        MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN x END) AS mu1,
+        MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN x END) AS mu2,
+        SQRT(AVG(x * x) - AVG(x) * AVG(x)) AS s,
+        0.5 AS pi1
+    FROM (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, event_id) AS rn,
+            COUNT(*) OVER () AS n
+        FROM pts
+    )
+),
+g0 AS (SELECT mu1, s AS s1, mu2, s AS s2, pi1 FROM init)"""
+
+
+def _gmm_round_sql(k: int) -> str:
+    prev = f"g{k - 1}"
+    return f"""e{k} AS (
+    SELECT x,
+        1 / (1 + EXP(
+            (-0.5 * ((x - p.mu2) / p.s2) * ((x - p.mu2) / p.s2)
+                - LN(p.s2) + LN(1 - p.pi1))
+            - (-0.5 * ((x - p.mu1) / p.s1) * ((x - p.mu1) / p.s1)
+                - LN(p.s1) + LN(p.pi1)))) AS r1
+    FROM pts CROSS JOIN {prev} p),
+m{k} AS (
+    SELECT SUM(r1) AS n1, SUM(r1 * x) AS sx1, SUM(r1 * x * x) AS sxx1,
+        SUM(1 - r1) AS n2, SUM((1 - r1) * x) AS sx2,
+        SUM((1 - r1) * x * x) AS sxx2,
+        CAST(COUNT(*) AS DOUBLE) AS n
+    FROM e{k}),
+g{k} AS (
+    SELECT sx1 / n1 AS mu1,
+        SQRT(sxx1 / n1 - (sx1 / n1) * (sx1 / n1)) AS s1,
+        sx2 / n2 AS mu2,
+        SQRT(sxx2 / n2 - (sx2 / n2) * (sx2 / n2)) AS s2,
+        n1 / n AS pi1
+    FROM m{k})"""
+
+
+def _gmm_oracle() -> str:
+    parts = [
+        "pts AS (SELECT value AS x, event_id FROM events)",
+        _gmm_init_sql().strip().lstrip(),
+    ]
+    selects = [
+        "SELECT 0 AS round, mu1, s1, mu2, s2, pi1 FROM g0"
+    ]
+    for k in range(1, GMM_ROUNDS + 1):
+        parts.append(_gmm_round_sql(k))
+        selects.append(
+            f"SELECT {k} AS round, mu1, s1, mu2, s2, pi1 FROM g{k}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT round, ROUND(mu1, 6) AS mu1, ROUND(s1, 6) AS sigma1,
+    ROUND(mu2, 6) AS mu2, ROUND(s2, 6) AS sigma2,
+    ROUND(pi1, 6) AS pi1
+FROM ({" UNION ALL ".join(selects)})"""
+    )
+
+
+@query("q_gmm_em", oracle=_gmm_oracle())
+def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit by {GMM_ROUNDS} EM rounds
+    on the event value distribution — the FIFTH distinct trainer family
+    under the exact hash gate (argmin / Newton / boosting / coordinate
+    descent / expectation-maximization). Deterministic init (means at
+    the exact 25th/75th order statistics, shared population sd, equal
+    priors); each E-step is a closed-form logistic responsibility
+    folded into the row expression with the previous round's parameters
+    as LITERALS, each M-step one 7-double reduce.
+
+    Scale: the init order statistics are one rank window; each EM round
+    is one whole-stage-codegen pass + scalar driver math — the classic
+    mixture fit with zero joins and zero driver-side data."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(F.col("value").alias("x"), "event_id").localCheckpoint()
+    wrank = Window.orderBy("x", "event_id")
+    ranked = pts.select(
+        "x",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    init = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                F.col("x"),
+            )
+        ).alias("mu1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                F.col("x"),
+            )
+        ).alias("mu2"),
+        F.sqrt(
+            F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+        ).alias("s"),
+    ).first()
+    mu1, mu2, s1 = init.mu1, init.mu2, init.s
+    s2, pi1 = s1, 0.5
+    rows = [(0, mu1, s1, mu2, s2, pi1)]
+    for k in range(1, GMM_ROUNDS + 1):
+        x = F.col("x")
+        lp1 = (
+            -0.5 * ((x - mu1) / s1) * ((x - mu1) / s1)
+            - math.log(s1)
+            + math.log(pi1)
+        )
+        lp2 = (
+            -0.5 * ((x - mu2) / s2) * ((x - mu2) / s2)
+            - math.log(s2)
+            + math.log(1 - pi1)
+        )
+        r1 = 1 / (1 + F.exp(lp2 - lp1))
+        m = pts.agg(
+            F.sum(r1),
+            F.sum(r1 * x),
+            F.sum(r1 * x * x),
+            F.sum(1 - r1),
+            F.sum((1 - r1) * x),
+            F.sum((1 - r1) * x * x),
+            F.count("*").cast("double"),
+        ).first()
+        n1, sx1, sxx1, n2, sx2, sxx2, n = m
+        mu1 = sx1 / n1
+        s1 = math.sqrt(sxx1 / n1 - mu1 * mu1)
+        mu2 = sx2 / n2
+        s2 = math.sqrt(sxx2 / n2 - mu2 * mu2)
+        pi1 = n1 / n
+        rows.append((k, mu1, s1, mu2, s2, pi1))
+    out = spark.createDataFrame(
+        rows,
+        "round int, mu1 double, s1 double, mu2 double, s2 double, pi1 double",
+    )
+    return out.select(
+        "round",
+        F.round("mu1", 6).alias("mu1"),
+        F.round("s1", 6).alias("sigma1"),
+        F.round("mu2", 6).alias("mu2"),
+        F.round("s2", 6).alias("sigma2"),
+        F.round("pi1", 6).alias("pi1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization: the sixth trainer family under the gate
+
+ALS_ROUNDS = 3
+ALS_LAMBDA = 0.1
+ALS_TOPK = 10
+
+_ALS_RATINGS_SQL = """
+    SELECT o_custkey AS u, l_partkey AS i,
+        LN(1 + COUNT(*)) AS r
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+"""
+
+
+def _als_oracle() -> str:
+    parts = [
+        f"ratings AS ({_ALS_RATINGS_SQL})",
+        "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM ratings)",
+    ]
+    selects = []
+    for k in range(1, ALS_ROUNDS + 1):
+        pv = f"v{k - 1}"
+        parts.append(
+            f"""u{k} AS (
+    SELECT u, SUM(r * v) / (SUM(v * v) + {ALS_LAMBDA!r}) AS uf
+    FROM ratings JOIN {pv} USING (i) GROUP BY u)"""
+        )
+        parts.append(
+            f"""v{k} AS (
+    SELECT i, SUM(r * uf) / (SUM(uf * uf) + {ALS_LAMBDA!r}) AS v
+    FROM ratings JOIN u{k} USING (u) GROUP BY i)"""
+        )
+        parts.append(
+            f"""rmse{k} AS (
+    SELECT SQRT(AVG((r - uf * v) * (r - uf * v))) AS rmse
+    FROM ratings JOIN u{k} USING (u) JOIN v{k} USING (i))"""
+        )
+        selects.append(
+            f"SELECT 'round_{k}_rmse' AS param,"
+            f" ROUND(rmse, 6) AS value FROM rmse{k}"
+        )
+    vf = f"v{ALS_ROUNDS}"
+    selects.append(
+        f"""SELECT 'item_' || CAST(i AS VARCHAR) AS param,
+    ROUND(v, 6) AS value
+FROM (
+    SELECT i, v, ROW_NUMBER() OVER (ORDER BY ROUND(v, 6) DESC, i) AS rn
+    FROM {vf}
+) WHERE rn <= {ALS_TOPK}"""
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
+@query("q_als_factorization", oracle=_als_oracle())
+def q_als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating-least-squares matrix factorization of the
+    customer x part implicit-rating matrix (ln(1 + purchase count)) —
+    the SIXTH trainer family under the exact hash gate, and the first
+    whose per-round state is a DISTRIBUTED VECTOR (per-user and
+    per-item factors), not driver scalars: each half-round is the
+    closed-form ridge solve u_i = sum(r v) / (sum(v^2) + lambda)
+    as ONE co-partitioned join + groupBy, exactly how large-scale ALS
+    recommenders iterate (Koren et al.; Spark MLlib's own ALS shape).
+    Output: per-round train RMSE and the top-{ALS_TOPK} item factors
+    (ranked on the 6-dp-rounded factor so float sum-order noise cannot
+    reorder the tail).
+
+    Scale: factors are (id, double) rows; each half-round shuffles only
+    the rating keys; nothing ever reaches the driver but the RMSE
+    scalars."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.log(1 + F.count("*")).alias("r"))
+        .localCheckpoint()
+    )
+    v = ratings.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+    rows = []
+    for k in range(1, ALS_ROUNDS + 1):
+        u = (
+            ratings.join(v, "i")
+            .groupBy("u")
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("v"))
+                    / (F.sum(F.col("v") * F.col("v")) + ALS_LAMBDA)
+                ).alias("uf")
+            )
+        )
+        v = (
+            ratings.join(u, "u")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("uf"))
+                    / (F.sum(F.col("uf") * F.col("uf")) + ALS_LAMBDA)
+                ).alias("v")
+            )
+            .localCheckpoint(eager=False)
+        )
+        rmse = (
+            ratings.join(u, "u")
+            .join(v, "i")
+            .agg(
+                F.sqrt(
+                    F.avg(
+                        (F.col("r") - F.col("uf") * F.col("v"))
+                        * (F.col("r") - F.col("uf") * F.col("v"))
+                    )
+                ).alias("rmse")
+            )
+            .first()[0]
+        )
+        rows.append((f"round_{k}_rmse", float(rmse)))
+    spark2 = ratings.sparkSession
+    metrics = spark2.createDataFrame(rows, "param string, value double").select(
+        "param", F.round("value", 6).alias("value")
+    )
+    wtop = Window.orderBy(F.desc(F.round("v", 6)), F.asc("i"))
+    top = (
+        v.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= ALS_TOPK)
+        .select(
+            F.concat(F.lit("item_"), F.col("i").cast("string")).alias("param"),
+            F.round("v", 6).alias("value"),
+        )
+    )
+    return metrics.unionAll(top)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio tf-idf centroid classifier
+
+_ROCCHIO_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ) WHERE w <> ''
+),
+train AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} <> 0),
+ndocs AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM train
+),
+idf AS (
+    SELECT w, LN(n / COUNT(DISTINCT doc_id)) AS idf
+    FROM train CROSS JOIN ndocs GROUP BY w, n
+),
+cls AS (
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_c
+    FROM train GROUP BY 1
+),
+train_tfidf AS (
+    SELECT t.doc_id, MIN(t.source) AS source, t.w,
+        COUNT(*) * MIN(idf.idf) AS tfidf
+    FROM train t JOIN idf USING (w) GROUP BY t.doc_id, t.w
+),
+train_norm AS (
+    SELECT doc_id, SQRT(SUM(tfidf * tfidf)) AS nrm
+    FROM train_tfidf GROUP BY 1
+),
+centroid AS (
+    SELECT tt.source, tt.w, SUM(tt.tfidf / tn.nrm) / MIN(c.n_c) AS cw
+    FROM train_tfidf tt
+    JOIN train_norm tn USING (doc_id)
+    JOIN cls c USING (source)
+    GROUP BY tt.source, tt.w
+),
+cnorm AS (
+    SELECT source, SQRT(SUM(cw * cw)) AS cn FROM centroid GROUP BY 1
+),
+test_tfidf AS (
+    SELECT t.doc_id, MIN(t.source) AS actual, t.w,
+        COUNT(*) * MIN(idf.idf) AS tfidf
+    FROM toks t JOIN idf USING (w)
+    WHERE t.doc_id % {NB_TEST_MOD} = 0
+    GROUP BY t.doc_id, t.w
+),
+test_norm AS (
+    SELECT doc_id, SQRT(SUM(tfidf * tfidf)) AS nrm
+    FROM test_tfidf GROUP BY 1
+),
+scored AS (
+    SELECT te.doc_id, te.actual, ce.source,
+        ROUND(SUM((te.tfidf / tn.nrm) * ce.cw) / MIN(cn.cn), 6) AS score
+    FROM test_tfidf te
+    JOIN test_norm tn USING (doc_id)
+    JOIN centroid ce USING (w)
+    JOIN cnorm cn ON cn.source = ce.source
+    GROUP BY te.doc_id, te.actual, ce.source
+)
+SELECT doc_id, actual, source AS predicted, score,
+    CAST(source = actual AS INTEGER) AS correct
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, source) AS rn
+    FROM scored
+) WHERE rn = 1"""
+
+
+@query("q_rocchio_classifier", oracle=_ROCCHIO_SQL)
+def q_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio nearest-centroid text classification: L2-normalized
+    tf-idf document vectors, per-class mean vector (over ALL class
+    docs, absent words contributing 0), held-out docs assigned to the
+    highest-cosine centroid — the vector-space twin of q_naive_bayes'
+    generative scorer (same fold split, same rounded-argmax
+    determinism discipline), and the classifier q_tfidf's weighting
+    feeds in a retrieval-style pipeline.
+
+    Scale: idf and centroids are |V| / |V| x C rollups (broadcast-
+    sized for bounded vocabularies); scoring joins test term vectors
+    against the centroid grid on the token key — the corpus never
+    self-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    train = toks.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    ndocs = train.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    idf = (
+        train.crossJoin(F.broadcast(ndocs))
+        .groupBy("w", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select("w", F.log(F.col("n") / F.col("df")).alias("idf"))
+    )
+    cls = train.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("double").alias("n_c")
+    )
+    train_tfidf = (
+        train.join(F.broadcast(idf), "w")
+        .groupBy("doc_id", "w")
+        .agg(
+            F.min("source").alias("source"),
+            (F.count("*") * F.min("idf")).alias("tfidf"),
+        )
+    )
+    train_norm = train_tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("nrm")
+    )
+    centroid = (
+        train_tfidf.join(train_norm, "doc_id")
+        .join(F.broadcast(cls), "source")
+        .groupBy("source", "w")
+        .agg(
+            (F.sum(F.col("tfidf") / F.col("nrm")) / F.min("n_c")).alias("cw")
+        )
+    )
+    cnorm = centroid.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("cw") * F.col("cw"))).alias("cn")
+    )
+    test_tfidf = (
+        toks.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+        .join(F.broadcast(idf), "w")
+        .groupBy("doc_id", "w")
+        .agg(
+            F.min("source").alias("actual"),
+            (F.count("*") * F.min("idf")).alias("tfidf"),
+        )
+    )
+    test_norm = test_tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("nrm")
+    )
+    scored = (
+        test_tfidf.join(test_norm, "doc_id")
+        .join(F.broadcast(centroid), "w")
+        .join(F.broadcast(cnorm), "source")
+        .groupBy("doc_id", "actual", "source")
+        .agg(
+            F.round(
+                F.sum((F.col("tfidf") / F.col("nrm")) * F.col("cw"))
+                / F.min("cn"),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("source"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("source").alias("predicted"),
+            "score",
+            (F.col("source") == F.col("actual")).cast("int").alias("correct"),
+        )
+    )

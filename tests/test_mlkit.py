@@ -602,3 +602,150 @@ def test_elastic_net_matches_numpy_cd(spark):
     assert got["n_nonzero"] == float((b != 0).sum())
     # the L1 penalty must actually induce sparsity on this fixture
     assert got["n_nonzero"] < 3
+
+
+def test_gmm_em_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import GMM_ROUNDS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck("SELECT event_id, value AS x FROM events")
+    order = np.lexsort((ev["event_id"].to_numpy(), ev["x"].to_numpy()))
+    xs = ev["x"].to_numpy()[order]
+    n = len(xs)
+    mu1, mu2 = xs[math.ceil(0.25 * n) - 1], xs[math.ceil(0.75 * n) - 1]
+    s1 = s2 = float(np.sqrt((xs * xs).mean() - xs.mean() ** 2))
+    pi1 = 0.5
+    x = ev["x"].to_numpy()
+    want = [(0, mu1, s1, mu2, s2, pi1)]
+    for k in range(1, GMM_ROUNDS + 1):
+        lp1 = -0.5 * ((x - mu1) / s1) ** 2 - math.log(s1) + math.log(pi1)
+        lp2 = -0.5 * ((x - mu2) / s2) ** 2 - math.log(s2) + math.log(1 - pi1)
+        r1 = 1 / (1 + np.exp(lp2 - lp1))
+        n1, n2 = r1.sum(), (1 - r1).sum()
+        mu1 = float((r1 * x).sum() / n1)
+        s1 = math.sqrt((r1 * x * x).sum() / n1 - mu1 * mu1)
+        mu2 = float(((1 - r1) * x).sum() / n2)
+        s2 = math.sqrt(((1 - r1) * x * x).sum() / n2 - mu2 * mu2)
+        pi1 = float(n1 / len(x))
+        want.append((k, mu1, s1, mu2, s2, pi1))
+    got = sorted(
+        all_queries()["q_gmm_em"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.round,
+    )
+    assert len(got) == GMM_ROUNDS + 1
+    for row, (k, m1, sd1, m2, sd2, p1) in zip(got, want):
+        assert row.round == k
+        assert abs(row.mu1 - m1) < 1e-5, k
+        assert abs(row.sigma1 - sd1) < 1e-5, k
+        assert abs(row.mu2 - m2) < 1e-5, k
+        assert abs(row.sigma2 - sd2) < 1e-5, k
+        assert abs(row.pi1 - p1) < 1e-5, k
+    # EM must keep the two components ordered and the mix nondegenerate
+    assert got[-1].mu1 < got[-1].mu2
+    assert 0.05 < got[-1].pi1 < 0.95
+
+
+def test_als_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        ALS_LAMBDA,
+        ALS_ROUNDS,
+        ALS_TOPK,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rt = _duck(
+        """SELECT o_custkey AS u, l_partkey AS i, LN(1 + COUNT(*)) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"""
+    )
+    us = rt["u"].to_numpy()
+    its = rt["i"].to_numpy()
+    r = rt["r"].to_numpy()
+    v = {i: 1.0 for i in set(its)}
+    rmses = []
+    u = {}
+    for _ in range(ALS_ROUNDS):
+        num, den = defaultdict(float), defaultdict(float)
+        for uu, ii, rr in zip(us, its, r):
+            num[uu] += rr * v[ii]
+            den[uu] += v[ii] * v[ii]
+        u = {k: num[k] / (den[k] + ALS_LAMBDA) for k in num}
+        num, den = defaultdict(float), defaultdict(float)
+        for uu, ii, rr in zip(us, its, r):
+            num[ii] += rr * u[uu]
+            den[ii] += u[uu] * u[uu]
+        v = {k: num[k] / (den[k] + ALS_LAMBDA) for k in num}
+        errs = [
+            (rr - u[uu] * v[ii]) ** 2 for uu, ii, rr in zip(us, its, r)
+        ]
+        rmses.append(math.sqrt(sum(errs) / len(errs)))
+    got = {
+        r_.param: r_.value
+        for r_ in all_queries()["q_als_factorization"](spark, SF_ORACLE).collect()
+    }
+    for k in range(1, ALS_ROUNDS + 1):
+        assert abs(got[f"round_{k}_rmse"] - rmses[k - 1]) < 1e-5, k
+    # ALS is a descent method on train RMSE
+    assert rmses == sorted(rmses, reverse=True)
+    top = sorted(
+        ((round(val, 6), -i) for i, val in v.items()), reverse=True
+    )[:ALS_TOPK]
+    for rank, (val, negi) in enumerate(top, 1):
+        assert abs(got[f"item_{-negi}"] - round(val, 6)) < 2e-6, rank
+
+
+def test_rocchio_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import NB_TEST_MOD
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = _duck("SELECT doc_id, source, text FROM documents")
+    train, tests = [], []
+    for doc_id, source, text in zip(docs["doc_id"], docs["source"], docs["text"]):
+        words = [w for w in text.split(" ") if w]
+        (tests if int(doc_id) % NB_TEST_MOD == 0 else train).append(
+            (int(doc_id), source, words)
+        )
+    df = Counter()
+    for _, _, words in train:
+        df.update(set(words))
+    n_train = len(train)
+    idf = {w: math.log(n_train / c) for w, c in df.items()}
+    cent = defaultdict(lambda: defaultdict(float))
+    n_c = Counter()
+    for _, source, words in train:
+        tf = Counter(w for w in words if w in idf)
+        vec = {w: c * idf[w] for w, c in tf.items()}
+        nrm = math.sqrt(sum(x * x for x in vec.values()))
+        n_c[source] += 1
+        for w, x in vec.items():
+            cent[source][w] += x / nrm
+    for source in cent:
+        for w in cent[source]:
+            cent[source][w] /= n_c[source]
+    cn = {
+        s: math.sqrt(sum(x * x for x in ws.values())) for s, ws in cent.items()
+    }
+    got = {
+        r.doc_id: (r.actual, r.predicted, r.score, r.correct)
+        for r in all_queries()["q_rocchio_classifier"](spark, SF_ORACLE).collect()
+    }
+    for doc_id, actual, words in tests:
+        tf = Counter(w for w in words if w in idf)
+        if not tf:
+            continue
+        vec = {w: c * idf[w] for w, c in tf.items()}
+        nrm = math.sqrt(sum(x * x for x in vec.values()))
+        best = None
+        for s in sorted(cent):
+            dot = sum(
+                (x / nrm) * cent[s].get(w, 0.0) for w, x in vec.items()
+            )
+            score = round(dot / cn[s], 6)
+            if best is None or score > best[0] or (
+                score == best[0] and s < best[1]
+            ):
+                best = (score, s)
+        ga, gp, gs, gc = got[doc_id]
+        assert ga == actual
+        assert gp == best[1], doc_id
+        assert abs(gs - best[0]) < 2e-6
+        assert gc == int(gp == ga)
