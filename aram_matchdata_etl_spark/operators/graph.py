@@ -1512,3 +1512,73 @@ def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out.localCheckpoint()
+
+
+EIG_ROUNDS = 10
+
+
+def _eigen_oracle_sql(rounds: int = EIG_ROUNDS) -> str:
+    stages = []
+    prev = "ev0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""ew{i} AS MATERIALIZED (
+    SELECT s.a AS doc_id, SUM(v.v) AS w
+    FROM sym s JOIN {prev} v ON v.doc_id = s.b GROUP BY s.a
+), en{i} AS (SELECT SQRT(SUM(w * w)) AS nr FROM ew{i}),
+ev{i} AS MATERIALIZED (
+    SELECT d.doc_id, COALESCE(e.w, 0) / n.nr AS v
+    FROM documents d
+    LEFT JOIN ew{i} e ON e.doc_id = d.doc_id
+    CROSS JOIN en{i} n
+)"""
+        )
+        prev = f"ev{i}"
+    return f"""
+WITH {LINK_GRAPH_SQL},
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+),
+ev0 AS MATERIALIZED (SELECT doc_id, 1.0 AS v FROM documents),
+{",".join(stages)}
+SELECT doc_id, ROUND(v, 9) AS centrality FROM {prev}"""
+
+
+@query("q_eigen_centrality", oracle=_eigen_oracle_sql())
+def q_eigen_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the undirected link graph: {EIG_ROUNDS}
+    L2-normalized power-iteration rounds from the all-ones vector —
+    the undamped companion of q_pagerank (importance flows through
+    degree-weighted neighbors with no teleport), and the graph twin of
+    q_pca_power's matrix power iteration. Oracled by the unrolled
+    MATERIALIZED-CTE chain over the shared md5 edge set; the only
+    driver traffic is one norm scalar per round (the q_hits
+    discipline), and isolated nodes stay exactly 0 in both engines.
+
+    Scale: per round ONE neighbor-sum aggregation over (long, double)
+    rows + a scalar readout; lazy localCheckpoint with eager-free keeps
+    the lineage flat."""
+    docs = load_table(spark, sf_dir, "documents")
+    und = canonical_und(link_graph(docs), checkpoint=True)
+    sym = sym_edges(und).localCheckpoint()
+    nodes = docs.select("doc_id").localCheckpoint()
+    v = nodes.select("doc_id", F.lit(1.0).alias("v")).localCheckpoint()
+    prev_ckpt = v
+    for _ in range(EIG_ROUNDS):
+        w = (
+            sym.join(v.select(F.col("doc_id").alias("b"), "v"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.sum("v").alias("w"))
+        )
+        nr = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))).first()[0]
+        v = (
+            nodes.join(w, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.coalesce("w", F.lit(0.0)) / F.lit(nr)).alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        _free_checkpoint(prev_ckpt)
+        prev_ckpt = v
+    return v.select("doc_id", F.round("v", 9).alias("centrality"))

@@ -1,11 +1,17 @@
-"""Classic-ML kit under the exact driver hash gate: multinomial Naive
-Bayes text classification (the fastText/CCNet-style quality-classifier
-shape LLM pipelines use for corpus filtering), entropy decision-stump
-split search (the inner loop of tree learners), and ridge-regularized
-Newton/IRLS logistic regression — the repo's SECOND iterative ML
-trainer hash-oracled via an unrolled per-round CTE chain (the
-q_kmeans_lloyd pattern extended from argmin assignment to a linear
-solve).
+"""Classic-ML kit under the exact driver hash gate — the trainer zoo:
+beside q_kmeans_lloyd's argmin assignment (similarity.py), this module
+trains by Newton/IRLS solve (logistic + Poisson GLM + closed-form ridge
+OLS sharing ONE Cramer template), gradient BOOSTING over decision
+stumps (a data-dependent argmax per round), proximal COORDINATE DESCENT
+(elastic net, entirely on sufficient statistics), EM (Gaussian
+mixture), and ALS matrix factorization (distributed-vector state) —
+each hash-oracled via unrolled per-round CTE chains, each with a
+numpy/pure-Python third implementation. Around the trainers: Naive
+Bayes and Rocchio text classification (the fastText/CCNet-style
+quality-classifier shapes LLM pipelines use for corpus filtering),
+entropy decision-stump split search, k-fold CV, zeroed-column feature
+ablation, exact 2-feature Shapley attribution, chi-squared feature
+selection, and the causal pair (T-learner uplift, propensity IPW).
 
 All three reduce the corpus to bounded sufficient statistics before any
 model math — the property that survives a 100 TB scale-up:

@@ -1336,3 +1336,125 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- PCA via power iteration (covariance top component) ---------------------
+
+PCA_ROUNDS = 8
+PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    v0 = 1.0 / PCA_DIM ** 0.5
+    stages = []
+    prev = "pv0"
+    for k in range(1, PCA_ROUNDS + 1):
+        stages.append(
+            f"""mdv{k} AS (
+    SELECT SUM(m.mu * v.vv) AS mdv
+    FROM mu m JOIN {prev} v USING (dim)
+), ps{k} AS MATERIALIZED (
+    SELECT e.vec_id, SUM(e.val * v.vv) - ANY_VALUE(md.mdv) AS t
+    FROM expl e JOIN {prev} v USING (dim) CROSS JOIN mdv{k} md
+    GROUP BY e.vec_id
+), ts{k} AS (SELECT SUM(t) AS ts FROM ps{k}),
+pw{k} AS MATERIALIZED (
+    SELECT e.dim,
+        SUM(e.val * s.t) / nn.n - ANY_VALUE(m.mu) * ANY_VALUE(t2.ts) / nn.n
+            AS w
+    FROM expl e
+    JOIN ps{k} s USING (vec_id)
+    JOIN mu m ON m.dim = e.dim
+    CROSS JOIN nn CROSS JOIN ts{k} t2
+    GROUP BY e.dim, nn.n
+), pn{k} AS (SELECT SQRT(SUM(w * w)) AS nr FROM pw{k}),
+pv{k} AS MATERIALIZED (
+    SELECT w.dim, w.w / n.nr AS vv FROM pw{k} w CROSS JOIN pn{k} n
+)"""
+        )
+        prev = f"pv{k}"
+    return f"""
+WITH expl AS MATERIALIZED (
+    SELECT vec_id,
+        generate_subscripts(embedding, 1) - 1 AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM expl),
+mu AS MATERIALIZED (SELECT dim, AVG(val) AS mu FROM expl GROUP BY dim),
+pv0 AS (SELECT CAST(d.d AS INTEGER) AS dim, {v0!r} AS vv
+        FROM range({PCA_DIM}) d(d)),
+{",".join(stages)}
+SELECT v.dim, ROUND(v.vv, 6) AS loading,
+    ROUND(n.nr, 6) AS eigenvalue
+FROM {prev} v CROSS JOIN pn{PCA_ROUNDS} n"""
+
+
+@query("q_pca_power", oracle=_pca_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by POWER ITERATION
+    on the covariance operator — without ever materializing the 64x64
+    covariance matrix: each round computes C v = X'(X v)/n - mu (mu'v)
+    as two corpus passes over the exploded (vec_id, dim, val) rows (a
+    projection keyed by vector, a weighted coordinate sum keyed by
+    dim), so the same plan runs at ANY dimensionality where d^2 no
+    longer fits anywhere. {PCA_ROUNDS} rounds from the uniform unit
+    vector; the centering terms (mu'v and sum-of-projections) are kept
+    EXPLICITLY rather than assumed zero so both engines execute the
+    identical float recursion. The eigensolver joins the trainer zoo
+    (argmin / Newton / boosting / CD / EM / ALS / power iteration) and
+    is the dense-matrix twin of q_eigen_centrality.
+
+    Fixture note: the synthetic embeddings are nearly isotropic
+    (lambda1/lambda2 ~ 1.013 at sf0.01), so {PCA_ROUNDS} rounds verify
+    the exact recursion and a spectrum-bracketed Rayleigh estimate, not
+    full eigenvector convergence — on real data with a spectral gap the
+    same operator converges geometrically.
+
+    Scale: per round one groupBy(vec_id) + one groupBy(dim) with
+    map-side partials; only the d-vector (64 doubles) and two scalars
+    reach the driver per round; the exploded frame is checkpointed
+    once."""
+    emb = embeddings_d(spark, sf_dir)
+    expl = emb.select(
+        "vec_id", F.posexplode("vec").alias("dim", "val")
+    ).localCheckpoint()
+    n = expl.select("vec_id").distinct().count()
+    mu_rows = (
+        expl.groupBy("dim").agg(F.avg("val").alias("mu")).collect()
+    )
+    mu = {r.dim: r.mu for r in mu_rows}
+    spark2 = emb.sparkSession
+    v = [1.0 / PCA_DIM ** 0.5] * PCA_DIM
+    nr = None
+    for _ in range(PCA_ROUNDS):
+        vdf = F.broadcast(
+            spark2.createDataFrame(
+                [(d, v[d]) for d in range(PCA_DIM)], "dim int, vv double"
+            )
+        )
+        mdv = sum(mu[d] * v[d] for d in range(PCA_DIM))
+        s = (
+            expl.join(vdf, "dim")
+            .groupBy("vec_id")
+            .agg((F.sum(F.col("val") * F.col("vv")) - F.lit(mdv)).alias("t"))
+        )
+        agg = (
+            expl.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("t")).alias("sw"))
+            .collect()
+        )
+        ts = s.agg(F.sum("t")).first()[0]
+        w = {r.dim: r.sw / n - mu[r.dim] * ts / n for r in agg}
+        nr = sum(x * x for x in w.values()) ** 0.5
+        v = [w.get(d, 0.0) / nr for d in range(PCA_DIM)]
+    out = spark2.createDataFrame(
+        [(d, v[d], nr) for d in range(PCA_DIM)],
+        "dim int, loading double, eigenvalue double",
+    )
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )

@@ -256,3 +256,82 @@ def test_isotonic_calibration_equals_pav(spark):
         assert abs(r.iso_prob - pv) < 2e-6, r.bin
     iso = [r.iso_prob for r in rows]
     assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+
+
+def test_eigen_centrality_matches_numpy_power_iteration(spark):
+    from aram_matchdata_etl_spark.operators.graph import EIG_ROUNDS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    edges = _duck(
+        """WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        cand AS (
+            SELECT d.doc_id AS src,
+                ('0x' || substr(md5(CAST(d.doc_id * 3 + s.i AS VARCHAR)), 1, 8))::BIGINT
+                    % cnt.n AS dst
+            FROM documents d CROSS JOIN cnt CROSS JOIN range(3) s(i)
+        ),
+        edges AS (
+            SELECT DISTINCT src, dst FROM cand
+            WHERE src <> dst AND dst IN (SELECT doc_id FROM documents)
+        )
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges"""
+    )
+    docs = _duck("SELECT doc_id FROM documents")
+    ids = sorted(docs["doc_id"].astype(int))
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    import numpy as _np
+
+    A = _np.zeros((n, n))
+    for a, b in zip(edges["a"], edges["b"]):
+        A[idx[int(a)], idx[int(b)]] = 1.0
+        A[idx[int(b)], idx[int(a)]] = 1.0
+    v = _np.ones(n)
+    for _ in range(EIG_ROUNDS):
+        w = A @ v
+        v = w / _np.sqrt((w * w).sum())
+    got = {
+        r.doc_id: r.centrality
+        for r in all_queries()["q_eigen_centrality"](spark, SF_ORACLE).collect()
+    }
+    assert len(got) == n
+    for d, i in idx.items():
+        assert abs(got[d] - v[i]) < 1e-8, d
+
+
+def test_pca_power_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.similarity import (
+        PCA_DIM,
+        PCA_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    emb = _duck("SELECT embedding FROM embeddings")
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    mu = X.mean(0)
+    Xc = X - mu
+    C = Xc.T @ Xc / len(X)
+    v = np.full(PCA_DIM, 1.0 / math.sqrt(PCA_DIM))
+    lam = None
+    for _ in range(PCA_ROUNDS):
+        w = C @ v
+        lam = math.sqrt((w * w).sum())
+        v = w / lam
+    rows = sorted(
+        all_queries()["q_pca_power"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.dim,
+    )
+    assert len(rows) == PCA_DIM
+    for r in rows:
+        assert abs(r.loading - v[r.dim]) < 1e-5, r.dim
+        assert abs(r.eigenvalue - lam) < 1e-4
+    # fixture note: the synthetic embeddings are nearly isotropic
+    # (lambda1/lambda2 ~ 1.013), so PCA_ROUNDS rounds cannot isolate THE
+    # top eigenvector — the checks above prove the recursion itself.
+    # Against numpy's dense eigendecomposition we can still assert the
+    # Rayleigh estimate is bracketed by the spectrum and already beats
+    # the average eigenvalue (the iterate amplifies top components).
+    evals = np.linalg.eigvalsh(C)
+    lam_est = rows[0].eigenvalue
+    assert evals.mean() < lam_est <= evals[-1] * 1.001
