@@ -378,3 +378,72 @@ def q_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ABC_A, ABC_B = 0.8, 0.95  # cumulative revenue share cut-offs
+
+
+@query(
+    "q_abc_analysis",
+    oracle=f"""
+WITH item_rev AS (
+    SELECT l_partkey AS item, SUM(l_extendedprice) AS revenue
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT item, revenue,
+        SUM(revenue) OVER (ORDER BY revenue DESC, item) AS cum_rev,
+        SUM(revenue) OVER () AS tot
+    FROM item_rev
+),
+classed AS (
+    SELECT item, revenue,
+        CASE WHEN cum_rev / tot <= {ABC_A} THEN 'A'
+             WHEN cum_rev / tot <= {ABC_B} THEN 'B'
+             ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_items,
+    ROUND(SUM(revenue), 4) AS class_revenue,
+    ROUND(SUM(revenue) / SUM(SUM(revenue)) OVER (), 6) AS revenue_share
+FROM classed GROUP BY 1""",
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: items ranked by revenue,
+    class A = the head covering {ABC_A:.0%} of cumulative revenue, B up
+    to {ABC_B:.0%}, C the tail — THE assortment-management rollup, and
+    the categorical twin of q_lorenz_curve's decile view. Ties in the
+    cumulative ordering break on item id so the class boundary is
+    deterministic in both engines.
+
+    Scale: one corpus pass to the |catalog|-row revenue rollup; the
+    ranking window runs at catalog scale (documented single-exchange
+    window over item rows, NOT corpus rows), and the readout is three
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    item_rev = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.sum("l_extendedprice").alias("revenue")
+    )
+    wcum = Window.orderBy(F.desc("revenue"), F.asc("item"))
+    wall = Window.partitionBy()
+    ranked = item_rev.select(
+        "item",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("tot"),
+    )
+    share = F.col("cum_rev") / F.col("tot")
+    classed = ranked.select(
+        "revenue",
+        F.when(share <= ABC_A, "A")
+        .when(share <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(F.sum("revenue"), 4).alias("class_revenue"),
+        F.round(
+            F.sum("revenue") / F.sum(F.sum("revenue")).over(wall), 6
+        ).alias("revenue_share"),
+    )

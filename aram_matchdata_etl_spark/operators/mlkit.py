@@ -2240,3 +2240,365 @@ def q_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source") == F.col("actual")).cast("int").alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust regression: Huber IRLS + RANSAC
+
+HUBER_DELTA = 3.0  # above the ~0.97 clean residual sd; outliers sit at +30
+HUBER_INJECT = 30.0  # injected shift on corrupted rows
+HUBER_ROUNDS = 4
+HUBER_CORRUPT = 89  # orderkey % -> +5.0 outlier injection
+
+_HUBER_FEATS_SQL = f"""
+    SELECT LN(o_totalprice)
+        + CASE WHEN o_orderkey % {HUBER_CORRUPT} = 0 THEN {HUBER_INJECT}
+            ELSE 0.0 END AS y,
+        DATE_DIFF('day', DATE '1995-01-01',
+            CAST(o_orderdate AS DATE)) / 1000.0 AS x2,
+        CAST(o_orderkey % 7 AS DOUBLE) / 7.0 AS x1
+    FROM orders
+"""
+
+_HUBER_SUMS_SQL = """SELECT
+    SUM(hw) AS sw,
+    SUM(hw * x1) AS swx1,
+    SUM(hw * x2) AS swx2,
+    SUM(hw * x1 * x1) AS sw11,
+    SUM(hw * x1 * x2) AS sw12,
+    SUM(hw * x2 * x2) AS sw22,
+    SUM(hw * y) AS g0,
+    SUM(hw * y * x1) AS g1,
+    SUM(hw * y * x2) AS g2"""
+
+
+def _huber_oracle() -> str:
+    """Unrolled Huber IRLS: round 0 is plain ridge OLS (unit weights);
+    each later round solves the weighted normal equations with w =
+    min(1, delta/|r|) computed from the previous betas. NOTE the solve
+    here is the direct weighted-OLS solve (beta = H^-1 X'Wy), not a
+    Newton STEP, so the zero-beta CTE feeds every round."""
+    zero = "zb AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"
+    parts = [f"feats AS ({_HUBER_FEATS_SQL})", zero]
+    prev = None
+    for k in range(HUBER_ROUNDS + 1):
+        wdef = (
+            "1.0"
+            if k == 0
+            else (
+                f"LEAST(1.0, {HUBER_DELTA!r} / GREATEST(ABS(y - ({prev}.b0"
+                f" + {prev}.b1 * x1 + {prev}.b2 * x2)), 1e-12))"
+            )
+        )
+        src = "feats" if k == 0 else f"feats CROSS JOIN {prev}"
+        parts.append(
+            f"hw{k} AS (SELECT y, x1, x2, {wdef} AS hw FROM {src})"
+        )
+        parts.append(f"hs{k} AS ({_HUBER_SUMS_SQL} FROM hw{k})")
+        e0, e1, e2 = _solve_sql("zb", f"hs{k}")
+        parts.append(
+            f"hb{k} AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2"
+            f" FROM hs{k} CROSS JOIN zb)"
+        )
+        prev = f"hb{k}"
+    parts.append(
+        f"""hdown AS (
+    SELECT CAST(SUM(CASE WHEN hw < 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        AS n_down
+    FROM hw{HUBER_ROUNDS})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT param, ROUND(value, 6) AS value FROM (
+    SELECT 'ols_beta0' AS param, b0 AS value FROM hb0
+    UNION ALL SELECT 'ols_beta1', b1 FROM hb0
+    UNION ALL SELECT 'ols_beta2', b2 FROM hb0
+    UNION ALL SELECT 'huber_beta0', b0 FROM {prev}
+    UNION ALL SELECT 'huber_beta1', b1 FROM {prev}
+    UNION ALL SELECT 'huber_beta2', b2 FROM {prev}
+    UNION ALL SELECT 'n_downweighted', n_down FROM hdown
+)"""
+    )
+
+
+@query("q_huber_regression", oracle=_huber_oracle())
+def q_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression by IRLS on DELIBERATELY CORRUPTED data
+    (every {HUBER_CORRUPT}-th order's log-total shifted +{HUBER_INJECT} — the
+    q_dq_violations injection pattern): round 0 is plain ridge OLS,
+    then {HUBER_ROUNDS} reweighted solves with w = min(1, delta/|r|),
+    so the output exposes BOTH fits — the OLS intercept dragged up by
+    the outliers and the Huber intercept shrugging them off (asserted
+    in tests) — plus how many rows the final weights downweight
+    (~1/{HUBER_CORRUPT} of the corpus). Same 9-sum Cramer machinery as
+    the whole GLM family; the weight column is the only change.
+
+    Scale: per round one codegen pass + 9-double reduce; weights are
+    row expressions with the previous betas folded in as literals."""
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        (
+            F.log("o_totalprice")
+            + F.when(
+                F.col("o_orderkey") % HUBER_CORRUPT == 0, HUBER_INJECT
+            ).otherwise(0.0)
+        ).alias("y"),
+        ((F.col("o_orderkey") % 7).cast("double") / 7.0).alias("x1"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(LR_EPOCH))
+            / LR_X2_SCALE
+        ).alias("x2"),
+    ).localCheckpoint()
+
+    def _wols(beta_prev):
+        if beta_prev is None:
+            hw = F.lit(1.0)
+        else:
+            r = F.col("y") - (
+                F.lit(beta_prev[0])
+                + F.lit(beta_prev[1]) * F.col("x1")
+                + F.lit(beta_prev[2]) * F.col("x2")
+            )
+            hw = F.least(
+                F.lit(1.0),
+                HUBER_DELTA / F.greatest(F.abs(r), F.lit(1e-12)),
+            )
+        s = feats.agg(
+            F.sum(hw),
+            F.sum(hw * F.col("x1")),
+            F.sum(hw * F.col("x2")),
+            F.sum(hw * F.col("x1") * F.col("x1")),
+            F.sum(hw * F.col("x1") * F.col("x2")),
+            F.sum(hw * F.col("x2") * F.col("x2")),
+            F.sum(hw * F.col("y")),
+            F.sum(hw * F.col("y") * F.col("x1")),
+            F.sum(hw * F.col("y") * F.col("x2")),
+        ).first()
+        return _solve_py((0.0, 0.0, 0.0), tuple(s)), hw
+
+    ols, _ = _wols(None)
+    beta = ols
+    hw = None
+    for _ in range(HUBER_ROUNDS):
+        beta, hw = _wols(beta)
+    n_down = feats.select(hw.alias("hw")).filter(F.col("hw") < 1.0).count()
+    rows = [
+        ("ols_beta0", ols[0]),
+        ("ols_beta1", ols[1]),
+        ("ols_beta2", ols[2]),
+        ("huber_beta0", beta[0]),
+        ("huber_beta1", beta[1]),
+        ("huber_beta2", beta[2]),
+        ("n_downweighted", float(n_down)),
+    ]
+    out = spark.createDataFrame(rows, "param string, value double")
+    return out.select("param", F.round("value", 6).alias("value"))
+
+
+RANSAC_TRIALS = 16
+RANSAC_EPS_FRAC = 0.12  # inlier threshold as a fraction of mean |y|
+RANSAC_CORRUPT = 7  # day-of-month % 7 == 3 -> y * 3 spike injection
+
+
+def _ransac_oracle() -> str:
+    return f"""
+WITH daily AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY dd) AS rn,
+        CAST(DATE_DIFF('day', DATE '2024-01-01', dd) AS DOUBLE) AS x,
+        y * CASE WHEN dayofmonth(dd) % {RANSAC_CORRUPT} = 3
+            THEN 3.0 ELSE 1.0 END AS y
+    FROM (
+        SELECT CAST(ts AS DATE) AS dd, SUM(value) AS y
+        FROM events GROUP BY 1
+    )
+),
+nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        {RANSAC_EPS_FRAC} * AVG(ABS(y)) AS eps
+    FROM daily
+),
+trials AS (
+    SELECT CAST(t.t AS INTEGER) AS trial,
+        1 + ('0x' || substr(md5(CAST(t.t AS VARCHAR) || '#1'), 1, 8))::BIGINT
+            % nn.n AS j1,
+        1 + (('0x' || substr(md5(CAST(t.t AS VARCHAR) || '#1'), 1, 8))::BIGINT
+            % nn.n
+            + 1
+            + ('0x' || substr(md5(CAST(t.t AS VARCHAR) || '#2'), 1, 8))::BIGINT
+              % (nn.n - 1)) % nn.n AS j2
+    FROM range({RANSAC_TRIALS}) t(t) CROSS JOIN nn
+),
+lines AS (
+    SELECT tr.trial,
+        (b.y - a.y) / (b.x - a.x) AS slope,
+        a.y - (b.y - a.y) / (b.x - a.x) * a.x AS intercept
+    FROM trials tr
+    JOIN daily a ON a.rn = tr.j1
+    JOIN daily b ON b.rn = tr.j2
+),
+scored AS (
+    SELECT l.trial, l.slope, l.intercept,
+        CAST(SUM(CASE WHEN ABS(d.y - (l.intercept + l.slope * d.x))
+            <= nn.eps THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+    FROM lines l CROSS JOIN daily d CROSS JOIN nn
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_inliers DESC, trial) AS rk
+        FROM scored
+    ) WHERE rk = 1
+),
+refit AS (
+    SELECT
+        (SUM(d.x * d.y) - SUM(d.x) * SUM(d.y) / COUNT(*))
+            / (SUM(d.x * d.x) - SUM(d.x) * SUM(d.x) / COUNT(*)) AS rslope,
+        SUM(d.y) / COUNT(*)
+            - (SUM(d.x * d.y) - SUM(d.x) * SUM(d.y) / COUNT(*))
+              / (SUM(d.x * d.x) - SUM(d.x) * SUM(d.x) / COUNT(*))
+              * SUM(d.x) / COUNT(*) AS rintercept,
+        CAST(COUNT(*) AS BIGINT) AS n_used
+    FROM daily d CROSS JOIN best b CROSS JOIN nn
+    WHERE ABS(d.y - (b.intercept + b.slope * d.x)) <= nn.eps
+)
+SELECT b.trial AS best_trial, b.n_inliers,
+    ROUND(b.slope, 6) AS slope, ROUND(b.intercept, 6) AS intercept,
+    r.n_used,
+    ROUND(r.rslope, 6) AS refit_slope,
+    ROUND(r.rintercept, 6) AS refit_intercept
+FROM best b CROSS JOIN refit r"""
+
+
+@query("q_ransac_line", oracle=_ransac_oracle())
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fit of the daily revenue series with deterministic
+    spike injection (every {RANSAC_CORRUPT}-aligned day tripled):
+    {RANSAC_TRIALS} md5-seeded trials each fit an exact line through 2
+    sampled days, count inliers within {RANSAC_EPS_FRAC} x mean |y|,
+    and the consensus winner is refit by OLS on its inliers — the
+    robust-estimation counterpoint to q_huber_regression (hard
+    rejection vs soft downweighting) with reproducible "randomness"
+    (the repo's md5 sampling discipline, so both engines draw identical
+    trials). The spiked days land outside every consensus set.
+
+    Scale: the corpus reduces to the daily rollup; trials x days is a
+    {RANSAC_TRIALS} x |days| broadcast grid, and the refit is one
+    closed-form 1-D OLS over the inlier rollup rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily0 = ev.groupBy(F.to_date("ts").alias("dd")).agg(
+        F.sum("value").alias("y0")
+    )
+    wday = Window.orderBy("dd")
+    daily = daily0.select(
+        F.row_number().over(wday).alias("rn"),
+        F.datediff("dd", F.lit("2024-01-01")).cast("double").alias("x"),
+        (
+            F.col("y0")
+            * F.when(
+                F.dayofmonth("dd") % RANSAC_CORRUPT == 3, 3.0
+            ).otherwise(1.0)
+        ).alias("y"),
+    ).localCheckpoint()
+    nn = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (RANSAC_EPS_FRAC * F.avg(F.abs(F.col("y")))).alias("eps"),
+    )
+    trials = spark.range(RANSAC_TRIALS).select(
+        F.col("id").cast("int").alias("trial")
+    )
+    h1 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("trial").cast("string"), F.lit("#1"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("trial").cast("string"), F.lit("#2"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    tr = trials.crossJoin(F.broadcast(nn)).select(
+        "trial",
+        (1 + h1 % F.col("n")).alias("j1"),
+        (1 + (h1 % F.col("n") + 1 + h2 % (F.col("n") - 1)) % F.col("n")).alias(
+            "j2"
+        ),
+    )
+    a = daily.select(
+        F.col("rn").alias("j1"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("rn").alias("j2"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slope = (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
+    lines = (
+        tr.join(F.broadcast(a), "j1")
+        .join(F.broadcast(b), "j2")
+        .select(
+            "trial",
+            slope.alias("slope"),
+            (F.col("ya") - slope * F.col("xa")).alias("intercept"),
+        )
+    )
+    resid_ok = (
+        F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+        <= F.col("eps")
+    )
+    scored = (
+        lines.crossJoin(daily)
+        .crossJoin(F.broadcast(nn))
+        .groupBy("trial", "slope", "intercept")
+        .agg(
+            F.sum(F.when(resid_ok, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inliers")
+        )
+    )
+    wbest = Window.orderBy(F.desc("n_inliers"), F.asc("trial"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    inl = (
+        daily.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(nn))
+        .filter(resid_ok)
+    )
+    x, y = F.col("x"), F.col("y")
+    refit = inl.agg(
+        (
+            (F.sum(x * y) - F.sum(x) * F.sum(y) / F.count("*"))
+            / (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count("*"))
+        ).alias("rslope"),
+        F.sum(y).alias("_sy"),
+        F.sum(x).alias("_sx"),
+        F.count("*").cast("bigint").alias("n_used"),
+        (F.sum(x * y) - F.sum(x) * F.sum(y) / F.count("*")).alias("_num"),
+        (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count("*")).alias("_den"),
+    ).select(
+        "rslope",
+        (
+            F.col("_sy") / F.col("n_used")
+            - F.col("_num") / F.col("_den") * F.col("_sx") / F.col("n_used")
+        ).alias("rintercept"),
+        "n_used",
+    )
+    return (
+        best.crossJoin(F.broadcast(refit))
+        .select(
+            F.col("trial").alias("best_trial"),
+            "n_inliers",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+            "n_used",
+            F.round("rslope", 6).alias("refit_slope"),
+            F.round("rintercept", 6).alias("refit_intercept"),
+        )
+    )

@@ -3798,3 +3798,88 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sy") / F.col("n"), 6).alias("frac_pos"),
         F.round("iso_prob", 6).alias("iso_prob"),
     )
+
+
+WASS_A, WASS_B = "view", "purchase"  # the two distributions compared
+
+
+@query(
+    "q_wasserstein_1d",
+    oracle=f"""
+WITH vals AS (
+    SELECT value AS v,
+        CASE WHEN event_type = '{WASS_A}' THEN 1 ELSE 0 END AS in_a
+    FROM events WHERE event_type IN ('{WASS_A}', '{WASS_B}')
+),
+tot AS (
+    SELECT SUM(in_a) AS na, SUM(1 - in_a) AS nb FROM vals
+),
+rollup AS (
+    SELECT v, CAST(SUM(in_a) AS BIGINT) AS ca,
+        CAST(SUM(1 - in_a) AS BIGINT) AS cb
+    FROM vals GROUP BY v
+),
+ecdf AS (
+    SELECT v,
+        SUM(ca) OVER (ORDER BY v) * 1.0 / tot.na AS fa,
+        SUM(cb) OVER (ORDER BY v) * 1.0 / tot.nb AS fb,
+        LEAD(v) OVER (ORDER BY v) AS v_next
+    FROM rollup CROSS JOIN tot
+)
+SELECT ROUND(SUM(ABS(fa - fb) * (v_next - v)), 6) AS w1_distance,
+    ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+    (SELECT CAST(na AS BIGINT) FROM tot) AS n_a,
+    (SELECT CAST(nb AS BIGINT) FROM tot) AS n_b
+FROM ecdf WHERE v_next IS NOT NULL""",
+)
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between the {WASS_A}
+    and {WASS_B} value distributions: W1 = integral of |F_a - F_b| over
+    the value axis, computed exactly as the ECDF-difference sum over
+    consecutive DISTINCT values — the metric that sees HOW FAR mass
+    must move, where the KS statistic (emitted alongside, the same
+    rollup) only sees the largest vertical gap and q_source_kl only
+    bin-level ratios. The distribution-shift measure embedding/feature
+    drift monitors actually want.
+
+    Scale: the q_ks_test discipline — the corpus reduces to the
+    distinct-value rollup in one pass, ECDFs are cumulative sums over
+    that rollup, and the integral is a LEAD window at rollup scale."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("event_type").isin(WASS_A, WASS_B)).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == WASS_A).cast("int").alias("in_a"),
+    )
+    tot = vals.agg(
+        F.sum("in_a").alias("na"), F.sum(1 - F.col("in_a")).alias("nb")
+    )
+    rollup = vals.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    wv = Window.orderBy("v")
+    ecdf = rollup.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (F.sum("ca").over(wv) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(wv) / F.col("nb")).alias("fb"),
+        F.lead("v").over(wv).alias("v_next"),
+        "na",
+        "nb",
+    )
+    return (
+        ecdf.filter(F.col("v_next").isNotNull())
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("fa") - F.col("fb"))
+                    * (F.col("v_next") - F.col("v"))
+                ),
+                6,
+            ).alias("w1_distance"),
+            F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias(
+                "ks_stat"
+            ),
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+        )
+    )

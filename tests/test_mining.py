@@ -335,3 +335,50 @@ def test_pca_power_matches_numpy(spark):
     evals = np.linalg.eigvalsh(C)
     lam_est = rows[0].eigenvalue
     assert evals.mean() < lam_est <= evals[-1] * 1.001
+
+
+def test_abc_analysis_matches_pandas(spark):
+    from aram_matchdata_etl_spark.operators.market import ABC_A, ABC_B
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rev = _duck(
+        "SELECT l_partkey AS item, SUM(l_extendedprice) AS revenue"
+        " FROM lineitem GROUP BY 1"
+    )
+    rev = rev.sort_values(["revenue", "item"], ascending=[False, True])
+    tot = rev["revenue"].sum()
+    cum = rev["revenue"].cumsum() / tot
+    cls = np.where(cum <= ABC_A, "A", np.where(cum <= ABC_B, "B", "C"))
+    got = {
+        r.abc_class: (r.n_items, r.class_revenue, r.revenue_share)
+        for r in all_queries()["q_abc_analysis"](spark, SF_ORACLE).collect()
+    }
+    for c in ("A", "B", "C"):
+        m = cls == c
+        assert got[c][0] == int(m.sum()), c
+        assert abs(got[c][1] - round(rev["revenue"][m].sum(), 4)) < 1e-3, c
+        assert abs(got[c][2] - rev["revenue"][m].sum() / tot) < 1e-6, c
+    # Pareto shape: A must be a minority of items carrying the bulk
+    assert got["A"][0] < got["C"][0] + got["B"][0] + got["A"][0]
+    assert got["A"][2] > 0.7
+
+
+def test_wasserstein_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import WASS_A, WASS_B
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck(
+        f"SELECT event_type, value FROM events"
+        f" WHERE event_type IN ('{WASS_A}', '{WASS_B}')"
+    )
+    a = np.sort(ev[ev["event_type"] == WASS_A]["value"].to_numpy())
+    b = np.sort(ev[ev["event_type"] == WASS_B]["value"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    w1 = float((np.abs(fa - fb)[:-1] * np.diff(grid)).sum())
+    ks = float(np.abs(fa - fb).max())
+    row = all_queries()["q_wasserstein_1d"](spark, SF_ORACLE).collect()[0]
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert abs(row.w1_distance - w1) < 1e-6
+    assert abs(row.ks_stat - ks) < 1e-6

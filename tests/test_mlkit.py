@@ -749,3 +749,116 @@ def test_rocchio_matches_pure_python(spark):
         assert gp == best[1], doc_id
         assert abs(gs - best[0]) < 2e-6
         assert gc == int(gp == ga)
+
+
+def test_huber_regression_matches_numpy_and_resists_outliers(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        HUBER_CORRUPT,
+        HUBER_DELTA,
+        HUBER_INJECT,
+        HUBER_ROUNDS,
+        LR_RIDGE,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    feats = _duck(
+        f"""SELECT LN(o_totalprice)
+            + CASE WHEN o_orderkey % {HUBER_CORRUPT} = 0 THEN {HUBER_INJECT}
+                ELSE 0.0 END AS y,
+            CAST(o_orderkey % 7 AS DOUBLE) / 7.0 AS x1,
+            DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                / 1000.0 AS x2
+        FROM orders"""
+    )
+    y = feats["y"].to_numpy()
+    X = np.column_stack(
+        [np.ones(len(y)), feats["x1"].to_numpy(), feats["x2"].to_numpy()]
+    )
+
+    def wols(w):
+        H = (X * w[:, None]).T @ X + LR_RIDGE * np.eye(3)
+        return np.linalg.solve(H, (X * w[:, None]).T @ y)
+
+    ols = wols(np.ones(len(y)))
+    beta = ols
+    for _ in range(HUBER_ROUNDS):
+        r = y - X @ beta
+        w = np.minimum(1.0, HUBER_DELTA / np.maximum(np.abs(r), 1e-12))
+        beta = wols(w)
+    got = {
+        r_.param: r_.value
+        for r_ in all_queries()["q_huber_regression"](spark, SF_ORACLE).collect()
+    }
+    for i in range(3):
+        assert abs(got[f"ols_beta{i}"] - ols[i]) < 1e-6, i
+        assert abs(got[f"huber_beta{i}"] - beta[i]) < 1e-6, i
+    assert got["n_downweighted"] == float((w < 1.0).sum())
+    # robustness: the injected outliers drag the OLS intercept up by
+    # ~HUBER_INJECT/HUBER_CORRUPT while Huber's linear tail caps each
+    # outlier's pull at delta — the drift ratio must show it
+    mask = _duck(
+        f"SELECT o_orderkey % {HUBER_CORRUPT} = 0 AS bad FROM orders"
+    )["bad"].to_numpy()
+    clean_beta = wols(np.where(mask, 0.0, 1.0))
+    ols_drift = abs(ols[0] - clean_beta[0])
+    huber_drift = abs(beta[0] - clean_beta[0])
+    assert huber_drift < ols_drift / 3
+
+
+def test_ransac_matches_pure_python(spark):
+    import hashlib
+
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        RANSAC_CORRUPT,
+        RANSAC_EPS_FRAC,
+        RANSAC_TRIALS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    daily = _duck(
+        f"""SELECT CAST(DATE_DIFF('day', DATE '2024-01-01',
+                CAST(ts AS DATE)) AS DOUBLE) AS x,
+            SUM(value) * CASE WHEN dayofmonth(CAST(ts AS DATE))
+                % {RANSAC_CORRUPT} = 3 THEN 3.0 ELSE 1.0 END AS y
+        FROM events GROUP BY CAST(ts AS DATE) ORDER BY 1"""
+    )
+    xs = daily["x"].to_numpy()
+    ys = daily["y"].to_numpy()
+    n = len(xs)
+    eps = RANSAC_EPS_FRAC * np.abs(ys).mean()
+
+    def h(t, tag):
+        return int(hashlib.md5(f"{t}#{tag}".encode()).hexdigest()[:8], 16)
+
+    best = None
+    for t in range(RANSAC_TRIALS):
+        j1 = h(t, 1) % n
+        j2 = (j1 + 1 + h(t, 2) % (n - 1)) % n
+        slope = (ys[j2] - ys[j1]) / (xs[j2] - xs[j1])
+        b0 = ys[j1] - slope * xs[j1]
+        inl = int((np.abs(ys - (b0 + slope * xs)) <= eps).sum())
+        key = (-inl, t)
+        if best is None or key < best[0]:
+            best = (key, slope, b0, inl)
+    _, slope, b0, inl = best
+    m = np.abs(ys - (b0 + slope * xs)) <= eps
+    xi, yi = xs[m], ys[m]
+    nn = len(xi)
+    rslope = ((xi * yi).sum() - xi.sum() * yi.sum() / nn) / (
+        (xi * xi).sum() - xi.sum() ** 2 / nn
+    )
+    rint = yi.mean() - rslope * xi.mean()
+    row = all_queries()["q_ransac_line"](spark, SF_ORACLE).collect()[0]
+    assert row.n_inliers == inl
+    assert abs(row.slope - slope) < 1e-6
+    assert abs(row.intercept - b0) < 1e-6
+    assert row.n_used == nn
+    assert abs(row.refit_slope - rslope) < 1e-6
+    assert abs(row.refit_intercept - rint) < 1e-6
+    # the tripled days must be excluded from the consensus set
+    spiked = _duck(
+        f"""SELECT COUNT(*) AS c FROM (
+            SELECT CAST(ts AS DATE) AS d FROM events GROUP BY 1
+        ) WHERE dayofmonth(d) % {RANSAC_CORRUPT} = 3"""
+    )["c"][0]
+    assert row.n_used <= n - spiked
