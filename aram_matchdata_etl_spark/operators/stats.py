@@ -3883,3 +3883,153 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").cast("bigint").alias("n_b"),
         )
     )
+
+
+@query(
+    "q_competing_risks",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS t0,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        MIN(CASE WHEN event_type = 'error' THEN ts END) AS te,
+        MAX(ts) AS tl
+    FROM events GROUP BY user_id
+),
+spells AS (
+    SELECT user_id,
+        CASE WHEN tp IS NULL AND te IS NULL THEN 0
+             WHEN te IS NULL OR (tp IS NOT NULL AND tp <= te) THEN 1
+             ELSE 2 END AS cause,
+        CAST(FLOOR((epoch_us(COALESCE(LEAST(tp, te), tp, te, tl))
+                    - epoch_us(t0)) / 86400000000.0) AS BIGINT) AS duration
+    FROM per_user
+),
+rollup AS (
+    SELECT duration,
+        CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cens
+    FROM spells GROUP BY duration
+),
+risk AS (
+    SELECT duration, d1, d2, cens,
+        SUM(d1 + d2 + cens) OVER ()
+            - COALESCE(SUM(d1 + d2 + cens) OVER (
+                ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+    FROM rollup
+),
+surv AS (
+    SELECT duration, d1, d2, cens, n_risk,
+        COALESCE(EXP(SUM(LN(NULLIF(1 - (d1 + d2) * 1.0 / n_risk, 0))) OVER (
+            ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0)
+            AS s_minus
+    FROM risk
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, d1, d2,
+    ROUND(SUM(s_minus * d1 / n_risk) OVER (
+        ORDER BY duration
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        AS cif_purchase,
+    ROUND(SUM(s_minus * d2 / n_risk) OVER (
+        ORDER BY duration
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        AS cif_error
+FROM surv""",
+)
+def q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competing-risks cumulative incidence (Aalen-Johansen): for each
+    user the FIRST of two competing terminal events — purchase vs error
+    — measured in whole days from the user's first activity; CIF_k(t) =
+    sum over s <= t of S(s-) * d_k(s)/n(s), where S(s-) is the overall
+    event-free survival just before s. The right way to answer "what
+    fraction will convert vs churn by day t" — 1 - KM per cause is
+    BIASED when risks compete (it over-counts both), while the CIFs
+    plus residual survival sum exactly to 1 (asserted in tests).
+    Timestamp ties between the two causes resolve to purchase in both
+    engines; users with neither event would be censored at last
+    activity (none on this fixture, path still exercised).
+
+    Scale: the q_kaplan_meier discipline — one user-grain pass, then
+    every window runs over the per-duration life table."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+        F.max("ts").alias("tl"),
+    )
+    cause = (
+        F.when(F.col("tp").isNull() & F.col("te").isNull(), 0)
+        .when(
+            F.col("te").isNull()
+            | (F.col("tp").isNotNull() & (F.col("tp") <= F.col("te"))),
+            1,
+        )
+        .otherwise(2)
+    )
+    tend = F.coalesce(
+        F.least("tp", "te"), F.col("tp"), F.col("te"), F.col("tl")
+    )
+    spells = per_user.select(
+        cause.alias("cause"),
+        F.floor(
+            (F.unix_micros(tend) - F.unix_micros("t0")) / 86400000000.0
+        )
+        .cast("bigint")
+        .alias("duration"),
+    )
+    rollup = spells.groupBy("duration").agg(
+        F.sum((F.col("cause") == 1).cast("int")).cast("bigint").alias("d1"),
+        F.sum((F.col("cause") == 2).cast("int")).cast("bigint").alias("d2"),
+        F.sum((F.col("cause") == 0).cast("int")).cast("bigint").alias("cens"),
+    )
+    wall = Window.partitionBy()
+    wprev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = F.col("d1") + F.col("d2") + F.col("cens")
+    risk = rollup.select(
+        "duration",
+        "d1",
+        "d2",
+        (
+            F.sum(tot).over(wall)
+            - F.coalesce(F.sum(tot).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    s_minus = F.coalesce(
+        F.exp(
+            F.sum(
+                F.log(
+                    F.nullif(
+                        1 - (F.col("d1") + F.col("d2")) / F.col("n_risk"),
+                        F.lit(0),
+                    )
+                )
+            ).over(wprev)
+        ),
+        F.lit(1.0),
+    )
+    surv = risk.select("duration", "d1", "d2", "n_risk", s_minus.alias("s_minus"))
+    return surv.select(
+        "duration",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "d1",
+        "d2",
+        F.round(
+            F.sum(F.col("s_minus") * F.col("d1") / F.col("n_risk")).over(wcum),
+            6,
+        ).alias("cif_purchase"),
+        F.round(
+            F.sum(F.col("s_minus") * F.col("d2") / F.col("n_risk")).over(wcum),
+            6,
+        ).alias("cif_error"),
+    )

@@ -382,3 +382,105 @@ def test_wasserstein_matches_numpy(spark):
     assert (row.n_a, row.n_b) == (len(a), len(b))
     assert abs(row.w1_distance - w1) < 1e-6
     assert abs(row.ks_stat - ks) < 1e-6
+
+
+def test_linkage_em_matches_pure_python(spark):
+    from aram_matchdata_etl_spark.operators.linkage import (
+        FS_CLAMP,
+        FS_INIT,
+        FS_ROUNDS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    pat = _duck(
+        """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        blocked AS (
+            SELECT name, string_split(name, ' ')[-1] AS block FROM names
+        )
+        SELECT CAST(levenshtein(a.name, b.name) <= 2 AS INTEGER) AS a1,
+            CAST(levenshtein(a.name, b.name) <= 4 AS INTEGER) AS a2,
+            CAST(LEN(string_split(a.name, ' ')[1])
+                = LEN(string_split(b.name, ' ')[1]) AS INTEGER) AS a3,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM blocked a JOIN blocked b USING (block)
+        WHERE a.name < b.name GROUP BY 1, 2, 3"""
+    )
+    pats = [
+        ((int(r.a1), int(r.a2), int(r.a3)), int(r.c))
+        for r in pat.itertuples()
+    ]
+    lo, hi = FS_CLAMP
+    p, m0, u0 = FS_INIT
+    m = [m0] * 3
+    u = [u0] * 3
+
+    def lik(key, theta):
+        out = 1.0
+        for ai, t in zip(key, theta):
+            out *= t if ai else 1 - t
+        return out
+
+    def clamp(x):
+        return max(min(x, hi), lo)
+
+    def post():
+        return {
+            key: (c, p * lik(key, m) / (p * lik(key, m) + (1 - p) * lik(key, u)))
+            for key, c in pats
+        }
+
+    for _ in range(FS_ROUNDS):
+        gs = post()
+        tot = sum(c for c, _ in gs.values())
+        sg = sum(c * g for c, g in gs.values())
+        p = clamp(sg / tot)
+        den_u = sum(c * (1 - g) for c, g in gs.values())
+        m = [
+            clamp(sum(c * g * k[i] for k, (c, g) in gs.items()) / sg)
+            for i in range(3)
+        ]
+        u = [
+            clamp(sum(c * (1 - g) * k[i] for k, (c, g) in gs.items()) / den_u)
+            for i in range(3)
+        ]
+    gs = post()
+    got = {
+        r.param: r.value
+        for r in all_queries()["q_linkage_em"](spark, SF_ORACLE).collect()
+    }
+    assert abs(got["p_match"] - p) < 1e-6
+    for i in range(3):
+        assert abs(got[f"m{i + 1}"] - m[i]) < 1e-6, i
+        assert abs(got[f"u{i + 1}"] - u[i]) < 1e-6, i
+    for key, (c, g) in gs.items():
+        tag = "".join(map(str, key))
+        assert got[f"n_{tag}"] == float(c)
+        assert abs(got[f"g_{tag}"] - g) < 1e-6, key
+    # the model must separate: full-agreement pairs score as matches
+    # far above full-disagreement pairs
+    assert got["g_111"] > got["g_000"] + 0.5
+
+
+def test_competing_risks_sums_to_one_and_matches_lifelines_formula(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_competing_risks"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.duration,
+    )
+    # re-derive with a sequential pure-Python Aalen-Johansen
+    s = 1.0
+    cif1 = cif2 = 0.0
+    for r in rows:
+        cif1 += s * r.d1 / r.n_risk
+        cif2 += s * r.d2 / r.n_risk
+        assert abs(r.cif_purchase - cif1) < 2e-6, r.duration
+        assert abs(r.cif_error - cif2) < 2e-6, r.duration
+        s *= 1 - (r.d1 + r.d2) / r.n_risk
+        # CIFs + residual survival partition the probability space
+        # (outputs are rounded to 6 dp, hence the tolerance)
+        assert abs(r.cif_purchase + r.cif_error + s - 1.0) < 3e-6
+    # monotone non-decreasing CIFs ending near their sub-proportions
+    n_total = rows[0].n_risk
+    d1_tot = sum(r.d1 for r in rows)
+    assert abs(rows[-1].cif_purchase - d1_tot / n_total) < 1e-6
