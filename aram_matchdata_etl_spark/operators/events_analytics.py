@@ -3043,3 +3043,52 @@ def q_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_before") / F.col("n_both"), 6).alias("precede_share"),
         F.round("gap_s", 6).alias("avg_gap_s"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, value,
+        (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            - epoch_us(ts)) / 1e6 AS hold_s
+    FROM events
+)
+SELECT user_id,
+    CAST(COUNT(hold_s) AS BIGINT) AS n_intervals,
+    ROUND(SUM(value * hold_s) / SUM(hold_s), 6) AS twap,
+    ROUND(AVG(value), 6) AS plain_avg
+FROM seq WHERE hold_s IS NOT NULL
+GROUP BY user_id""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it REMAINED the latest one (the gap to the
+    next event; the final open-ended observation drops) — the correct
+    average for irregularly sampled state series (balances, prices,
+    gauge metrics), where the plain mean (emitted alongside for
+    contrast) over-weights bursts. Integer-microsecond gaps keep the
+    weights engine-identical.
+
+    Scale: one LEAD window per user partition, one aggregation — the
+    metrics-system rollup at its natural grain."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1e6
+        ).alias("hold_s"),
+    )
+    return (
+        seq.filter(F.col("hold_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("hold_s").cast("bigint").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("hold_s")) / F.sum("hold_s"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+    )

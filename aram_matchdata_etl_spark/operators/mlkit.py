@@ -2602,3 +2602,286 @@ def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rintercept", 6).alias("refit_intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression diagnostics: leverage + Cook's distance
+
+COOK_TOPK = 10
+
+
+def _inv_terms(s: str) -> dict:
+    """Adjugate/det entries of the ridge Hessian of sums CTE `s` — the
+    structural mirror of _solve_py's _inv_terms_py."""
+    L = f"{LR_RIDGE!r}"
+    a11, a12, a13 = f"({s}.sw + {L})", f"{s}.swx1", f"{s}.swx2"
+    a22, a23, a33 = f"({s}.sw11 + {L})", f"{s}.sw12", f"({s}.sw22 + {L})"
+    det = (
+        f"({a11} * ({a22} * {a33} - {a23} * {a23})"
+        f" - {a12} * ({a12} * {a33} - {a23} * {a13})"
+        f" + {a13} * ({a12} * {a23} - {a22} * {a13}))"
+    )
+    return {
+        "i11": f"(({a22} * {a33} - {a23} * {a23}) / {det})",
+        "i12": f"((-({a12} * {a33} - {a23} * {a13})) / {det})",
+        "i13": f"(({a12} * {a23} - {a22} * {a13}) / {det})",
+        "i22": f"(({a11} * {a33} - {a13} * {a13}) / {det})",
+        "i23": f"((-({a11} * {a23} - {a12} * {a13})) / {det})",
+        "i33": f"(({a11} * {a22} - {a12} * {a12}) / {det})",
+    }
+
+
+def _inv_terms_py(s):
+    L = LR_RIDGE
+    sw, swx1, swx2, sw11, sw12, sw22 = s
+    a11, a12, a13 = sw + L, swx1, swx2
+    a22, a23, a33 = sw11 + L, sw12, sw22 + L
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    return {
+        "i11": (a22 * a33 - a23 * a23) / det,
+        "i12": (-(a12 * a33 - a23 * a13)) / det,
+        "i13": (a12 * a23 - a22 * a13) / det,
+        "i22": (a11 * a33 - a13 * a13) / det,
+        "i23": (-(a11 * a23 - a12 * a13)) / det,
+        "i33": (a11 * a22 - a12 * a12) / det,
+    }
+
+
+def _diag_oracle() -> str:
+    zero = "zb AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2)"
+    e0, e1, e2 = _solve_sql("zb", "s")
+    inv = _inv_terms("s")
+    hexpr = (
+        f"({inv['i11']} + 2 * {inv['i12']} * x1 + 2 * {inv['i13']} * x2"
+        f" + {inv['i22']} * x1 * x1 + 2 * {inv['i23']} * x1 * x2"
+        f" + {inv['i33']} * x2 * x2)"
+    )
+    feats = _OLS_FEATS_SQL.replace(
+        "SELECT LN(o.o_totalprice) AS y,",
+        "SELECT o.o_orderkey, LN(o.o_totalprice) AS y,",
+    )
+    return f"""WITH feats AS ({feats}),
+{zero},
+s AS ({_OLS_SUMS_SQL.replace("SELECT", "SELECT ", 1)} FROM feats),
+beta AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2 FROM s CROSS JOIN zb),
+scored AS (
+    SELECT f.o_orderkey,
+        f.y - (beta.b0 + beta.b1 * f.x1 + beta.b2 * f.x2) AS resid,
+        {hexpr} AS lev
+    FROM feats f CROSS JOIN beta CROSS JOIN s
+),
+sig AS (
+    SELECT SUM(resid * resid) / (COUNT(*) - 3) AS s2,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored
+)
+SELECT o_orderkey, ROUND(resid, 6) AS resid, ROUND(lev, 6) AS leverage,
+    ROUND(cookd, 6) AS cooks_d, CAST(rn AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY ROUND(cookd, 9) DESC, o_orderkey) AS rn
+    FROM (
+        SELECT o_orderkey, resid, lev,
+            resid * resid * lev
+                / (3 * sig.s2 * (1 - lev) * (1 - lev)) AS cookd
+        FROM scored CROSS JOIN sig
+    )
+) WHERE rn <= {COOK_TOPK}"""
+
+
+@query("q_ols_diagnostics", oracle=_diag_oracle())
+def q_ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression influence diagnostics for the ridge OLS fit: per-row
+    leverage h_i = x_i' (X'X + lambda I)^-1 x_i evaluated as a SIX-
+    COEFFICIENT quadratic form (the 3x3 inverse folds into literals —
+    no per-row matrix math, no n x n hat matrix, ever), Cook's distance
+    r_i^2 h_i / (p s^2 (1 - h_i)^2), and the top-{COOK_TOPK} most
+    influential orders — the "which rows move my model" audit that
+    should precede any refit, ranked on the 9-dp-rounded statistic with
+    an id tie-break.
+
+    Scale: one sufficient-statistic pass, driver inversion of a 3x3,
+    one codegen scoring pass, one top-k rank. The hat matrix diagonal
+    at 100 TB is exactly this: a quadratic form, not a matrix."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    feats = (
+        orders.join(counts, orders.o_orderkey == counts.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.log("o_totalprice").alias("y"),
+            F.col("n_items").cast("double").alias("x1"),
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit(LR_EPOCH))
+                / LR_X2_SCALE
+            ).alias("x2"),
+        )
+        .localCheckpoint()
+    )
+    srow = feats.agg(
+        F.sum(F.lit(1.0)),
+        F.sum("x1"),
+        F.sum("x2"),
+        F.sum(F.col("x1") * F.col("x1")),
+        F.sum(F.col("x1") * F.col("x2")),
+        F.sum(F.col("x2") * F.col("x2")),
+        F.sum("y"),
+        F.sum(F.col("y") * F.col("x1")),
+        F.sum(F.col("y") * F.col("x2")),
+    ).first()
+    beta = _solve_py((0.0, 0.0, 0.0), tuple(srow))
+    inv = _inv_terms_py(tuple(srow)[:6])
+    x1, x2 = F.col("x1"), F.col("x2")
+    lev = (
+        F.lit(inv["i11"])
+        + 2 * F.lit(inv["i12"]) * x1
+        + 2 * F.lit(inv["i13"]) * x2
+        + F.lit(inv["i22"]) * x1 * x1
+        + 2 * F.lit(inv["i23"]) * x1 * x2
+        + F.lit(inv["i33"]) * x2 * x2
+    )
+    resid = F.col("y") - (
+        F.lit(beta[0]) + F.lit(beta[1]) * x1 + F.lit(beta[2]) * x2
+    )
+    scored = feats.select(
+        "o_orderkey", resid.alias("resid"), lev.alias("lev")
+    ).localCheckpoint(eager=False)
+    sig = scored.agg(
+        (F.sum(F.col("resid") * F.col("resid")) / (F.count("*") - 3)).alias(
+            "s2"
+        )
+    )
+    cookd = (
+        F.col("resid")
+        * F.col("resid")
+        * F.col("lev")
+        / (3 * F.col("s2") * (1 - F.col("lev")) * (1 - F.col("lev")))
+    )
+    w = Window.orderBy(F.desc(F.round(cookd, 9)), F.asc("o_orderkey"))
+    return (
+        scored.crossJoin(F.broadcast(sig))
+        .withColumn("cookd", cookd)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= COOK_TOPK)
+        .select(
+            "o_orderkey",
+            F.round("resid", 6).alias("resid"),
+            F.round("lev", 6).alias("leverage"),
+            F.round("cookd", 6).alias("cooks_d"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial dependence of the logistic model
+
+PDP_POINTS = 9
+
+
+def _pdp_oracle() -> str:
+    parts = [f"feats AS ({_FEATS_SQL})"]
+    parts.extend(_newton_chain("pd_", "feats"))
+    bf = f"pd_b{LR_ROUNDS}"
+    parts.append(
+        """mm AS (
+    SELECT MIN(x1) AS mn1, MAX(x1) AS mx1,
+        MIN(x2) AS mn2, MAX(x2) AS mx2
+    FROM feats)"""
+    )
+    parts.append(
+        f"""grid AS (
+    SELECT 'x1' AS feature, CAST(g.k AS INTEGER) AS grid_idx,
+        mm.mn1 + g.k * (mm.mx1 - mm.mn1) / {PDP_POINTS - 1} AS gval
+    FROM range({PDP_POINTS}) g(k) CROSS JOIN mm
+    UNION ALL
+    SELECT 'x2', CAST(g.k AS INTEGER),
+        mm.mn2 + g.k * (mm.mx2 - mm.mn2) / {PDP_POINTS - 1}
+    FROM range({PDP_POINTS}) g(k) CROSS JOIN mm)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT g.feature, g.grid_idx, ROUND(g.gval, 6) AS grid_value,
+    ROUND(AVG(CASE WHEN g.feature = 'x1'
+        THEN 1 / (1 + EXP(-(b.b0 + b.b1 * g.gval + b.b2 * f.x2)))
+        ELSE 1 / (1 + EXP(-(b.b0 + b.b1 * f.x1 + b.b2 * g.gval)))
+    END), 6) AS pdp
+FROM grid g CROSS JOIN feats f CROSS JOIN {bf} b
+GROUP BY 1, 2, 3"""
+    )
+
+
+@query("q_partial_dependence", oracle=_pdp_oracle())
+def q_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-dependence curves of the Newton logistic model: for each
+    feature, a {PDP_POINTS}-point grid from its min to max, PDP(g) =
+    the average predicted probability when THAT feature is clamped to g
+    for every row (the other feature keeps its observed values) — the
+    model-explainability readout that completes the trio with
+    q_feature_ablation (importance) and q_shapley_attribution
+    (additive credit).
+
+    Scale: the grid x corpus product is a {2 * PDP_POINTS}-row
+    broadcast against one codegen pass; the averaging is map-side
+    partial aggregation per grid point."""
+    feats = logreg_feats(spark, sf_dir).localCheckpoint()
+    beta = logreg_newton(feats)
+    mm = feats.agg(
+        F.min("x1").alias("mn1"),
+        F.max("x1").alias("mx1"),
+        F.min("x2").alias("mn2"),
+        F.max("x2").alias("mx2"),
+    )
+    spark2 = feats.sparkSession
+    ks = spark2.range(PDP_POINTS).select(F.col("id").cast("int").alias("k"))
+    grid = (
+        ks.crossJoin(F.broadcast(mm))
+        .select(
+            F.lit("x1").alias("feature"),
+            F.col("k").alias("grid_idx"),
+            (
+                F.col("mn1")
+                + F.col("k") * (F.col("mx1") - F.col("mn1")) / (PDP_POINTS - 1)
+            ).alias("gval"),
+        )
+        .unionAll(
+            ks.crossJoin(F.broadcast(mm)).select(
+                F.lit("x2").alias("feature"),
+                F.col("k").alias("grid_idx"),
+                (
+                    F.col("mn2")
+                    + F.col("k")
+                    * (F.col("mx2") - F.col("mn2"))
+                    / (PDP_POINTS - 1)
+                ).alias("gval"),
+            )
+        )
+    )
+    z = F.when(
+        F.col("feature") == "x1",
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("gval")
+        + F.lit(beta[2]) * F.col("x2"),
+    ).otherwise(
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("gval")
+    )
+    return (
+        F.broadcast(grid)
+        .crossJoin(feats)
+        .groupBy(
+            "feature", "grid_idx", F.round("gval", 6).alias("grid_value")
+        )
+        .agg(F.round(F.avg(1 / (1 + F.exp(-z))), 6).alias("pdp"))
+    )

@@ -4033,3 +4033,88 @@ def q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cif_error"),
     )
+
+
+SWEEP_BINS = 20
+
+
+@query(
+    "q_threshold_sweep",
+    oracle=f"""
+WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+scored AS (
+    SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {SWEEP_BINS})
+            AS INTEGER), {SWEEP_BINS - 1}) AS bin,
+        CASE WHEN event_type = '{AUC_POS}' THEN 1 ELSE 0 END AS y
+    FROM events CROSS JOIN mm
+),
+b AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+    FROM scored GROUP BY bin
+),
+cum AS (
+    SELECT bin,
+        SUM(n) OVER (ORDER BY bin DESC) AS n_ge,
+        SUM(pos) OVER (ORDER BY bin DESC) AS pos_ge,
+        SUM(pos) OVER () AS pos_tot
+    FROM b
+)
+SELECT CAST(bin AS INTEGER) AS threshold_bin,
+    ROUND(bin * 1.0 / {SWEEP_BINS}, 6) AS threshold,
+    CAST(pos_ge AS BIGINT) AS tp, CAST(n_ge - pos_ge AS BIGINT) AS fp,
+    ROUND(pos_ge * 1.0 / n_ge, 6) AS precision_at,
+    ROUND(pos_ge * 1.0 / pos_tot, 6) AS recall_at,
+    ROUND(2.0 * pos_ge / (n_ge + pos_tot), 6) AS f1
+FROM cum""",
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the min-max-normalized value score
+    against the one-vs-rest '{AUC_POS}' label: for every candidate
+    threshold (each of {SWEEP_BINS} equi-width score-bin edges),
+    predicted-positive = score-bin >= threshold, with exact TP/FP,
+    precision, recall, and F1 (2TP/(2TP+FP+FN), algebraically
+    2*pos_ge/(n_ge + pos_total)) — the table a deployment picks its
+    cut-off from, complementing q_pr_auc's single summary number and
+    q_calibration_bins' probability view.
+
+    Scale: one conditional-agg pass to the {SWEEP_BINS}-bin rollup;
+    every operating point is a DESCENDING cumulative window over those
+    bins — thresholds never rescan the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    scored = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * SWEEP_BINS
+            ).cast("int"),
+            F.lit(SWEEP_BINS - 1),
+        ).alias("bin"),
+        (F.col("event_type") == AUC_POS).cast("int").alias("y"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wdesc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = b.select(
+        "bin",
+        F.sum("n").over(wdesc).alias("n_ge"),
+        F.sum("pos").over(wdesc).alias("pos_ge"),
+        F.sum("pos").over(wall).alias("pos_tot"),
+    )
+    return cum.select(
+        F.col("bin").cast("int").alias("threshold_bin"),
+        F.round(F.col("bin") / SWEEP_BINS, 6).alias("threshold"),
+        F.col("pos_ge").cast("bigint").alias("tp"),
+        (F.col("n_ge") - F.col("pos_ge")).cast("bigint").alias("fp"),
+        F.round(F.col("pos_ge") / F.col("n_ge"), 6).alias("precision_at"),
+        F.round(F.col("pos_ge") / F.col("pos_tot"), 6).alias("recall_at"),
+        F.round(
+            2.0 * F.col("pos_ge") / (F.col("n_ge") + F.col("pos_tot")), 6
+        ).alias("f1"),
+    )

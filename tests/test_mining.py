@@ -484,3 +484,57 @@ def test_competing_risks_sums_to_one_and_matches_lifelines_formula(spark):
     n_total = rows[0].n_risk
     d1_tot = sum(r.d1 for r in rows)
     assert abs(rows[-1].cif_purchase - d1_tot / n_total) < 1e-6
+
+
+def test_threshold_sweep_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.stats import AUC_POS, SWEEP_BINS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck("SELECT event_type, value FROM events")
+    v = ev["value"].to_numpy()
+    yy = (ev["event_type"] == AUC_POS).to_numpy().astype(int)
+    mn, mx = v.min(), v.max()
+    bins = np.minimum(
+        np.floor((v - mn) / (mx - mn) * SWEEP_BINS).astype(int), SWEEP_BINS - 1
+    )
+    got = {
+        r.threshold_bin: (r.tp, r.fp, r.precision_at, r.recall_at, r.f1)
+        for r in all_queries()["q_threshold_sweep"](spark, SF_ORACLE).collect()
+    }
+    pos_tot = int(yy.sum())
+    for t in sorted(set(bins)):
+        m = bins >= t
+        tp = int(yy[m].sum())
+        fp = int(m.sum()) - tp
+        gtp, gfp, gprec, grec, gf1 = got[t]
+        assert (gtp, gfp) == (tp, fp), t
+        assert abs(gprec - tp / m.sum()) < 1e-6
+        assert abs(grec - tp / pos_tot) < 1e-6
+        assert abs(gf1 - 2 * tp / (m.sum() + pos_tot)) < 1e-6
+    # recall is monotone non-increasing in the threshold
+    recalls = [got[t][3] for t in sorted(got)]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+def test_time_weighted_avg_matches_pandas(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    ev = _duck(
+        "SELECT user_id, event_id, ts, value FROM events"
+        " ORDER BY user_id, ts, event_id"
+    )
+    got = {
+        r.user_id: (r.n_intervals, r.twap, r.plain_avg)
+        for r in all_queries()["q_time_weighted_avg"](spark, SF_ORACLE).collect()
+    }
+    for uid, grp in ev.groupby("user_id"):
+        ts = grp["ts"].to_numpy()
+        vals = grp["value"].to_numpy()
+        holds = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(
+            np.int64
+        ) / 1e6
+        twap = float((vals[:-1] * holds).sum() / holds.sum())
+        n, gt, gp = got[int(uid)]
+        assert n == len(holds)
+        assert abs(gt - twap) < 1e-6, uid
+        assert abs(gp - vals[:-1].mean()) < 1e-6, uid

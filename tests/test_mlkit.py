@@ -862,3 +862,78 @@ def test_ransac_matches_pure_python(spark):
         ) WHERE dayofmonth(d) % {RANSAC_CORRUPT} = 3"""
     )["c"][0]
     assert row.n_used <= n - spiked
+
+
+def test_ols_diagnostics_match_numpy_hat_matrix(spark):
+    """Re-derive leverage via the FULL hat matrix H = X (X'X+lI)^-1 X'
+    in numpy — the O(n^2) object the operator's quadratic form
+    deliberately avoids — and Cook's distance from it."""
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        COOK_TOPK,
+        LR_RIDGE,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    feats = _duck(
+        """SELECT o.o_orderkey, LN(o.o_totalprice) AS y,
+            CAST(c.n_items AS DOUBLE) AS x1,
+            date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE))
+                / 1000.0 AS x2
+        FROM orders o
+        JOIN (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1)
+            c ON c.l_orderkey = o.o_orderkey"""
+    )
+    y = feats["y"].to_numpy()
+    X = np.column_stack(
+        [np.ones(len(y)), feats["x1"].to_numpy(), feats["x2"].to_numpy()]
+    )
+    A = np.linalg.inv(X.T @ X + LR_RIDGE * np.eye(3))
+    beta = A @ X.T @ y
+    resid = y - X @ beta
+    lev = np.einsum("ij,jk,ik->i", X, A, X)
+    s2 = (resid ** 2).sum() / (len(y) - 3)
+    cook = resid ** 2 * lev / (3 * s2 * (1 - lev) ** 2)
+    keys = feats["o_orderkey"].to_numpy()
+    order = sorted(
+        range(len(y)), key=lambda i: (-round(cook[i], 9), keys[i])
+    )[:COOK_TOPK]
+    got = sorted(
+        all_queries()["q_ols_diagnostics"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert len(got) == COOK_TOPK
+    for row, i in zip(got, order):
+        assert row.o_orderkey == keys[i], row.rnk
+        assert abs(row.resid - resid[i]) < 1e-6
+        assert abs(row.leverage - lev[i]) < 1e-6
+        assert abs(row.cooks_d - cook[i]) < 1e-6
+
+
+def test_partial_dependence_matches_numpy(spark):
+    from aram_matchdata_etl_spark.operators.mlkit import (
+        LR_RIDGE,
+        LR_ROUNDS,
+        PDP_POINTS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    _, y, X = _feats_np()
+    beta = _irls(y, X, LR_ROUNDS, LR_RIDGE)
+    got = {
+        (r.feature, r.grid_idx): (r.grid_value, r.pdp)
+        for r in all_queries()["q_partial_dependence"](spark, SF_ORACLE).collect()
+    }
+    assert len(got) == 2 * PDP_POINTS
+    for fi, fname in ((1, "x1"), (2, "x2")):
+        col = X[:, fi]
+        for k in range(PDP_POINTS):
+            g = col.min() + k * (col.max() - col.min()) / (PDP_POINTS - 1)
+            Xg = X.copy()
+            Xg[:, fi] = g
+            pdp = float((1 / (1 + np.exp(-Xg @ beta))).mean())
+            gv, gp = got[(fname, k)]
+            assert abs(gv - g) < 1e-6, (fname, k)
+            assert abs(gp - pdp) < 1e-6, (fname, k)
+    # monotone model => monotone PDP in each feature's direction
+    curve = [got[("x2", k)][1] for k in range(PDP_POINTS)]
+    assert curve == sorted(curve) or curve == sorted(curve, reverse=True)
