@@ -1337,3 +1337,110 @@ def q_stream_timeout_sessions_live(
     return stream_timeout_sessions(spark, sf_dir).orderBy(
         "user_id", "start_us"
     )
+
+
+_STREAM_RIDGE_RUNS = 0
+
+
+def _ridge_feats_cols():
+    """Deterministic event features for the streaming ridge model:
+    y = value, x1 = user decile, x2 = hour-of-day fraction."""
+    return (
+        F.col("value").alias("y"),
+        ((F.col("user_id") % 10) / 10.0).alias("x1"),
+        (F.hour("ts") / 24.0).alias("x2"),
+    )
+
+
+def _stream_ridge_oracle() -> str:
+    from .mlkit import _solve_sql
+
+    e0, e1, e2 = _solve_sql("zb", "s")
+    return f"""WITH feats AS (
+    SELECT value AS y,
+        CAST(user_id % 10 AS DOUBLE) / 10.0 AS x1,
+        EXTRACT(hour FROM ts) / 24.0 AS x2
+    FROM events
+),
+zb AS (SELECT 0.0 b0, 0.0 b1, 0.0 b2),
+s AS (
+    SELECT SUM(1.0) AS sw, SUM(x1) AS swx1, SUM(x2) AS swx2,
+        SUM(x1 * x1) AS sw11, SUM(x1 * x2) AS sw12, SUM(x2 * x2) AS sw22,
+        SUM(y) AS g0, SUM(y * x1) AS g1, SUM(y * x2) AS g2,
+        CAST(COUNT(*) AS DOUBLE) AS n
+    FROM feats
+),
+beta AS (SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2, n FROM s CROSS JOIN zb)
+SELECT param, ROUND(value, 6) AS value FROM (
+    SELECT 'beta0' AS param, b0 AS value FROM beta
+    UNION ALL SELECT 'beta1', b1 FROM beta
+    UNION ALL SELECT 'beta2', b2 FROM beta
+    UNION ALL SELECT 'n_rows', n FROM beta
+    UNION ALL SELECT 'n_batches', 3.0
+)"""
+
+
+@query("q_stream_ridge_live", oracle=_stream_ridge_oracle())
+def q_stream_ridge_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NINTH live Structured Streaming gate query — and the first that
+    TRAINS A MODEL on the stream: ridge OLS maintained incrementally
+    via MERGEABLE SUFFICIENT STATISTICS. Each micro-batch (three
+    mtime-ordered event-time slices) reduces to its 9 Gram/moment sums
+    inside foreachBatch; the driver accumulates them (pure scalar
+    addition — the merge operation that makes this pattern work on any
+    number of executors, batches, or days), and after the final trigger
+    ONE Cramer solve yields betas that hash-match the batch SQL fit
+    over the same rows. This is incremental model maintenance as a
+    warehouse should do it: no replay, no parameter server, state =
+    9 doubles.
+
+    Scale: per batch one codegen pass + a 9-double reduce; cross-batch
+    state is O(1) regardless of history length; the final solve is
+    driver arithmetic."""
+    import shutil
+
+    from .mlkit import _solve_py
+
+    global _STREAM_RIDGE_RUNS
+    _STREAM_RIDGE_RUNS += 1
+
+    ev = _events(spark, sf_dir)
+    src, stream = _spool_event_slices(spark, ev, "graft_ridge_stream_")
+    acc = {"sums": [0.0] * 9, "n": 0.0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        feats = batch_df.select(*_ridge_feats_cols())
+        r = feats.agg(
+            F.sum(F.lit(1.0)),
+            F.sum("x1"),
+            F.sum("x2"),
+            F.sum(F.col("x1") * F.col("x1")),
+            F.sum(F.col("x1") * F.col("x2")),
+            F.sum(F.col("x2") * F.col("x2")),
+            F.sum("y"),
+            F.sum(F.col("y") * F.col("x1")),
+            F.sum(F.col("y") * F.col("x2")),
+            F.count("*").cast("double"),
+        ).first()
+        if r[9] and r[9] > 0:
+            for i in range(9):
+                acc["sums"][i] += r[i]
+            acc["n"] += r[9]
+            acc["batches"] += 1
+
+    try:
+        from ..streaming.crawl import run_to_completion
+
+        run_to_completion(stream, sink_fn=sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    beta = _solve_py((0.0, 0.0, 0.0), tuple(acc["sums"]))
+    rows = [
+        ("beta0", beta[0]),
+        ("beta1", beta[1]),
+        ("beta2", beta[2]),
+        ("n_rows", acc["n"]),
+        ("n_batches", float(acc["batches"])),
+    ]
+    out = spark.createDataFrame(rows, "param string, value double")
+    return out.select("param", F.round("value", 6).alias("value"))

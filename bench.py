@@ -333,6 +333,67 @@ def setsim_prefix_microbench(spark) -> dict:
     return out
 
 
+def market_skew_microbench(spark) -> dict:
+    """Skew-stress the market-basket pair join: within-basket pair
+    generation costs sum(b_i^2), so ONE hoarder basket (~4.9k distinct
+    items from 1% of all interactions) adds ~12M pair rows in a single
+    task next to a ~1M-pair uniform baseline. The CF_CAP md5-order
+    basket cap (operators/market.py) must restore uniform-ish wall time
+    while leaving every small basket untouched."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.market import CF_CAP, pair_counts
+
+    n_rows, n_bids, n_items = 500_000, 100_000, 10_000
+    base = spark.range(n_rows, numPartitions=32)
+
+    def mk(skewed: bool):
+        hoarder = F.col("id") % 100 == 0  # 1% of interactions
+        bid = (
+            F.when(hoarder, F.lit(0)).otherwise(F.col("id") % n_bids)
+            if skewed
+            else F.col("id") % n_bids
+        )
+        return base.select(
+            bid.cast("long").alias("bid"),
+            (F.abs(F.hash(F.col("id"))) % n_items).cast("long").alias("item"),
+        ).distinct()
+
+    def cap(items):
+        w = Window.partitionBy("bid").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("bid").cast("string"),
+                    F.col("item").cast("string"),
+                )
+            )
+        )
+        return (
+            items.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= CF_CAP)
+            .drop("rn")
+        )
+
+    out = {}
+    for tag, items in (
+        ("uniform_uncapped", mk(False)),
+        ("skewed_uncapped", mk(True)),
+        ("skewed_capped", cap(mk(True))),
+    ):
+        frame = items.localCheckpoint()
+        t0 = _t.perf_counter()
+        n_pairs = pair_counts(frame).count()
+        out[tag] = {
+            "sec": round(_t.perf_counter() - t0, 2),
+            "pairs": int(n_pairs),
+        }
+    return out
+
+
 def events_skew_microbench(spark) -> dict:
     """Skew-stress the window-cascade events family (VERDICT r6 item 6):
     q_funnel / q_sessionize / q_anomaly_zscore all hash-partition on
@@ -700,6 +761,10 @@ def main() -> None:
         )
     except Exception as e:
         telemetry["microbench"]["setsim_prefix"] = {"error": str(e)[:160]}
+    try:
+        telemetry["microbench"]["market_skew"] = market_skew_microbench(spark)
+    except Exception as e:
+        telemetry["microbench"]["market_skew"] = {"error": str(e)[:160]}
 
     # 10x replicated-fixture tier: compact ratios go on the final line
     # (the judge-facing scaling factors), full seconds + build cost to
