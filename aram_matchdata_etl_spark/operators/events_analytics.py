@@ -3092,3 +3092,377 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("plain_avg"),
         )
     )
+
+
+# Shapley channel attribution: channels and their bitmask bits
+ATTR_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+_ATTR_K = len(ATTR_CHANNELS)
+# "Conversion" = a HIGH-VALUE purchase; with the fixture's per-user
+# event volume (~67 events/user) plain purchase existence is ~1.0 per
+# user and every coalition value collapses to 0/1, which would leave
+# the |S|>0 Shapley weights untested. A fixed literal keeps the
+# definition bit-identical in both engines.
+ATTR_CONV_VALUE = 150.0
+# Shapley coalition weights |S|! (k-1-|S|)! / k! indexed by |S|, k=4
+_ATTR_W = (0.25, 1.0 / 12, 1.0 / 12, 0.25)
+
+
+def _attr_weight_sql(expr: str) -> str:
+    return (
+        f"CASE bit_count({expr}) WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12"
+        f" WHEN 2 THEN 1.0/12 ELSE 0.25 END"
+    )
+
+
+@query(
+    "q_attribution_shapley",
+    oracle=f"""
+WITH conv AS MATERIALIZED (
+    SELECT user_id, MIN(CASE WHEN event_type = 'purchase'
+        AND value >= {ATTR_CONV_VALUE} THEN ts END) AS t_conv
+    FROM events GROUP BY user_id
+),
+exposure AS MATERIALIZED (
+    SELECT e.user_id,
+        CAST(MAX(CASE WHEN c.t_conv IS NOT NULL THEN 1 ELSE 0 END)
+            AS INTEGER) AS converted,
+        COALESCE(CAST(SUM(DISTINCT CASE e.event_type
+            {" ".join(f"WHEN '{name}' THEN {bit}" for name, bit in ATTR_CHANNELS)}
+            ELSE 0 END) AS INTEGER), 0) AS mask
+    FROM events e JOIN conv c USING (user_id)
+    WHERE e.event_type <> 'purchase'
+        AND (c.t_conv IS NULL OR e.ts < c.t_conv)
+    GROUP BY e.user_id
+),
+rollup AS MATERIALIZED (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(converted) AS BIGINT) AS conv
+    FROM exposure GROUP BY mask
+),
+masks AS (SELECT CAST(s.s AS INTEGER) AS s FROM range(16) s(s)),
+v AS MATERIALIZED (
+    SELECT m.s,
+        COALESCE(SUM(r.conv) * 1.0 / NULLIF(SUM(r.n), 0), 0.0) AS v
+    FROM masks m LEFT JOIN rollup r ON (r.mask & m.s) = r.mask
+    GROUP BY m.s
+),
+channels AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"('{name}', {bit})" for name, bit in ATTR_CHANNELS)}
+    ) c(channel, bit)
+)
+SELECT c.channel,
+    ROUND(SUM(({_attr_weight_sql("vs.s")})
+        * (vi.v - vs.v)), 6) AS shapley_value
+FROM channels c
+JOIN v vs ON (vs.s & c.bit) = 0
+JOIN v vi ON vi.s = vs.s + c.bit
+GROUP BY c.channel""",
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley channel attribution (the data-driven alternative to
+    q_attribution_last_touch / q_attribution_position): conversion = a
+    high-value purchase (value >= {ATTR_CONV_VALUE}); each user's
+    pre-conversion exposure set becomes a 4-bit coalition mask, v(S) =
+    conversion rate among users exposed to NO channel outside S, and
+    each channel's Shapley value averages its marginal contribution
+    over all coalition orders — computed exactly (k = {_ATTR_K}, 2^k =
+    16 coalitions) from the mask rollup, no sampling. Efficiency
+    (sum of values = v(all) - v(none)) is asserted in tests.
+
+    Scale: one user-grain pass builds the bitmask rollup (<= 16 rows);
+    the subset sums, coalition values, and all marginal averages are
+    joins over 16-row tables with integer bit arithmetic — identical in
+    both engines, corpus-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= ATTR_CONV_VALUE),
+                F.col("ts"),
+            )
+        ).alias("t_conv")
+    )
+    chan_bit = F.col("event_type")
+    expr = None
+    for name, bit in ATTR_CHANNELS:
+        expr = (
+            F.when(chan_bit == name, bit)
+            if expr is None
+            else expr.when(chan_bit == name, bit)
+        )
+    expr = expr.otherwise(0)
+    exposure = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("t_conv").isNull() | (F.col("ts") < F.col("t_conv")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("t_conv").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("converted"),
+            F.coalesce(
+                F.sum_distinct(expr).cast("int"), F.lit(0)
+            ).alias("mask"),
+        )
+    )
+    rollup = exposure.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    masks = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        masks.join(
+            F.broadcast(rollup),
+            F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum("conv") / F.nullif(F.sum("n"), F.lit(0)), F.lit(0.0)
+            ).alias("v")
+        )
+    )
+    channels = spark.createDataFrame(
+        list(ATTR_CHANNELS), "channel string, bit int"
+    )
+    vs = v.select(F.col("s"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("s").alias("si"), F.col("v").alias("v_si"))
+    wexpr = (
+        F.when(F.bit_count("s") == 0, _ATTR_W[0])
+        .when(F.bit_count("s") == 1, _ATTR_W[1])
+        .when(F.bit_count("s") == 2, _ATTR_W[2])
+        .otherwise(_ATTR_W[3])
+    )
+    return (
+        F.broadcast(channels)
+        .join(vs, F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(vi, F.col("si") == F.col("s") + F.col("bit"))
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(wexpr * (F.col("v_si") - F.col("v_s"))), 6
+            ).alias("shapley_value")
+        )
+    )
+
+
+MARKOV_ATTR_ROUNDS = 20
+_MA_CHANNELS = ("view", "click", "signup", "error")
+
+
+_MA_TRANS_SQL = """
+    SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT COALESCE(LAG(state) OVER w, 'start') AS from_state,
+            state AS to_state
+        FROM journey
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        UNION ALL
+        SELECT state, 'null'
+        FROM (
+            SELECT state, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM journey
+        ) WHERE rn = 1 AND state <> 'conv'
+    )
+    GROUP BY 1, 2
+"""
+
+
+def _ma_chain_sql(tag: str, removed: str | None) -> list[str]:
+    """CTEs computing the start-state conversion probability of the
+    chain with `removed` redirected to 'null' (or the full chain)."""
+    if removed is None:
+        tr = (
+            f"tr_{tag} AS MATERIALIZED "
+            "(SELECT from_state, to_state, n FROM trans)"
+        )
+    else:
+        tr = f"""tr_{tag} AS MATERIALIZED (
+    SELECT from_state,
+        CASE WHEN to_state = '{removed}' THEN 'null' ELSE to_state END
+            AS to_state,
+        n
+    FROM trans WHERE from_state <> '{removed}')"""
+    parts = [
+        tr,
+        f"""p_{tag} AS MATERIALIZED (
+    SELECT from_state, to_state,
+        SUM(n) * 1.0 / SUM(SUM(n)) OVER (PARTITION BY from_state) AS p
+    FROM tr_{tag} GROUP BY from_state, to_state)""",
+        f"x_{tag}_0 AS MATERIALIZED (SELECT from_state AS state, 0.0 AS val"
+        f" FROM p_{tag} GROUP BY from_state)",
+    ]
+    for k in range(1, MARKOV_ATTR_ROUNDS + 1):
+        parts.append(
+            f"""x_{tag}_{k} AS MATERIALIZED (
+    SELECT p.from_state AS state,
+        SUM(CASE WHEN p.to_state = 'conv' THEN p.p
+                 ELSE p.p * COALESCE(x.val, 0.0) END) AS val
+    FROM p_{tag} p
+    LEFT JOIN x_{tag}_{k - 1} x ON x.state = p.to_state
+    GROUP BY p.from_state)"""
+        )
+    parts.append(
+        f"""cp_{tag} AS MATERIALIZED (
+    SELECT COALESCE(MAX(CASE WHEN state = 'start' THEN val END), 0.0) AS cp
+    FROM x_{tag}_{MARKOV_ATTR_ROUNDS})"""
+    )
+    return parts
+
+
+def _markov_attr_oracle() -> str:
+    parts = [
+        """journey AS MATERIALIZED (
+    SELECT e.user_id, e.ts, e.event_id,
+        CASE WHEN e.event_type = 'purchase' THEN 'conv'
+             ELSE e.event_type END AS state
+    FROM events e
+    JOIN (
+        SELECT user_id,
+            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_conv
+        FROM events GROUP BY user_id
+    ) c USING (user_id)
+    WHERE c.t_conv IS NULL OR e.ts <= c.t_conv
+)""",
+        f"trans AS MATERIALIZED ({_MA_TRANS_SQL})",
+    ]
+    parts.extend(_ma_chain_sql("full", None))
+    for ch in _MA_CHANNELS:
+        parts.extend(_ma_chain_sql(ch, ch))
+    effects = ", ".join(
+        f"GREATEST(1 - cp_{ch}.cp / cp_full.cp, 0.0) AS eff_{ch}"
+        for ch in _MA_CHANNELS
+    )
+    froms = "cp_full " + " ".join(f"CROSS JOIN cp_{ch}" for ch in _MA_CHANNELS)
+    parts.append(f"eff AS (SELECT cp_full.cp AS cp_full, {effects} FROM {froms})")
+    sel = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, cp_full, eff_{ch} AS removal_effect,"
+        f" eff_{ch} / ({' + '.join('eff_' + c for c in _MA_CHANNELS)})"
+        f" AS attribution_share FROM eff"
+        for ch in _MA_CHANNELS
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT channel, ROUND(cp_full, 6) AS conv_prob_full,
+    ROUND(removal_effect, 6) AS removal_effect,
+    ROUND(attribution_share, 6) AS attribution_share
+FROM ({sel})"""
+    )
+
+
+@query("q_markov_attribution", oracle=_markov_attr_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov (removal-effect) channel attribution: build
+    the journey transition matrix (start -> channels -> conv/null,
+    journeys truncated at first purchase), compute the start-state
+    probability of converting WITHIN {MARKOV_ATTR_ROUNDS} transitions
+    (a fixed finite horizon — exact in both engines, unlike an
+    iterate-to-tolerance absorption solve whose truncation point would
+    be data-dependent; the numpy differential checks the same horizon
+    via matrix powers AND that the infinite-horizon solve bounds it
+    from above), then for each channel REMOVE it (transitions into
+    it fail to 'null') and re-solve — removal effect = relative
+    conversion drop, normalized into attribution shares. The
+    path-aware complement of q_attribution_shapley's set-based credit
+    (Anderl et al. 2016); both engines iterate the identical recursion,
+    unrolled as {MARKOV_ATTR_ROUNDS}-round CTE chains per variant in
+    the oracle.
+
+    Scale: ONE corpus pass builds the <= 7x7 transition rollup (a
+    bounded collect, the BPE-argmax precedent); all five chain solves
+    are arithmetic on that rollup — corpus-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_conv")
+    )
+    journey = (
+        ev.join(conv, "user_id")
+        .filter(F.col("t_conv").isNull() | (F.col("ts") <= F.col("t_conv")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = journey.select(
+        F.coalesce(F.lag("state").over(wseq), F.lit("start")).alias(
+            "from_state"
+        ),
+        F.col("state").alias("to_state"),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ends = (
+        journey.withColumn("rn", F.row_number().over(wlast))
+        .filter((F.col("rn") == 1) & (F.col("state") != "conv"))
+        .select(
+            F.col("state").alias("from_state"), F.lit("null").alias("to_state")
+        )
+    )
+    trans = {
+        (r.from_state, r.to_state): r.n
+        for r in steps.unionAll(ends)
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+
+    def conv_prob(removed):
+        tr = {}
+        for (f_s, t_s), n in trans.items():
+            if removed is not None:
+                if f_s == removed:
+                    continue
+                if t_s == removed:
+                    t_s = "null"
+            tr[(f_s, t_s)] = tr.get((f_s, t_s), 0) + n
+        outs = {}
+        for (f_s, t_s), n in tr.items():
+            outs[f_s] = outs.get(f_s, 0) + n
+        p = {k: n / outs[k[0]] for k, n in tr.items()}
+        x = {s: 0.0 for s in outs}
+        for _ in range(MARKOV_ATTR_ROUNDS):
+            x = {
+                s: sum(
+                    pv * (1.0 if t == "conv" else x.get(t, 0.0))
+                    for (f_s, t), pv in p.items()
+                    if f_s == s
+                )
+                for s in outs
+            }
+        return x.get("start", 0.0)
+
+    cp_full = conv_prob(None)
+    effects = {
+        ch: max(1 - conv_prob(ch) / cp_full, 0.0) for ch in _MA_CHANNELS
+    }
+    tot = sum(effects.values())
+    rows = [
+        (ch, cp_full, effects[ch], effects[ch] / tot) for ch in _MA_CHANNELS
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "channel string, conv_prob_full double, removal_effect double,"
+        " attribution_share double",
+    )
+    return out.select(
+        "channel",
+        F.round("conv_prob_full", 6).alias("conv_prob_full"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution_share", 6).alias("attribution_share"),
+    )

@@ -409,3 +409,186 @@ class TestHoltLongSeries:
                 - (np.array(want_l) + HOLT_H * np.array(want_t))
             ).max()
             assert el < 1e-5 and et_ < 1e-5 and ef < 1e-5, (et, el, et_, ef)
+
+
+def test_attribution_shapley_matches_pure_python_and_is_efficient(spark):
+    """Third implementation: re-derive the coalition values and Shapley
+    sums in pure Python from the raw events (independent journey build,
+    itertools subsets, factorial weights) — catches a masking or weight
+    bug the two-dialect (same-formula) oracle cannot."""
+    import math
+    from collections import defaultdict
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        ATTR_CHANNELS,
+        ATTR_CONV_VALUE,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import duckdb_df
+
+    got = {
+        r.channel: r.shapley_value
+        for r in all_queries()["q_attribution_shapley"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+
+    ev = duckdb_df(
+        "SELECT user_id, ts, event_type, value FROM events", SF_ORACLE
+    )
+    bit = dict(ATTR_CHANNELS)
+    k = len(ATTR_CHANNELS)
+    t_conv = (
+        ev[(ev.event_type == "purchase") & (ev.value >= ATTR_CONV_VALUE)]
+        .groupby("user_id")["ts"]
+        .min()
+    )
+    masks: dict[int, int] = defaultdict(int)
+    converted: dict[int, int] = {}
+    for r in ev.itertuples():
+        tc = t_conv.get(r.user_id)
+        if r.event_type == "purchase":
+            continue
+        if tc is not None and not (r.ts < tc):
+            continue
+        masks[r.user_id] |= bit.get(r.event_type, 0)
+        converted[r.user_id] = 1 if tc is not None else 0
+    # users whose every event is purchase-typed never enter exposure
+    n_s = defaultdict(int)
+    c_s = defaultdict(int)
+    for u, m in masks.items():
+        n_s[m] += 1
+        c_s[m] += converted[u]
+
+    def v(s: int) -> float:
+        n = sum(nn for m, nn in n_s.items() if (m & s) == m)
+        c = sum(cc for m, cc in c_s.items() if (m & s) == m)
+        return c / n if n else 0.0
+
+    full = (1 << k) - 1
+    want = {}
+    for name, b in ATTR_CHANNELS:
+        tot = 0.0
+        for s in range(1 << k):
+            if s & b:
+                continue
+            size = bin(s).count("1")
+            w = (
+                math.factorial(size)
+                * math.factorial(k - 1 - size)
+                / math.factorial(k)
+            )
+            tot += w * (v(s | b) - v(s))
+        want[name] = tot
+    for name, _ in ATTR_CHANNELS:
+        assert abs(got[name] - round(want[name], 6)) < 2e-6, (
+            name,
+            got[name],
+            want[name],
+        )
+    # efficiency: Shapley values sum to v(all) - v(none)
+    assert abs(sum(want.values()) - (v(full) - v(0))) < 1e-12
+
+
+def test_markov_attribution_matches_numpy_matrix_powers(spark):
+    """Third implementation: compute the finite-horizon conversion
+    probability with numpy matrix algebra (x_K = sum_{{j<K}} Q^j r —
+    matrix powers, not the operator's per-state dict recursion), and
+    additionally assert the infinite-horizon linalg solve bounds it
+    from above — verifies the transition build AND the horizon
+    semantics independently of both SQL dialects."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        _MA_CHANNELS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import duckdb_df
+
+    got = {
+        r.channel: (r.conv_prob_full, r.removal_effect, r.attribution_share)
+        for r in all_queries()["q_markov_attribution"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+
+    ev = duckdb_df(
+        "SELECT user_id, ts, event_id, event_type FROM events "
+        "ORDER BY user_id, ts, event_id",
+        SF_ORACLE,
+    )
+    t_conv = (
+        ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    )
+    trans: dict[tuple[str, str], int] = defaultdict(int)
+    for u, grp in ev.groupby("user_id", sort=False):
+        tc = t_conv.get(u)
+        states = [
+            "conv" if r.event_type == "purchase" else r.event_type
+            for r in grp.itertuples()
+            if tc is None or r.ts <= tc
+        ]
+        prev = "start"
+        for s in states:
+            trans[(prev, s)] += 1
+            prev = s
+        if states and states[-1] != "conv":
+            trans[(states[-1], "null")] += 1
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        MARKOV_ATTR_ROUNDS,
+    )
+
+    def conv_prob_horizon(removed):
+        tr = defaultdict(int)
+        for (f_s, t_s), n in trans.items():
+            if removed is not None:
+                if f_s == removed:
+                    continue
+                if t_s == removed:
+                    t_s = "null"
+            tr[(f_s, t_s)] += n
+        transient = sorted({f_s for (f_s, _) in tr})
+        idx = {s: i for i, s in enumerate(transient)}
+        outs = defaultdict(int)
+        for (f_s, _), n in tr.items():
+            outs[f_s] += n
+        q = np.zeros((len(transient), len(transient)))
+        r = np.zeros(len(transient))
+        for (f_s, t_s), n in tr.items():
+            p = n / outs[f_s]
+            if t_s == "conv":
+                r[idx[f_s]] += p
+            elif t_s in idx:
+                q[idx[f_s], idx[t_s]] += p
+        # x_K = (I + Q + ... + Q^{K-1}) r via explicit matrix powers
+        acc = np.zeros_like(r)
+        qpow = np.eye(len(transient))
+        for _ in range(MARKOV_ATTR_ROUNDS):
+            acc = acc + qpow @ r
+            qpow = qpow @ q
+        exact = np.linalg.solve(np.eye(len(transient)) - q, r)
+        i0 = idx.get("start")
+        if i0 is None:
+            return 0.0, 0.0
+        assert acc[i0] <= exact[i0] + 1e-12
+        return acc[i0], exact[i0]
+
+    cp_full, _ = conv_prob_horizon(None)
+    effects = {
+        ch: max(1 - conv_prob_horizon(ch)[0] / cp_full, 0.0)
+        for ch in _MA_CHANNELS
+    }
+    tot = sum(effects.values())
+    for ch in _MA_CHANNELS:
+        g_cp, g_eff, g_share = got[ch]
+        assert abs(g_cp - cp_full) < 1e-4, (ch, g_cp, cp_full)
+        assert abs(g_eff - effects[ch]) < 1e-4
+        assert abs(g_share - effects[ch] / tot) < 1e-4
+    assert abs(sum(s for _, _, s in got.values()) - 1.0) < 5e-6
