@@ -599,13 +599,12 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared survival life table (duration, n_events, n_censored, n_risk)
-    for the view->purchase spell definition — the common rollup under
-    q_kaplan_meier (product-limit survival) and q_nelson_aalen
-    (cumulative hazard)."""
-    from pyspark.sql import Window
-
+def _user_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user survival spell (user_id, observed, duration) for the
+    view->purchase definition — shared by the life-table estimators
+    (q_kaplan_meier / q_nelson_aalen via _life_table) and the Cox
+    model (q_cox_regression), which needs the USER grain because its
+    risk-set sums weight each subject by exp(beta * x)."""
     ev = load_table(spark, sf_dir, "events")
     # anchor FIRST, then take the first purchase AT-OR-AFTER the anchor:
     # a one-pass global MIN(purchase ts) would censor users whose first
@@ -628,7 +627,8 @@ def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed = F.when(F.col("tp").isNotNull(), 1).otherwise(0)
     end_ts = F.when(F.col("tp").isNotNull(), F.col("tp")).otherwise(F.col("tl"))
-    spells = per_user.select(
+    return per_user.select(
+        "user_id",
         observed.alias("observed"),
         F.floor(
             (F.unix_micros(end_ts) - F.unix_micros(F.col("tv"))) / 86400000000.0
@@ -636,6 +636,16 @@ def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration"),
     )
+
+
+def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival life table (duration, n_events, n_censored, n_risk)
+    for the view->purchase spell definition — the common rollup under
+    q_kaplan_meier (product-limit survival) and q_nelson_aalen
+    (cumulative hazard)."""
+    from pyspark.sql import Window
+
+    spells = _user_spells(spark, sf_dir)
     rollup = spells.groupBy("duration").agg(
         F.sum("observed").cast("bigint").alias("n_events"),
         F.sum(1 - F.col("observed")).cast("bigint").alias("n_censored"),
@@ -4117,4 +4127,528 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             2.0 * F.col("pos_ge") / (F.col("n_ge") + F.col("pos_tot")), 6
         ).alias("f1"),
+    )
+
+
+MAP_K = 10
+
+
+@query(
+    "q_map_eval",
+    oracle=f"""
+WITH graded AS (
+    SELECT source, doc_id, n_chars,
+        CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_CUTS[1]}
+            THEN 1 ELSE 0 END AS rel
+    FROM documents
+), ranked AS (
+    SELECT source, rel,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+            AS pos,
+        SUM(rel) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel,
+        SUM(rel) OVER (PARTITION BY source) AS r_total
+    FROM graded
+)
+SELECT source,
+    CAST(MAX(r_total) AS BIGINT) AS n_relevant,
+    ROUND(COALESCE(SUM(CASE WHEN pos <= {MAP_K} AND rel = 1
+            THEN cum_rel * 1.0 / pos END)
+        / NULLIF(LEAST(MAX(r_total), {MAP_K}), 0), 0.0), 6)
+        AS avg_precision
+FROM ranked GROUP BY source""",
+)
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision @ {MAP_K} per query group (mean over groups =
+    MAP, the binary-relevance retrieval readout next to q_ndcg_eval's
+    graded one; same deterministic char-length ranker, relevance =
+    long documents). AP = sum of precision-at-hit over the top {MAP_K}
+    hits, normalized by min(R, {MAP_K}) so a group with fewer than
+    {MAP_K} relevant docs can still reach 1.0.
+
+    Scale: the running-hit count (cum_rel) and the rank both come from
+    ONE window ordering per group, sharing q_ndcg_eval's single
+    exchange on the query-group key; the AP reduction is a conditional
+    aggregate — a billion-query eval shuffles (group, rel, score)
+    triples once."""
+    docs = load_table(spark, sf_dir, "documents")
+    rel = F.when(
+        F.size(F.split("text", " ")) >= KAPPA_WORD_CUTS[1], 1
+    ).otherwise(0)
+    graded = docs.select(
+        "source", "doc_id", "n_chars", rel.alias("rel")
+    )
+    worder = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    ranked = graded.select(
+        "source",
+        "rel",
+        F.row_number().over(worder).alias("pos"),
+        F.sum("rel")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rel"),
+        F.sum("rel")
+        .over(Window.partitionBy("source"))
+        .alias("r_total"),
+    )
+    ap = F.coalesce(
+        F.sum(
+            F.when(
+                (F.col("pos") <= MAP_K) & (F.col("rel") == 1),
+                F.col("cum_rel") * 1.0 / F.col("pos"),
+            )
+        )
+        / F.nullif(
+            F.least(F.max("r_total"), F.lit(MAP_K)).cast("double"),
+            F.lit(0.0),
+        ),
+        F.lit(0.0),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("r_total").cast("bigint").alias("n_relevant"),
+        F.round(ap, 6).alias("avg_precision"),
+    )
+
+
+# Deterministic user subsample for the small-sample exact tests: Fisher's
+# exact test is the SMALL-COUNT complement of q_chi_squared — on the full
+# corpus the hypergeometric tail underflows to 0/1 and the test says
+# nothing chi-squared doesn't. A modulus keeps the sample deterministic
+# and engine-identical.
+FISHER_USER_MOD = 37
+# Weekend from pure integer day arithmetic ((epoch_day + 4) % 7, 0 =
+# Sunday) — engine date-part conventions differ (Spark dayofweek is
+# 1-based Sunday, DuckDB 0-based), integer math is identical everywhere.
+_WEEKEND_SQL = (
+    "((CAST(FLOOR(epoch_us / 86400000000) AS BIGINT) + 4) % 7) IN (0, 6)"
+)
+
+
+@query(
+    "q_fisher_exact",
+    oracle=f"""
+WITH ev AS MATERIALIZED (
+    SELECT CAST(epoch_us(ts) AS BIGINT) AS epoch_us, event_type
+    FROM events WHERE user_id % {FISHER_USER_MOD} = 0
+), cells AS MATERIALIZED (
+    SELECT
+        CAST(SUM(CASE WHEN wk AND err THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN wk AND NOT err THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT wk AND err THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT wk AND NOT err THEN 1 ELSE 0 END) AS BIGINT)
+            AS d,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT {_WEEKEND_SQL} AS wk, event_type = 'error' AS err FROM ev
+    )
+), lf AS MATERIALIZED (
+    -- range() args may not be subqueries in DuckDB: generate a fixed
+    -- 1e6 grid (trivial) and keep i <= n via the scalar subquery
+    SELECT i, SUM(LN(CASE WHEN i >= 2 THEN i ELSE 1 END)) OVER (
+        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+    FROM (
+        SELECT CAST(r.range AS BIGINT) AS i
+        FROM range(1000000) r
+        WHERE r.range <= (SELECT n FROM cells)
+    )
+), terms AS MATERIALIZED (
+    SELECT g.i AS k,
+        lr1.lf + lr2.lf + lc1.lf + lc2.lf - ln_.lf
+            - lk.lf - lak.lf - lck.lf - ldk.lf AS logp
+    FROM cells cc
+    JOIN lf g ON g.i >= GREATEST(0, cc.a + cc.b + cc.a + cc.c - cc.n)
+             AND g.i <= LEAST(cc.a + cc.b, cc.a + cc.c)
+    JOIN lf lr1 ON lr1.i = cc.a + cc.b
+    JOIN lf lr2 ON lr2.i = cc.c + cc.d
+    JOIN lf lc1 ON lc1.i = cc.a + cc.c
+    JOIN lf lc2 ON lc2.i = cc.b + cc.d
+    JOIN lf ln_ ON ln_.i = cc.n
+    JOIN lf lk ON lk.i = g.i
+    JOIN lf lak ON lak.i = cc.a + cc.b - g.i
+    JOIN lf lck ON lck.i = cc.a + cc.c - g.i
+    JOIN lf ldk ON ldk.i = cc.d - cc.a + g.i
+)
+SELECT cc.a, cc.b, cc.c, cc.d,
+    ROUND(cc.a * cc.d * 1.0 / NULLIF(cc.b * cc.c, 0), 6) AS odds_ratio,
+    ROUND((SELECT EXP(logp) FROM terms WHERE k = cc.a), 6) AS p_observed,
+    ROUND((SELECT SUM(EXP(logp)) FROM terms
+           WHERE logp <= (SELECT logp FROM terms WHERE k = cc.a) + 1e-7), 6)
+        AS p_two_sided
+FROM cells cc""",
+)
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test of independence on a 2x2 table (weekend x
+    error-event over a deterministic small user subsample, user_id %
+    {FISHER_USER_MOD} = 0) — the small-count complement of
+    q_chi_squared, whose asymptotic p is unreliable exactly where
+    Fisher is exact. Two-sided p sums every hypergeometric table whose
+    point probability <= the observed one (R's convention, with the
+    1e-7 slack for float ties); probabilities computed in LOG space
+    from a log-factorial table built as ONE ascending running sum —
+    the identical addition sequence in both engines, so the unrolled
+    arithmetic hash-matches.
+
+    Scale: the corpus reduces to FOUR integers in one conditional-agg
+    pass; the log-factorial table and the k-grid are bounded by the
+    SAMPLE size (the test is only meaningful at small n — at corpus n
+    the tail underflows and q_chi_squared is the right tool), so every
+    downstream join is driver-trivial and broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % FISHER_USER_MOD == 0
+    )
+    epoch_day = F.floor(F.unix_micros("ts") / 86400000000.0).cast("bigint")
+    wk = ((epoch_day + 4) % 7).isin(0, 6)
+    err = F.col("event_type") == "error"
+    cells = ev.agg(
+        F.sum(F.when(wk & err, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(wk & ~err, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(~wk & err, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~wk & ~err, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a, b, c, d, n = cells.first()  # bounded scalar read (4 cells + n)
+    r1, c1 = a + b, a + c
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    lf = spark.range(0, n + 1).select(
+        F.col("id").alias("i"),
+        F.sum(
+            F.when(F.col("id") >= 2, F.log(F.col("id").cast("double")))
+            .otherwise(0.0)
+        )
+        .over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("lf"),
+    )
+    # the lf table is sample-bounded: collect it once and fold the nine
+    # lookups per k into literals driver-side (the BPE-argmax precedent)
+    lfm = {r.i: r.lf for r in lf.collect()}
+
+    def logp(k: int) -> float:
+        return (
+            lfm[r1]
+            + lfm[n - r1]
+            + lfm[c1]
+            + lfm[n - c1]
+            - lfm[n]
+            - lfm[k]
+            - lfm[r1 - k]
+            - lfm[c1 - k]
+            - lfm[n - r1 - c1 + k]
+        )
+
+    import math
+
+    lp_obs = logp(a)
+    p_obs = math.exp(lp_obs)
+    p_two = sum(
+        math.exp(lp)
+        for lp in (logp(k) for k in range(lo, hi + 1))
+        if lp <= lp_obs + 1e-7
+    )
+    out = spark.createDataFrame(
+        [(a, b, c, d)], "a bigint, b bigint, c bigint, d bigint"
+    )
+    odds = F.when(
+        F.lit(b * c) != 0, F.lit(float(a * d)) / F.lit(float(b * c))
+    )
+    return out.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(odds, 6).alias("odds_ratio"),
+        F.round(F.lit(p_obs), 6).alias("p_observed"),
+        F.round(F.lit(p_two), 6).alias("p_two_sided"),
+    )
+
+
+# High-value errors only: with ~67 events/user the plain "any error in
+# the half" indicator is 1 for every user in both halves and the
+# discordant cells are empty. value >= 150 leaves real discordance at
+# every fixture SF (probed: b=26/c=38 at sf0.01).
+MCNEMAR_VALUE = 150.0
+
+
+@query(
+    "q_mcnemar",
+    oracle=f"""
+WITH bounds AS MATERIALIZED (
+    SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+          + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid_us
+    FROM events
+), paired AS MATERIALIZED (
+    SELECT user_id,
+        MAX(CASE WHEN event_type = 'error' AND value >= {MCNEMAR_VALUE}
+            AND CAST(epoch_us(ts) AS BIGINT) < mid_us THEN 1 ELSE 0 END) AS x,
+        MAX(CASE WHEN event_type = 'error' AND value >= {MCNEMAR_VALUE}
+            AND CAST(epoch_us(ts) AS BIGINT) >= mid_us THEN 1 ELSE 0 END) AS y
+    FROM events CROSS JOIN bounds
+    GROUP BY user_id
+), cells AS MATERIALIZED (
+    SELECT
+        CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM paired
+), lf AS MATERIALIZED (
+    SELECT i, SUM(LN(CASE WHEN i >= 2 THEN i ELSE 1 END)) OVER (
+        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+    FROM (
+        SELECT CAST(r.range AS BIGINT) AS i
+        FROM range(1000000) r
+        WHERE r.range <= (SELECT b + c FROM cells)
+    )
+), exact AS MATERIALIZED (
+    SELECT SUM(EXP(lm.lf - li.lf - lmi.lf - (cc.b + cc.c) * LN(2.0)))
+        AS tail
+    FROM cells cc
+    JOIN lf g ON g.i <= LEAST(cc.b, cc.c)
+    JOIN lf lm ON lm.i = cc.b + cc.c
+    JOIN lf li ON li.i = g.i
+    JOIN lf lmi ON lmi.i = cc.b + cc.c - g.i
+)
+SELECT cc.a, cc.b, cc.c, cc.d,
+    ROUND((cc.b - cc.c) * (cc.b - cc.c) * 1.0
+        / NULLIF(cc.b + cc.c, 0), 6) AS chi2,
+    ROUND((ABS(cc.b - cc.c) - 1) * (ABS(cc.b - cc.c) - 1) * 1.0
+        / NULLIF(cc.b + cc.c, 0), 6) AS chi2_corrected,
+    ROUND(LEAST(1.0, 2.0 * (SELECT tail FROM exact)), 6) AS p_exact
+FROM cells cc""",
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: did each user's
+    HIGH-VALUE-error incidence (value >= {MCNEMAR_VALUE}) change
+    between the first and second half of the
+    observation window (halves split at the integer-microsecond global
+    midpoint — engine-identical, the q_did precedent)? Only the
+    discordant pairs carry information: chi2 = (b-c)^2/(b+c), the
+    continuity-corrected variant, and the EXACT two-sided binomial p
+    (2 * P(X <= min(b,c)) at p=1/2, capped at 1) computed in log
+    space from the same running-sum log-factorial table as
+    q_fisher_exact — the right tool when discordant counts are small
+    and the chi-square asymptotics fail.
+
+    Scale: one user-grain conditional-agg pass (partial map-side) to
+    four integers; the binomial tail is bounded by the DISCORDANT
+    count, not the corpus."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    mid = (mn + mx) // 2  # bounded scalar read (two timestamps)
+    err = (F.col("event_type") == "error") & (
+        F.col("value") >= MCNEMAR_VALUE
+    )
+    paired = ev.groupBy("user_id").agg(
+        F.max(F.when(err & (us < mid), 1).otherwise(0)).alias("x"),
+        F.max(F.when(err & (us >= mid), 1).otherwise(0)).alias("y"),
+    )
+    x1, y1 = F.col("x") == 1, F.col("y") == 1
+    a, b, c, d = paired.agg(
+        F.sum(F.when(x1 & y1, 1).otherwise(0)).cast("bigint"),
+        F.sum(F.when(x1 & ~y1, 1).otherwise(0)).cast("bigint"),
+        F.sum(F.when(~x1 & y1, 1).otherwise(0)).cast("bigint"),
+        F.sum(F.when(~x1 & ~y1, 1).otherwise(0)).cast("bigint"),
+    ).first()
+    m = b + c
+    lf = [0.0]
+    for i in range(1, m + 1):
+        lf.append(lf[-1] + math.log(i))
+    tail = sum(
+        math.exp(lf[m] - lf[i] - lf[m - i] - m * math.log(2.0))
+        for i in range(0, min(b, c) + 1)
+    )
+    chi2 = (b - c) ** 2 / m if m else None
+    chi2c = (abs(b - c) - 1) ** 2 / m if m else None
+    out = spark.createDataFrame(
+        [(a, b, c, d)], "a bigint, b bigint, c bigint, d bigint"
+    )
+    return out.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.lit(chi2), 6).alias("chi2"),
+        F.round(F.lit(chi2c), 6).alias("chi2_corrected"),
+        F.round(F.least(F.lit(1.0), F.lit(2.0 * tail)), 6).alias("p_exact"),
+    )
+
+
+COX_ROUNDS = 4
+
+
+def _cox_oracle() -> str:
+    """Unrolled {COX_ROUNDS}-round Newton ascent on the Breslow partial
+    likelihood (1 covariate), MATERIALIZED CTE chain per round (the
+    q_pagerank precedent: materialization is load-bearing — inlined,
+    each round's reference to the previous beta re-evaluates the whole
+    prefix and the oracle goes exponential)."""
+    desc_cum = (
+        "ORDER BY duration DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW"
+    )
+    # _LIFE_TABLE_CTES ends "life AS ( ... )": keep the chain whole —
+    # the unused rollup/life CTEs are pruned by the optimizer.
+    parts = [_LIFE_TABLE_CTES.lstrip()]
+    parts.append(
+        """xcov AS MATERIALIZED (
+    SELECT user_id,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*) AS x
+    FROM events GROUP BY user_id
+)"""
+    )
+    parts.append(
+        """cox_users AS MATERIALIZED (
+    SELECT s.duration, s.observed, x.x
+    FROM spells s JOIN xcov x USING (user_id)
+)"""
+    )
+    parts.append("b0 AS MATERIALIZED (SELECT 0.0 AS b)")
+    for r in range(COX_ROUNDS + 1):
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+    SELECT duration,
+        SUM(EXP((SELECT b FROM b{r}) * x)) AS s0,
+        SUM(x * EXP((SELECT b FROM b{r}) * x)) AS s1,
+        SUM(x * x * EXP((SELECT b FROM b{r}) * x)) AS s2,
+        CAST(SUM(observed) AS BIGINT) AS d,
+        SUM(CASE WHEN observed = 1 THEN x ELSE 0.0 END) AS sx
+    FROM cox_users GROUP BY duration
+)"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+    SELECT duration, d, sx,
+        SUM(s0) OVER ({desc_cum}) AS rs0,
+        SUM(s1) OVER ({desc_cum}) AS rs1,
+        SUM(s2) OVER ({desc_cum}) AS rs2
+    FROM s{r}
+)"""
+        )
+        parts.append(
+            f"""ui{r} AS MATERIALIZED (
+    SELECT SUM(sx - d * rs1 / rs0) AS u,
+        SUM(d * (rs2 / rs0 - (rs1 / rs0) * (rs1 / rs0))) AS i
+    FROM c{r} WHERE d > 0
+)"""
+        )
+        if r < COX_ROUNDS:
+            parts.append(
+                f"""b{r + 1} AS MATERIALIZED (
+    SELECT (SELECT b FROM b{r})
+         + (SELECT u FROM ui{r}) / (SELECT i FROM ui{r}) AS b
+)"""
+            )
+    R = COX_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST((SELECT COUNT(*) FROM cox_users) AS BIGINT) AS n_users,
+    CAST((SELECT SUM(observed) FROM cox_users) AS BIGINT) AS n_events,
+    ROUND((SELECT b FROM b{R}), 6) AS beta,
+    ROUND(EXP((SELECT b FROM b{R})), 6) AS hazard_ratio,
+    ROUND(1.0 / SQRT((SELECT i FROM ui{R})), 6) AS se,
+    ROUND((SELECT b FROM b{R}) * SQRT((SELECT i FROM ui{R})), 6) AS z,
+    ROUND(ABS((SELECT u FROM ui{R})), 6) AS final_score_abs"""
+    )
+
+
+@query("q_cox_regression", oracle=_cox_oracle())
+def q_cox_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression (Breslow ties) on the
+    view->purchase conversion spell, one covariate: the user's
+    error-event ratio. Completes the survival family — q_kaplan_meier /
+    q_nelson_aalen DESCRIBE the hazard, Cox EXPLAINS it with a
+    covariate effect (hazard ratio + Wald z). {COX_ROUNDS} fixed
+    Newton rounds from beta=0 on the partial likelihood; se evaluated
+    at the final beta, and the final |score| is emitted so convergence
+    is part of the hash gate.
+
+    Scale: per round, the user-grain frame reduces to a per-DURATION
+    rollup of five sufficient statistics (one partial-agg exchange);
+    the risk-set sums are descending cumulative windows over the
+    distinct-duration table (days — bounded at any corpus size), and
+    only two scalars (U, I) reach the driver per round — the
+    q_logreg_newton discipline applied to censored survival data."""
+    ev = load_table(spark, sf_dir, "events")
+    xcov = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            * 1.0
+            / F.count("*")
+        ).alias("x")
+    )
+    users = (
+        _user_spells(spark, sf_dir)
+        .join(xcov, "user_id")
+        .select("duration", "observed", "x")
+        .localCheckpoint()
+    )
+    wdesc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    b = 0.0
+    U = I = None
+    for r in range(COX_ROUNDS + 1):
+        e = F.exp(F.lit(b) * F.col("x"))
+        s = users.groupBy("duration").agg(
+            F.sum(e).alias("s0"),
+            F.sum(F.col("x") * e).alias("s1"),
+            F.sum(F.col("x") * F.col("x") * e).alias("s2"),
+            F.sum("observed").cast("bigint").alias("d"),
+            F.sum(
+                F.when(F.col("observed") == 1, F.col("x")).otherwise(0.0)
+            ).alias("sx"),
+        )
+        c = s.select(
+            "duration",
+            "d",
+            "sx",
+            F.sum("s0").over(wdesc).alias("rs0"),
+            F.sum("s1").over(wdesc).alias("rs1"),
+            F.sum("s2").over(wdesc).alias("rs2"),
+        )
+        U, I = (
+            c.filter(F.col("d") > 0)
+            .agg(
+                F.sum(
+                    F.col("sx") - F.col("d") * F.col("rs1") / F.col("rs0")
+                ),
+                F.sum(
+                    F.col("d")
+                    * (
+                        F.col("rs2") / F.col("rs0")
+                        - (F.col("rs1") / F.col("rs0"))
+                        * (F.col("rs1") / F.col("rs0"))
+                    )
+                ),
+            )
+            .first()
+        )
+        if r < COX_ROUNDS:
+            b += U / I
+    n_users, n_events = users.agg(
+        F.count("*").cast("bigint"), F.sum("observed").cast("bigint")
+    ).first()
+    import math
+
+    out = spark.createDataFrame(
+        [(n_users, n_events)], "n_users bigint, n_events bigint"
+    )
+    return out.select(
+        "n_users",
+        "n_events",
+        F.round(F.lit(b), 6).alias("beta"),
+        F.round(F.lit(math.exp(b)), 6).alias("hazard_ratio"),
+        F.round(F.lit(1.0 / math.sqrt(I)), 6).alias("se"),
+        F.round(F.lit(b * math.sqrt(I)), 6).alias("z"),
+        F.round(F.lit(abs(U)), 6).alias("final_score_abs"),
     )

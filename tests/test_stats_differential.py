@@ -1409,3 +1409,144 @@ def test_feature_hashing_matches_pure_python(spark):
             want[key] = want.get(key, 0) + s
     want = {k: v for k, v in want.items() if v != 0}
     assert got == want
+
+
+def test_fisher_exact_matches_exact_rational_arithmetic(spark):
+    """Third implementation with EXACT integer combinatorics
+    (math.comb + Fraction — no floats until the final comparison):
+    catches any log-space drift or support-bound bug in both engines'
+    shared formula."""
+    from fractions import Fraction
+    from math import comb
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_fisher_exact"](spark, SF_ORACLE).first()
+    a, b, c, d = row.a, row.b, row.c, row.d
+    n, r1, c1 = a + b + c + d, a + b, a + c
+    denom = comb(n, c1)
+    pmf = {
+        k: Fraction(comb(r1, k) * comb(n - r1, c1 - k), denom)
+        for k in range(max(0, r1 + c1 - n), min(r1, c1) + 1)
+    }
+    p_obs = pmf[a]
+    # R's convention: sum tables at most (1 + 1e-7) * P(obs)
+    cutoff = p_obs * (1 + Fraction(1, 10**7))
+    p_two = sum(p for p in pmf.values() if p <= cutoff)
+    assert abs(row.p_observed - float(p_obs)) < 2e-6
+    assert abs(row.p_two_sided - float(p_two)) < 2e-6
+
+
+def test_mcnemar_matches_exact_rational_arithmetic(spark):
+    """Exact-binomial third implementation of q_mcnemar's p via
+    math.comb over Fraction(1, 2**m)."""
+    from fractions import Fraction
+    from math import comb
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_mcnemar"](spark, SF_ORACLE).first()
+    b, c = row.b, row.c
+    m = b + c
+    tail = sum(
+        Fraction(comb(m, i), 2**m) for i in range(0, min(b, c) + 1)
+    )
+    p = min(Fraction(1), 2 * tail)
+    assert abs(row.p_exact - float(p)) < 2e-6
+    assert abs(row.chi2 - (b - c) ** 2 / m) < 1e-9
+    assert abs(row.chi2_corrected - (abs(b - c) - 1) ** 2 / m) < 1e-9
+
+
+def test_map_eval_matches_pure_python(spark):
+    """Third implementation of AP@K: per-source sort + explicit
+    precision-at-hit loop in pure Python."""
+    from aram_matchdata_etl_spark.operators.stats import (
+        KAPPA_WORD_CUTS,
+        MAP_K,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.source: (r.n_relevant, r.avg_precision)
+        for r in all_queries()["q_map_eval"](spark, SF_ORACLE).collect()
+    }
+    docs = _duck(
+        "SELECT source, doc_id, n_chars,"
+        " len(string_split(text, ' ')) AS nw FROM documents"
+    )
+    for src, grp in docs.groupby("source"):
+        rows = sorted(
+            grp.itertuples(), key=lambda r: (-r.n_chars, r.doc_id)
+        )
+        rels = [1 if r.nw >= KAPPA_WORD_CUTS[1] else 0 for r in rows]
+        r_total = sum(rels)
+        hits, ap = 0, 0.0
+        for pos, rel in enumerate(rels[:MAP_K], start=1):
+            if rel:
+                hits += 1
+                ap += hits / pos
+        ap = ap / min(r_total, MAP_K) if r_total else 0.0
+        n_rel, got_ap = got[src]
+        assert n_rel == r_total
+        assert abs(got_ap - ap) < 2e-6, (src, got_ap, ap)
+
+
+def test_cox_regression_matches_numpy_newton(spark):
+    """Third implementation: Breslow partial-likelihood Newton in
+    numpy — independent spell/covariate build from the raw events and
+    vectorized risk-set cumsums (no SQL windows, no duration rollup) —
+    catches a risk-set or tie-handling bug the two-dialect gate can't."""
+    from aram_matchdata_etl_spark.operators.stats import COX_ROUNDS
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_cox_regression"](spark, SF_ORACLE).first()
+
+    ev = _duck(
+        "SELECT user_id, ts, event_type FROM events ORDER BY user_id, ts"
+    )
+    spells = {}
+    for u, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]
+        if views.empty:
+            continue
+        tv = views.ts.min()
+        pur = g[(g.event_type == "purchase") & (g.ts >= tv)]
+        observed = int(not pur.empty)
+        end = pur.ts.min() if observed else g.ts.max()
+        duration = int(
+            (end.value // 1000 - tv.value // 1000) // 86400000000
+        )
+        x = float((g.event_type == "error").mean())
+        spells[u] = (duration, observed, x)
+    dur = np.array([v[0] for v in spells.values()], dtype=np.float64)
+    obs = np.array([v[1] for v in spells.values()], dtype=np.float64)
+    x = np.array([v[2] for v in spells.values()], dtype=np.float64)
+    # sort by duration DESC so risk set at t = prefix of the sort
+    order = np.argsort(-dur, kind="mergesort")
+    dur, obs, x = dur[order], obs[order], x[order]
+    b = 0.0
+    for r in range(COX_ROUNDS + 1):
+        e = np.exp(b * x)
+        cs0, cs1, cs2 = (
+            np.cumsum(e),
+            np.cumsum(x * e),
+            np.cumsum(x * x * e),
+        )
+        # risk-set sums at each distinct event time = cumsum at the
+        # LAST index of that duration in the desc sort
+        u_tot = i_tot = 0.0
+        for t in np.unique(dur[obs == 1]):
+            last = np.searchsorted(-dur, -t, side="right") - 1
+            s0, s1, s2 = cs0[last], cs1[last], cs2[last]
+            at_t = (dur == t) & (obs == 1)
+            d_t = at_t.sum()
+            u_tot += x[at_t].sum() - d_t * s1 / s0
+            i_tot += d_t * (s2 / s0 - (s1 / s0) ** 2)
+        if r < COX_ROUNDS:
+            b += u_tot / i_tot
+    assert row.n_users == len(spells)
+    assert row.n_events == int(obs.sum())
+    assert abs(row.beta - b) < 1e-4, (row.beta, b)
+    assert abs(row.se - 1.0 / np.sqrt(i_tot)) < 1e-4
+    assert abs(row.z - b * np.sqrt(i_tot)) < 1e-3
+    assert row.final_score_abs < 1e-3  # Newton actually converged
