@@ -1582,3 +1582,227 @@ def q_eigen_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _free_checkpoint(prev_ckpt)
         prev_ckpt = v
     return v.select("doc_id", F.round("v", 9).alias("centrality"))
+
+
+BTW_SOURCES = 4  # deterministic sample: the lowest-id edge endpoints
+# Unrolled-oracle depth cap. The hash link graph's eccentricity from the
+# source sample is 6 (sf0.001/sf0.01) to 7 (sf0.1); a pytest asserts the
+# measured BFS depth stays <= BTW_DCAP - 2 at the oracle SF so a fixture
+# change fails loudly instead of desyncing the hash gate (the q_kcore
+# ORACLE_ROUNDS discipline).
+BTW_DCAP = 10
+
+
+def _betweenness_oracle_sql() -> str:
+    """Sampled Brandes unrolled: level-synchronized BFS with path counts
+    (lvl/vis CTE pair per depth — a recursive CTE cannot carry sigma:
+    UNION dedup kills multiplicity and UNION ALL enumerates walks
+    exponentially), then the dependency accumulation unrolled from the
+    deepest level back. Every CTE MATERIALIZED (the q_pagerank
+    precedent)."""
+    parts = [
+        f"""{LINK_GRAPH_SQL},
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+srcs AS MATERIALIZED (
+    SELECT s FROM (SELECT DISTINCT a AS s FROM sym) ORDER BY s
+    LIMIT {BTW_SOURCES}
+),
+lvl0 AS MATERIALIZED (
+    SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM srcs
+),
+vis0 AS MATERIALIZED (SELECT s, v, 0 AS d, sigma FROM lvl0)"""
+    ]
+    for d in range(1, BTW_DCAP + 1):
+        parts.append(
+            f"""lvl{d} AS MATERIALIZED (
+    SELECT p.s, sym.b AS v, SUM(p.sigma) AS sigma
+    FROM lvl{d - 1} p JOIN sym ON sym.a = p.v
+    LEFT JOIN vis{d - 1} vv ON vv.s = p.s AND vv.v = sym.b
+    WHERE vv.v IS NULL
+    GROUP BY p.s, sym.b
+)"""
+        )
+        parts.append(
+            f"""vis{d} AS MATERIALIZED (
+    SELECT s, v, d, sigma FROM vis{d - 1}
+    UNION ALL
+    SELECT s, v, {d} AS d, sigma FROM lvl{d}
+)"""
+        )
+    D = BTW_DCAP
+    parts.append(
+        f"""dag AS MATERIALIZED (
+    SELECT v1.s, v1.v AS v, v2.v AS w, v1.d AS dv,
+        v1.sigma AS sig_v, v2.sigma AS sig_w
+    FROM vis{D} v1
+    JOIN sym ON sym.a = v1.v
+    JOIN vis{D} v2 ON v2.s = v1.s AND v2.v = sym.b AND v2.d = v1.d + 1
+)"""
+    )
+    parts.append(
+        f"""del{D} AS MATERIALIZED (
+    SELECT s, v, 0.0 AS delta FROM vis{D} WHERE d = {D}
+)"""
+    )
+    for d in range(D - 1, 0, -1):
+        parts.append(
+            f"""del{d} AS MATERIALIZED (
+    SELECT n.s, n.v,
+        COALESCE(SUM(g.sig_v / g.sig_w * (1 + dw.delta)), 0.0) AS delta
+    FROM (SELECT s, v FROM vis{D} WHERE d = {d}) n
+    LEFT JOIN dag g ON g.s = n.s AND g.v = n.v AND g.dv = {d}
+    LEFT JOIN del{d + 1} dw ON dw.s = g.s AND dw.v = g.w
+    GROUP BY n.s, n.v
+)"""
+        )
+    all_dels = " UNION ALL ".join(
+        f"SELECT * FROM del{d}" for d in range(1, D + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v AS doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_sources_reached,
+    ROUND(SUM(delta), 6) AS dependency
+FROM ({all_dels})
+GROUP BY v ORDER BY doc_id"""
+    )
+
+
+@query("q_betweenness_sampled", oracle=_betweenness_oracle_sql())
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source betweenness (Brandes 2001, the {BTW_SOURCES}
+    lowest-id sources — the same deterministic Eppstein-Wang-style
+    sample as q_closeness_sampled): forward level-synchronized
+    multi-source BFS carrying shortest-path COUNTS (sigma), then the
+    backward dependency accumulation delta(v) = sum over DAG successors
+    w of sigma_v/sigma_w * (1 + delta(w)), summed over sources. The
+    reported `dependency` is the raw sampled dependency sum — the
+    canonical estimator rescales by n/k, a corpus-independent constant
+    that would only obscure the hash.
+
+    Scale: the only affordable betweenness at 100 TB — exact Brandes is
+    all-sources. Forward pass: one edge-keyed join + one (s, v) grouped
+    sum per level (identical shape to q_closeness_sampled, sigma rides
+    along). DAG: one self-join of the bounded (sources x nodes) dist
+    table against the edge list. Backward: one join per LEVEL (max
+    eccentricity rounds, not per node), all keyed on (s, node) pairs —
+    no all-pairs object ever exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    telemetry: dict = {"rounds": 0, "frontier_per_round": []}
+    PR_TELEMETRY["btw_q_betweenness_sampled"] = telemetry
+    e = link_graph(docs)
+    und = canonical_und(e)
+    sym = sym_edges(und).localCheckpoint()
+    srcs = (
+        sym.select(F.col("a").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(BTW_SOURCES)
+    )
+    visited = srcs.select(
+        "s",
+        F.col("s").alias("v"),
+        F.lit(0).alias("d"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint()
+    frontier = visited.select("s", "v", "sigma")
+    depth = 0
+    prev = [visited, frontier]
+    while True:
+        depth += 1
+        nxt = (
+            sym.join(frontier.withColumnRenamed("v", "a"), "a")
+            .groupBy("s", F.col("b").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(depth).alias("d"), "sigma")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        telemetry["rounds"] += 1
+        telemetry["frontier_per_round"].append(n)
+        if n == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited.count()
+        for df in prev:
+            _free_checkpoint(df)
+        prev = [visited, nxt]
+        frontier = nxt.select("s", "v", "sigma")
+    max_d = depth - 1  # bounded scalar: the last non-empty level
+    v1 = visited.select(
+        "s",
+        F.col("v").alias("v"),
+        F.col("d").alias("dv"),
+        F.col("sigma").alias("sig_v"),
+    )
+    v2 = visited.select(
+        F.col("s").alias("s2"),
+        F.col("v").alias("w"),
+        F.col("d").alias("dw"),
+        F.col("sigma").alias("sig_w"),
+    )
+    dag = (
+        v1.join(sym.withColumnRenamed("a", "v"), "v")
+        .join(
+            v2,
+            (F.col("s2") == F.col("s"))
+            & (F.col("w") == F.col("b"))
+            & (F.col("dw") == F.col("dv") + 1),
+        )
+        .select("s", "v", "w", "dv", "sig_v", "sig_w")
+        .localCheckpoint()
+    )
+    delta_next = visited.filter(F.col("d") == max_d).select(
+        "s", "v", F.lit(0.0).alias("delta")
+    )
+    deltas = [delta_next]
+    for d in range(max_d - 1, 0, -1):
+        contrib = (
+            dag.filter(F.col("dv") == d)
+            .join(
+                delta_next.select(
+                    "s", F.col("v").alias("w"), F.col("delta")
+                ),
+                ["s", "w"],
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sig_v")
+                    / F.col("sig_w")
+                    * (1 + F.col("delta"))
+                ).alias("delta")
+            )
+        )
+        delta_next = (
+            visited.filter(F.col("d") == d)
+            .select("s", "v")
+            .join(contrib, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        deltas.append(delta_next)
+    from functools import reduce
+
+    all_dels = reduce(lambda a, b: a.unionByName(b), deltas)
+    out = (
+        all_dels.groupBy(F.col("v").alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources_reached"),
+            F.round(F.sum("delta"), 6).alias("dependency"),
+        )
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint()
+    _free_checkpoint(sym)
+    _free_checkpoint(dag)
+    return out

@@ -473,3 +473,89 @@ def test_modularity_matches_python(spark):
         assert abs(r["contribution"] - want) < 1e-8
         q_total += r["contribution"]
     assert -1.0 <= q_total <= 1.0
+
+
+def test_betweenness_matches_textbook_brandes(spark):
+    """Third implementation of q_betweenness_sampled: the literal
+    Brandes (2001) single-source algorithm — queue/stack BFS with
+    predecessor lists and a reverse-pop accumulation, no level tables,
+    no SQL — run per sampled source in pure Python on the same edge
+    list."""
+    from collections import defaultdict, deque
+
+    from aram_matchdata_etl_spark.operators.graph import (
+        BTW_SOURCES,
+        canonical_und,
+        q_betweenness_sampled,
+    )
+
+    from .conftest import SF_ORACLE
+
+    got = {
+        r.doc_id: (r.n_sources_reached, r.dependency)
+        for r in q_betweenness_sampled(spark, SF_ORACLE).collect()
+    }
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    und = [
+        (r.a, r.b) for r in canonical_und(link_graph(docs)).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    srcs = sorted(adj)[:BTW_SOURCES]
+    dep = defaultdict(float)
+    reached = defaultdict(int)
+    for s in srcs:
+        stack, preds = [], defaultdict(list)
+        sigma = defaultdict(float)
+        dist = {s: 0}
+        sigma[s] = 1.0
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                dep[w] += delta[w]
+                reached[w] += 1
+    assert set(got) == set(dep)
+    for v in dep:
+        n_r, d_got = got[v]
+        assert n_r == reached[v], (v, n_r, reached[v])
+        assert abs(d_got - dep[v]) < 1e-4, (v, d_got, dep[v])
+
+
+def test_betweenness_oracle_depth_cap_has_headroom(spark):
+    """q_betweenness_sampled's oracle unrolls BFS levels to a FIXED
+    depth cap (BTW_DCAP); assert the measured eccentricity at the
+    driver gate's SF keeps >= 2 levels of headroom so a fixture change
+    fails loudly instead of desyncing the hash (the kcore round-cap
+    discipline)."""
+    from aram_matchdata_etl_spark.operators.graph import (
+        BTW_DCAP,
+        PR_TELEMETRY,
+        q_betweenness_sampled,
+    )
+
+    from .conftest import SF_ORACLE
+
+    q_betweenness_sampled(spark, SF_ORACLE).count()
+    t = PR_TELEMETRY["btw_q_betweenness_sampled"]
+    # rounds includes the final empty frontier; max depth = rounds - 1
+    assert t["rounds"] - 1 <= BTW_DCAP - 2, (
+        f"BFS depth {t['rounds'] - 1} at the oracle SF is too close to "
+        f"the oracle cap {BTW_DCAP}; raise BTW_DCAP"
+    )
