@@ -3466,3 +3466,98 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("removal_effect", 6).alias("removal_effect"),
         F.round("attribution_share", 6).alias("attribution_share"),
     )
+
+
+CROSTON_ALPHA = 0.2
+_CR_Q = 1 - CROSTON_ALPHA
+CROSTON_VALUE = 300.0
+
+
+@query(
+    "q_croston",
+    oracle=f"""
+WITH demand AS MATERIALIZED (
+    SELECT event_type, date_trunc('day', ts) AS day,
+        CAST(COUNT(*) AS DOUBLE) AS z
+    FROM events WHERE value >= {CROSTON_VALUE}
+    GROUP BY 1, 2
+), idx AS MATERIALIZED (
+    SELECT event_type, z,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        COUNT(*) OVER (PARTITION BY event_type) AS m,
+        CAST(COALESCE(date_diff('day', LAG(day) OVER (
+            PARTITION BY event_type ORDER BY day), day), 1) AS DOUBLE) AS g
+    FROM demand
+)
+SELECT event_type,
+    CAST(MAX(m) AS BIGINT) AS n_demand_days,
+    ROUND(SUM(CASE WHEN i = 1 THEN POW({_CR_Q}, m - 1) * z
+        ELSE {CROSTON_ALPHA} * POW({_CR_Q}, m - i) * z END), 6) AS z_hat,
+    ROUND(SUM(CASE WHEN i = 1 THEN POW({_CR_Q}, m - 1) * g
+        ELSE {CROSTON_ALPHA} * POW({_CR_Q}, m - i) * g END), 6) AS q_hat,
+    ROUND(SUM(CASE WHEN i = 1 THEN POW({_CR_Q}, m - 1) * z
+            ELSE {CROSTON_ALPHA} * POW({_CR_Q}, m - i) * z END)
+        / SUM(CASE WHEN i = 1 THEN POW({_CR_Q}, m - 1) * g
+            ELSE {CROSTON_ALPHA} * POW({_CR_Q}, m - i) * g END), 6)
+        AS demand_rate
+FROM idx GROUP BY event_type""",
+)
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (daily counts of rare
+    high-value events, value >= {CROSTON_VALUE}, per event type —
+    series that are mostly zeros, where plain EWMA systematically
+    lags): separate exponential smoothing of the nonzero demand SIZES
+    z_i and the inter-demand INTERVALS g_i (alpha={CROSTON_ALPHA},
+    seeded with the first observation; the first interval pinned to 1
+    by convention), forecast = z_hat / q_hat demand per day.
+
+    Unlike q_ewma (every in-series value, needs the chunked unroll),
+    Croston reports only the END-of-series smoothed levels, so the
+    closed form needs only DECAYING weights POW(q, m-i) — they
+    UNDERFLOW harmlessly to exact zero for deep history (identically
+    in both engines) and the form is overflow-free at any length with
+    no chunking.
+
+    Scale: one filtered corpus pass to the (type, day) demand rollup;
+    ranks/gaps/sums are windows and an agg over |demand days| rows per
+    group — calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    demand = (
+        ev.filter(F.col("value") >= CROSTON_VALUE)
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count("*").cast("double").alias("z"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = demand.select(
+        "event_type",
+        "z",
+        F.row_number().over(w).alias("i"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+        F.coalesce(
+            F.datediff(F.col("day"), F.lag("day").over(w)).cast("double"),
+            F.lit(1.0),
+        ).alias("g"),
+    )
+
+    def _sm(col: str):
+        return F.sum(
+            F.when(
+                F.col("i") == 1,
+                F.pow(F.lit(_CR_Q), F.col("m") - 1) * F.col(col),
+            ).otherwise(
+                CROSTON_ALPHA
+                * F.pow(F.lit(_CR_Q), F.col("m") - F.col("i"))
+                * F.col(col)
+            )
+        )
+
+    return idx.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_demand_days"),
+        F.round(_sm("z"), 6).alias("z_hat"),
+        F.round(_sm("g"), 6).alias("q_hat"),
+        F.round(_sm("z") / _sm("g"), 6).alias("demand_rate"),
+    )

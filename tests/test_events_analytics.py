@@ -592,3 +592,44 @@ def test_markov_attribution_matches_numpy_matrix_powers(spark):
         assert abs(g_eff - effects[ch]) < 1e-4
         assert abs(g_share - effects[ch] / tot) < 1e-4
     assert abs(sum(s for _, _, s in got.values()) - 1.0) < 5e-6
+
+
+def test_croston_matches_raw_recursion(spark):
+    """Third implementation: the textbook Croston update loop (two
+    sequential EWMA recursions over the nonzero-demand subsequence, no
+    closed form) in pure Python."""
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        CROSTON_ALPHA,
+        CROSTON_VALUE,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import duckdb_df
+
+    got = {
+        r.event_type: (r.n_demand_days, r.z_hat, r.q_hat, r.demand_rate)
+        for r in all_queries()["q_croston"](spark, SF_ORACLE).collect()
+    }
+    daily = duckdb_df(
+        f"""SELECT event_type, date_trunc('day', ts) AS day,
+            COUNT(*) AS z FROM events
+        WHERE value >= {CROSTON_VALUE} GROUP BY 1, 2 ORDER BY 1, 2""",
+        SF_ORACLE,
+    )
+    a = CROSTON_ALPHA
+    for et, g in daily.groupby("event_type"):
+        days = list(g.day)
+        zs = list(g.z)
+        gaps = [1.0] + [
+            (days[i] - days[i - 1]).days for i in range(1, len(days))
+        ]
+        zh, qh = float(zs[0]), float(gaps[0])
+        for z, q in zip(zs[1:], gaps[1:]):
+            zh = a * z + (1 - a) * zh
+            qh = a * q + (1 - a) * qh
+        m, gz, gq, rate = got[et]
+        assert m == len(zs)
+        assert abs(gz - zh) < 1e-5, (et, gz, zh)
+        assert abs(gq - qh) < 1e-5, (et, gq, qh)
+        assert abs(rate - zh / qh) < 1e-5

@@ -1550,3 +1550,34 @@ def test_cox_regression_matches_numpy_newton(spark):
     assert abs(row.se - 1.0 / np.sqrt(i_tot)) < 1e-4
     assert abs(row.z - b * np.sqrt(i_tot)) < 1e-3
     assert row.final_score_abs < 1e-3  # Newton actually converged
+
+
+def test_join_size_estimate_matches_hashlib_pandas(spark):
+    """Third implementation of q_join_size_estimate: per-key frequency
+    products in pandas with hashlib md5 sampling — and a sanity bound
+    that correlated sampling at p=1/64 lands within 50% of truth on
+    this fixture (it measured ~3%)."""
+    import hashlib
+
+    from aram_matchdata_etl_spark.operators.streaming_batch import (
+        JOINEST_MOD,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_join_size_estimate"](spark, SF_ORACLE).first()
+    li = _duck("SELECT l_partkey, l_returnflag FROM lineitem")
+    fa = li.groupby("l_partkey").size()
+    fb = li[li.l_returnflag == "R"].groupby("l_partkey").size()
+    keys = fa.index.intersection(fb.index)
+    true_sz = int((fa[keys] * fb[keys]).sum())
+
+    def sampled(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()[:8]
+        return int(h, 16) % JOINEST_MOD == 0
+
+    skeys = [k for k in keys if sampled(k)]
+    est = JOINEST_MOD * int((fa[skeys] * fb[skeys]).sum())
+    assert row.true_join_size == true_sz
+    assert row.est_join_size == est
+    assert row.n_sampled_keys == len(skeys)
+    assert abs(row.rel_error) < 0.5
