@@ -3561,3 +3561,156 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_sm("g"), 6).alias("q_hat"),
         F.round(_sm("z") / _sm("g"), 6).alias("demand_rate"),
     )
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
+HW_PERIOD = 7
+HW_TRAIN = 28  # fixed window: 4 full seasons — pins the unroll length
+HW_H = 7
+
+
+def holt_winters_fit(
+    rows: list[tuple[str, int, float]],
+) -> list[tuple[str, int, float, float, float]]:
+    """Pure additive Holt-Winters (period {HW_PERIOD}) on indexed series
+    rows (key, t, x), t = 0..{HW_TRAIN}-1: classical init (level =
+    mean of season 1, trend = (mean season 2 - mean season 1)/period,
+    seasonals = season-1 deviations), then the textbook three-equation
+    update for t >= period. Returns (key, h, forecast, level, trend)
+    for h = 1..{HW_H}. Kept as a driver-side function of the BOUNDED
+    daily rollup (days x keys — the Markov-transition precedent), unit
+    tested on constant/trend/seasonal series."""
+    from collections import defaultdict
+
+    series: dict[str, list[float]] = defaultdict(list)
+    for k, t, x in sorted(rows):
+        assert t == len(series[k]), "series must be 0-indexed contiguous"
+        series[k].append(x)
+    out = []
+    m = HW_PERIOD
+    for k, xs in sorted(series.items()):
+        if len(xs) < 2 * m:
+            continue
+        xs = xs[:HW_TRAIN]
+        m1 = sum(xs[:m]) / m
+        m2 = sum(xs[m : 2 * m]) / m
+        tr = (m2 - m1) / m
+        # detrended init (Hyndman): m1 is season 1's MIDPOINT value, so
+        # the level at the season's end is m1 + tr*(m-1)/2 and each
+        # seasonal index is the deviation from the fitted line — a pure
+        # linear series gets all-zero seasonals and is forecast EXACTLY
+        # (asserted in tests), which plain mean-deviation init cannot do
+        lv = m1 + tr * (m - 1) / 2.0
+        s = [xs[i] - (m1 + (i - (m - 1) / 2.0) * tr) for i in range(m)]
+        for t in range(m, len(xs)):
+            prev_l = lv
+            lv = HW_ALPHA * (xs[t] - s[t - m]) + (1 - HW_ALPHA) * (lv + tr)
+            tr = HW_BETA * (lv - prev_l) + (1 - HW_BETA) * tr
+            s.append(HW_GAMMA * (xs[t] - lv) + (1 - HW_GAMMA) * s[t - m])
+        n = len(xs)
+        for h in range(1, HW_H + 1):
+            out.append((k, h, lv + h * tr + s[n - m + h - 1], lv, tr))
+    return out
+
+
+def _hw_oracle() -> str:
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    parts = [
+        f"""daily AS MATERIALIZED (
+    SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS x
+    FROM events GROUP BY 1, 2
+), base AS MATERIALIZED (
+    SELECT event_type, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+    FROM daily
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        <= {HW_TRAIN}
+), init AS MATERIALIZED (
+    SELECT event_type, m1,
+        m1 + tr * {(m - 1) / 2.0} AS lv, tr
+    FROM (
+        SELECT event_type,
+            AVG(CASE WHEN t < {m} THEN x END) AS m1,
+            (AVG(CASE WHEN t >= {m} AND t < {2 * m} THEN x END)
+             - AVG(CASE WHEN t < {m} THEN x END)) / {m} AS tr
+        FROM base GROUP BY event_type
+    )
+), sinit AS MATERIALIZED (
+    SELECT b.event_type, b.t,
+        b.x - (i.m1 + (b.t - {(m - 1) / 2.0}) * i.tr) AS sv
+    FROM base b JOIN init i USING (event_type) WHERE b.t < {m}
+), st{m - 1} AS MATERIALIZED (SELECT event_type, lv, tr FROM init)"""
+    ]
+    for t in range(m, HW_TRAIN):
+        sea_ref = (
+            f"(SELECT event_type, sv FROM sinit WHERE t = {t - m})"
+            if t - m < m
+            else f"(SELECT event_type, sv FROM st{t - m})"
+        )
+        parts.append(
+            f"""st{t} AS MATERIALIZED (
+    SELECT event_type, lv,
+        {b} * (lv - pl) + {1 - b} * pt AS tr,
+        {g} * (x - lv) + {1 - g} * sold AS sv
+    FROM (
+        SELECT bb.event_type, bb.x AS x, p.lv AS pl, p.tr AS pt,
+            s.sv AS sold,
+            {a} * (bb.x - s.sv) + {1 - a} * (p.lv + p.tr) AS lv
+        FROM (SELECT event_type, x FROM base WHERE t = {t}) bb
+        JOIN st{t - 1} p USING (event_type)
+        JOIN {sea_ref} s USING (event_type)
+    )
+)"""
+        )
+    last = HW_TRAIN - 1
+    branches = " UNION ALL ".join(
+        f"""SELECT f.event_type, {h} AS h,
+    ROUND(f.lv + {h} * f.tr + s.sv, 6) AS forecast,
+    ROUND(f.lv, 6) AS level, ROUND(f.tr, 6) AS trend
+FROM st{last} f
+JOIN st{HW_TRAIN - m + h - 1} s USING (event_type)"""
+        for h in range(1, HW_H + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{branches}"
+
+
+@query("q_holt_winters", oracle=_hw_oracle())
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, period
+    {HW_PERIOD}) on the per-type daily value series over a FIXED
+    {HW_TRAIN}-day training window, forecasting {HW_H} days ahead —
+    the seasonal completion of the smoothing ladder (q_ewma: level;
+    q_holt_linear: level+trend; here: level+trend+weekly seasonality).
+    The window is pinned so the recursion length is a constant — the
+    oracle unrolls exactly {HW_TRAIN - HW_PERIOD} three-equation steps
+    as MATERIALIZED CTEs, with each step's seasonal term referencing
+    the step {HW_PERIOD} back (or the season-1 init).
+
+    Scale: the corpus reduces to the (type, day) rollup in one
+    partial-agg pass; the recursion runs on the BOUNDED
+    days-x-types table driver-side (the Markov-transition precedent —
+    a calendar-bounded collect, not a corpus one)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    base = daily.select(
+        "event_type", "x", (F.row_number().over(w) - 1).alias("t")
+    ).filter(F.col("t") < HW_TRAIN)
+    rows = [
+        (r.event_type, r.t, r.x) for r in base.collect()
+    ]  # bounded: days x types
+    fc = holt_winters_fit(rows)
+    out = spark.createDataFrame(
+        fc,
+        "event_type string, h int, forecast double, level double,"
+        " trend double",
+    )
+    return out.select(
+        "event_type",
+        "h",
+        F.round("forecast", 6).alias("forecast"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )

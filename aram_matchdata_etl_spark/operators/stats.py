@@ -4652,3 +4652,111 @@ def q_cox_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(b * math.sqrt(I)), 6).alias("z"),
         F.round(F.lit(abs(U)), 6).alias("final_score_abs"),
     )
+
+
+# Integer event-count split for the log-rank arms: an integer threshold
+# cannot suffer cross-engine float-boundary flips the way a
+# mean/median-of-double split could.
+LOGRANK_EVENT_CUT = 60
+
+
+@query(
+    "q_logrank_test",
+    oracle="WITH "
+    + _LIFE_TABLE_CTES.lstrip().split("rollup AS (")[0].rstrip().rstrip(",")
+    + f""",
+grp AS MATERIALIZED (
+    SELECT user_id,
+        CASE WHEN COUNT(*) > {LOGRANK_EVENT_CUT} THEN 1 ELSE 0 END AS g
+    FROM events GROUP BY user_id
+), gs AS MATERIALIZED (
+    SELECT s.duration, s.observed, g.g
+    FROM spells s JOIN grp g USING (user_id)
+), lt AS MATERIALIZED (
+    SELECT duration,
+        CAST(SUM(CASE WHEN g = 1 THEN observed ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(observed) AS BIGINT) AS d,
+        CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        CAST(COUNT(*) AS BIGINT) AS r
+    FROM gs GROUP BY duration
+), risk AS MATERIALIZED (
+    SELECT duration, d1, d,
+        SUM(r1) OVER (ORDER BY duration DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        SUM(r) OVER (ORDER BY duration DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM lt
+)
+SELECT
+    CAST(SUM(d1) AS BIGINT) AS observed_1,
+    ROUND(SUM(d * n1 * 1.0 / n), 6) AS expected_1,
+    ROUND(SUM(CASE WHEN n > 1
+        THEN d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1)
+        ELSE 0 END), 6) AS variance,
+    ROUND(POW(SUM(d1) - SUM(d * n1 * 1.0 / n), 2)
+        / NULLIF(SUM(CASE WHEN n > 1
+            THEN d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1)
+            ELSE 0 END), 0), 6) AS chi2
+FROM risk WHERE d > 0""",
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the view->purchase survival
+    curves of two user arms (high- vs low-activity: total events >
+    {LOGRANK_EVENT_CUT} — an INTEGER split, immune to the float-boundary
+    flips a mean-of-double split could suffer cross-engine). At each
+    event time: observed arm-1 deaths vs the hypergeometric expectation
+    d * n1/n and variance d (n1/n)(1-n1/n)(n-d)/(n-1); chi2 =
+    (O-E)^2/V. The inference companion to q_kaplan_meier (which draws
+    the curves this test compares) and q_cox_regression (whose score
+    test at beta=0 this equals for a binary covariate).
+
+    Scale: the corpus reduces to the per-duration two-arm life table
+    (one partial-agg exchange); at-risk counts are descending cumsums
+    over the distinct-duration table; the test statistic is one
+    conditional aggregate — the Mann-Whitney rollup discipline applied
+    to censored data."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy("user_id").agg(
+        F.when(F.count("*") > LOGRANK_EVENT_CUT, 1).otherwise(0).alias("g")
+    )
+    gs = (
+        _user_spells(spark, sf_dir)
+        .join(grp, "user_id")
+        .select("duration", "observed", "g")
+    )
+    lt = gs.groupBy("duration").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("observed")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.count("*").cast("bigint").alias("r"),
+    )
+    wdesc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = lt.select(
+        "duration",
+        "d1",
+        "d",
+        F.sum("r1").over(wdesc).alias("n1"),
+        F.sum("r").over(wdesc).alias("n"),
+    ).filter(F.col("d") > 0)
+    p1 = F.col("n1") * 1.0 / F.col("n")
+    vterm = F.when(
+        F.col("n") > 1,
+        F.col("d") * p1 * (1 - p1) * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(0.0)
+    return risk.agg(
+        F.sum("d1").cast("bigint").alias("observed_1"),
+        F.round(F.sum(F.col("d") * p1), 6).alias("expected_1"),
+        F.round(F.sum(vterm), 6).alias("variance"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum(F.col("d") * p1), F.lit(2.0))
+            / F.nullif(F.sum(vterm), F.lit(0.0)),
+            6,
+        ).alias("chi2"),
+    )

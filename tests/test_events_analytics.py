@@ -633,3 +633,37 @@ def test_croston_matches_raw_recursion(spark):
         assert abs(gz - zh) < 1e-5, (et, gz, zh)
         assert abs(gq - qh) < 1e-5, (et, gq, qh)
         assert abs(rate - zh / qh) < 1e-5
+
+
+def test_holt_winters_fit_recovers_known_structure():
+    """Exactness properties of the HW kernel on synthetic series:
+    a constant series forecasts the constant; a pure linear trend
+    forecasts the line; a zero-trend seasonal series reproduces the
+    seasonal pattern."""
+    import math
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        HW_H,
+        HW_PERIOD,
+        HW_TRAIN,
+        holt_winters_fit,
+    )
+
+    const = [("c", t, 5.0) for t in range(HW_TRAIN)]
+    for _, h, f, lv, tr in holt_winters_fit(const):
+        assert abs(f - 5.0) < 1e-9 and abs(tr) < 1e-9
+
+    linear = [("l", t, 2.0 + 0.5 * t) for t in range(HW_TRAIN)]
+    for _, h, f, lv, tr in holt_winters_fit(linear):
+        assert abs(f - (2.0 + 0.5 * (HW_TRAIN - 1 + h))) < 1e-9
+        assert abs(tr - 0.5) < 1e-9
+
+    pattern = [math.sin(2 * math.pi * i / HW_PERIOD) for i in range(HW_PERIOD)]
+    seasonal = [("s", t, 10.0 + pattern[t % HW_PERIOD]) for t in range(HW_TRAIN)]
+    got = holt_winters_fit(seasonal)
+    assert len(got) == HW_H
+    for _, h, f, lv, tr in got:
+        assert abs(f - (10.0 + pattern[(HW_TRAIN + h - 1) % HW_PERIOD])) < 1e-9
+
+    # short series (under two full seasons) are skipped, not mis-fit
+    assert holt_winters_fit([("x", t, 1.0) for t in range(HW_PERIOD)]) == []

@@ -1581,3 +1581,54 @@ def test_join_size_estimate_matches_hashlib_pandas(spark):
     assert row.est_join_size == est
     assert row.n_sampled_keys == len(skeys)
     assert abs(row.rel_error) < 0.5
+
+
+def test_logrank_matches_pure_python(spark):
+    """Third implementation: textbook two-arm log-rank loop over sorted
+    event times in pure Python (independent spell build, explicit
+    risk-set shrinkage — no SQL windows)."""
+    from collections import defaultdict
+
+    from aram_matchdata_etl_spark.operators.stats import LOGRANK_EVENT_CUT
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_logrank_test"](spark, SF_ORACLE).first()
+    ev = _duck(
+        "SELECT user_id, ts, event_type FROM events ORDER BY user_id, ts"
+    )
+    spells = []
+    counts = ev.groupby("user_id").size()
+    for u, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]
+        if views.empty:
+            continue
+        tv = views.ts.min()
+        pur = g[(g.event_type == "purchase") & (g.ts >= tv)]
+        observed = int(not pur.empty)
+        end = pur.ts.min() if observed else g.ts.max()
+        dur = int((end.value - tv.value) // (86400 * 10**9))
+        arm = 1 if counts[u] > LOGRANK_EVENT_CUT else 0
+        spells.append((dur, observed, arm))
+    # risk sets by explicit shrinkage over ascending durations
+    durs = sorted({d for d, o, _ in spells if o})
+    at_risk = defaultdict(lambda: [0, 0])
+    for d, _, a in spells:
+        at_risk[d][a] += 1
+    O1 = E1 = V = 0.0
+    n = [sum(1 for s in spells if s[2] == 0), sum(1 for s in spells if s[2] == 1)]
+    removed_before = 0
+    for t in sorted({d for d, _, _ in spells}):
+        n_t = sum(1 for d, _, _ in spells if d >= t)
+        n1_t = sum(1 for d, _, a in spells if d >= t and a == 1)
+        d_t = sum(1 for d, o, _ in spells if d == t and o)
+        d1_t = sum(1 for d, o, a in spells if d == t and o and a == 1)
+        if d_t == 0:
+            continue
+        O1 += d1_t
+        E1 += d_t * n1_t / n_t
+        if n_t > 1:
+            V += d_t * (n1_t / n_t) * (1 - n1_t / n_t) * (n_t - d_t) / (n_t - 1)
+    assert row.observed_1 == O1
+    assert abs(row.expected_1 - E1) < 1e-4
+    assert abs(row.variance - V) < 1e-4
+    assert abs(row.chi2 - (O1 - E1) ** 2 / V) < 1e-3
