@@ -3613,7 +3613,10 @@ def holt_winters_fit(
     return out
 
 
-def _hw_oracle() -> str:
+def _hw_parts() -> tuple[list, str]:
+    """The HW unroll CTE list and the forecast-branches SELECT — shared
+    by q_holt_winters' oracle and q_forecast_eval's (which scores the
+    same forecasts against the holdout)."""
     a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
     parts = [
         f"""daily AS MATERIALIZED (
@@ -3671,6 +3674,11 @@ FROM st{last} f
 JOIN st{HW_TRAIN - m + h - 1} s USING (event_type)"""
         for h in range(1, HW_H + 1)
     )
+    return parts, branches
+
+
+def _hw_oracle() -> str:
+    parts, branches = _hw_parts()
     return "WITH " + ",\n".join(parts) + f"\n{branches}"
 
 
@@ -3713,4 +3721,130 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast", 6).alias("forecast"),
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
+    )
+
+
+def _forecast_eval_oracle() -> str:
+    parts, branches = _hw_parts()
+    m = HW_PERIOD
+    parts.append(f"hwfc AS MATERIALIZED ({branches})")
+    parts.append(
+        f"""fullbase AS MATERIALIZED (
+    SELECT event_type, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+    FROM daily
+)"""
+    )
+    parts.append(
+        f"""preds AS MATERIALIZED (
+    SELECT f.event_type, 'holt_winters' AS model, f.h,
+        f.forecast, a.x AS actual
+    FROM hwfc f
+    JOIN fullbase a ON a.event_type = f.event_type
+        AND a.t = {HW_TRAIN} + f.h - 1
+    UNION ALL
+    SELECT nv.event_type, 'seasonal_naive' AS model, nv.h,
+        nv.forecast, a.x AS actual
+    FROM (
+        SELECT event_type, t - {HW_TRAIN - m} + 1 AS h, x AS forecast
+        FROM fullbase
+        WHERE t >= {HW_TRAIN - m} AND t < {HW_TRAIN - m} + {HW_H}
+    ) nv
+    JOIN fullbase a ON a.event_type = nv.event_type
+        AND a.t = {HW_TRAIN} + nv.h - 1
+)"""
+    )
+    parts.append(
+        f"""scale AS MATERIALIZED (
+    SELECT b1.event_type, AVG(ABS(b1.x - b7.x)) AS mae_naive_insample
+    FROM fullbase b1
+    JOIN fullbase b7 ON b7.event_type = b1.event_type
+        AND b7.t = b1.t - {m}
+    WHERE b1.t >= {m} AND b1.t < {HW_TRAIN}
+    GROUP BY b1.event_type
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT p.event_type, p.model,
+    CAST(COUNT(*) AS BIGINT) AS n_holdout,
+    ROUND(AVG(2 * ABS(p.forecast - p.actual)
+        / (ABS(p.forecast) + ABS(p.actual))), 6) AS smape,
+    ROUND(AVG(ABS(p.forecast - p.actual)) / MAX(s.mae_naive_insample), 6)
+        AS mase
+FROM preds p JOIN scale s USING (event_type)
+GROUP BY p.event_type, p.model"""
+    )
+
+
+@query("q_forecast_eval", oracle=_forecast_eval_oracle())
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample forecast scoreboard: sMAPE and MASE of
+    q_holt_winters' forecasts AND the seasonal-naive baseline
+    (f_(t+h) = x_(t+h-{HW_PERIOD})) on the days AFTER the {HW_TRAIN}-day
+    training window — the eval loop every forecasting pipeline needs
+    (MASE scales holdout MAE by the in-sample seasonal-naive MAE, so
+    <1 means "beats naive trained in-sample"; Hyndman & Koehler 2006).
+
+    Scale: shares the daily rollup and the bounded driver-side HW fit;
+    scoring is joins and aggregates over |types| x {HW_H} rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fullbase = daily.select(
+        "event_type", "x", (F.row_number().over(w) - 1).alias("t")
+    ).localCheckpoint()
+    rows = [
+        (r.event_type, r.t, r.x)
+        for r in fullbase.filter(F.col("t") < HW_TRAIN).collect()
+    ]
+    hw = spark.createDataFrame(
+        [(k, h, f) for k, h, f, _, _ in holt_winters_fit(rows)],
+        "event_type string, h int, forecast double",
+    ).withColumn("model", F.lit("holt_winters"))
+    m = HW_PERIOD
+    naive = fullbase.filter(
+        (F.col("t") >= HW_TRAIN - m) & (F.col("t") < HW_TRAIN - m + HW_H)
+    ).select(
+        "event_type",
+        (F.col("t") - (HW_TRAIN - m) + 1).cast("int").alias("h"),
+        F.col("x").alias("forecast"),
+        F.lit("seasonal_naive").alias("model"),
+    )
+    actual = fullbase.select(
+        "event_type",
+        (F.col("t") - HW_TRAIN + 1).cast("int").alias("h"),
+        F.col("x").alias("actual"),
+    ).filter(F.col("h") >= 1)
+    preds = hw.unionByName(naive).join(actual, ["event_type", "h"])
+    b7 = fullbase.select(
+        "event_type", (F.col("t") + m).alias("t"), F.col("x").alias("x7")
+    )
+    scale = (
+        fullbase.filter((F.col("t") >= m) & (F.col("t") < HW_TRAIN))
+        .join(b7, ["event_type", "t"])
+        .groupBy("event_type")
+        .agg(F.avg(F.abs(F.col("x") - F.col("x7"))).alias("mae"))
+    )
+    return preds.join(scale, "event_type").groupBy(
+        "event_type", "model"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_holdout"),
+        F.round(
+            F.avg(
+                2
+                * F.abs(F.col("forecast") - F.col("actual"))
+                / (F.abs("forecast") + F.abs("actual"))
+            ),
+            6,
+        ).alias("smape"),
+        F.round(
+            F.avg(F.abs(F.col("forecast") - F.col("actual")))
+            / F.max("mae"),
+            6,
+        ).alias("mase"),
     )

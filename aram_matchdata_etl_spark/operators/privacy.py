@@ -298,3 +298,80 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_l",
         (F.col("distinct_l") < L_DIV_L).alias("violates_l"),
     )
+
+
+T_CLOSE_T = 0.3  # total-variation threshold
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+WITH cells AS MATERIALIZED (
+    SELECT lang, CAST(FLOOR(n_chars / {L_DIV_WIDTH}) AS BIGINT) AS bucket,
+        source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2, 3
+), classes AS MATERIALIZED (
+    SELECT lang, bucket, CAST(SUM(c) AS BIGINT) AS n
+    FROM cells GROUP BY 1, 2
+), gdist AS MATERIALIZED (
+    SELECT source, SUM(c) * 1.0 / (SELECT SUM(c) FROM cells) AS pg
+    FROM cells GROUP BY source
+), grid AS MATERIALIZED (
+    SELECT cl.lang, cl.bucket, cl.n, g.source, g.pg,
+        COALESCE(ce.c, 0) * 1.0 / cl.n AS pc
+    FROM classes cl CROSS JOIN gdist g
+    LEFT JOIN cells ce ON ce.lang = cl.lang AND ce.bucket = cl.bucket
+        AND ce.source = g.source
+)
+SELECT lang, bucket, CAST(MAX(n) AS BIGINT) AS n,
+    ROUND(0.5 * SUM(ABS(pc - pg)), 6) AS tv_distance,
+    0.5 * SUM(ABS(pc - pg)) > {T_CLOSE_T} AS violates_t
+FROM grid GROUP BY lang, bucket""",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — the step beyond
+    q_k_anonymity (class sizes) and q_l_diversity (within-class
+    diversity): a class whose SENSITIVE-attribute distribution merely
+    differs from the corpus-wide one still leaks (skewness attack, e.g.
+    one QI class 90% from a licensed source vs 10% globally). Per
+    (lang, length-bucket) class: total-variation distance 0.5*sum|p_class
+    - p_global| over the source distribution — the categorical ground
+    distance of the paper — flagged at t > {T_CLOSE_T}.
+
+    Scale: one corpus pass to (class x source) cells; the distance runs
+    on the bounded classes x sources grid (built by a broadcast cross
+    join of two tiny aggregates, never from rows), with absent cells
+    supplied by the left join — the q_source_kl grid discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / L_DIV_WIDTH).alias("bucket"),
+        "source",
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    cells = cells.localCheckpoint()
+    total = cells.agg(F.sum("c")).first()[0]
+    classes = cells.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    glob = cells.groupBy("source").agg(
+        (F.sum("c") * 1.0 / F.lit(total)).alias("pg")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cells, ["lang", "bucket", "source"], "left")
+        .select(
+            "lang",
+            "bucket",
+            "n",
+            "pg",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias(
+                "pc"
+            ),
+        )
+    )
+    tv = 0.5 * F.sum(F.abs(F.col("pc") - F.col("pg")))
+    return grid.groupBy("lang", "bucket").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(tv, 6).alias("tv_distance"),
+        (tv > T_CLOSE_T).alias("violates_t"),
+    )

@@ -4760,3 +4760,87 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@query(
+    "q_cmh_test",
+    oracle=f"""
+WITH tier AS MATERIALIZED (
+    SELECT user_id,
+        CASE WHEN COUNT(*) > {LOGRANK_EVENT_CUT} THEN 1 ELSE 0 END AS k
+    FROM events GROUP BY user_id
+), flagged AS MATERIALIZED (
+    SELECT t.k,
+        ((CAST(FLOOR(epoch_us(e.ts) / 86400000000) AS BIGINT) + 4) % 7)
+            IN (0, 6) AS wk,
+        e.event_type = 'error' AS err
+    FROM events e JOIN tier t USING (user_id)
+), strata AS MATERIALIZED (
+    SELECT k,
+        CAST(SUM(CASE WHEN wk AND err THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+        CAST(SUM(CASE WHEN wk AND NOT err THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+        CAST(SUM(CASE WHEN NOT wk AND err THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+        CAST(SUM(CASE WHEN NOT wk AND NOT err THEN 1 ELSE 0 END) AS DOUBLE)
+            AS d,
+        CAST(COUNT(*) AS DOUBLE) AS n
+    FROM flagged GROUP BY k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+    ROUND(POW(ABS(SUM(a - (a + b) * (a + c) / n)) - 0.5, 2)
+        / SUM((a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))), 6)
+        AS chi2_cmh,
+    ROUND(SUM(a * d / n) / NULLIF(SUM(b * c / n), 0), 6) AS or_mh
+FROM strata""",
+)
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the weekend x error association
+    STRATIFIED by user-activity tier (the q_logrank_test integer split)
+    — the confounder-adjusted complement of q_chi_squared /
+    q_fisher_exact: a marginal association can be pure Simpson's
+    paradox if activity drives both weekend presence and error rates;
+    CMH pools the per-stratum evidence instead. Continuity-corrected
+    chi2 = (|sum(a_k - E_k)| - 0.5)^2 / sum(V_k) with the
+    hypergeometric E/V per stratum, plus the Mantel-Haenszel common
+    odds ratio sum(a d/n)/sum(b c/n).
+
+    Scale: one user-grain pass for the tier, one corpus pass to the
+    2 x 2 x strata cell rollup (conditional aggregates, map-side
+    partial), then arithmetic over |strata| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = ev.groupBy("user_id").agg(
+        F.when(F.count("*") > LOGRANK_EVENT_CUT, 1).otherwise(0).alias("k")
+    )
+    epoch_day = F.floor(F.unix_micros("ts") / 86400000000.0).cast("bigint")
+    wk = ((epoch_day + 4) % 7).isin(0, 6)
+    err = F.col("event_type") == "error"
+    strata = (
+        ev.join(tier, "user_id")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(wk & err, 1).otherwise(0))
+            .cast("double")
+            .alias("a"),
+            F.sum(F.when(wk & ~err, 1).otherwise(0))
+            .cast("double")
+            .alias("b"),
+            F.sum(F.when(~wk & err, 1).otherwise(0))
+            .cast("double")
+            .alias("c"),
+            F.sum(F.when(~wk & ~err, 1).otherwise(0))
+            .cast("double")
+            .alias("d"),
+            F.count("*").cast("double").alias("n"),
+        )
+    )
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    e_k = (a + b) * (a + c) / n
+    v_k = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    return strata.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.round(
+            F.pow(F.abs(F.sum(a - e_k)) - 0.5, F.lit(2.0)) / F.sum(v_k), 6
+        ).alias("chi2_cmh"),
+        F.round(
+            F.sum(a * d / n) / F.nullif(F.sum(b * c / n), F.lit(0.0)), 6
+        ).alias("or_mh"),
+    )

@@ -1632,3 +1632,32 @@ def test_logrank_matches_pure_python(spark):
     assert abs(row.expected_1 - E1) < 1e-4
     assert abs(row.variance - V) < 1e-4
     assert abs(row.chi2 - (O1 - E1) ** 2 / V) < 1e-3
+
+
+def test_cmh_matches_pure_python(spark):
+    """Third implementation: per-stratum 2x2 cells built row-by-row in
+    pure Python with the textbook CMH formulas."""
+    from collections import defaultdict
+
+    from aram_matchdata_etl_spark.operators.stats import LOGRANK_EVENT_CUT
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    row = all_queries()["q_cmh_test"](spark, SF_ORACLE).first()
+    ev = _duck("SELECT user_id, epoch_us(ts) AS us, event_type FROM events")
+    counts = ev.groupby("user_id").size()
+    cells = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0])
+    for r in ev.itertuples():
+        k = 1 if counts[r.user_id] > LOGRANK_EVENT_CUT else 0
+        wk = (int(r.us) // 86400000000 + 4) % 7 in (0, 6)
+        err = r.event_type == "error"
+        cells[k][0 if (wk and err) else 1 if wk else 2 if err else 3] += 1
+    num = v = orn = ord_ = 0.0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        num += a - (a + b) * (a + c) / n
+        v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        orn += a * d / n
+        ord_ += b * c / n
+    assert row.n_strata == len(cells)
+    assert abs(row.chi2_cmh - (abs(num) - 0.5) ** 2 / v) < 1e-4
+    assert abs(row.or_mh - orn / ord_) < 1e-5
