@@ -105,3 +105,95 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ox").alias("max_ord"),
         )
     )
+
+
+SKEW_TOPN = 10
+SKEW_TARGET_ROWS = 2000  # target rows per (key, salt) reducer partition
+
+
+@query(
+    "q_skew_report",
+    oracle=f"""
+WITH freq AS MATERIALIZED (
+    SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS f
+    FROM lineitem GROUP BY 1
+), stats AS MATERIALIZED (
+    SELECT AVG(f) AS mean_f, COUNT(*) AS n_keys FROM freq
+)
+SELECT f.key, f.f AS freq,
+    ROUND(f.f / s.mean_f, 6) AS skew_factor,
+    CAST(CEIL(f.f * 1.0 / {SKEW_TARGET_ROWS}) AS BIGINT) AS salt_factor
+FROM freq f CROSS JOIN stats s
+ORDER BY f.f DESC, f.key
+LIMIT {SKEW_TOPN}""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew report — the diagnostic that decides WHEN the
+    salted-join/salted-agg operators (q_join_salted, q_groupby_salted)
+    are worth their extra exchange: the {SKEW_TOPN} heaviest keys of a
+    join column with each key's frequency, its skew factor vs the mean
+    key, and the recommended salt fan-out ceil(freq/{SKEW_TARGET_ROWS})
+    to land every (key, salt) bucket under the target reducer size.
+
+    Scale: one partial-agg pass to the key-frequency table, a broadcast
+    of the 2-scalar stats row, and a top-{SKEW_TOPN} — the report that
+    prevents the 100 TB straggler, priced at one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    stats = freq.agg(F.avg("f").alias("mean_f"))
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("f").alias("freq"),
+            F.round(F.col("f") / F.col("mean_f"), 6).alias("skew_factor"),
+            F.ceil(F.col("f") * 1.0 / SKEW_TARGET_ROWS)
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("freq"), "key")
+        .limit(SKEW_TOPN)
+    )
+
+
+COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # demo target: 4 MiB per file
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+    CAST(CEIL(SUM(strlen(text)) * 1.0 / {COMPACT_TARGET_BYTES})
+        AS BIGINT) AS target_files,
+    CAST(CEIL(COUNT(*) * 1.0
+        / CEIL(SUM(strlen(text)) * 1.0 / {COMPACT_TARGET_BYTES}))
+        AS BIGINT) AS rows_per_file
+FROM documents GROUP BY source""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan per source partition — the lakehouse
+    maintenance readout behind every `repartitionByRange + write`
+    job: payload bytes (octet_length of the text column — the
+    dominant term), the target file count at
+    {COMPACT_TARGET_BYTES / 1024 / 1024:.0f} MiB/file, and the derived
+    rows-per-file. Feeding `df.repartition(target_files, col)` with
+    these numbers is how q_zorder_layout's writer sizes its output.
+
+    Scale: ONE map-side partial aggregation (count + byte sum per
+    partition key); no row ever shuffles — the plan is computed from
+    sufficient statistics, then the rewrite itself streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    tb = F.sum(F.octet_length("text"))
+    tf = F.ceil(tb * 1.0 / COMPACT_TARGET_BYTES)
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        tb.cast("bigint").alias("text_bytes"),
+        tf.cast("bigint").alias("target_files"),
+        F.ceil(F.count("*") * 1.0 / tf).cast("bigint").alias(
+            "rows_per_file"
+        ),
+    )
