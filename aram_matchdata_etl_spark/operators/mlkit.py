@@ -2885,3 +2885,112 @@ def q_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.avg(1 / (1 + F.exp(-z))), 6).alias("pdp"))
     )
+
+
+FAIR_SCORE_CUT = 0.2  # fixed decision threshold on the score
+FAIR_EVENT_CUT = 60  # integer activity split (the q_logrank_test arm)
+FAIR_CONV_VALUE = 150.0
+
+
+@query(
+    "q_fairness_audit",
+    oracle=f"""
+WITH per_user AS MATERIALIZED (
+    SELECT user_id,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*) AS score,
+        MAX(CASE WHEN event_type = 'purchase' AND value >= {FAIR_CONV_VALUE}
+            THEN 1 ELSE 0 END) AS y,
+        CASE WHEN COUNT(*) > {FAIR_EVENT_CUT} THEN 'high_activity'
+             ELSE 'low_activity' END AS grp
+    FROM events GROUP BY user_id
+), scored AS MATERIALIZED (
+    SELECT grp, y,
+        CASE WHEN score >= {FAIR_SCORE_CUT} THEN 1 ELSE 0 END AS yhat
+    FROM per_user
+), per_group AS MATERIALIZED (
+    SELECT grp,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(AVG(yhat), 6) AS positive_rate,
+        ROUND(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) * 1.0
+            / NULLIF(SUM(y), 0), 6) AS tpr,
+        ROUND(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) * 1.0
+            / NULLIF(SUM(1 - y), 0), 6) AS fpr
+    FROM scored GROUP BY grp
+)
+SELECT grp, n, positive_rate, tpr, fpr,
+    ROUND(positive_rate / NULLIF(MAX(positive_rate) OVER (), 0), 6)
+        AS disparate_impact,
+    ROUND(tpr - MAX(tpr) OVER (), 6) AS tpr_gap,
+    ROUND(fpr - MAX(fpr) OVER (), 6) AS fpr_gap
+FROM per_group""",
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a thresholded scorer (error-ratio score
+    >= {FAIR_SCORE_CUT} predicting high-value conversion, groups = the
+    integer activity split): per group the selection rate, TPR and FPR,
+    plus the three standard readouts — disparate impact (selection
+    rate / best group's rate; the 80% rule reads this column),
+    equal-opportunity gap (TPR - best TPR) and equalized-odds FPR gap.
+    The audit every production scorer needs BEFORE it gates real
+    users; model-agnostic — swap the score column for any model
+    output.
+
+    Scale: one user-grain conditional-agg pass to (group, y, yhat),
+    one tiny group rollup, and windows over |groups| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            * 1.0
+            / F.count("*")
+        ).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= FAIR_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+        F.when(F.count("*") > FAIR_EVENT_CUT, "high_activity")
+        .otherwise("low_activity")
+        .alias("grp"),
+    )
+    scored = per_user.select(
+        "grp",
+        "y",
+        F.when(F.col("score") >= FAIR_SCORE_CUT, 1).otherwise(0).alias(
+            "yhat"
+        ),
+    )
+    per_group = scored.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("yhat"), 6).alias("positive_rate"),
+        F.round(
+            F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+            * 1.0
+            / F.nullif(F.sum("y"), F.lit(0)),
+            6,
+        ).alias("tpr"),
+        F.round(
+            F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+            * 1.0
+            / F.nullif(F.sum(1 - F.col("y")), F.lit(0)),
+            6,
+        ).alias("fpr"),
+    )
+    wall = Window.partitionBy()
+    return per_group.select(
+        "grp",
+        "n",
+        "positive_rate",
+        "tpr",
+        "fpr",
+        F.round(
+            F.col("positive_rate")
+            / F.nullif(F.max("positive_rate").over(wall), F.lit(0.0)),
+            6,
+        ).alias("disparate_impact"),
+        F.round(F.col("tpr") - F.max("tpr").over(wall), 6).alias("tpr_gap"),
+        F.round(F.col("fpr") - F.max("fpr").over(wall), 6).alias("fpr_gap"),
+    )

@@ -1458,3 +1458,142 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loading", 6).alias("loading"),
         F.round("eigenvalue", 6).alias("eigenvalue"),
     )
+
+
+MMR_POOL = 20
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam = MMR_LAMBDA
+    parts = [
+        _ORACLE_EMB_CTE.lstrip(),
+        f"""qv AS MATERIALIZED (
+    SELECT vec, vnorm FROM emb ORDER BY vec_id LIMIT 1
+), pool AS MATERIALIZED (
+    SELECT e.vec_id,
+        list_dot_product(q.vec, e.vec) / (q.vnorm * e.vnorm) AS rel
+    FROM emb e CROSS JOIN qv q
+    WHERE e.vec_id > (SELECT MIN(vec_id) FROM emb)
+    ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
+), pairs AS MATERIALIZED (
+    SELECT p1.vec_id AS a, p2.vec_id AS b,
+        list_dot_product(e1.vec, e2.vec) / (e1.vnorm * e2.vnorm) AS cos
+    FROM pool p1 JOIN emb e1 ON e1.vec_id = p1.vec_id
+    JOIN pool p2 ON p2.vec_id <> p1.vec_id
+    JOIN emb e2 ON e2.vec_id = p2.vec_id
+)""",
+        f"""s1 AS MATERIALIZED (
+    SELECT vec_id, rel, {lam} * rel AS mmr_score
+    FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""",
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+    SELECT t.vec_id, t.rel, {lam} * t.rel - {1 - lam} * t.ms AS mmr_score
+    FROM (
+        SELECT c.a AS vec_id, MAX(p.rel) AS rel, MAX(c.cos) AS ms
+        FROM pairs c
+        JOIN sel{i - 1} s ON c.b = s.vec_id
+        JOIN pool p ON p.vec_id = c.a
+        WHERE c.a NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY c.a
+    ) t
+    ORDER BY mmr_score DESC, t.vec_id LIMIT 1
+), sel{i} AS MATERIALIZED (
+    SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i}
+)"""
+        )
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id, ROUND(rel, 6) AS relevance,"
+        f" ROUND(mmr_score, 6) AS mmr_score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({branches})"
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): greedily pick {MMR_K} results maximizing
+    lambda*rel(d) - (1-lambda)*max_cos(d, selected) (lambda =
+    {MMR_LAMBDA}) from the top-{MMR_POOL} relevance pool — the
+    diversity-aware complement of q_similarity_topk, which happily
+    returns {MMR_K} near-copies of the same document. Query = the
+    lowest-id embedding; relevance and pairwise similarity both use the
+    module's double-cast cosine (zip_with fold == list_dot_product,
+    the proven hash-stable pair).
+
+    Scale: relevance is the one corpus pass (broadcast query); the
+    greedy runs on the BOUNDED pool (its {MMR_POOL}x{MMR_POOL} cosine
+    matrix is computed in-engine and collected — constant size by
+    construction). The oracle unrolls the {MMR_K} greedy picks as
+    MATERIALIZED CTE steps."""
+    emb = embeddings_d(spark, sf_dir).localCheckpoint()
+    qrow = emb.orderBy("vec_id").limit(1)
+    q = qrow.select(
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("vec_id").alias("qid"),
+    )
+    rel = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    pool = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()
+    )
+    p1 = pool.join(emb, "vec_id").select(
+        F.col("vec_id").alias("a"), F.col("vec").alias("v1"),
+        F.col("vnorm").alias("n1"),
+    )
+    p2 = pool.join(emb, "vec_id").select(
+        F.col("vec_id").alias("b"), F.col("vec").alias("v2"),
+        F.col("vnorm").alias("n2"),
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    pair_rows = (
+        p1.crossJoin(p2)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .collect()
+    )  # bounded: MMR_POOL^2 scalars
+    rels = {r.vec_id: r.rel for r in pool.collect()}
+    cosm = {(r.a, r.b): r.cos for r in pair_rows}
+    lam = MMR_LAMBDA
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    remaining = set(rels)
+    for rank in range(1, MMR_K + 1):
+        if not remaining:
+            break
+        if not chosen:
+            scored = [(lam * rels[v], v) for v in remaining]
+        else:
+            scored = [
+                (
+                    lam * rels[v]
+                    - (1 - lam) * max(cosm[(v, s)] for s in chosen),
+                    v,
+                )
+                for v in remaining
+            ]
+        best = max(scored, key=lambda t: (t[0], -t[1]))
+        score, v = best
+        chosen.append(v)
+        remaining.discard(v)
+        selected.append((rank, v, rels[v], score))
+    out = spark.createDataFrame(
+        selected, "rnk int, vec_id bigint, relevance double, mmr_score double"
+    )
+    return out.select(
+        "rnk",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -1661,3 +1661,57 @@ def test_cmh_matches_pure_python(spark):
     assert row.n_strata == len(cells)
     assert abs(row.chi2_cmh - (abs(num) - 0.5) ** 2 / v) < 1e-4
     assert abs(row.or_mh - orn / ord_) < 1e-5
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Semantic invariants of q_mmr_rerank: rank 1 is the pure-relevance
+    argmax, scores never exceed lambda*rel, the selection is a subset of
+    the relevance pool, and the selected set is no LESS diverse (mean
+    pairwise cosine) than plain top-k."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        embeddings_d,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_mmr_rerank"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, MMR_K + 1))
+    assert abs(rows[0].mmr_score - MMR_LAMBDA * rows[0].relevance) < 2e-6
+    assert rows[0].relevance == max(r.relevance for r in rows)
+    for r in rows[1:]:
+        assert r.mmr_score <= MMR_LAMBDA * r.relevance + 1e-9
+
+    emb = {
+        r.vec_id: np.array(r.vec)
+        for r in embeddings_d(spark, SF_ORACLE).collect()
+    }
+
+    def mean_pairwise(ids):
+        cs = [
+            float(
+                emb[a] @ emb[b]
+                / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+            )
+            for a, b in combinations(ids, 2)
+        ]
+        return sum(cs) / len(cs)
+
+    qid = min(emb)
+    rel = {
+        v: float(
+            emb[qid] @ emb[v]
+            / (np.linalg.norm(emb[qid]) * np.linalg.norm(emb[v]))
+        )
+        for v in emb
+        if v != qid
+    }
+    topk = [v for v, _ in sorted(rel.items(), key=lambda t: (-t[1], t[0]))[:MMR_K]]
+    assert mean_pairwise([r.vec_id for r in rows]) <= mean_pairwise(topk) + 1e-9
