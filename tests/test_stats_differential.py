@@ -1664,10 +1664,16 @@ def test_cmh_matches_pure_python(spark):
 
 
 def test_mmr_rerank_diversifies(spark):
-    """Semantic invariants of q_mmr_rerank: rank 1 is the pure-relevance
-    argmax, scores never exceed lambda*rel, the selection is a subset of
-    the relevance pool, and the selected set is no LESS diverse (mean
-    pairwise cosine) than plain top-k."""
+    """Full numpy differential of q_mmr_rerank's greedy: re-derive the
+    pool, the greedy picks, and every mmr_score independently and require
+    identical ids + scores, then check the selected set is no LESS
+    diverse (mean pairwise cosine) than plain top-k.
+
+    NOTE the old invariant `mmr_score <= lambda*rel` (for ranks > 1) was
+    WRONG: mmr_score = lambda*rel - (1-lambda)*max_cos(d, selected), and
+    max_cos can be NEGATIVE on near-isotropic embeddings, making the
+    score exceed lambda*rel. The exact differential below is strictly
+    stronger than any such inequality."""
     from itertools import combinations
 
     import numpy as np
@@ -1679,6 +1685,8 @@ def test_mmr_rerank_diversifies(spark):
     )
     from aram_matchdata_etl_spark.registry import all_queries
 
+    from aram_matchdata_etl_spark.operators.similarity import MMR_POOL
+
     rows = sorted(
         all_queries()["q_mmr_rerank"](spark, SF_ORACLE).collect(),
         key=lambda r: r.rnk,
@@ -1686,13 +1694,51 @@ def test_mmr_rerank_diversifies(spark):
     assert [r.rnk for r in rows] == list(range(1, MMR_K + 1))
     assert abs(rows[0].mmr_score - MMR_LAMBDA * rows[0].relevance) < 2e-6
     assert rows[0].relevance == max(r.relevance for r in rows)
-    for r in rows[1:]:
-        assert r.mmr_score <= MMR_LAMBDA * r.relevance + 1e-9
 
     emb = {
         r.vec_id: np.array(r.vec)
         for r in embeddings_d(spark, SF_ORACLE).collect()
     }
+
+    # Independent greedy re-derivation (same tie-breaks: score desc,
+    # vec_id asc), compared exactly against the operator's output.
+    qid_ = min(emb)
+    qv = emb[qid_]
+
+    def cosine(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel_all = {v: cosine(qv, emb[v]) for v in emb if v != qid_}
+    pool_ids = [
+        v
+        for v, _ in sorted(rel_all.items(), key=lambda t: (-t[1], t[0]))[
+            :MMR_POOL
+        ]
+    ]
+    lam = MMR_LAMBDA
+    chosen, expected = [], []
+    remaining = set(pool_ids)
+    for rank in range(1, MMR_K + 1):
+        if chosen:
+            scored = [
+                (
+                    lam * rel_all[v]
+                    - (1 - lam) * max(cosine(emb[v], emb[s]) for s in chosen),
+                    v,
+                )
+                for v in remaining
+            ]
+        else:
+            scored = [(lam * rel_all[v], v) for v in remaining]
+        score, v = max(scored, key=lambda t: (t[0], -t[1]))
+        chosen.append(v)
+        remaining.discard(v)
+        expected.append((rank, v, rel_all[v], score))
+
+    assert [r.vec_id for r in rows] == [e[1] for e in expected]
+    for r, (_, _, e_rel, e_score) in zip(rows, expected):
+        assert abs(r.relevance - e_rel) < 2e-6
+        assert abs(r.mmr_score - e_score) < 2e-6
 
     def mean_pairwise(ids):
         cs = [
