@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import weakref
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -583,6 +584,18 @@ def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     state stays small at any scale."""
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
     sets = per_session.get(sf_dir)
+    if sets is not None and sets.storageLevel == StorageLevel.NONE:
+        # An external `spark.catalog.clearCache()` (bench.py runs one
+        # before every query for isolation) UNREGISTERS the plan from the
+        # CacheManager — the cached object survives here but silently
+        # stops caching, so every downstream use (signatures + both
+        # verification sides = 3x per LSH query) re-runs the full shingle
+        # build. That was the whole of BENCH_r07's bogus 23.3x
+        # q_dedup_minhash_lsh scale ratio (run-order dependent: whoever
+        # touched the sets first ran cached, everyone later ran cold).
+        # persist() re-registers; the next action re-materializes once.
+        sets = sets.persist()
+        per_session[sf_dir] = sets
     if sets is None:
         docs = spread_input(load_table(spark, sf_dir, "documents"))
         toks = F.split(F.col("text"), " ")

@@ -123,12 +123,36 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
-@query("q_media_features")
+@query(
+    "q_media_features",
+    oracle="""
+WITH codes AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS media_type,
+        CAST(strlen(text) AS BIGINT) AS n_bytes,
+        list_transform(split(text, ''), c -> ascii(c) >> 6) AS bins
+    FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+    len(list_filter(bins, b -> b = 0)) / GREATEST(n_bytes, 1) AS h0,
+    len(list_filter(bins, b -> b = 1)) / GREATEST(n_bytes, 1) AS h1,
+    len(list_filter(bins, b -> b = 2)) / GREATEST(n_bytes, 1) AS h2,
+    len(list_filter(bins, b -> b = 3)) / GREATEST(n_bytes, 1) AS h3
+FROM codes""",
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature extraction end-to-end (binary column -> mapInPandas ->
-    typed features). Rows-only check: the fake featurizer is engine-side;
-    invariants (histogram sums to 1, n_bytes == n_chars) are asserted in
-    tests/test_northstar.py."""
+    typed features). HASH-ORACLED since r8 (was rows-only): the
+    deterministic fake featurizer is a byte histogram (byte >> 6 -> 4
+    bins) over the synthetic payload, and that payload IS the document's
+    UTF-8 text (all-ASCII fixture, byte == char), so DuckDB reproduces
+    every count per character; each h_i is ONE IEEE division of exact
+    integers (count / max(len, 1)) — correctly rounded identically in
+    numpy float64 and DuckDB DOUBLE, no rounding needed. Invariants
+    (histogram sums to 1, n_bytes == n_chars, every media type flows)
+    stay asserted in tests/test_northstar.py."""
     return extract_features(synthetic_media(spark, sf_dir))
 
 

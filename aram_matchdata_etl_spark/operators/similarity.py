@@ -263,6 +263,51 @@ IVF_PROBES = 3
 # actual cell sizes, not with the assignment factor.
 IVF_ASSIGN = 2
 
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+def _lloyd_ctes(k: int, rounds: int) -> str:
+    """Unrolled Lloyd iteration in long form (the q_pagerank
+    MATERIALIZED-CTE trick applied to an iterative ML trainer),
+    parameterized over k so q_kmeans_lloyd (k=8) and the IVF index
+    trainer (k=16) share one generator: round r's assignment is an
+    argmin via ROW_NUMBER over the per-(vec, centroid) summed squared
+    distance, its centroid update a (cid, dim) AVG. Ends at a{rounds}
+    (final assignment) with c{rounds-1} (final centroids) available."""
+    parts = [
+        """emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS vnorm
+    FROM embeddings
+), pts AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS val
+    FROM emb
+), c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, dim, val FROM pts WHERE vec_id < """
+        + str(k)
+        + "\n)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+            ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.val - c.val) * (p.val - c.val)), c.cid
+            ) AS rn
+        FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.cid
+    ) WHERE rn = 1
+)""")
+        if r < rounds:
+            parts.append(f""", c{r} AS MATERIALIZED (
+    SELECT a.cid, p.dim, AVG(p.val) AS val
+    FROM a{r} a JOIN pts p ON a.vec_id = p.vec_id
+    GROUP BY a.cid, p.dim
+)""")
+    return "".join(parts)
+
 
 def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -272,18 +317,73 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-@query("q_ann_ivf")
+def _ivf_oracle() -> str:
+    """q_ann_ivf twin: the shared unrolled-Lloyd chain at k=16 trains the
+    cell centroids (c{rounds-1}); multi-assignment and probe selection
+    are ROW_NUMBER cutoffs over the same per-(vec, centroid) summed
+    squared distance with (dist, cid) tie-breaks; candidates are the
+    probe x index equi-join on cell; the exact cosine rerank mirrors
+    q_ann_lsh's. Output is (int, int, round-6 double, int) — rank floats
+    only decide orderings, exactly the q_kmeans_lloyd argument."""
+    r = KMEANS_ROUNDS
+    return (
+        "WITH "
+        + _lloyd_ctes(IVF_CLUSTERS, r)
+        + f""", cdist AS MATERIALIZED (
+    SELECT p.vec_id, c.cid,
+        SUM((p.val - c.val) * (p.val - c.val)) AS d
+    FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
+    GROUP BY p.vec_id, c.cid
+), assigned AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdist
+    ) WHERE rn <= {IVF_ASSIGN}
+), probed AS MATERIALIZED (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdist WHERE vec_id < {N_QUERIES}
+    ) WHERE rn <= {IVF_PROBES}
+), cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id
+    FROM probed p JOIN assigned a ON a.cid = p.cid
+    WHERE a.vec_id <> p.query_id
+), scored AS (
+    SELECT c.query_id, c.vec_id,
+        list_dot_product(qe.vec, ve.vec) / (qe.vnorm * ve.vnorm) AS raw
+    FROM cand c
+    JOIN emb qe ON qe.vec_id = c.query_id
+    JOIN emb ve ON ve.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, ROUND(raw, 6) AS cosine, rnk FROM (
+    SELECT query_id, vec_id, raw,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY raw DESC, vec_id
+        ) AS INTEGER) AS rnk
+    FROM scored
+) t WHERE rnk <= {TOPK}"""
+    )
+
+
+@query("q_ann_ivf", oracle=_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF (inverted-file index): k-means partitions the corpus
-    into 16 cells with 2-way multi-assignment; each query probes its 3
+    """ANN via IVF (inverted-file index): deterministic fixed-round Lloyd
+    k-means (the q_kmeans_lloyd trainer at k=16) partitions the corpus
+    into cells with 2-way multi-assignment; each query probes its 3
     nearest centroids and re-ranks exactly inside the probed cells —
     ~assign*probes/clusters of the brute-force comparisons. The other
     classic ANN family beside hyperplane LSH (q_ann_lsh); recall vs
     q_similarity_topk asserted in tests (monotone in BOTH probes and
-    assignment factor).
-    Scale: centroids are a tiny broadcast table; cell assignment is a
-    narrow map; at 100 TB the corpus is written partitioned by cell so a
-    probe reads only its cells' files (partition pruning)."""
+    assignment factor). HASH-ORACLED since r8 (closing a rows-only key):
+    swapping pyspark.ml KMeans (kmeans|| init, engine-private) for the
+    shared deterministic Lloyd loop makes the whole index reproducible
+    as unrolled CTEs (_ivf_oracle).
+    Scale: centroids are literals folded into one codegen'd scan (no
+    crossJoin+window shuffle — the pre-r8 form shuffled n x k rows just
+    to rank cells); at 100 TB the corpus is written partitioned by cell
+    so a probe reads only its cells' files (partition pruning)."""
     return ann_ivf(spark, sf_dir, probes=IVF_PROBES, assign=IVF_ASSIGN)
 
 
@@ -294,46 +394,29 @@ def ann_ivf(
     per query, `assign` = cells each corpus vector is indexed into; recall
     is monotone in both (candidate sets nest), and probing every cell is
     exact regardless of `assign`."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = embeddings_d(spark, sf_dir).withColumn("fvec", array_to_vector("vec"))
-    km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="fvec", predictionCol="cell")
-    model = km.fit(emb)
-
-    # tiny centroid table: (cell, centroid array) — broadcast to score
-    # vector-to-centroid distances without collecting the corpus
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-    base = emb.select("vec_id", "vec", "vnorm")
-    # multi-assignment: rank all centroids per corpus vector, index the
-    # vector into its `assign` nearest cells (assign=1 == KMeans.transform)
-    ic = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", _sq_dist(F.col("vec"), F.col("centroid"))
-    )
-    wa = Window.partitionBy("vec_id").orderBy("cdist", "cell")
-    assigned = (
-        ic.withColumn("arnk", F.row_number().over(wa))
-        .filter(F.col("arnk") <= assign)
-        .select("vec_id", "vec", "vnorm", "cell")
+    emb = embeddings_d(spark, sf_dir).select("vec_id", "vec", "vnorm")
+    cents = lloyd_centroids(
+        emb.select("vec_id", "vec"), IVF_CLUSTERS, KMEANS_ROUNDS
     )
 
-    q = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
+    # in-row cell ranking: sort the (dist, cid) struct array and slice
+    # the top-m cids — one codegen'd projection, no shuffle (the pre-r8
+    # crossJoin + row_number ranked n x k rows through an exchange)
+    def top_cells(m: int):
+        ranked = F.sort_array(F.array(*_centroid_dist_structs(cents)))
+        return F.transform(F.slice(ranked, 1, m), lambda s: s["cid"])
+
+    assigned = emb.select(
+        "vec_id", "vec", "vnorm", F.explode(top_cells(assign)).alias("cell")
     )
-    # rank centroids per query, keep the top `probes` cells
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", _sq_dist(F.col("qvec"), F.col("centroid"))
-    )
-    wq = Window.partitionBy("query_id").orderBy("cdist", "cell")
     probed = (
-        qc.withColumn("crnk", F.row_number().over(wq))
-        .filter(F.col("crnk") <= probes)
-        .select("query_id", "qvec", "qnorm", "cell")
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("vnorm").alias("qnorm"),
+            F.explode(top_cells(probes)).alias("cell"),
+        )
     )
     cand = (
         F.broadcast(probed)
@@ -953,54 +1036,23 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Lloyd k-means, fixed-round, HASH-ORACLED --------------------------------
-
-KMEANS_K = 8
-KMEANS_ROUNDS = 3
+# (KMEANS_K / KMEANS_ROUNDS / _lloyd_ctes live beside the IVF constants
+# above — the IVF oracle is built at decoration time before this section.)
 
 
 def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iteration in long form (the q_pagerank
-    MATERIALIZED-CTE trick applied to an iterative ML trainer): round r's
-    assignment is an argmin via ROW_NUMBER over the per-(vec, centroid)
-    summed squared distance, its centroid update a (cid, dim) AVG. The
-    final assignment is all-integer, so the driver hash is exact; the
-    float distances only ever DECIDE an argmin (well-separated at every
-    round on real embeddings), never surface in the output."""
-    parts = [
-        """emb AS MATERIALIZED (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-), pts AS MATERIALIZED (
-    SELECT vec_id, generate_subscripts(vec, 1) - 1 AS dim, unnest(vec) AS val
-    FROM emb
-), c0 AS MATERIALIZED (
-    SELECT vec_id AS cid, dim, val FROM pts WHERE vec_id < """
-        + str(KMEANS_K)
-        + "\n)"
-    ]
-    for r in range(1, KMEANS_ROUNDS + 1):
-        parts.append(f""", a{r} AS MATERIALIZED (
-    SELECT vec_id, cid FROM (
-        SELECT p.vec_id, c.cid,
-            ROW_NUMBER() OVER (
-                PARTITION BY p.vec_id
-                ORDER BY SUM((p.val - c.val) * (p.val - c.val)), c.cid
-            ) AS rn
-        FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
-        GROUP BY p.vec_id, c.cid
-    ) WHERE rn = 1
-)""")
-        if r < KMEANS_ROUNDS:
-            parts.append(f""", c{r} AS MATERIALIZED (
-    SELECT a.cid, p.dim, AVG(p.val) AS val
-    FROM a{r} a JOIN pts p ON a.vec_id = p.vec_id
-    GROUP BY a.cid, p.dim
-)""")
-    parts.append(
-        f"""
+    """q_kmeans_lloyd twin: the shared unrolled-Lloyd chain, final
+    assignment projected. The final assignment is all-integer, so the
+    driver hash is exact; the float distances only ever DECIDE an argmin
+    (well-separated at every round on real embeddings), never surface in
+    the output."""
+    return (
+        "WITH "
+        + _lloyd_ctes(KMEANS_K, KMEANS_ROUNDS)
+        + f"""
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster
 FROM a{KMEANS_ROUNDS} ORDER BY vec_id"""
     )
-    return "WITH " + "".join(parts)
 
 
 @query("q_kmeans_lloyd", oracle=_kmeans_oracle())
@@ -1026,37 +1078,47 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_assignments(spark, sf_dir)
 
 
-def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q_kmeans_lloyd kernel, reusable (q_kmeans_silhouette composes
-    it): runs the fixed-round Lloyd loop and returns the final
-    (vec_id, cluster) assignment frame."""
-    emb = embeddings_d(spark, sf_dir).select("vec_id", "vec")
-    seeds = (
-        emb.filter(F.col("vec_id") < KMEANS_K)
-        .orderBy("vec_id")
-        .collect()
-    )
+def _centroid_dist_structs(centroids) -> list:
+    """(squared-distance, cid) struct per centroid, distance as the
+    dim-ordered zip_with fold against the centroid folded in as array
+    literals — the codegen'd no-shuffle assignment kernel shared by
+    q_kmeans_lloyd and the IVF index/probe ranking."""
+    structs = []
+    for cid, cv in centroids:
+        lit_vec = F.array(*[F.lit(x) for x in cv])
+        dist = F.aggregate(
+            F.zip_with(F.col("vec"), lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(dist.alias("d"), F.lit(cid).cast("long").alias("cid"))
+        )
+    return structs
+
+
+def lloyd_centroids(
+    emb: DataFrame, k: int, rounds: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic fixed-round Lloyd trainer, factored so the IVF index
+    (k=16) shares q_kmeans_lloyd's exact loop (k=8): seeds are the k
+    lowest vec_ids, each of `rounds - 1` updates re-averages per (cid,
+    dim) in long form, and the returned list is the final centroid set
+    (the oracle's c{rounds-1} CTE). Driver traffic per update is k x d
+    scalars — bounded regardless of corpus size."""
+    seeds = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seeds]
 
     def assign(centroids):
-        structs = []
-        for cid, cv in centroids:
-            lit_vec = F.array(*[F.lit(x) for x in cv])
-            dist = F.aggregate(
-                F.zip_with(F.col("vec"), lit_vec, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            structs.append(
-                F.struct(
-                    dist.alias("d"), F.lit(cid).cast("long").alias("cid")
-                )
-            )
         return emb.select(
-            "vec_id", "vec", F.array_min(F.array(*structs))["cid"].alias("cid")
+            "vec_id",
+            "vec",
+            F.array_min(F.array(*_centroid_dist_structs(centroids)))[
+                "cid"
+            ].alias("cid"),
         )
 
-    for _ in range(KMEANS_ROUNDS - 1):
+    for _ in range(rounds - 1):
         assigned = assign(cents)
         rows = (
             assigned.select("cid", F.posexplode("vec").alias("dim", "val"))
@@ -1071,9 +1133,22 @@ def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid, [dims[i] for i in range(len(dims))])
             for cid, dims in sorted(by_cid.items())
         ]
+    return cents
+
+
+def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_kmeans_lloyd kernel, reusable (q_kmeans_silhouette composes
+    it): runs the fixed-round Lloyd loop and returns the final
+    (vec_id, cluster) assignment frame."""
+    emb = embeddings_d(spark, sf_dir).select("vec_id", "vec")
+    cents = lloyd_centroids(emb, KMEANS_K, KMEANS_ROUNDS)
     return (
-        assign(cents)
-        .select("vec_id", F.col("cid").cast("bigint").alias("cluster"))
+        emb.select(
+            "vec_id",
+            F.array_min(F.array(*_centroid_dist_structs(cents)))["cid"]
+            .cast("bigint")
+            .alias("cluster"),
+        )
         .orderBy("vec_id")
     )
 
