@@ -255,15 +255,24 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flagging: each event scored against the
     trailing ZSCORE_LOOKBACK-event mean/stddev of ITS OWN user (the frame
     ends at 1 PRECEDING so the current value never contaminates its own
-    baseline). One user_id exchange; the rolling moments are streaming
-    window aggregates over the per-user sort — no self-joins, no state
-    beyond the frame. The streaming twin of this shape is an
-    applyInPandasWithState keyed on user_id carrying (count, sum, sumsq).
+    baseline). The rolling moments are streaming window aggregates over
+    the per-user sort — no self-joins, no state beyond the frame. The
+    streaming twin of this shape is an applyInPandasWithState keyed on
+    user_id carrying (count, sum, sumsq).
+
+    SINCE r8 the headline plan IS the overlap-chunk decomposition
+    (anomaly_zscore_chunked at the 16k production chunk, VERDICT r7
+    item 5): result-identical by construction, same oracle, but a hot
+    user's timeline runs as n/chunk parallel window tasks instead of one
+    straggler (bench events_skew: 8.97 s -> 1.88 s at a 20%-hot-user
+    2M-event shape, ~equal cost on uniform data). The plain single
+    window kernel remains as anomaly_zscore() for the microbench's
+    baseline arm.
 
     Events with fewer than 2 prior observations (sigma undefined) or a
     flat baseline (sigma == 0) get a NULL zscore and are never flagged.
     """
-    return anomaly_zscore(_events(spark, sf_dir))
+    return anomaly_zscore_chunked(_events(spark, sf_dir))
 
 
 def anomaly_zscore(ev: DataFrame) -> DataFrame:
