@@ -613,3 +613,28 @@ def test_kmv_overlap_error_bounds(spark):
         else:
             assert abs(row.union_distinct_est - n_union) / n_union < 3 / (255**0.5)
             assert abs(row.jaccard_kmv - true_j) < 3 * 0.5 / (256**0.5)
+
+
+def test_shingle_cache_survives_clear_cache(spark):
+    """Regression (BENCH_r07's 23.3x minhash scale ratio): an external
+    spark.catalog.clearCache() — bench.py runs one before EVERY query
+    for isolation — unregisters the memoized shingle-set persist from
+    the CacheManager; the per-session memo then kept returning a frame
+    that silently never cached again, so each later LSH query re-ran
+    the full shingle build 3x (signatures + both verification sides).
+    shingle_hash_sets must re-persist on cache hit."""
+    from pyspark import StorageLevel
+
+    from aram_matchdata_etl_spark.operators.dedup import shingle_hash_sets
+
+    first = shingle_hash_sets(spark, SF_SMOKE)
+    first.count()  # materialize the cache
+    assert first.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    assert first.storageLevel == StorageLevel.NONE  # the failure mode
+    again = shingle_hash_sets(spark, SF_SMOKE)
+    assert again.storageLevel != StorageLevel.NONE, (
+        "memoized shingle sets must re-persist after an external "
+        "clearCache() — otherwise every downstream use re-runs the "
+        "corpus-wide shingle build"
+    )
