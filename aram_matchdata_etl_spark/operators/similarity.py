@@ -418,16 +418,21 @@ def ann_ivf(
             F.explode(top_cells(probes)).alias("cell"),
         )
     )
-    cand = (
+    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    # score in the join projection, THEN dedup: a vector assigned to 2
+    # probed cells must rank once, not twice (duplicates would occupy two
+    # top-k slots), and the duplicate rows are bit-identical (same
+    # deterministic expression on the same operands) so distinct() over
+    # the 3 scalar columns collapses them — the pre-r8 dropDuplicates
+    # BEFORE scoring dragged the full 64-double vectors through a
+    # first()-aggregate exchange just to deduplicate ids (plan audit)
+    scored = (
         F.broadcast(probed)
         .join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        # a vector assigned to 2 probed cells must score once, not twice
-        # (duplicates would occupy two top-k slots)
-        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", cosine.alias("raw_cosine"))
+        .distinct()
     )
-    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
-    scored = cand.select("query_id", "vec_id", cosine.alias("raw_cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))

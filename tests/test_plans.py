@@ -469,3 +469,18 @@ def test_attribution_position_copartitions_on_user(spark):
         or "hashpartitioning(user_id" in plan
     ), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_ivf_no_vectors_through_shuffle(spark):
+    """IVF (r8 rework): cell assignment/probing is an in-row sort_array
+    argmin over centroid literals (no crossJoin + row_number exchange),
+    candidate dedup happens AFTER scoring so only (query_id, vec_id,
+    cosine) scalars cross the distinct exchange — never the 64-double
+    vectors (the pre-r8 dropDuplicates dragged them through a
+    first()-aggregate), and the probe side reaches the index via a
+    broadcast join on cell."""
+    plan = _plan(spark, "q_ann_ivf")
+    assert "first(" not in plan, plan  # the vector-carrying dedup agg
+    assert "BroadcastHashJoin [cell" in plan, plan
+    assert "sort_array" in plan, plan  # in-row centroid ranking
+    assert "CartesianProduct" not in plan, plan
