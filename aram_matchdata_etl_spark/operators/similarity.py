@@ -681,8 +681,52 @@ PQ_K = 16  # codes per subspace
 PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
 
 
+def _pq_ctes(k: int = PQ_K, rounds: int = KMEANS_ROUNDS, sub: int = 8) -> str:
+    """The m independent per-subspace Lloyd trainings expressed as ONE
+    grouped chain (the 'product' in product quantization is literally a
+    GROUP BY here): dims stay absolute, sm = dim // sub joins every
+    aggregation's keys, so each round is one argmin ROW_NUMBER per
+    (vec_id, sm) and one (cid, sm, dim) AVG — the _lloyd_ctes shape with
+    a subspace column threaded through. Ends at a{rounds}(vec_id, sm,
+    cid, d): the final per-subspace code assignment with its squared
+    reconstruction error."""
+    parts = [
+        f"""emb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), pts AS MATERIALIZED (
+    SELECT vec_id, dim, dim // {sub} AS sm, val FROM (
+        SELECT vec_id, generate_subscripts(vec, 1) - 1 AS dim,
+            unnest(vec) AS val
+        FROM emb
+    )
+), c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, sm, dim, val FROM pts WHERE vec_id < {k}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+    SELECT vec_id, sm, cid, d FROM (
+        SELECT p.vec_id, c.sm, c.cid,
+            SUM((p.val - c.val) * (p.val - c.val)) AS d,
+            ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id, c.sm
+                ORDER BY SUM((p.val - c.val) * (p.val - c.val)), c.cid
+            ) AS rn
+        FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
+        GROUP BY p.vec_id, c.sm, c.cid
+    ) WHERE rn = 1
+)""")
+        if r < rounds:
+            parts.append(f""", c{r} AS MATERIALIZED (
+    SELECT a.cid, a.sm, p.dim, AVG(p.val) AS val
+    FROM a{r} a JOIN pts p ON a.vec_id = p.vec_id AND a.sm = p.sm
+    GROUP BY a.cid, a.sm, p.dim
+)""")
+    return "".join(parts)
+
+
 def pq_train_encode(
-    emb: DataFrame, dim: int, m: int = PQ_M, k: int = PQ_K, seed: int = 42
+    emb: DataFrame, dim: int, m: int = PQ_M, k: int = PQ_K
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011): split each D-dim vector into
@@ -699,14 +743,14 @@ def pq_train_encode(
       form; sub_err is the squared L2 distance to the chosen centroid, so
       SUM(sub_err) per vec_id IS the total squared reconstruction error.
 
-    Scale shape: training fits m KMeans models over subvector projections
-    (narrow per-row slices); encoding is a broadcast join of the corpus's
+    Scale shape: training fits m independent fixed-round Lloyd loops over
+    subvector projections (narrow per-row slices; since r8 the SAME
+    deterministic trainer as q_kmeans_lloyd/q_ann_ivf — seeds are the k
+    lowest vec_ids' subvectors — which is what makes the whole PQ family
+    hash-oracle-able); encoding is a broadcast join of the corpus's
     m*n subvector rows against the m*k codebook with a min_by argmin —
     one aggregation keyed by (vec_id, sm), no crossJoin blowup beyond the
     fixed m*k factor, bodies never shuffle."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -715,14 +759,11 @@ def pq_train_encode(
     cb_rows = []
     for sm in range(m):
         sv = base.select(
-            array_to_vector(F.slice("vec", sm * sub + 1, sub)).alias("fvec")
+            "vec_id", F.slice("vec", sm * sub + 1, sub).alias("vec")
         )
-        model = KMeans(
-            k=k, seed=seed + sm, featuresCol="fvec", predictionCol="code"
-        ).fit(sv)
         cb_rows += [
-            (sm, code, [float(x) for x in c])
-            for code, c in enumerate(model.clusterCenters())
+            (sm, int(cid), cv)
+            for cid, cv in lloyd_centroids(sv, k, KMEANS_ROUNDS)
         ]
     codebooks = emb.sparkSession.createDataFrame(
         cb_rows, "sm int, code int, centroid array<double>"
@@ -752,14 +793,28 @@ def pq_train_encode(
     return codebooks, codes
 
 
-@query("q_embedding_pq")
+@query(
+    "q_embedding_pq",
+    oracle="WITH "
+    + _pq_ctes()
+    + f"""
+SELECT vec_id,
+    string_agg(CAST(cid AS VARCHAR), '|' ORDER BY sm) AS pq_code,
+    ROUND(SUM(d), 6) AS recon_err
+FROM a{KMEANS_ROUNDS} GROUP BY vec_id""",
+)
 def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encoded corpus: per vector, the m-code word (joined as a string
     so the driver canonicalizer can hash it) and the total squared
-    reconstruction error. Rows-only by design (k-means initialization is
-    engine-specific); the invariant tests assert code ranges, the
-    reconstruction-error ordering vs the 1-code codebook, and ADC recall
-    (tests/test_northstar.py)."""
+    reconstruction error. HASH-ORACLED since r8 (was rows-only 'k-means
+    initialization is engine-specific'): the subspace trainers are now
+    the shared deterministic fixed-round Lloyd loop, and the oracle runs
+    all m of them as ONE grouped chain (_pq_ctes — sm = dim // sub joins
+    every key, so 'product' quantization is literally a GROUP BY).
+    Codes are integers; recon_err is round-6 over sums of squared
+    distances to averaged centroids — the q_kmeans_silhouette rounding
+    class. Invariant tests (code ranges, recon-err ordering vs the
+    1-code codebook, ADC recall) stay in tests/test_northstar.py."""
     emb = embeddings_d(spark, sf_dir)
     _, codes = pq_train_encode(emb, dim=64)
     return (
@@ -780,7 +835,46 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_pq")
+@query(
+    "q_ann_pq",
+    oracle="WITH "
+    + _pq_ctes()
+    + f""", qd AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.sm, c.cid AS code,
+        SUM((q.val - c.val) * (q.val - c.val)) AS d
+    FROM pts q JOIN c{KMEANS_ROUNDS - 1} c ON q.dim = c.dim
+    WHERE q.vec_id < {N_QUERIES}
+    GROUP BY 1, 2, 3
+), adc AS (
+    SELECT t.query_id, s.vec_id, SUM(t.d) AS adc_dist
+    FROM a{KMEANS_ROUNDS} s
+    JOIN qd t ON s.sm = t.sm AND s.cid = t.code
+    WHERE s.vec_id <> t.query_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) = {PQ_M}
+), shortlist AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, vec_id
+            ) AS arnk
+        FROM adc
+    ) WHERE arnk <= {PQ_SHORTLIST}
+), rr AS (
+    SELECT s.query_id, s.vec_id, SUM((pq.val - pv.val) * (pq.val - pv.val)) AS l2
+    FROM shortlist s
+    JOIN pts pq ON pq.vec_id = s.query_id
+    JOIN pts pv ON pv.vec_id = s.vec_id AND pv.dim = pq.dim
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id, ROUND(l2, 6) AS l2_dist, rnk FROM (
+    SELECT query_id, vec_id, l2,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY l2, vec_id
+        ) AS INTEGER) AS rnk
+    FROM rr
+) WHERE rnk <= {TOPK}""",
+)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k by PQ asymmetric distance computation (ADC, Jégou et al.
     2011): the query stays in float; its squared distance to each corpus
@@ -799,8 +893,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus contributes only its code columns (m smallints/vector), so the
     scan is of the compressed representation, and the only wide stage is
     the (query_id, vec_id) partial-sum aggregation. Both top-k cuts are
-    row_number windows. Rows-only; recall vs exact L2 is asserted in
-    tests/test_northstar.py."""
+    row_number windows. HASH-ORACLED since r8 via the grouped-Lloyd
+    chain (_pq_ctes; see q_embedding_pq) — the full ADC + shortlist +
+    exact-re-rank pipeline reproduces in DuckDB; recall vs exact L2
+    stays asserted in tests/test_northstar.py."""
     emb = embeddings_d(spark, sf_dir)
     codebooks, codes = pq_train_encode(emb, dim=64)
     sub = 64 // PQ_M
