@@ -725,6 +725,82 @@ def _pq_ctes(k: int = PQ_K, rounds: int = KMEANS_ROUNDS, sub: int = 8) -> str:
     return "".join(parts)
 
 
+def _pq_lloyd_codebooks(
+    base: DataFrame, m: int, sub: int, k: int, rounds: int
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """All m subspace Lloyd trainings driven as ONE grouped loop — the
+    Spark mirror of the oracle's _pq_ctes chain (and mathematically the
+    m independent lloyd_centroids() runs, which is how the first r8 cut
+    implemented it: that version paid m * rounds sequential driver
+    actions ~ 24 jobs and ~20 s per PQ query; this one pays
+    1 + (rounds-1) = 3). Per round: assignment is an in-row argmin
+    selected by subspace (a CASE over m literal centroid sets — still
+    zero shuffle), the update ONE (sm, cid, dim) AVG shuffle for all
+    subspaces. Returns {sm: [(cid, centroid)]}; empty clusters drop per
+    subspace, exactly as in the per-subspace loop."""
+    spark = base.sparkSession
+    seed_rows = base.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents: dict[int, list[tuple[int, list[float]]]] = {
+        sm: [
+            (
+                int(r.vec_id),
+                [float(x) for x in r.vec][sm * sub : (sm + 1) * sub],
+            )
+            for r in seed_rows
+        ]
+        for sm in range(m)
+    }
+    # long-form points, reused every round (absolute dims; sm = dim div
+    # sub — the oracle's pts CTE verbatim). Centroids enter as broadcast
+    # DATA, not plan literals: a literal-folded argmin (the first r8
+    # cut's 8-subspace CASE over 128 zip_with folds) recompiled ~10 s of
+    # codegen per round because each round's literals are a new plan.
+    pts = base.select(
+        "vec_id", F.posexplode("vec").alias("dim", "val")
+    ).withColumn("sm", (F.col("dim") / sub).cast("int")).localCheckpoint()
+    for _ in range(rounds - 1):
+        cbl = spark.createDataFrame(
+            [
+                (sm, cid, sm * sub + d, v)
+                for sm, lst in cents.items()
+                for cid, vec in lst
+                for d, v in enumerate(vec)
+            ],
+            "sm int, cid int, dim int, cval double",
+        ).drop("sm")  # dim is absolute, so the subspace is implied
+        rows = (
+            pts.join(F.broadcast(cbl), "dim")
+            .groupBy("vec_id", "sm", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("d")
+            )
+            .groupBy("vec_id", "sm")
+            .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
+            .join(pts, ["vec_id", "sm"])
+            .groupBy("sm", "cid", "dim")
+            .agg(F.avg("val").alias("val"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault((int(r.sm), int(r.cid)), {})[
+                int(r.dim) - int(r.sm) * sub
+            ] = float(r.val)
+        cents = {
+            sm: sorted(
+                (cid, [dims[i] for i in range(len(dims))])
+                for (s2, cid), dims in acc.items()
+                if s2 == sm
+            )
+            for sm in range(m)
+        }
+    pts.unpersist()
+    return cents
+
+
 def pq_train_encode(
     emb: DataFrame, dim: int, m: int = PQ_M, k: int = PQ_K
 ) -> tuple[DataFrame, DataFrame]:
@@ -756,15 +832,13 @@ def pq_train_encode(
     sub = dim // m
 
     base = emb.select("vec_id", "vec")
-    cb_rows = []
-    for sm in range(m):
-        sv = base.select(
-            "vec_id", F.slice("vec", sm * sub + 1, sub).alias("vec")
-        )
-        cb_rows += [
-            (sm, int(cid), cv)
-            for cid, cv in lloyd_centroids(sv, k, KMEANS_ROUNDS)
-        ]
+    cb_rows = [
+        (sm, int(cid), cv)
+        for sm, cents in _pq_lloyd_codebooks(
+            base, m=m, sub=sub, k=k, rounds=KMEANS_ROUNDS
+        ).items()
+        for cid, cv in cents
+    ]
     codebooks = emb.sparkSession.createDataFrame(
         cb_rows, "sm int, code int, centroid array<double>"
     )
