@@ -401,21 +401,31 @@ def ann_ivf(
 
     # in-row cell ranking: sort the (dist, cid) struct array and slice
     # the top-m cids — one codegen'd projection, no shuffle (the pre-r8
-    # crossJoin + row_number ranked n x k rows through an exchange)
-    def top_cells(m: int):
-        ranked = F.sort_array(F.array(*_centroid_dist_structs(cents)))
-        return F.transform(F.slice(ranked, 1, m), lambda s: s["cid"])
-
-    assigned = emb.select(
-        "vec_id", "vec", "vnorm", F.explode(top_cells(assign)).alias("cell")
+    # crossJoin + row_number ranked n x k rows through an exchange).
+    # Both consumers slice the SAME ranked prefix so the k x d literal
+    # expression compiles once (distinct per-consumer expressions would
+    # each pay their own whole-stage-codegen JIT).
+    nmax = max(assign, probes)
+    ranked = F.transform(
+        F.slice(
+            F.sort_array(F.array(*_centroid_dist_structs(cents))), 1, nmax
+        ),
+        lambda s: s["cid"],
+    )
+    cells = emb.select("vec_id", "vec", "vnorm", ranked.alias("cells"))
+    assigned = cells.select(
+        "vec_id",
+        "vec",
+        "vnorm",
+        F.explode(F.slice("cells", 1, assign)).alias("cell"),
     )
     probed = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        cells.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
             F.col("vnorm").alias("qnorm"),
-            F.explode(top_cells(probes)).alias("cell"),
+            F.explode(F.slice("cells", 1, probes)).alias("cell"),
         )
     )
     cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
@@ -1281,22 +1291,38 @@ def lloyd_centroids(
     dim) in long form, and the returned list is the final centroid set
     (the oracle's c{rounds-1} CTE). Driver traffic per update is k x d
     scalars — bounded regardless of corpus size."""
+    spark = emb.sparkSession
     seeds = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seeds]
 
-    def assign(centroids):
-        return emb.select(
-            "vec_id",
-            "vec",
-            F.array_min(F.array(*_centroid_dist_structs(centroids)))[
-                "cid"
-            ].alias("cid"),
-        )
-
+    # Update rounds run on long-form points with the centroids joining
+    # in as broadcast DATA (the oracle's own dataflow: per-(vec, cid)
+    # summed squared distance, min_by argmin, (cid, dim) AVG): folding
+    # the centroids in as plan literals recompiled a k x d zip_with
+    # projection per round (~4 s of codegen each at k=16, measured on
+    # q_ann_ivf). The FINAL argmin consumed by callers stays the
+    # literal-folded in-row form (_centroid_dist_structs) — one compile,
+    # zero shuffle, plan-pinned in tests/test_plans.py.
+    pts = emb.select(
+        "vec_id", F.posexplode("vec").alias("dim", "val")
+    ).localCheckpoint()
     for _ in range(rounds - 1):
-        assigned = assign(cents)
+        cbl = spark.createDataFrame(
+            [(cid, d, v) for cid, vec in cents for d, v in enumerate(vec)],
+            "cid int, dim int, cval double",
+        )
         rows = (
-            assigned.select("cid", F.posexplode("vec").alias("dim", "val"))
+            pts.join(F.broadcast(cbl), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("d")
+            )
+            .groupBy("vec_id")
+            .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
+            .join(pts, "vec_id")
             .groupBy("cid", "dim")
             .agg(F.avg("val").alias("val"))
             .collect()
@@ -1308,6 +1334,7 @@ def lloyd_centroids(
             (cid, [dims[i] for i in range(len(dims))])
             for cid, dims in sorted(by_cid.items())
         ]
+    pts.unpersist()
     return cents
 
 
