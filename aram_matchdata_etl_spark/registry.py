@@ -149,6 +149,12 @@ def _rotated(keys: list[str]) -> list[str]:
         upgraded = rows_only and k in _ORACLES
         promoted = rnd < 0 or upgraded or k in _SEMANTICS_CHANGED
         bucket = 0 if red else (1 if promoted else 2)
+        # upgraded / semantics-changed keys carry NEW oracle claims —
+        # they must reach the next 50-key window even while the
+        # never-sampled backlog (rnd == -1) exceeds one window, so they
+        # sort ahead of it (there are only ever a handful per round)
+        if bucket == 1 and (upgraded or k in _SEMANTICS_CHANGED):
+            rnd = -2
         return bucket, rnd, _MODULE_PRIORITY.get(mod, 99)
 
     return sorted(keys, key=rank)
