@@ -1761,3 +1761,51 @@ def test_mmr_rerank_diversifies(spark):
     }
     topk = [v for v, _ in sorted(rel.items(), key=lambda t: (-t[1], t[0]))[:MMR_K]]
     assert mean_pairwise([r.vec_id for r in rows]) <= mean_pairwise(topk) + 1e-9
+
+
+def test_pq_codes_match_numpy(spark):
+    """Pure-numpy product quantization with the identical per-subspace
+    seeding / round count / tie-break must produce the identical code
+    words and (to fp tolerance) reconstruction errors — this checks the
+    grouped one-pass trainer (_pq_lloyd_codebooks, r8) against the
+    m-independent-Lloyds DEFINITION it optimizes, exactly as
+    test_kmeans_lloyd_matches_numpy pins the flat trainer."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        KMEANS_ROUNDS,
+        PQ_K,
+        PQ_M,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.vec_id: (r.pq_code, r.recon_err)
+        for r in all_queries()["q_embedding_pq"](spark, SF_ORACLE).collect()
+    }
+    emb = _duck("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    sub = X.shape[1] // PQ_M
+    codes = np.zeros((len(ids), PQ_M), dtype=int)
+    err = np.zeros((len(ids), PQ_M))
+    for sm in range(PQ_M):
+        S = X[:, sm * sub : (sm + 1) * sub]
+        cents = {int(i): S[ids == i][0] for i in range(PQ_K)}
+        assign = None
+        for r in range(KMEANS_ROUNDS):
+            cid_list = sorted(cents)
+            C = np.stack([cents[c] for c in cid_list])
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.array([cid_list[j] for j in d2.argmin(axis=1)])
+            derr = d2.min(axis=1)
+            if r < KMEANS_ROUNDS - 1:
+                cents = {
+                    int(c): S[assign == c].mean(axis=0)
+                    for c in np.unique(assign)
+                }
+        codes[:, sm] = assign
+        err[:, sm] = derr
+    for i, vid in enumerate(ids):
+        want_code = "|".join(str(c) for c in codes[i])
+        g_code, g_err = got[int(vid)]
+        assert g_code == want_code, (vid, g_code, want_code)
+        assert abs(g_err - err[i].sum()) < 1e-5, (vid, g_err, err[i].sum())
