@@ -20,7 +20,7 @@ from __future__ import annotations
 import weakref
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -640,13 +640,33 @@ def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+    sig: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands x rows) and bucket-join: posexplode the
     band hashes so ONE equi-join on (band, bucket) produces all candidate
     pairs — instead of `bands` separate self-joins each re-running the
     signature lineage. The shuffle stays O(docs x bands) — never
-    all-pairs."""
+    all-pairs.
+
+    ``bucket_cap``: the 100 TB hot-bucket defense (same shape as the
+    market-basket CF_CAP). A degenerate bucket — b near-identical docs
+    landing in one (band, bucket) — contributes C(b, 2) candidate pairs;
+    at b = 1M that is 5e11 rows out of ONE task, the quadratic cliff the
+    r7 advice hypothesized for this family. With a cap, each bucket
+    keeps only its `bucket_cap` md5-order-first members (deterministic,
+    content-independent), bounding per-bucket work at C(cap, 2) while
+    every smaller bucket is untouched. Recall inside an oversized
+    bucket's survivor set is intact, and a truncated doc can still pair
+    through any of its OTHER bands (multi-band redundancy) — and in
+    practice an oversized bucket means near-identical content that
+    q_dedup_exact (byte-hash dedup, run FIRST in the production
+    pipeline) already collapsed. Default None = exact candidate set —
+    the oracled form (q_dedup_minhash_lsh hashes bit-for-bit against
+    DuckDB and must stay uncapped); measured: bench_telemetry
+    `lsh_skew` microbench."""
     rows = k // bands
     # band bucket = md5 prefix of the '_'-joined row signature (BIGINT
     # digits -> identical strings in both engines)
@@ -669,6 +689,15 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bucket").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        buckets = (
+            buckets.withColumn("brn", F.row_number().over(wb))
+            .filter(F.col("brn") <= bucket_cap)
+            .drop("brn")
+        )
     x = buckets.alias("x")
     y = buckets.alias("y")
     return (

@@ -333,6 +333,53 @@ def setsim_prefix_microbench(spark) -> dict:
     return out
 
 
+def lsh_skew_microbench(spark) -> dict:
+    """Hot-bucket stress for the MinHash+LSH candidate stage (the
+    quadratic-in-bucket failure mode the r7 verdict hypothesized):
+    100k docs with distinct pseudo-random shingle-hash sets plus ONE
+    cluster of 3k byte-identical docs — every band maps the clones to
+    the same bucket, so the uncapped equi-join emits C(3k, 2) ~ 4.5M
+    candidate pairs from one bucket chain. Measures candidate count +
+    wall uncapped vs bucket_cap=64 (tests/test_skew.py proves the cap
+    is exact outside oversized buckets). At 100 TB the same shape with
+    a 1M-clone cluster is 5e11 pairs — the cap is the difference
+    between a bounded task and an un-runnable one; in production the
+    byte-hash exact dedup runs first, so oversized buckets are rarer
+    but adversarially unavoidable (templated boilerplate)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_unique, n_hot = 100_000, 3_000
+    uniq = spark.range(n_unique).selectExpr(
+        "id AS doc_id",
+        "transform(sequence(0, 11), i -> "
+        "  cast(conv(substring(md5(concat(cast(id AS string), '_', "
+        "  cast(i AS string))), 1, 8), 16, 10) AS bigint)) AS hs",
+    )
+    hot = spark.range(n_unique, n_unique + n_hot).selectExpr(
+        "id AS doc_id",
+        "transform(sequence(0, 11), i -> "
+        "  cast(conv(substring(md5(concat('hot_', cast(i AS string))), "
+        "  1, 8), 16, 10) AS bigint)) AS hs",
+    )
+    sig = minhash_signatures(uniq.unionAll(hot)).localCheckpoint()
+    out: dict = {"n_docs": n_unique + n_hot, "hot_cluster": n_hot}
+    for label, cap in (("uncapped", None), ("cap64", 64)):
+        cands = lsh_candidate_pairs(sig, bucket_cap=cap)
+        cands.write.format("noop").mode("overwrite").save()  # warmup
+        t0 = _t.perf_counter()
+        n = cands.count()
+        out[label] = {"sec": round(_t.perf_counter() - t0, 3), "pairs": n}
+    sig.unpersist()
+    return out
+
+
 def market_skew_microbench(spark) -> dict:
     """Skew-stress the market-basket pair join: within-basket pair
     generation costs sum(b_i^2), so ONE hoarder basket (~4.9k distinct
@@ -773,6 +820,10 @@ def main() -> None:
         telemetry["microbench"]["market_skew"] = market_skew_microbench(spark)
     except Exception as e:
         telemetry["microbench"]["market_skew"] = {"error": str(e)[:160]}
+    try:
+        telemetry["microbench"]["lsh_skew"] = lsh_skew_microbench(spark)
+    except Exception as e:
+        telemetry["microbench"]["lsh_skew"] = {"error": str(e)[:160]}
 
     # 10x replicated-fixture tier: compact ratios go on the final line
     # (the judge-facing scaling factors), full seconds + build cost to

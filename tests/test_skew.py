@@ -141,3 +141,63 @@ def test_chunked_zscore_rejects_undersized_chunk(spark):
     )
     with _pytest.raises(ValueError):
         anomaly_zscore_chunked(ev, chunk=5)
+
+
+def _synthetic_sig_sets(spark, n_unique: int, n_hot: int):
+    """Per-doc 32-bit hash-set arrays: `n_unique` docs with distinct
+    pseudo-random 12-hash sets, plus `n_hot` docs sharing ONE identical
+    set (they collide in every band — the degenerate LSH bucket)."""
+    uniq = spark.range(n_unique).selectExpr(
+        "id AS doc_id",
+        "transform(sequence(0, 11), i -> "
+        "  cast(conv(substring(md5(concat(cast(id AS string), '_', "
+        "  cast(i AS string))), 1, 8), 16, 10) AS bigint)) AS hs",
+    )
+    hot = spark.range(n_unique, n_unique + n_hot).selectExpr(
+        "id AS doc_id",
+        "transform(sequence(0, 11), i -> "
+        "  cast(conv(substring(md5(concat('hot_', cast(i AS string))), "
+        "  1, 8), 16, 10) AS bigint)) AS hs",
+    )
+    return uniq.unionAll(hot)
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
+    """The 100 TB hot-bucket defense: b near-identical docs put C(b, 2)
+    candidate pairs in one (band, bucket). With bucket_cap=C the hot
+    contribution drops to <= bands * C(C, 2) while pairs whose docs
+    never share an oversized bucket are UNTOUCHED (exactness outside the
+    capped bucket, the CF_CAP argument)."""
+    from aram_matchdata_etl_spark.operators.dedup import (
+        LSH_BANDS,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sets = _synthetic_sig_sets(spark, n_unique=300, n_hot=80)
+    sig = minhash_signatures(sets).localCheckpoint()
+    cap = 8
+
+    plain = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, bucket_cap=cap).collect()
+    }
+    hot_ids = set(range(300, 380))
+
+    def is_hot(p):
+        return p[0] in hot_ids and p[1] in hot_ids
+
+    # the identical 80 docs produce all C(80,2)=3160 pairs uncapped
+    assert sum(1 for p in plain if is_hot(p)) == 80 * 79 // 2
+    # capped: bounded by bands * C(cap,2) (dedup across bands shrinks it)
+    n_hot_capped = sum(1 for p in capped if is_hot(p))
+    assert 0 < n_hot_capped <= LSH_BANDS * cap * (cap - 1) // 2
+    # pairs not involving the hot set are preserved exactly
+    assert {p for p in plain if not is_hot(p)} == {
+        p for p in capped if not is_hot(p)
+    }
+    # default (cap=None) stays the exact, oracle-hashed candidate set
+    assert capped <= plain
