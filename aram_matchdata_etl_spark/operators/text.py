@@ -224,7 +224,10 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hatch when the per-row expansion needs real Python."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="sent_no int, sentence string, n_words int")
+    # useArrow: the one Python boundary in the registry crosses in Arrow
+    # batches, not pickled rows — the repo-wide plan audit (r8) flagged
+    # the default row-serialized BatchEvalPythonUDTF form
+    @udtf(returnType="sent_no int, sentence string, n_words int", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             n = 0
