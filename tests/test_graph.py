@@ -559,3 +559,60 @@ def test_betweenness_oracle_depth_cap_has_headroom(spark):
         f"BFS depth {t['rounds'] - 1} at the oracle SF is too close to "
         f"the oracle cap {BTW_DCAP}; raise BTW_DCAP"
     )
+
+
+def test_pagerank_personalized_matches_numpy(spark):
+    """Pure-numpy random-walk-with-restart with identical seeding /
+    rounds / dangling-to-seeds redistribution must reproduce
+    q_pagerank_personalized's ranks — the third implementation beside
+    the operator and its unrolled-CTE oracle (which share the
+    formulation), exactly as test_pagerank_matches_numpy pins the
+    global kernel."""
+    from aram_matchdata_etl_spark.operators.graph import PPR_SEED_SOURCE
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    edges = [(r["src"], r["dst"]) for r in link_graph(docs).collect()]
+    rows = docs.select("doc_id", "source").collect()
+    nodes = [r["doc_id"] for r in rows]
+    seeds = {r["doc_id"] for r in rows if r["source"] == PPR_SEED_SOURCE}
+    assert seeds, "fixture must contain the seed source"
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    seed_mask = np.zeros(n, dtype=bool)
+    for s in seeds:
+        seed_mask[idx[s]] = True
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.where(seed_mask, 1.0 / len(seeds), 0.0)
+    d = DAMPING
+    for _ in range(15):
+        dangling = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out_deg[idx[s]]
+        r = (
+            np.where(seed_mask, ((1 - d) + d * dangling) / len(seeds), 0.0)
+            + d * contrib
+        )
+
+    got = {
+        row["doc_id"]: row["rank"]
+        for row in all_queries()["q_pagerank_personalized"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    # operator rounds to 9dp; mass concentrates on/near seeds
+    diffs = [abs(got[node] - r[idx[node]]) for node in nodes]
+    assert max(diffs) < 1e-8
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+    # non-seed ranks come only from link flow: zero for unlinked docs
+    unlinked = [
+        node for node in nodes
+        if node not in seeds and not any(t == node for _, t in edges)
+    ]
+    for node in unlinked[:20]:
+        assert got[node] == 0.0
