@@ -1809,3 +1809,36 @@ def test_pq_codes_match_numpy(spark):
         g_code, g_err = got[int(vid)]
         assert g_code == want_code, (vid, g_code, want_code)
         assert abs(g_err - err[i].sum()) < 1e-5, (vid, g_err, err[i].sum())
+
+
+def test_cusum_changepoint_matches_numpy(spark):
+    """Pure-numpy CUSUM (Page 1954) over the daily means — standardize
+    by the series mean / sample sd, cumulative-sum in day order, flag
+    the |CUSUM| argmax — as the third implementation beside the
+    operator and its window-SQL oracle. Also verifies the detector
+    property on the fixture: the flagged day is the argmax of the
+    numpy CUSUM too."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_cusum_changepoint"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.day,
+    )
+    daily = _duck(
+        "SELECT date_trunc('day', ts) AS day, AVG(value) AS x, COUNT(*) AS n"
+        " FROM events GROUP BY 1 ORDER BY day"
+    )
+    x = daily["x"].to_numpy(dtype=np.float64)
+    mu, sd = x.mean(), x.std(ddof=1)
+    cusum = np.cumsum((x - mu) / sd)
+    flag = np.abs(cusum) == np.abs(cusum).max()
+
+    assert len(rows) == len(x)
+    for r, xi, ci, ni, fi in zip(rows, x, cusum, daily["n"], flag):
+        assert abs(r.daily_mean - round(float(xi), 6)) < 1e-9
+        assert r.n_events == int(ni)
+        assert abs(r.cusum - round(float(ci), 6)) < 2e-6
+        assert r.is_changepoint == bool(fi)
+    assert sum(1 for r in rows if r.is_changepoint) >= 1
