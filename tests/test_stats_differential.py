@@ -1887,3 +1887,54 @@ def test_cuped_matches_numpy(spark):
     # covariance differs from the pooled slope can see a slight
     # inflation (observed +0.02% on this fixture's variant 0).
     assert y_adj.var(ddof=1) <= y.var(ddof=1) * (1 + 1e-9)
+
+
+def test_power_analysis_matches_numpy(spark):
+    """Pure-numpy MDE = (z_{a/2} + z_b) * sqrt(v0/n0 + v1/n1) per event
+    type at the user_id%2 split — third implementation beside the
+    operator and its conditional-aggregate SQL twin."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.stats import Z_ALPHA_2, Z_BETA
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_power_analysis"](spark, SF_ORACLE).collect()
+    }
+    ev = _duck("SELECT event_type, user_id, value FROM events")
+    for et, grp in ev.groupby("event_type"):
+        a = grp[grp["user_id"] % 2 == 0]["value"].to_numpy(dtype=np.float64)
+        b = grp[grp["user_id"] % 2 == 1]["value"].to_numpy(dtype=np.float64)
+        mde = (Z_ALPHA_2 + Z_BETA) * np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        r = got[et]
+        assert (r.n0, r.n1) == (len(a), len(b))
+        assert abs(r.mde_abs - round(float(mde), 6)) < 1e-6
+        assert abs(r.mde_rel - round(float(mde / a.mean()), 6)) < 1e-6
+
+
+def test_srm_check_matches_numpy(spark):
+    """Pure-python chi-square goodness-of-fit of the variant split
+    against 50/50, and the 3.841 (chi2_1, 5%) flag."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_srm_check"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.variant,
+    )
+    ev = _duck("SELECT DISTINCT user_id FROM events")
+    n_by_variant = ev["user_id"].mod(2).value_counts().to_dict()
+    n = sum(n_by_variant.values())
+    chi2 = sum(
+        (n_by_variant[v] - n / 2.0) ** 2 / (n / 2.0) for v in (0, 1)
+    )
+    for r in rows:
+        exp = n_by_variant[r.variant]
+        assert r.n_users == exp
+        assert abs(r.share - round(exp / n, 6)) < 1e-9
+        assert abs(
+            r.chi2_term - round((exp - n / 2.0) ** 2 / (n / 2.0), 6)
+        ) < 1e-6
+        assert r.srm_flag == (chi2 > 3.841459)
