@@ -1938,3 +1938,116 @@ def test_srm_check_matches_numpy(spark):
             r.chi2_term - round((exp - n / 2.0) ** 2 / (n / 2.0), 6)
         ) < 1e-6
         assert r.srm_flag == (chi2 > 3.841459)
+
+
+def test_stats_moments_match_scipy_formulas(spark):
+    """Pure-numpy population g1 / excess g2 (and sample sd/var) per
+    event type — Spark's skewness/kurtosis are the POPULATION
+    single-pass forms; this pins that semantic independently of the
+    oracle's two-pass mean-join reformulation."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_stats_moments"](spark, SF_ORACLE).collect()
+    }
+    ev = _duck("SELECT event_type, value FROM events")
+    for et, grp in ev.groupby("event_type"):
+        x = grp["value"].to_numpy(dtype=np.float64)
+        mu = x.mean()
+        sp = x.std(ddof=0)
+        g1 = ((x - mu) ** 3).mean() / sp**3
+        g2 = ((x - mu) ** 4).mean() / (x.var(ddof=0) ** 2) - 3
+        r = got[et]
+        assert abs(r.sd - round(float(x.std(ddof=1)), 6)) < 1e-6
+        assert abs(r.var - round(float(x.var(ddof=1)), 6)) < 1e-4
+        assert abs(r.skew - round(float(g1), 6)) < 1e-6
+        assert abs(r.kurt - round(float(g2), 6)) < 1e-6
+
+
+def test_weighted_quantile_matches_numpy(spark):
+    """Pure-numpy weighted percentile-disc: smallest value whose
+    cumulative weight reaches q * total (weight = value)."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.stats import WQ_QUANTILES
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        (r.event_type, r.q): r.weighted_quantile
+        for r in all_queries()["q_weighted_quantile"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    ev = _duck("SELECT event_type, value FROM events WHERE value > 0")
+    for et, grp in ev.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy(dtype=np.float64))
+        cw = np.cumsum(vals)  # weight == value
+        for q in WQ_QUANTILES:
+            want = vals[np.searchsorted(cw, q * cw[-1])]
+            assert abs(got[(et, q)] - round(float(want), 6)) < 1e-9, (et, q)
+
+
+def test_benford_matches_numpy(spark):
+    """Pure-python Benford first-digit histogram + chi2 terms on order
+    totals, incl. the dense 1..9 grid (absent digits must surface with
+    n=0)."""
+    import math
+
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = {
+        r.digit: r
+        for r in all_queries()["q_benford"](spark, SF_ORACLE).collect()
+    }
+    vals = _duck(
+        "SELECT o_totalprice FROM orders WHERE o_totalprice >= 1"
+    )["o_totalprice"]
+    counts = Counter(int(str(int(math.floor(v)))[0]) for v in vals)
+    total = sum(counts.values())
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        n = counts.get(d, 0)
+        bp = math.log10(1 + 1 / d)
+        r = rows[d]
+        assert r.n == n
+        assert abs(r.observed_p - round(n / total, 6)) < 1e-9
+        assert abs(r.benford_p - round(bp, 6)) < 1e-9
+        assert abs(r.chi2_term - round((n / total - bp) ** 2 / bp, 6)) < 1e-6
+
+
+def test_source_kl_matches_numpy(spark):
+    """Pure-python smoothed unigram KL per source vs the corpus blend
+    (add-half over the shared vocabulary)."""
+    import math
+
+    from collections import Counter, defaultdict
+
+    from aram_matchdata_etl_spark.operators.text import KL_SMOOTH
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.source: r.kl_divergence
+        for r in all_queries()["q_source_kl"](spark, SF_ORACLE).collect()
+    }
+    docs = _duck("SELECT source, text FROM documents")
+    c_all: Counter = Counter()
+    c_src: dict = defaultdict(Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        words = [w for w in text.split(" ") if w]
+        c_all.update(words)
+        c_src[src].update(words)
+    v = len(c_all)
+    n_all = sum(c_all.values())
+    for src, cnt in c_src.items():
+        n_src = sum(cnt.values())
+        kl = 0.0
+        for w, ca in c_all.items():
+            p = (cnt.get(w, 0) + KL_SMOOTH) / (n_src + KL_SMOOTH * v)
+            q = (ca + KL_SMOOTH) / (n_all + KL_SMOOTH * v)
+            kl += p * math.log(p / q)
+        assert abs(got[src] - round(kl, 6)) < 1e-6, src
