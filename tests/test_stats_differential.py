@@ -2051,3 +2051,64 @@ def test_source_kl_matches_numpy(spark):
             q = (ca + KL_SMOOTH) / (n_all + KL_SMOOTH * v)
             kl += p * math.log(p / q)
         assert abs(got[src] - round(kl, 6)) < 1e-6, src
+
+
+def test_trending_decay_matches_numpy(spark):
+    """Pure-numpy exponentially decayed event mass anchored on max(ts),
+    with microsecond-exact ages."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.events_analytics import (
+        DECAY_TAU_HOURS,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_trending_decay"](spark, SF_ORACLE).collect()
+    }
+    ev = _duck("SELECT event_type, epoch_us(ts) AS us, value FROM events")
+    now = int(ev["us"].max())
+    tau_us = DECAY_TAU_HOURS * 3600.0 * 1_000_000
+    for et, grp in ev.groupby("event_type"):
+        age = now - grp["us"].to_numpy(dtype=np.float64)
+        mass = float(
+            (grp["value"].to_numpy(dtype=np.float64) * np.exp(-age / tau_us)).sum()
+        )
+        r = got[et]
+        assert r.n_events == len(grp)
+        assert abs(r.decayed_mass - round(mass, 6)) < 1e-5
+
+
+def test_markov_transitions_match_python(spark):
+    """Pure-python first-order transition matrix over per-user
+    (ts, event_id)-ordered sequences with row normalization."""
+    from collections import Counter, defaultdict
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        (r.prev_type, r.next_type): (r.c, r.p)
+        for r in all_queries()["q_markov_transitions"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    ev = _duck(
+        "SELECT user_id, event_type, epoch_us(ts) AS us, event_id"
+        " FROM events ORDER BY user_id, us, event_id"
+    )
+    pairs: Counter = Counter()
+    prev_by_user: dict = {}
+    for r in ev.itertuples():
+        p = prev_by_user.get(r.user_id)
+        if p is not None:
+            pairs[(p, r.event_type)] += 1
+        prev_by_user[r.user_id] = r.event_type
+    row_tot: dict = defaultdict(int)
+    for (p, _), c in pairs.items():
+        row_tot[p] += c
+    assert set(got) == set(pairs)
+    for k, c in pairs.items():
+        gc, gp = got[k]
+        assert gc == c
+        assert abs(gp - round(c / row_tot[k[0]], 6)) < 1e-9
