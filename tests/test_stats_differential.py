@@ -2112,3 +2112,54 @@ def test_markov_transitions_match_python(spark):
         gc, gp = got[k]
         assert gc == c
         assert abs(gp - round(c / row_tot[k[0]], 6)) < 1e-9
+
+
+def test_hhi_concentration_matches_python(spark):
+    """Pure-python Herfindahl index per language (squared source shares
+    x 10000), effective-source inverse, and top share."""
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.lang: r
+        for r in all_queries()["q_hhi_concentration"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    docs = _duck("SELECT lang, source FROM documents")
+    for lang, grp in docs.groupby("lang"):
+        counts = Counter(grp["source"])
+        n = sum(counts.values())
+        shares = [c / n for c in counts.values()]
+        ssq = sum(s * s for s in shares)
+        r = got[lang]
+        assert r.n_sources == len(counts)
+        assert abs(r.hhi - round(ssq * 10000, 6)) < 1e-5
+        assert abs(r.effective_sources - round(1.0 / ssq, 6)) < 1e-6
+        assert abs(r.top_share - round(max(shares), 6)) < 1e-9
+
+
+def test_quantile_normalize_matches_python(spark):
+    """Pure-python within-source percentile -> pooled-distribution value
+    mapping (half-up integer rank interpolation, doc_id tie-breaks)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.doc_id: (r.pct, r.norm_score)
+        for r in all_queries()["q_quantile_normalize"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    docs = _duck("SELECT doc_id, source, n_chars FROM documents")
+    pooled = sorted(zip(docs["n_chars"], docs["doc_id"]))
+    n = len(pooled)
+    for _, grp in docs.groupby("source"):
+        ordered = sorted(zip(grp["n_chars"], grp["doc_id"]))
+        ns = len(ordered)
+        for i, (_, did) in enumerate(ordered):
+            p = i / (ns - 1) if ns > 1 else 0.0
+            tgt = int(p * (n - 1) + 0.5)  # floor(x + .5) half-up
+            gp, gs = got[int(did)]
+            assert abs(gp - round(p, 6)) < 1e-9
+            assert gs == pooled[tgt][0], did
