@@ -2163,3 +2163,43 @@ def test_quantile_normalize_matches_python(spark):
             gp, gs = got[int(did)]
             assert abs(gp - round(p, 6)) < 1e-9
             assert gs == pooled[tgt][0], did
+
+
+def test_ratio_metric_delta_matches_numpy(spark):
+    """Pure-numpy delta-method ratio metric: per-user (revenue, events)
+    rollup, r = mean(x)/mean(y), Var = (vx - 2r cxy + r^2 vy)/my^2/n —
+    the subtle covariance algebra worth a third implementation."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.variant: r
+        for r in all_queries()["q_ratio_metric_delta"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    ev = _duck("SELECT user_id, event_type, value FROM events")
+    per_user = {}
+    for r in ev.itertuples():
+        x, y = per_user.get(r.user_id, (0.0, 0))
+        per_user[r.user_id] = (
+            x + (r.value if r.event_type == "purchase" else 0.0),
+            y + 1,
+        )
+    for v in (0, 1):
+        xs = np.array([x for u, (x, _) in per_user.items() if u % 2 == v])
+        ys = np.array(
+            [y for u, (_, y) in per_user.items() if u % 2 == v],
+            dtype=np.float64,
+        )
+        n = len(xs)
+        mx, my = xs.mean(), ys.mean()
+        vx, vy = xs.var(ddof=1), ys.var(ddof=1)
+        cxy = np.cov(xs, ys, ddof=1)[0, 1]
+        ratio = mx / my
+        var = (vx - 2 * ratio * cxy + ratio * ratio * vy) / (my * my) / n
+        r = got[v]
+        assert r.n == n
+        assert abs(r.ratio - round(float(ratio), 6)) < 1e-9
+        assert abs(r.ratio_var - round(float(var), 6)) < 1e-6
