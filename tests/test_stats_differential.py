@@ -2203,3 +2203,36 @@ def test_ratio_metric_delta_matches_numpy(spark):
         assert r.n == n
         assert abs(r.ratio - round(float(ratio), 6)) < 1e-9
         assert abs(r.ratio_var - round(float(var), 6)) < 1e-6
+
+
+def test_leadlag_corr_matches_numpy(spark):
+    """Pure-numpy lead-lag cross-correlation on the calendar-gap-filled
+    daily (clicks, purchases) series: corr(purchases_t, clicks_{t-k})
+    over pairs where the lagged value exists."""
+    import numpy as np
+    import pandas as pd
+
+    from aram_matchdata_etl_spark.operators.stats import LEADLAG_MAX
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.lag_days: r
+        for r in all_queries()["q_leadlag_corr"](spark, SF_ORACLE).collect()
+    }
+    ev = _duck(
+        "SELECT date_trunc('day', ts) AS day,"
+        " SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clicks,"
+        " SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchases"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    )
+    full = pd.date_range(ev["day"].min(), ev["day"].max(), freq="D")
+    s = ev.set_index("day").reindex(full, fill_value=0)
+    clicks = s["clicks"].to_numpy(dtype=np.float64)
+    purchases = s["purchases"].to_numpy(dtype=np.float64)
+    for k in range(LEADLAG_MAX + 1):
+        y = purchases[k:] if k else purchases
+        x = clicks[: len(clicks) - k] if k else clicks
+        corr = float(np.corrcoef(y, x)[0, 1])
+        r = got[k]
+        assert r.n_days == len(x)
+        assert abs(r.correlation - round(corr, 6)) < 1e-6, k
