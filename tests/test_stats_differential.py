@@ -2236,3 +2236,30 @@ def test_leadlag_corr_matches_numpy(spark):
         r = got[k]
         assert r.n_days == len(x)
         assert abs(r.correlation - round(corr, 6)) < 1e-6, k
+
+
+def test_group_ols_matches_numpy(spark):
+    """Pure-numpy per-group OLS (polyfit) on value-over-days — pins the
+    regr_slope/regr_intercept sufficient-statistic forms against the
+    normal-equation solution."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["q_group_ols"](spark, SF_ORACLE).collect()
+    }
+    ev = _duck(
+        "SELECT event_type, epoch_us(ts) / (86400.0 * 1000000) AS x,"
+        " value AS y FROM events"
+    )
+    for et, grp in ev.groupby("event_type"):
+        x = grp["x"].to_numpy(dtype=np.float64)
+        y = grp["y"].to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[et]
+        assert r.n == len(x)
+        assert abs(r.slope - round(float(slope), 6)) < 1e-5
+        assert abs(r.intercept - round(float(intercept), 4)) < 1e-2
+        assert abs(r.r - round(float(np.corrcoef(y, x)[0, 1]), 6)) < 1e-6
