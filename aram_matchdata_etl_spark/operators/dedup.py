@@ -639,11 +639,23 @@ def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sets.select("doc_id", *cols)
 
 
+# "auto" bucket_cap: the probe enables capping only when some (band,
+# bucket) exceeds this membership. C(256, 2) = 32,640 pairs is the
+# per-bucket worst case under the cap — one comfortable task — while
+# buckets this large on REAL corpora mean near-identical content that
+# exact dedup (run first in the production pipeline) already collapsed,
+# so recall loss is confined to pathological inputs. Telemetry mirrors
+# CC_TELEMETRY so the probe's verdict is observable in tests/bench.
+AUTO_BUCKET_CAP = 256
+LSH_TELEMETRY: dict = {}
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
-    bucket_cap: int | None = None,
+    bucket_cap: int | str | None = None,
+    tag: str = "default",
 ) -> DataFrame:
     """Band the signature (bands x rows) and bucket-join: posexplode the
     band hashes so ONE equi-join on (band, bucket) produces all candidate
@@ -666,7 +678,19 @@ def lsh_candidate_pairs(
     pipeline) already collapsed. Default None = exact candidate set —
     the oracled form (q_dedup_minhash_lsh hashes bit-for-bit against
     DuckDB and must stay uncapped); measured: bench_telemetry
-    `lsh_skew` microbench."""
+    `lsh_skew` microbench.
+
+    ``bucket_cap="auto"``: runtime skew probe, the same escalation
+    pattern as ``connected_components``' min-label→star — ONE cheap agg
+    on the bucket frame (max (band, bucket) membership; group state is
+    a single count, so the probe itself is skew-immune) decides whether
+    the corpus is adversarial. Max membership <= AUTO_BUCKET_CAP: the
+    exact, oracle-identical candidate set ships (zero behavior change,
+    probe cost only). Above it: the cap engages at AUTO_BUCKET_CAP.
+    Verdict recorded in LSH_TELEMETRY[tag] (probe max, engaged bool).
+    This closes the 100 TB deployment gap where the caller had to KNOW
+    the corpus was adversarial to pass a manual cap
+    (tests/test_skew.py::test_lsh_bucket_cap_auto_probe)."""
     rows = k // bands
     # band bucket = md5 prefix of the '_'-joined row signature (BIGINT
     # digits -> identical strings in both engines)
@@ -689,6 +713,17 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
+    if bucket_cap == "auto":
+        # Persist: the probe action and the pair join both consume the
+        # bucket frame; without it the signature lineage runs twice.
+        buckets = buckets.persist()
+        probe = buckets.groupBy("band", "bucket").count().agg(
+            F.max("count").alias("mx")
+        ).collect()
+        max_bucket = int(probe[0]["mx"] or 0)
+        engaged = max_bucket > AUTO_BUCKET_CAP
+        LSH_TELEMETRY[tag] = {"max_bucket": max_bucket, "cap_engaged": engaged}
+        bucket_cap = AUTO_BUCKET_CAP if engaged else None
     if bucket_cap is not None:
         wb = Window.partitionBy("band", "bucket").orderBy(
             F.md5(F.col("doc_id").cast("string")), "doc_id"

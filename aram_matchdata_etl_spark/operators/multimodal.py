@@ -2,9 +2,14 @@
 video as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container ships no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features, or NotImplementedError for real codecs —
-clearly marked below). Everything Spark-side is real and tested: schema,
+Decode disposition (r9): formats that are pure byte parsing — binary
+PPM (P6) and uncompressed 24-bit BMP — decode for REAL in
+``decode_image`` (numpy + struct, no external codec libs), round-trip
+pixel-exact tested driver- and executor-side. Compressed codecs
+(PNG/JPEG/MP4) stay behind the documented NotImplementedError seam
+because this container ships no PIL/cv2/ffmpeg; the oracled feature
+path keeps the deterministic fake featurizer so the operator remains
+hash-checkable. Everything Spark-side is real and tested: schema,
 binary column handling, batch iteration shape, partitioning, and the
 metadata join pattern.
 
@@ -51,12 +56,90 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """REAL DECODE STUB: the container has no PIL/cv2/ffmpeg. At
-    deployment, swap in the actual codec behind this seam."""
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): 'P6' <w> <h> <maxval> then raw RGB. Pure byte
+    parsing — the netpbm header is whitespace-separated ASCII tokens with
+    '#' comments running to end-of-line."""
+    tokens: list[int] = []
+    i = 2  # past the 'P6' magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM (maxval 255) supported")
+    i += 1  # exactly one whitespace byte separates header from raster
+    raster = payload[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): 14-byte file header
+    gives the pixel-array offset; rows are BGR, padded to 4 bytes,
+    bottom-up when height > 0. Returns RGB."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = payload[data_off : data_off + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decode for the dependency-free formats (r9 disposition of the
+    long-standing stub): binary PPM (P6) and uncompressed 24-bit BMP are
+    pure byte-format parsing, so they decode here with numpy + struct
+    only — no PIL/cv2/ffmpeg. Returns an (H, W, 3) uint8 RGB array.
+
+    Compressed codecs (PNG/JPEG/MP4/WAV-compressed) still raise
+    NotImplementedError: they need codec libraries this container does
+    not ship, and the deployment seam is unchanged — swap this function
+    (or extend the magic-byte dispatch) when those libs exist. The
+    oracled feature path (q_media_features) keeps the deterministic
+    byte-histogram featurizer; the real-decode path is exercised
+    executor-side by tests/test_northstar.py::test_decode_real_formats
+    via the same mapInPandas plumbing."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "environment; extract_features() uses a deterministic fake instead"
+        "compressed codec decode (PNG/JPEG/...) requires codec libraries "
+        "not present in this environment; PPM(P6)/BMP(24-bit) decode "
+        "natively, and extract_features() uses a deterministic fake "
+        "featurizer for the oracled path"
     )
 
 
@@ -136,10 +219,21 @@ WITH codes AS (
     FROM documents
 )
 SELECT doc_id, media_type, n_bytes,
-    len(list_filter(bins, b -> b = 0)) / GREATEST(n_bytes, 1) AS h0,
-    len(list_filter(bins, b -> b = 1)) / GREATEST(n_bytes, 1) AS h1,
-    len(list_filter(bins, b -> b = 2)) / GREATEST(n_bytes, 1) AS h2,
-    len(list_filter(bins, b -> b = 3)) / GREATEST(n_bytes, 1) AS h3
+    -- the n_bytes = 0 guard matters: DuckDB's split('', '') is [''] and
+    -- ascii('') = 0, so an EMPTY doc would otherwise score h0 = 1.0
+    -- while the numpy featurizer emits an all-zero histogram
+    CASE WHEN n_bytes = 0 THEN 0.0
+         ELSE len(list_filter(bins, b -> b = 0)) / CAST(n_bytes AS DOUBLE)
+    END AS h0,
+    CASE WHEN n_bytes = 0 THEN 0.0
+         ELSE len(list_filter(bins, b -> b = 1)) / CAST(n_bytes AS DOUBLE)
+    END AS h1,
+    CASE WHEN n_bytes = 0 THEN 0.0
+         ELSE len(list_filter(bins, b -> b = 2)) / CAST(n_bytes AS DOUBLE)
+    END AS h2,
+    CASE WHEN n_bytes = 0 THEN 0.0
+         ELSE len(list_filter(bins, b -> b = 3)) / CAST(n_bytes AS DOUBLE)
+    END AS h3
 FROM codes""",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

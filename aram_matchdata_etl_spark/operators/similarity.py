@@ -768,46 +768,50 @@ def _pq_lloyd_codebooks(
     pts = base.select(
         "vec_id", F.posexplode("vec").alias("dim", "val")
     ).withColumn("sm", (F.col("dim") / sub).cast("int")).localCheckpoint()
-    for _ in range(rounds - 1):
-        cbl = spark.createDataFrame(
-            [
-                (sm, cid, sm * sub + d, v)
-                for sm, lst in cents.items()
-                for cid, vec in lst
-                for d, v in enumerate(vec)
-            ],
-            "sm int, cid int, dim int, cval double",
-        ).drop("sm")  # dim is absolute, so the subspace is implied
-        rows = (
-            pts.join(F.broadcast(cbl), "dim")
-            .groupBy("vec_id", "sm", "cid")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).alias("d")
+    try:
+        for _ in range(rounds - 1):
+            cbl = spark.createDataFrame(
+                [
+                    (sm, cid, sm * sub + d, v)
+                    for sm, lst in cents.items()
+                    for cid, vec in lst
+                    for d, v in enumerate(vec)
+                ],
+                "sm int, cid int, dim int, cval double",
+            ).drop("sm")  # dim is absolute, so the subspace is implied
+            rows = (
+                pts.join(F.broadcast(cbl), "dim")
+                .groupBy("vec_id", "sm", "cid")
+                .agg(
+                    F.sum(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    ).alias("d")
+                )
+                .groupBy("vec_id", "sm")
+                .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
+                .join(pts, ["vec_id", "sm"])
+                .groupBy("sm", "cid", "dim")
+                .agg(F.avg("val").alias("val"))
+                .collect()
             )
-            .groupBy("vec_id", "sm")
-            .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
-            .join(pts, ["vec_id", "sm"])
-            .groupBy("sm", "cid", "dim")
-            .agg(F.avg("val").alias("val"))
-            .collect()
-        )
-        acc: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            acc.setdefault((int(r.sm), int(r.cid)), {})[
-                int(r.dim) - int(r.sm) * sub
-            ] = float(r.val)
-        cents = {
-            sm: sorted(
-                (cid, [dims[i] for i in range(len(dims))])
-                for (s2, cid), dims in acc.items()
-                if s2 == sm
-            )
-            for sm in range(m)
-        }
-    pts.unpersist()
+            acc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                acc.setdefault((int(r.sm), int(r.cid)), {})[
+                    int(r.dim) - int(r.sm) * sub
+                ] = float(r.val)
+            cents = {
+                sm: sorted(
+                    (cid, [dims[i] for i in range(len(dims))])
+                    for (s2, cid), dims in acc.items()
+                    if s2 == sm
+                )
+                for sm in range(m)
+            }
+    finally:
+        # finally: a failed mid-training collect must not leak the
+        # checkpointed blocks for the session lifetime (r8 advisory)
+        pts.unpersist()
     return cents
 
 
@@ -1306,35 +1310,39 @@ def lloyd_centroids(
     pts = emb.select(
         "vec_id", F.posexplode("vec").alias("dim", "val")
     ).localCheckpoint()
-    for _ in range(rounds - 1):
-        cbl = spark.createDataFrame(
-            [(cid, d, v) for cid, vec in cents for d, v in enumerate(vec)],
-            "cid int, dim int, cval double",
-        )
-        rows = (
-            pts.join(F.broadcast(cbl), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).alias("d")
+    try:
+        for _ in range(rounds - 1):
+            cbl = spark.createDataFrame(
+                [(cid, d, v) for cid, vec in cents for d, v in enumerate(vec)],
+                "cid int, dim int, cval double",
             )
-            .groupBy("vec_id")
-            .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
-            .join(pts, "vec_id")
-            .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("val"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.val)
-        cents = [
-            (cid, [dims[i] for i in range(len(dims))])
-            for cid, dims in sorted(by_cid.items())
-        ]
-    pts.unpersist()
+            rows = (
+                pts.join(F.broadcast(cbl), "dim")
+                .groupBy("vec_id", "cid")
+                .agg(
+                    F.sum(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    ).alias("d")
+                )
+                .groupBy("vec_id")
+                .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
+                .join(pts, "vec_id")
+                .groupBy("cid", "dim")
+                .agg(F.avg("val").alias("val"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.val)
+            cents = [
+                (cid, [dims[i] for i in range(len(dims))])
+                for cid, dims in sorted(by_cid.items())
+            ]
+    finally:
+        # finally: a failed mid-training collect must not leak the
+        # checkpointed blocks for the session lifetime (r8 advisory)
+        pts.unpersist()
     return cents
 
 

@@ -126,11 +126,9 @@ _MODULE_PRIORITY = {
 # bug fix that moved the numbers in both dialects at once): promote into
 # the next driver window so the fix gets a fresh driver verdict instead
 # of waiting out a full green rotation. Remove entries once re-sampled.
-_SEMANTICS_CHANGED = {
-    # late r7: empty contingency cells now contribute their expectation
-    # (chi2 68.84 -> 79.29 on the fixture; numpy differential finding)
-    "q_chi_squared",
-}
+_SEMANTICS_CHANGED: set[str] = set()
+# (q_chi_squared held this slot after its late-r7 empty-cell fix; removed
+# once CORRECTNESS_r08 re-sampled it green, per the contract above.)
 
 
 def _rotated(keys: list[str]) -> list[str]:

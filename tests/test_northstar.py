@@ -200,10 +200,84 @@ def test_media_features_invariants(spark):
 
 
 def test_decode_stub_raises(spark):
+    """Compressed codecs stay behind the documented NotImplementedError
+    seam (no codec libs in this container)."""
     from aram_matchdata_etl_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def _ppm_bytes(img) -> bytes:
+    import numpy as np
+
+    h, w, _ = img.shape
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img
+    ).tobytes()
+
+
+def _bmp_bytes(img) -> bytes:
+    """Minimal bottom-up 24-bit BMP writer (the encoder-side twin used
+    only by this test)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += b"\x00" * (stride - w * 3)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + bytes(raster)
+
+
+def test_decode_real_formats(spark):
+    """The r9 stub disposition: PPM(P6) and 24-bit BMP decode for real,
+    stdlib-only, and round-trip pixel-exact — both driver-side and
+    through the executor-side mapInPandas plumbing (the path a real
+    decode->featurize stage takes)."""
+    import numpy as np
+    import pandas as pd
+
+    from aram_matchdata_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_ppm_bytes(img)), img)
+    assert np.array_equal(decode_image(_bmp_bytes(img)), img)
+    # odd width exercises BMP row padding; 1x1 is the degenerate case
+    img2 = rng.integers(0, 256, size=(2, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_bmp_bytes(img2)), img2)
+    assert np.array_equal(
+        decode_image(_ppm_bytes(img[:1, :1])), img[:1, :1]
+    )
+
+    payloads = [(0, _ppm_bytes(img)), (1, _bmp_bytes(img2))]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    def decode_dims(batches):
+        for pdf in batches:
+            dims = [decode_image(bytes(p)).shape for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": [d[0] for d in dims],
+                    "width": [d[1] for d in dims],
+                }
+            )
+
+    got = {
+        (r.doc_id, r.height, r.width)
+        for r in media.mapInPandas(
+            decode_dims, "doc_id long, height int, width int"
+        ).collect()
+    }
+    assert got == {(0, 5, 3), (1, 2, 5)}
 
 
 def test_frame_sample_shape(spark):
@@ -561,6 +635,172 @@ def test_ann_graph_recall_vs_exact(spark):
         recalls.append(len(exact & {v for _, v, _ in mine}) / 10)
     assert sum(recalls) / len(recalls) >= 0.7, recalls
     assert min(recalls) >= 0.4, recalls
+
+
+def test_ann_graph_numpy_differential(spark):
+    """Exact third-implementation check for q_ann_graph (upgrading it
+    from recall-floor-only): the layer-0 greedy beam search is fully
+    deterministic GIVEN the shard assignment (stable argsort graph,
+    (sim, node)-tuple beam ordering, min-vec_id entry point), so a
+    driver-side pure-numpy pipeline — per-shard exact kNN graph, the
+    same best-first beam, global merge, round-6 — must reproduce the
+    operator's (query_id, vec_id, cosine, rnk) rows BIT-FOR-BIT. The
+    shard column is the one Spark-engine-specific input (xxhash64), so
+    it is read from a trivial projection; everything downstream of it is
+    recomputed independently here."""
+    import numpy as np
+    from collections import defaultdict
+
+    from aram_matchdata_etl_spark.operators.similarity import (
+        GRAPH_EF,
+        GRAPH_M,
+        GRAPH_SHARDS,
+        N_QUERIES,
+        TOPK,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    shards_rows = emb.select(
+        "vec_id",
+        F.pmod(F.xxhash64("vec_id"), F.lit(GRAPH_SHARDS)).alias("shard"),
+        "embedding",
+    ).collect()
+    by_shard: dict[int, list] = defaultdict(list)
+    for r in shards_rows:
+        by_shard[int(r.shard)].append(
+            (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
+        )
+    queries = sorted(
+        (vid, v)
+        for rows in by_shard.values()
+        for vid, v in rows
+        if vid < N_QUERIES
+    )
+
+    cand: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for rows in by_shard.values():
+        rows = sorted(rows, key=lambda t: t[0])
+        ids = np.array([vid for vid, _ in rows])
+        V = np.stack([v for _, v in rows])
+        n = len(ids)
+        norms = np.linalg.norm(V, axis=1)
+        G = (V @ V.T) / np.outer(norms, norms)
+        np.fill_diagonal(G, -np.inf)
+        nbrs = np.argsort(-G, axis=1, kind="stable")[:, : min(GRAPH_M, n - 1)]
+        for qid, qv in queries:
+            sims = (V @ qv) / (norms * np.linalg.norm(qv))
+            beam = [(float(sims[0]), 0)]
+            seen = {0}
+            grew = True
+            while grew:
+                grew = False
+                for node in [nd for _, nd in beam]:
+                    for nb in map(int, nbrs[node]):
+                        if nb in seen:
+                            continue
+                        seen.add(nb)
+                        s = float(sims[nb])
+                        if len(beam) < GRAPH_EF or s > beam[0][0]:
+                            beam.append((s, nb))
+                            beam.sort()
+                            if len(beam) > GRAPH_EF:
+                                beam.pop(0)
+                            grew = True
+            for s, node in sorted(beam, key=lambda t: (-t[0], ids[t[1]]))[:TOPK]:
+                if int(ids[node]) != qid:
+                    cand[qid].append((s, int(ids[node])))
+
+    expected = set()
+    for qid, lst in cand.items():
+        # global merge = the operator's window: cosine desc, vec_id asc
+        for rnk, (s, vid) in enumerate(
+            sorted(lst, key=lambda t: (-t[0], t[1]))[:TOPK], start=1
+        ):
+            expected.add((qid, vid, round(s, 6), rnk))
+
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rnk)
+        for r in all_queries()["q_ann_graph"](spark, SF_ORACLE).collect()
+    }
+    assert got == expected
+
+
+def test_ivf_pq_oracle_margin_floor(spark):
+    """The hash-oracled IVF/PQ family (q_ann_ivf, q_embedding_pq,
+    q_ann_pq) matches DuckDB only while no FP argmin / rank tie sits
+    within cross-engine accumulated error (sequential zip_with folds vs
+    unordered SUM — ~d*eps ~ 1e-13 at these scales) and no ROUND(x, 6)
+    input sits on a rounding boundary. This asserts every such margin on
+    the oracle fixture is >> that error, so a future near-tie (new
+    fixture, changed constants) fails HERE with a named margin instead
+    of as an opaque driver hash mismatch (r8 advisory)."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+    )
+
+    ARGMIN_MARGIN = 1e-9  # distance-squared units; error bound ~1e-13
+    ROUND_MARGIN = 1e-10  # distance from a 0.5e-6 rounding boundary
+    RANK_MARGIN = 1e-12  # adjacent-rank gap (0 = exact tie, id-broken)
+
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    d = X.shape[1]
+
+    def lloyd_margin(P: np.ndarray, k: int, rounds: int) -> float:
+        """Min (second_min - min) centroid-distance gap over every
+        assignment pass of the deterministic fixed-round trainer,
+        including the final assignment consumers run."""
+        cents = {int(i): P[ids == i][0] for i in range(k)}
+        worst = np.inf
+        for r in range(rounds):
+            C = np.stack([cents[c] for c in sorted(cents)])
+            d2 = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2s = np.sort(d2, axis=1)
+            worst = min(worst, float((d2s[:, 1] - d2s[:, 0]).min()))
+            assign = np.array(
+                [sorted(cents)[j] for j in d2.argmin(axis=1)]
+            )
+            if r < rounds - 1:
+                cents = {
+                    int(c): P[assign == c].mean(axis=0)
+                    for c in np.unique(assign)
+                }
+        return worst
+
+    assert lloyd_margin(X, KMEANS_K, KMEANS_ROUNDS) > ARGMIN_MARGIN
+    assert lloyd_margin(X, IVF_CLUSTERS, KMEANS_ROUNDS) > ARGMIN_MARGIN
+    sub = d // PQ_M
+    for sm in range(PQ_M):
+        m = lloyd_margin(X[:, sm * sub : (sm + 1) * sub], PQ_K, KMEANS_ROUNDS)
+        assert m > ARGMIN_MARGIN, (sm, m)
+
+    # round-6 boundary + rank margins on the cosine surface every ANN
+    # top-k (ivf/lsh/graph/brute) draws its output values from
+    norms = np.linalg.norm(X, axis=1)
+    Q = X[ids < N_QUERIES]
+    qn = norms[ids < N_QUERIES]
+    cos = (Q @ X.T) / np.outer(qn, norms)  # N_QUERIES x n
+    self_mask = ids[None, :] == ids[ids < N_QUERIES][:, None]
+    vals = cos[~self_mask].reshape(cos.shape[0], -1)
+    for qi in range(cos.shape[0]):
+        # only values that can reach an output matter: every ANN key
+        # emits top-10, so the top-30 slice covers them with headroom
+        c = np.sort(vals[qi])[::-1][:30]
+        frac = np.abs((c * 1e6) % 1.0 - 0.5) * 1e-6
+        assert float(frac.min()) > ROUND_MARGIN, (qi, float(frac.min()))
+        gaps = c[:-1] - c[1:]
+        bad = gaps[(gaps != 0.0) & (gaps <= RANK_MARGIN)]
+        assert bad.size == 0, (qi, bad)
 
 
 def test_kmv_overlap_error_bounds(spark):

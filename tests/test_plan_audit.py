@@ -35,3 +35,29 @@ def test_committed_audit_reports_no_hard_flags():
     m = re.search(r"Hard-flagged queries: (.*)", content)
     assert m is not None, "PLAN_AUDIT.md missing its summary line"
     assert m.group(1).strip() == "none", m.group(0)
+
+
+def test_full_registry_sweep_fresh():
+    """The per-round full sweep (`python tools/plan_audit.py --all`,
+    end-of-round checklist) must exist, report zero hard flags, and
+    cover the CURRENT registry — a new operator without a re-sweep
+    fails here, same pattern as the OPERATORS.md staleness gate."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    path = os.path.join(REPO, "PLAN_AUDIT_ALL.md")
+    assert os.path.exists(path), (
+        "PLAN_AUDIT_ALL.md missing — run `python tools/plan_audit.py --all`"
+    )
+    with open(path) as f:
+        content = f.read()
+    m = re.search(r"keys_audited: (\d+)", content)
+    assert m is not None, "PLAN_AUDIT_ALL.md missing keys_audited line"
+    live = len(all_queries())
+    assert int(m.group(1)) == live, (
+        f"stale sweep: audited {m.group(1)} keys, registry has {live} — "
+        "re-run `python tools/plan_audit.py --all`"
+    )
+    f2 = re.search(r"hard_flagged: (.*)", content)
+    assert f2 is not None and f2.group(1).strip() == "none", (
+        f2.group(0) if f2 else "missing hard_flagged line"
+    )

@@ -201,3 +201,57 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     }
     # default (cap=None) stays the exact, oracle-hashed candidate set
     assert capped <= plain
+
+
+def test_lsh_bucket_cap_auto_probe(spark):
+    """bucket_cap='auto' mirrors connected_components' escalation: a
+    one-agg probe of max (band, bucket) membership engages the cap only
+    on adversarial corpora. Benign shape → verdict 'not engaged' and the
+    candidate set is BIT-IDENTICAL to the exact path (the oracled form);
+    hot shape → engaged at AUTO_BUCKET_CAP with the same exactness-
+    outside-oversized-buckets guarantee the manual-cap test proves."""
+    from aram_matchdata_etl_spark.operators.dedup import (
+        AUTO_BUCKET_CAP,
+        LSH_TELEMETRY,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # benign: no bucket anywhere near the threshold
+    sig = minhash_signatures(
+        _synthetic_sig_sets(spark, n_unique=200, n_hot=3)
+    ).localCheckpoint()
+    exact = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig).collect()}
+    auto = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, bucket_cap="auto", tag="benign").collect()
+    }
+    assert auto == exact
+    t = LSH_TELEMETRY["benign"]
+    assert t["cap_engaged"] is False and 3 <= t["max_bucket"] <= AUTO_BUCKET_CAP
+
+    # adversarial: one bucket over the threshold → cap engages by itself
+    n_hot = AUTO_BUCKET_CAP + 40
+    sig_hot = minhash_signatures(
+        _synthetic_sig_sets(spark, n_unique=100, n_hot=n_hot)
+    ).localCheckpoint()
+    auto_hot = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sig_hot, bucket_cap="auto", tag="hot"
+        ).collect()
+    }
+    manual_hot = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig_hot, bucket_cap=AUTO_BUCKET_CAP).collect()
+    }
+    t = LSH_TELEMETRY["hot"]
+    assert t["cap_engaged"] is True and t["max_bucket"] == n_hot
+    # the auto path IS the manual-cap path once engaged
+    assert auto_hot == manual_hot
+    # and it actually bounded the hot blowup below C(n_hot, 2)
+    hot_ids = set(range(100, 100 + n_hot))
+    n_hot_pairs = sum(
+        1 for p in auto_hot if p[0] in hot_ids and p[1] in hot_ids
+    )
+    assert n_hot_pairs < n_hot * (n_hot - 1) // 2
