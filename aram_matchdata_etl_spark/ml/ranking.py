@@ -233,28 +233,67 @@ class RankingEnsemble:
 
 
 def train_ensemble(
-    train: DataFrame, val_frac: float = 0.2, models: dict | None = None
+    train: DataFrame,
+    val_frac: float = 0.2,
+    models: dict | None = None,
+    parallelism: int = 1,
 ) -> RankingEnsemble:
     """Fit each model, weight by inverse validation MSE (modeling.py:94-142).
-    The validation split is match-level, like the outer split."""
+    The validation split is match-level, like the outer split.
+
+    ``parallelism > 1`` fits the member models CONCURRENTLY: each fit is
+    an independent chain of Spark jobs, so driver threads submitting them
+    in parallel let the scheduler interleave their stages across executor
+    slots (the same mechanism CrossValidator's own `parallelism` uses —
+    on a 1000-executor cluster one GBT fit rarely saturates the cluster,
+    so sequential member fits leave most slots idle between stages).
+    Results are IDENTICAL to the sequential path: the fits share no
+    state, every estimator is seeded, and the weight normalization is
+    order-independent (asserted in tests/test_ml_extras.py). The split
+    frames are persisted for the duration so concurrent lineages don't
+    re-run the upstream feature pipeline once per model."""
     models = models or default_models()
     clip_bounds = fit_clip_bounds(train)
     train = apply_clip(train, clip_bounds)
     fit_part, val_part = match_level_split(train, test_frac=val_frac, seed=SEED + 1)
-    evaluator = RegressionEvaluator(
-        labelCol=LABEL, predictionCol="prediction", metricName="mse"
-    )
+
+    def fit_one(item: tuple[str, object]) -> tuple[str, PipelineModel, float]:
+        name, reg = item
+        pm = build_pipeline(reg).fit(fit_part)
+        # evaluator per call: Params objects are not thread-safe to share
+        mse = RegressionEvaluator(
+            labelCol=LABEL, predictionCol="prediction", metricName="mse"
+        ).evaluate(pm.transform(val_part))
+        return name, pm, mse
+
+    def fit_final(item: tuple[str, object]) -> tuple[str, PipelineModel]:
+        name, reg = item
+        return name, build_pipeline(reg).fit(train)
+
     fitted: dict[str, PipelineModel] = {}
     inv_mse: dict[str, float] = {}
-    for name, reg in models.items():
-        pm = build_pipeline(reg).fit(fit_part)
-        mse = evaluator.evaluate(pm.transform(val_part))
-        fitted[name] = pm
-        inv_mse[name] = 1.0 / max(mse, 1e-10)
+    if parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        for df in (train, fit_part, val_part):
+            df.persist()
+        try:
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                for name, pm, mse in pool.map(fit_one, models.items()):
+                    fitted[name] = pm
+                    inv_mse[name] = 1.0 / max(mse, 1e-10)
+                final = dict(pool.map(fit_final, models.items()))
+        finally:
+            for df in (train, fit_part, val_part):
+                df.unpersist()
+    else:
+        for item in models.items():
+            name, pm, mse = fit_one(item)
+            fitted[name] = pm
+            inv_mse[name] = 1.0 / max(mse, 1e-10)
+        final = dict(fit_final(item) for item in models.items())
     total = sum(inv_mse.values())
     weights = {k: v / total for k, v in inv_mse.items()}
-    # final fit on the full training set with the chosen weights
-    final = {name: build_pipeline(models[name]).fit(train) for name in models}
     return RankingEnsemble(models=final, weights=weights, clip_bounds=clip_bounds)
 
 

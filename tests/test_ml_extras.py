@@ -53,6 +53,56 @@ def test_pandas_udf_inference_matches_spark_ml(spark, silver):
     assert diff < 1e-9, diff
 
 
+def test_parallel_ensemble_matches_sequential(spark, silver):
+    """train_ensemble(parallelism=N) submits the member fits from driver
+    threads so their stages interleave across executor slots (the
+    CrossValidator parallelism mechanism) — and must be a pure
+    scheduling change: same seeds, no shared state, order-independent
+    weight normalization => identical weights and predictions. Two
+    model families keep the double-train cheap while still exercising
+    concurrent fit + evaluate chains."""
+    from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+
+    from aram_matchdata_etl_spark.ml.ranking import (
+        LABEL,
+        SEED,
+        match_level_split,
+        train_ensemble,
+    )
+
+    def two_models():
+        return {
+            "lin": LinearRegression(
+                labelCol=LABEL, featuresCol="features", regParam=0.01
+            ),
+            "rf": RandomForestRegressor(
+                labelCol=LABEL,
+                featuresCol="features",
+                numTrees=10,
+                maxDepth=4,
+                seed=SEED + 3,
+            ),
+        }
+
+    train, test = match_level_split(silver)
+    seq = train_ensemble(train, models=two_models(), parallelism=1)
+    par = train_ensemble(train, models=two_models(), parallelism=2)
+    assert par.weights == pytest.approx(seq.weights, rel=1e-12)
+    assert par.clip_bounds == seq.clip_bounds
+    # (match_id, puuid) is NOT row-unique in the synthetic fixture, so a
+    # keyed join would cross-pair duplicate keys' rows; compare the full
+    # prediction multiset instead (row-for-row equality up to order)
+    def preds(ens):
+        return sorted(
+            round(r.predicted_score, 9)
+            for r in ens.predict(test).select("predicted_score").collect()
+        )
+
+    sa, pb = preds(seq), preds(par)
+    assert len(sa) == len(pb) > 0
+    assert sa == pytest.approx(pb, abs=1e-9)
+
+
 def test_rank_accuracy_ordering(spark, silver):
     """BASELINE.md ML parity target: rank-accuracy ordering
     exact <= within-1 <= within-2 (and all well-defined)."""
