@@ -714,9 +714,12 @@ def lsh_candidate_pairs(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
     if bucket_cap == "auto":
-        # Persist: the probe action and the pair join both consume the
-        # bucket frame; without it the signature lineage runs twice.
-        buckets = buckets.persist()
+        # The probe action re-runs the bucket projection the pair join
+        # will run again — NOT persisted: buckets is a narrow transform
+        # of `sig`, which every caller already persists/checkpoints
+        # (shingle-cache, bench localCheckpoint), and a persist here
+        # would outlive the call (the returned frame keeps the blocks
+        # pinned with no unpersist point).
         probe = buckets.groupBy("band", "bucket").count().agg(
             F.max("count").alias("mx")
         ).collect()

@@ -370,12 +370,17 @@ def lsh_skew_microbench(spark) -> dict:
     )
     sig = minhash_signatures(uniq.unionAll(hot)).localCheckpoint()
     out: dict = {"n_docs": n_unique + n_hot, "hot_cluster": n_hot}
-    for label, cap in (("uncapped", None), ("cap64", 64)):
-        cands = lsh_candidate_pairs(sig, bucket_cap=cap)
+    # "auto" = the r9 probe path: one max-bucket agg decides, and on this
+    # adversarial shape it must engage (telemetry recorded below)
+    for label, cap in (("uncapped", None), ("cap64", 64), ("auto", "auto")):
+        cands = lsh_candidate_pairs(sig, bucket_cap=cap, tag="bench_skew")
         cands.write.format("noop").mode("overwrite").save()  # warmup
         t0 = _t.perf_counter()
         n = cands.count()
         out[label] = {"sec": round(_t.perf_counter() - t0, 3), "pairs": n}
+    from aram_matchdata_etl_spark.operators.dedup import LSH_TELEMETRY
+
+    out["auto_probe"] = LSH_TELEMETRY.get("bench_skew", {})
     sig.unpersist()
     return out
 
