@@ -303,33 +303,40 @@ def bpe_train(word_counts: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]
         F.filter(F.split("word", "(?!^)"), lambda c: c != "").alias("syms"),
     ).localCheckpoint()
     merges: list[tuple] = []
-    for rank in range(n_merges):
-        k = F.size("syms")
-        pairs = vocab.select(
-            "n",
-            F.explode(
-                F.zip_with(
-                    F.slice("syms", 1, k - 1),
-                    F.slice("syms", 2, k - 1),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy("p")
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.col("p.l"), F.col("p.r"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        left, right, cnt = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["cnt"]
-        merges.append((rank, left, right, left + right, int(cnt)))
-        nxt = vocab.select("n", _bpe_fold("syms", left, right).alias("syms")).localCheckpoint()
+    try:
+        for rank in range(n_merges):
+            k = F.size("syms")
+            pairs = vocab.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, k - 1),
+                        F.slice("syms", 2, k - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.col("p.l"), F.col("p.r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["cnt"]
+            merges.append((rank, left, right, left + right, int(cnt)))
+            nxt = vocab.select(
+                "n", _bpe_fold("syms", left, right).alias("syms")
+            ).localCheckpoint()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        # finally: a failed mid-round collect must not leak the current
+        # round's checkpointed vocab for the session lifetime (the same
+        # class as the Lloyd-trainer fix, r8 advisory)
         vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
     return merges
 
 
@@ -358,7 +365,15 @@ def _bpe_ctes(rounds: int = BPE_MERGES) -> str:
     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     GROUP BY word
 ),
-v0 AS MATERIALIZED (SELECT word, n, string_split(word, '') AS syms FROM w)"""
+v0 AS MATERIALIZED (
+    -- list_filter mirrors the Spark side's empty-token filter exactly:
+    -- DuckDB string_split('', '') is [''], so a zero-length word (from
+    -- consecutive spaces in a future fixture) would otherwise carry
+    -- syms = [''] here vs [] in Spark — same latent divergence class as
+    -- the media-features empty-doc guard. No-op for non-empty words.
+    SELECT word, n,
+        list_filter(string_split(word, ''), c -> c <> '') AS syms
+    FROM w)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
