@@ -43,13 +43,18 @@ sys.path.insert(0, REPO)
 
 # The shuffle-heaviest scale-path queries (verdict list): LSH banding +
 # connected components, the two biggest TPC-H fact joins, inverted-index
-# scoring, and corpus term aggregation.
+# scoring, and corpus term aggregation — plus (r9 widening) the
+# window-cascade family (WindowExec sorts are the classic spill
+# operator) and the vocabulary-scale PageRank chain.
 PROBE_QUERIES = [
     "q_dedup_clusters_lsh",
     "q_tpch_q9",
     "q_tpch_q21",
     "q_bm25_topk",
     "q_tfidf",
+    "q_anomaly_zscore",
+    "q_funnel",
+    "q_textrank_keywords",
 ]
 
 ARMS = {
