@@ -97,8 +97,16 @@ WITH offers AS (
            MIN(l_extendedprice / l_quantity) AS unit_price
     FROM lineitem
     GROUP BY l_partkey, l_suppkey)
+-- ROUND via the shortest decimal STRING, not the double: DuckDB's
+-- ROUND(DOUBLE, n) multiplies by 10^n first, and x*10^4 can land
+-- exactly on a .5 the value itself is BELOW (sf0.001's
+-- 26.241249999999997 * 1e4 == 262412.5 in FP -> 26.2413), while Spark
+-- rounds the BigDecimal of the shortest representation -> 26.2412.
+-- Casting through VARCHAR (shortest-roundtrip print) reproduces
+-- Spark's semantics exactly; identical for every non-boundary value.
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-       ROUND(unit_price, 4) AS unit_price
+       CAST(ROUND(CAST(CAST(unit_price AS VARCHAR) AS DECIMAL(38, 18)), 4)
+            AS DOUBLE) AS unit_price
 FROM offers
 JOIN part     ON p_partkey = op_partkey
 JOIN supplier ON s_suppkey = op_suppkey
