@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
+from .oracle_helpers import spark_round as _spark_round
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +243,12 @@ WITH scored AS (
                  ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, user_id,
+    -- + 0.0 folds IEEE negative zero: a tiny negative z rounds to -0.0
+    -- in DuckDB's FP ROUND but to unsigned 0.0 through Spark's
+    -- BigDecimal round (surfaced by the sf0.1 full-registry sweep;
+    -- same class as the CUSUM fold below)
     CASE WHEN sigma IS NOT NULL AND sigma > 0
-         THEN ROUND((value - mu) / sigma, 4) END AS zscore,
+         THEN ROUND((value - mu) / sigma, 4) + 0.0 END AS zscore,
     COALESCE(sigma IS NOT NULL AND sigma > 0
              AND ABS((value - mu) / sigma) > {ZSCORE_THRESHOLD}, FALSE)
         AS is_anomaly
@@ -1156,16 +1161,28 @@ WITH gaps AS (
             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
     FROM events
 ), s AS (
+    -- exact integer sums (HUGEINT sumsq), so aggregation order cannot
+    -- perturb the moments; the moment formulas below are then a FIXED
+    -- shared IEEE op sequence — see the operator docstring (r9 sweep)
     SELECT user_id, COUNT(gap_us) AS n_gaps,
-        AVG(gap_us / 1e6) AS mean_gap_s,
-        STDDEV_POP(gap_us / 1e6) AS sd_gap_s
+        SUM(gap_us) AS sum_us,
+        SUM(CAST(gap_us AS HUGEINT) * gap_us) AS sumsq_us
     FROM gaps GROUP BY user_id
+), m AS (
+    SELECT user_id, n_gaps,
+        CAST(sum_us AS DOUBLE) / n_gaps / 1e6 AS mean_gap_s,
+        sqrt(GREATEST(
+            CAST(sumsq_us AS DOUBLE) / n_gaps / 1e12
+            - (CAST(sum_us AS DOUBLE) / n_gaps / 1e6)
+              * (CAST(sum_us AS DOUBLE) / n_gaps / 1e6), 0)) AS sd_gap_s
+    FROM s
 )
 SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-    ROUND(mean_gap_s, 6) AS mean_gap_s,
-    ROUND((sd_gap_s - mean_gap_s) / NULLIF(sd_gap_s + mean_gap_s, 0), 6)
-        AS burstiness
-FROM s WHERE n_gaps >= {MIN_GAPS_BURSTINESS}""",
+    {_spark_round("mean_gap_s", 6)} AS mean_gap_s,
+    {_spark_round(
+        "(sd_gap_s - mean_gap_s) / NULLIF(sd_gap_s + mean_gap_s, 0)", 6
+    )} AS burstiness
+FROM m WHERE n_gaps >= {MIN_GAPS_BURSTINESS}""",
 )
 def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival burstiness B = (sigma - mu)/(sigma + mu)
@@ -1176,27 +1193,41 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gaps come from an integer epoch-microsecond LAG within each user's
     own partition (ties broken by event_id so both engines difference
-    the same ordering); mu/sigma are per-user aggregates of those gaps.
+    the same ordering). SINCE r9 the moments are computed from EXACT
+    integer sums (sum of gap_us as BIGINT; sum of squares as
+    DECIMAL(38,0) / HUGEINT — a 30-day gap squares to ~7e24, past
+    BIGINT), then converted once and pushed through an op-for-op shared
+    IEEE sequence (sum/n/1e6; sqrt(max(sumsq/n/1e12 - mean^2, 0))):
+    float aggregation ORDER can no longer move the result, which the
+    sf0.1 sweep caught doing exactly that to the old AVG/STDDEV_POP
+    form (a 1-ulp reorder crossing the round-6 grain at 10x data).
     Scale: everything is partitioned by user_id — one exchange, no
     global window, state bounded by events-per-user."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gaps = ev.select(
-        "user_id", ((us - F.lag(us).over(w)) / 1e6).alias("gap_s")
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
     )
+    gd = F.col("gap_us").cast("decimal(19,0)")
     s = gaps.groupBy("user_id").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.avg("gap_s").alias("mean_gap_s"),
-        F.stddev_pop("gap_s").alias("sd_gap_s"),
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_us"),
+        F.sum(gd * gd).alias("sumsq_us"),
     )
-    b = (F.col("sd_gap_s") - F.col("mean_gap_s")) / F.nullif(
-        F.col("sd_gap_s") + F.col("mean_gap_s"), F.lit(0)
+    mean = F.col("sum_us").cast("double") / F.col("n_gaps") / F.lit(1e6)
+    sd = F.sqrt(
+        F.greatest(
+            F.col("sumsq_us").cast("double") / F.col("n_gaps") / F.lit(1e12)
+            - mean * mean,
+            F.lit(0.0),
+        )
     )
+    b = (sd - mean) / F.nullif(sd + mean, F.lit(0))
     return s.filter(F.col("n_gaps") >= MIN_GAPS_BURSTINESS).select(
         "user_id",
         F.col("n_gaps").cast("bigint").alias("n_gaps"),
-        F.round("mean_gap_s", 6).alias("mean_gap_s"),
+        F.round(mean, 6).alias("mean_gap_s"),
         F.round(b, 6).alias("burstiness"),
     )
 

@@ -1,0 +1,38 @@
+"""Shared DuckDB-oracle SQL fragments.
+
+``spark_round``: emulate Spark's ROUND(double, n) exactly. The two
+engines disagree on rounding-boundary doubles in BOTH directions:
+
+- Spark's Round expression rounds the BigDecimal of the double's
+  SHORTEST decimal representation (Double.toString) with HALF_UP —
+  so 33374.0610425 (true binary value ...42499999...) rounds UP.
+- DuckDB's ROUND(DOUBLE, n) works on the double itself (x * 10^n
+  then nearest), so the same value rounds DOWN — while a value like
+  26.241249999999997 (whose x * 10^4 lands exactly ON .5 in FP)
+  rounds UP where Spark's string path rounds DOWN.
+
+Casting through VARCHAR gives DuckDB the shortest-roundtrip string;
+parsing it as DECIMAL(38,18) is exact for every shortest double repr
+(<= 17 significant digits), and DECIMAL ROUND is HALF_UP — i.e.
+Spark's algorithm. Identical to plain ROUND for every non-boundary
+value, so swapping it into a green oracle cannot change its hash on
+fixtures that never hit a boundary.
+
+Found by the r9 full-registry parity sweeps at sf0.001/sf0.1 (the
+driver gate runs only sf0.01): q_tpch_q2 and
+q_interarrival_burstiness each lost one row to this class at one SF.
+Use this helper for any oracle ROUND over a genuinely FP expression;
+integer-derived expressions (counts, exact cent/microsecond sums)
+cannot hit boundaries and may keep plain ROUND.
+"""
+
+from __future__ import annotations
+
+
+def spark_round(expr: str, n: int) -> str:
+    """DuckDB SQL reproducing Spark's ROUND(``expr``, ``n``) bit-for-bit
+    (see module docstring). NULL-safe: every step propagates NULL."""
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38, 18)), {n})"
+        " AS DOUBLE)"
+    )

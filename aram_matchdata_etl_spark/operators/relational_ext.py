@@ -162,7 +162,10 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_groupby_salted",
     oracle="""
-SELECT l_returnflag, ROUND(SUM(l_extendedprice), 4) AS total_price, COUNT(*) AS n
+SELECT l_returnflag,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price,
+    COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag""",
 )
 def q_groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,16 +174,24 @@ def q_groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (3 reducers own everything). Stage 1 groups on
     (key, salt=hash%16) spreading each hot key over 16 reducers; stage 2
     merges the 48 partials. Oracle = the plain GROUP BY it must equal.
-    Sums are integer-free doubles, so stage order matters: both stages sum
-    the same partitions' partials — ROUND(4) absorbs the reorder."""
+
+    The sum runs over exact integer CENTS (prices are 2-decimal values;
+    ROUND(x*100) per row is one deterministic IEEE op in both engines),
+    so partial-aggregation order cannot move the total — the r9 sf0.1
+    sweep caught the previous ROUND(SUM(double), 4) form diverging by
+    an accumulated-reorder ulp that crossed the rounding grain at 10x
+    data (…881.9 vs …882 on a ~1e10 sum). The BIGINT total (< 2^53)
+    converts to DOUBLE exactly; /100.0 is one more shared IEEE op."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     salted = (
         li.withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(16)))
+        .withColumn("cents", cents)
         .groupBy("l_returnflag", "salt")
-        .agg(F.sum("l_extendedprice").alias("partial_sum"), F.count("*").alias("partial_n"))
+        .agg(F.sum("cents").alias("partial_sum"), F.count("*").alias("partial_n"))
     )
     return salted.groupBy("l_returnflag").agg(
-        F.round(F.sum("partial_sum"), 4).alias("total_price"),
+        (F.sum("partial_sum").cast("double") / 100.0).alias("total_price"),
         F.sum("partial_n").alias("n"),
     )
 

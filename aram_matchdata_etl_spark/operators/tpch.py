@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
+from .oracle_helpers import spark_round as _spark_round
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,22 +92,18 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q2",
-    oracle="""
+    oracle=f"""
 WITH offers AS (
     SELECT l_partkey AS op_partkey, l_suppkey AS op_suppkey,
            MIN(l_extendedprice / l_quantity) AS unit_price
     FROM lineitem
     GROUP BY l_partkey, l_suppkey)
--- ROUND via the shortest decimal STRING, not the double: DuckDB's
--- ROUND(DOUBLE, n) multiplies by 10^n first, and x*10^4 can land
--- exactly on a .5 the value itself is BELOW (sf0.001's
--- 26.241249999999997 * 1e4 == 262412.5 in FP -> 26.2413), while Spark
--- rounds the BigDecimal of the shortest representation -> 26.2412.
--- Casting through VARCHAR (shortest-roundtrip print) reproduces
--- Spark's semantics exactly; identical for every non-boundary value.
+-- spark_round: DuckDB's FP ROUND diverges from Spark's shortest-string
+-- BigDecimal round on boundary doubles (here: 26.241249999999997 * 1e4
+-- lands exactly on 262412.5 in FP -> 26.2413, Spark says 26.2412);
+-- see operators/oracle_helpers.py
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-       CAST(ROUND(CAST(CAST(unit_price AS VARCHAR) AS DECIMAL(38, 18)), 4)
-            AS DOUBLE) AS unit_price
+       {_spark_round("unit_price", 4)} AS unit_price
 FROM offers
 JOIN part     ON p_partkey = op_partkey
 JOIN supplier ON s_suppkey = op_suppkey
