@@ -126,16 +126,11 @@ _MODULE_PRIORITY = {
 # bug fix that moved the numbers in both dialects at once): promote into
 # the next driver window so the fix gets a fresh driver verdict instead
 # of waiting out a full green rotation. Remove entries once re-sampled.
-_SEMANTICS_CHANGED: set[str] = {
-    # r9 scale-robustness reformulations (found by the sf0.1 full-registry
-    # parity sweep; oracle AND Spark results moved together): exact
-    # integer-cents salted sum; exact integer-microsecond burstiness
-    # moments. Remove once a fresh driver verdict lands (r10).
-    "q_groupby_salted",
-    "q_interarrival_burstiness",
-}
-# (q_chi_squared held a slot here after its late-r7 empty-cell fix;
-# removed once CORRECTNESS_r08 re-sampled it green, per the contract.)
+_SEMANTICS_CHANGED: set[str] = set()
+# (q_groupby_salted / q_interarrival_burstiness held slots here after
+# their r9 exact-integer reformulations; removed once CORRECTNESS_r09
+# re-sampled both green, per the contract. q_chi_squared likewise after
+# CORRECTNESS_r08.)
 
 
 def _rotated(keys: list[str]) -> list[str]:
