@@ -647,6 +647,10 @@ def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
 # so recall loss is confined to pathological inputs. Telemetry mirrors
 # CC_TELEMETRY so the probe's verdict is observable in tests/bench.
 AUTO_BUCKET_CAP = 256
+# Observability convenience for bench/tests ONLY: unsynchronized,
+# last-writer-wins per tag — two callers sharing a tag (or the default)
+# clobber each other's verdicts. Callers that need a reliable verdict
+# pass ``telemetry_out`` and read their own dict.
 LSH_TELEMETRY: dict = {}
 
 
@@ -656,6 +660,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     bucket_cap: int | str | None = None,
     tag: str = "default",
+    telemetry_out: dict | None = None,
 ) -> DataFrame:
     """Band the signature (bands x rows) and bucket-join: posexplode the
     band hashes so ONE equi-join on (band, bucket) produces all candidate
@@ -687,7 +692,9 @@ def lsh_candidate_pairs(
     the corpus is adversarial. Max membership <= AUTO_BUCKET_CAP: the
     exact, oracle-identical candidate set ships (zero behavior change,
     probe cost only). Above it: the cap engages at AUTO_BUCKET_CAP.
-    Verdict recorded in LSH_TELEMETRY[tag] (probe max, engaged bool).
+    Verdict recorded in LSH_TELEMETRY[tag] (probe max, engaged bool;
+    last-writer-wins for shared tags) and, race-free, in the caller's
+    ``telemetry_out`` dict when provided.
     This closes the 100 TB deployment gap where the caller had to KNOW
     the corpus was adversarial to pass a manual cap
     (tests/test_skew.py::test_lsh_bucket_cap_auto_probe)."""
@@ -725,7 +732,10 @@ def lsh_candidate_pairs(
         ).collect()
         max_bucket = int(probe[0]["mx"] or 0)
         engaged = max_bucket > AUTO_BUCKET_CAP
-        LSH_TELEMETRY[tag] = {"max_bucket": max_bucket, "cap_engaged": engaged}
+        verdict = {"max_bucket": max_bucket, "cap_engaged": engaged}
+        LSH_TELEMETRY[tag] = verdict
+        if telemetry_out is not None:
+            telemetry_out.update(verdict)
         bucket_cap = AUTO_BUCKET_CAP if engaged else None
     if bucket_cap is not None:
         wb = Window.partitionBy("band", "bucket").orderBy(

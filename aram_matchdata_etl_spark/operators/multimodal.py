@@ -130,7 +130,17 @@ def decode_image(payload: bytes) -> np.ndarray:
     oracled feature path (q_media_features) keeps the deterministic
     byte-histogram featurizer; the real-decode path is exercised
     executor-side by tests/test_northstar.py::test_decode_real_formats
-    via the same mapInPandas plumbing."""
+    via the same mapInPandas plumbing.
+
+    Error taxonomy: a payload too short to carry a magic number is
+    malformed DATA (ValueError), not an unsupported codec — conflating
+    the two would route corrupt inputs into the documented
+    NotImplementedError deployment seam."""
+    if len(payload) < 2:
+        raise ValueError(
+            f"payload too short to carry an image magic number "
+            f"({len(payload)} bytes)"
+        )
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":

@@ -31,8 +31,22 @@ from __future__ import annotations
 
 def spark_round(expr: str, n: int) -> str:
     """DuckDB SQL reproducing Spark's ROUND(``expr``, ``n``) bit-for-bit
-    (see module docstring). NULL-safe: every step propagates NULL."""
-    return (
+    (see module docstring). NULL-safe: every step propagates NULL.
+
+    Domain: the DECIMAL(38, 18) path is exact only for finite doubles
+    with |x| < 1e20 (20 integer digits); NaN/Inf and larger magnitudes
+    would error in the VARCHAR->DECIMAL cast, so those fall through to
+    a passthrough of the raw value — which IS Spark's answer there:
+    ROUND(NaN/Inf, n) is NaN/Inf, and at |x| >= 1e20 the double grid
+    spacing exceeds 1 so ROUND(x, n >= 0) is the identity. (DuckDB's
+    own ROUND is NOT safe as the fallback: its x*10^n FP path drops a
+    ulp on e.g. ROUND(1e21, 2).) Requires n >= 0.
+    """
+    if n < 0:
+        raise ValueError("spark_round fallback assumes n >= 0")
+    guard = f"isfinite(({expr})) AND abs(({expr})) < 1e20"
+    exact = (
         f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38, 18)), {n})"
         " AS DOUBLE)"
     )
+    return f"CASE WHEN {guard} THEN {exact} ELSE ({expr}) END"

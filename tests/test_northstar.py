@@ -206,6 +206,11 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    # malformed DATA (too short for any magic) is ValueError, not the
+    # unsupported-codec seam
+    for junk in (b"", b"P"):
+        with pytest.raises(ValueError):
+            decode_image(junk)
 
 
 def _ppm_bytes(img) -> bytes:

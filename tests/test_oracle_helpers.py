@@ -27,6 +27,22 @@ KNOWN_BOUNDARY_CASES = [
     (123456789.987654321, 6),
 ]
 
+# outside the DECIMAL(38,18) domain: the helper's guard must fall back
+# to plain ROUND instead of erroring in the VARCHAR->DECIMAL cast
+NON_DECIMAL_DOMAIN_CASES = [
+    (float("nan"), 2),
+    (float("inf"), 2),
+    (float("-inf"), 4),
+    (1e21, 2),
+    (-3.7e25, 0),
+    (1.797e308, 6),
+]
+
+
+def _duck_round(con, x, n):
+    sql = spark_round("?::DOUBLE", n)
+    return con.execute(f"SELECT {sql}", [x] * sql.count("?")).fetchone()[0]
+
 
 def _spark_rounds(spark, vals_scales):
     df = spark.createDataFrame(vals_scales, "x double, n int")
@@ -58,13 +74,13 @@ def test_spark_round_matches_spark_on_boundaries_and_random(spark):
             for g, j in zip(grid, jitter)
         )
 
+    cases.extend(NON_DECIMAL_DOMAIN_CASES)
+
     got_spark = _spark_rounds(spark, cases)
     con = duckdb.connect()
     mismatches = []
     for x, n, r_spark in got_spark:
-        r_duck = con.execute(
-            f"SELECT {spark_round('?::DOUBLE', n)}", [x]
-        ).fetchone()[0]
+        r_duck = _duck_round(con, x, n)
         # compare as doubles, bit-meaningfully: repr equality catches
         # -0.0 vs 0.0 too (Spark's BigDecimal round never emits -0.0,
         # and the helper's DECIMAL path doesn't either)
@@ -83,10 +99,7 @@ def test_plain_duckdb_round_actually_differs_on_the_shipped_cases():
         con.execute(f"SELECT ROUND(?::DOUBLE, {n})", [x]).fetchone()[0]
         for x, n in KNOWN_BOUNDARY_CASES[:2]
     ]
-    helper = [
-        con.execute(f"SELECT {spark_round('?::DOUBLE', n)}", [x]).fetchone()[0]
-        for x, n in KNOWN_BOUNDARY_CASES[:2]
-    ]
+    helper = [_duck_round(con, x, n) for x, n in KNOWN_BOUNDARY_CASES[:2]]
     assert plain != helper, (
         "DuckDB's plain ROUND now matches the Spark-emulating helper on "
         "the shipped boundary cases — re-evaluate whether spark_round "

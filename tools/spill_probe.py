@@ -70,30 +70,43 @@ ARMS = {
 }
 
 
-def _spill_totals(spark) -> tuple[int, int]:
+def _spill_totals(spark) -> tuple[int, int] | None:
     """Sum (memoryBytesSpilled, diskBytesSpilled) over all completed
     stages via the AppStatusStore (UI stays disabled; the store is
     maintained regardless). private[spark] is public in bytecode, so
-    py4j can call statusStore()."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    # Spark 4 signature: stageList(statuses, details, withSummaries,
-    # unsortedQuantiles, taskStatus) — py4j sees no default args, so pass
-    # all five; empty status filter = all stages
-    jvm = spark.sparkContext._jvm
-    gw = spark.sparkContext._gateway
-    it = store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        gw.new_array(jvm.double, 0),
-        jvm.java.util.ArrayList(),
-    ).iterator()
-    mem = disk = 0
-    while it.hasNext():
-        s = it.next()
-        mem += s.memoryBytesSpilled()
-        disk += s.diskBytesSpilled()
-    return int(mem), int(disk)
+    py4j can call statusStore().
+
+    Hard-codes the Spark 4 private stageList signature — a minor-version
+    bump can change it, so failure degrades to None ("spill metrics
+    unavailable") rather than killing the timing arms with a py4j error.
+    """
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        # Spark 4 signature: stageList(statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus) — py4j sees no default args, so
+        # pass all five; empty status filter = all stages
+        jvm = spark.sparkContext._jvm
+        gw = spark.sparkContext._gateway
+        it = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        ).iterator()
+        mem = disk = 0
+        while it.hasNext():
+            s = it.next()
+            mem += s.memoryBytesSpilled()
+            disk += s.diskBytesSpilled()
+        return int(mem), int(disk)
+    except Exception as e:  # noqa: BLE001 - private-API probe, timing must survive
+        print(
+            "spill metrics unavailable (Spark internals changed?): "
+            f"{str(e).splitlines()[0][:120]}",
+            flush=True,
+        )
+        return None
 
 
 def child(arm: str, tier_dir: str) -> None:
@@ -116,20 +129,20 @@ def child(arm: str, tier_dir: str) -> None:
         except Exception:  # noqa: BLE001 - timed run reports the failure
             pass
         spark.catalog.clearCache()
-        m0, d0 = _spill_totals(spark)
+        before = _spill_totals(spark)
         t0 = time.perf_counter()
         try:
             qs[name](spark, tier_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             sec = round(time.perf_counter() - t0, 3)
-            m1, d1 = _spill_totals(spark)
-            out[name] = {
-                "sec": sec,
-                "spill_mem_mb": round((m1 - m0) / 2**20, 1),
-                "spill_disk_mb": round((d1 - d0) / 2**20, 1),
-                "ok": True,
-            }
+            after = _spill_totals(spark)
+            out[name] = {"sec": sec, "ok": True}
+            if before is not None and after is not None:
+                out[name]["spill_mem_mb"] = round((after[0] - before[0]) / 2**20, 1)
+                out[name]["spill_disk_mb"] = round((after[1] - before[1]) / 2**20, 1)
+            else:
+                out[name]["spill_metrics"] = "unavailable"
         except Exception as e:  # noqa: BLE001 - the cliff IS the finding
             out[name] = {
                 "sec": round(time.perf_counter() - t0, 3),
