@@ -743,13 +743,73 @@ def run_scale_tier(
     return compact, detail
 
 
-def main() -> None:
-    sf_dir = default_sf_dir()
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="aram-etl-bench")
-    queries = all_queries()
+# ---------------------------------------------------------------------------
+# Load forensics (VERDICT r9 "what's wrong" item 1): the shipped BENCH_r09
+# number was +23% purely from neighbor processes owning the box, and the
+# artifact had no way to show it. The bench now measures the NEIGHBOR CPU
+# share directly — total busy jiffies from /proc/stat minus this process
+# tree's own jiffies (python driver + the local[32] JVM child), over the
+# headline window — and re-runs the headline once if neighbors held more
+# than NEIGHBOR_RERUN_SHARE of the box. loadavg alone can't do this: during
+# the run our own 32 threads dominate it.
+# ---------------------------------------------------------------------------
 
+NEIGHBOR_RERUN_SHARE = 0.15
+
+
+def _proc_tree_jiffies(pid: int) -> int:
+    """utime+stime+cutime+cstime summed over the live process tree rooted
+    at `pid` (cutime/cstime cover children reaped between snapshots)."""
+    total, stack, seen = 0, [pid], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            # fields 14-17 (1-indexed) = utime stime cutime cstime
+            total += sum(int(rest[i]) for i in (11, 12, 13, 14))
+            for tid in os.listdir(f"/proc/{p}/task"):
+                with open(f"/proc/{p}/task/{tid}/children") as f:
+                    stack.extend(int(c) for c in f.read().split())
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
+def _cpu_snapshot() -> dict | None:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        return {
+            "busy": busy,
+            "self": _proc_tree_jiffies(os.getpid()),
+            "t": time.monotonic(),
+        }
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def neighbor_share(s0: dict | None, s1: dict | None) -> float | None:
+    """Fraction of the whole box's CPU capacity used by processes OUTSIDE
+    this bench's tree between the two snapshots (USER_HZ=100)."""
+    if not s0 or not s1:
+        return None
+    elapsed = s1["t"] - s0["t"]
+    if elapsed <= 0:
+        return None
+    capacity = (os.cpu_count() or 1) * 100.0 * elapsed
+    other = max(0, (s1["busy"] - s0["busy"]) - (s1["self"] - s0["self"]))
+    return round(other / capacity, 3)
+
+
+def run_headline(
+    spark, queries, sf_dir: str
+) -> tuple[dict[str, float], dict[str, str]]:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -777,9 +837,43 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+            # 2 decimals (10 ms): per-query widths are the final line's
+            # dominant cost, and the r10 load block must fit at worst case
+            timings[name] = round(best, 2)
         except Exception as e:  # one broken query must not sink the suite
             errors[name] = str(e).splitlines()[0][:160]
+    return timings, errors
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    load_pre = round(os.getloadavg()[0], 1)  # pre-Spark: neighbors only
+    spark = get_spark(app_name="aram-etl-bench")
+    queries = all_queries()
+
+    s0 = _cpu_snapshot()
+    timings, errors = run_headline(spark, queries, sf_dir)
+    nbr = neighbor_share(s0, _cpu_snapshot())
+    nbr_shares = [nbr] if nbr is not None else []
+    if nbr is not None and nbr > NEIGHBOR_RERUN_SHARE:
+        # neighbors owned the box (the r9 contamination class): one
+        # defensive re-run, then keep the per-query minima — both shares
+        # ship on the final line so the artifact can't silently lie
+        print(
+            f"LOAD_WARN neighbor_cpu_share={nbr} > {NEIGHBOR_RERUN_SHARE}; "
+            "re-running headline suite once",
+            flush=True,
+        )
+        s0 = _cpu_snapshot()
+        timings2, errors2 = run_headline(spark, queries, sf_dir)
+        nbr2 = neighbor_share(s0, _cpu_snapshot())
+        if nbr2 is not None:
+            nbr_shares.append(nbr2)
+        for name, sec in timings2.items():
+            timings[name] = min(timings.get(name, float("inf")), sec)
+        errors = {n: e for n, e in errors.items() if n in errors2}
 
     scale_total = round(
         sum(t for n, t in timings.items() if n not in ORACLE_BASELINES), 3
@@ -795,12 +889,14 @@ def main() -> None:
     # from round 7 on: every diagnostic blob prints EARLY with its own
     # prefix and lands in bench_telemetry.json; the LAST line is a
     # compact headline-only JSON that always fits the tail.
+    load_block = {"pre": load_pre, "nbr": nbr_shares}
     telemetry: dict = {
         # duplicated from the final line so compact_final_line may shed
         # them there without information loss
         "scale_total": scale_total,
         "oracle_baseline_total": baseline_total,
         "grand_total": round(scale_total + baseline_total, 3),
+        "load": load_block,
         "microbench": {},
     }
     try:
@@ -865,6 +961,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # load forensics: pre-Spark 1-min loadavg (neighbors only) +
+        # measured neighbor CPU share per headline attempt — the r9
+        # artifact shipped a +23% number with no way to see this
+        "load": load_block,
         # `value` is the scale-path total; the oracle baselines
         # (intentionally-quadratic exact twins) are reported separately so
         # round-over-round trends track the paths that project to 100 TB.
@@ -890,9 +990,15 @@ def compact_final_line(out: dict) -> str:
     ever touching the per-query timings the gate actually records."""
     line = json.dumps(out, separators=(",", ":"))
     # totals shed first: both always ride the TELEMETRY line/sidecar, so
-    # dropping them here loses nothing; scale_tier and errors only exist
-    # on this line and go last
-    for drop in ("grand_total", "oracle_baseline_total", "scale_tier", "errors"):
+    # dropping them here loses nothing (load also rides telemetry);
+    # scale_tier and errors only exist on this line and go last
+    for drop in (
+        "grand_total",
+        "oracle_baseline_total",
+        "load",
+        "scale_tier",
+        "errors",
+    ):
         if len(line) <= FINAL_LINE_BUDGET:
             break
         out.pop(drop, None)

@@ -26,8 +26,9 @@ def _realistic_out(extra: dict | None = None) -> dict:
         "metric": "headline_suite_total",
         "value": 123.456,
         "unit": "sec",
-        "queries": {name: 12.345 for name in HEADLINE},
+        "queries": {name: 12.34 for name in HEADLINE},  # 2-dec contract
         "sf": 0.1,
+        "load": {"pre": 12.3, "nbr": [0.123, 0.123]},  # worst case: re-run
         "oracle_baseline_total": 12.345,
         "grand_total": 135.801,
     }
@@ -49,6 +50,7 @@ def test_realistic_line_with_scale_tier_fits():
     # the judge-facing blocks survive worst-case widths; only the
     # telemetry-duplicated totals may be shed
     assert "scale_tier" in parsed
+    assert "load" in parsed
     assert SCALE_TIER and set(SCALE_TIER) <= set(HEADLINE)
 
 
@@ -62,6 +64,38 @@ def test_oversized_optional_blocks_shed_before_queries():
     # per-query timings survive; the oversized blocks were shed
     assert set(parsed["queries"]) == set(HEADLINE)
     assert "scale_tier" not in parsed
+
+
+def test_neighbor_share_probe():
+    """The r10 load-forensics probe: synthetic snapshots give exact
+    arithmetic; a live snapshot pair brackets a busy-spin so the
+    /proc-walk actually attributes this process's own work to 'self'."""
+    import time
+
+    from bench import _cpu_snapshot, neighbor_share
+
+    ncpu = os.cpu_count() or 1
+    # synthetic: 1 second, box 50% busy, half of that is our own tree
+    s0 = {"busy": 0, "self": 0, "t": 0.0}
+    s1 = {"busy": ncpu * 50, "self": ncpu * 25, "t": 1.0}
+    assert neighbor_share(s0, s1) == 0.25
+    assert neighbor_share(None, s1) is None
+    assert neighbor_share(s0, {"busy": 0, "self": 0, "t": 0.0}) is None
+    # self jiffies can exceed busy delta by sampling skew: clamped to 0
+    assert neighbor_share(s0, {"busy": 10, "self": 99, "t": 1.0}) == 0.0
+
+    # live: burn ~0.3 s of CPU in-process; the probe must count it as
+    # self, so the neighbor share stays well below the spin's own share
+    live0 = _cpu_snapshot()
+    assert live0 is not None and live0["self"] > 0
+    t_end = time.monotonic() + 0.3
+    while time.monotonic() < t_end:
+        pass
+    live1 = _cpu_snapshot()
+    spin_self = (live1["self"] - live0["self"]) / 100.0
+    assert spin_self >= 0.15, "busy-spin not attributed to self tree"
+    share = neighbor_share(live0, live1)
+    assert share is not None and 0.0 <= share <= 1.0
 
 
 def test_headline_and_baselines_disjoint_and_registered():
