@@ -20,6 +20,134 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+# ---------------------------------------------------------------------------
+# ROUND-boundary hardening (r10, closing the class scoped in r9): Spark's
+# ROUND(double, n) rounds the double's SHORTEST DECIMAL STRING half-up;
+# DuckDB's rounds x*10^n in FP — they disagree in BOTH directions on
+# boundary doubles (operators/oracle_helpers.py has the forensics; the r9
+# cross-scale sweeps caught four live divergences of this class). Rather
+# than hand-editing ~500 oracle ROUND sites (and every future one), the
+# registry rewrites each plain ROUND(expr[, n]) in oracle SQL into the
+# Spark-exact spark_round form AT REGISTRATION, innermost-first, so no
+# plain ROUND over a possibly-FP expression ever reaches DuckDB. The
+# rewrite is a value no-op off rounding boundaries (and exactly Spark's
+# answer on them), so a green oracle cannot change hash on benign data.
+# tests/test_registry_round.py pins the rewriter; the all_oracles() gate
+# there asserts zero unrewritten sites registry-wide.
+# ---------------------------------------------------------------------------
+
+_ROUND_TOKEN = re.compile(r"(?<![A-Za-z0-9_])ROUND\s*\(", re.IGNORECASE)
+# spark_round()'s own generated text — already Spark-exact, never rewritten
+_GENERATED_PREFIX = "ROUND(CAST(CAST(("
+
+
+def _skip_quoted(sql: str, i: int) -> int:
+    """Given i at an opening single quote, return the index just past the
+    literal (handles '' escapes)."""
+    j = i + 1
+    while j < len(sql):
+        if sql[j] == "'":
+            if j + 1 < len(sql) and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return j
+
+
+def _round_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
+    """Parse the balanced, quote-aware argument list starting after
+    ``open_paren``; returns (top-level args, index past the close paren)."""
+    depth, j, last, args = 1, open_paren + 1, open_paren + 1, []
+    while j < len(sql):
+        c = sql[j]
+        if c == "'":
+            j = _skip_quoted(sql, j)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[last:j])
+                return args, j + 1
+        elif c == "," and depth == 1:
+            args.append(sql[last:j])
+            last = j + 1
+        j += 1
+    return None
+
+
+def _masked(sql: str) -> str:
+    """Copy of ``sql`` with single-quoted literals blanked (same length),
+    so token searches can't match inside strings."""
+    out, i = [], 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = _skip_quoted(sql, i)
+            out.append("'" + "\x00" * (j - i - 2) + "'" if j - i >= 2 else sql[i:j])
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+def _first_plain_round(masked: str, pos: int = 0) -> int | None:
+    """Index of the next plain (non-generated) ROUND( token, or None."""
+    while True:
+        m = _ROUND_TOKEN.search(masked, pos)
+        if m is None:
+            return None
+        if masked.startswith(_GENERATED_PREFIX, m.start()):
+            pos = m.end()
+            continue
+        return m.start()
+
+
+def sparkify_round(sql: str) -> str:
+    """Rewrite every plain ROUND(expr[, n]) in ``sql`` to the Spark-exact
+    ``spark_round`` form, innermost-first (so a nested ROUND is rewritten
+    before the outer one quadruplicates its text). Raises on a site the
+    rewriter cannot prove safe (non-literal or negative scale) — those
+    must be converted by hand."""
+    from .operators.oracle_helpers import spark_round
+
+    while True:
+        masked = _masked(sql)
+        pos, target = 0, None
+        while True:
+            start = _first_plain_round(masked, pos)
+            if start is None:
+                break
+            open_paren = masked.index("(", start)
+            parsed = _round_args(sql, open_paren)
+            if parsed is None:
+                raise ValueError(
+                    f"unbalanced ROUND( at {start}: {sql[start:start + 80]!r}"
+                )
+            args, end = parsed
+            if _first_plain_round(masked[open_paren + 1 : end]) is not None:
+                # an inner plain ROUND lives in the args: the forward scan
+                # will reach it next — rewrite innermost-first
+                pos = open_paren + 1
+                continue
+            target = (start, args, end)
+            break
+        if target is None:
+            return sql
+        start, args, end = target
+        if len(args) == 1:
+            n = 0
+        elif len(args) == 2 and re.fullmatch(r"\s*\d+\s*", args[1]):
+            n = int(args[1])
+        else:
+            raise ValueError(
+                f"ROUND site not rewritable (non-literal scale): {args!r}"
+            )
+        sql = sql[:start] + spark_round(args[0].strip(), n) + sql[end:]
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle`` is the DuckDB-equivalent ANSI SQL.
 
@@ -32,7 +160,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query key {name!r}")
         _QUERIES[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            # Spark-exact ROUND at registration (see block comment above):
+            # no plain ROUND over a possibly-FP expression reaches DuckDB
+            try:
+                _ORACLES[name] = sparkify_round(oracle)
+            except ValueError as e:
+                raise ValueError(f"{name}: {e}") from e
         return fn
 
     return deco
