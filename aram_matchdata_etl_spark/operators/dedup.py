@@ -18,6 +18,7 @@ Scale design (the whole point of these operators at 100 TB):
 from __future__ import annotations
 
 import weakref
+from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -230,6 +231,69 @@ def _free_checkpoint(df: DataFrame) -> None:
         pass
 
 
+class _LoopCheckpoints:
+    """Checkpoint bookkeeping for one iterative loop (see
+    ``loop_checkpoints``). ``swap`` manages the ROLLING frame (each round's
+    localCheckpoint superseding the previous); ``own`` registers loop-
+    scoped SCRATCH frames (edge lists etc.) freed on every exit path."""
+
+    def __init__(self) -> None:
+        self.live: DataFrame | None = None
+        self._scratch: list[DataFrame] = []
+
+    def own(self, frame: DataFrame) -> DataFrame:
+        self._scratch.append(frame)
+        return frame
+
+    def swap(self, new: DataFrame) -> DataFrame:
+        """Adopt ``new`` as the live rolling checkpoint, freeing the
+        superseded one. Call ONLY after an action has materialized
+        ``new``: a lazy checkpoint's first computation still reads the
+        previous frame's blocks."""
+        old, self.live = self.live, new
+        if old is not None:
+            _free_checkpoint(old)
+        return new
+
+    def release_live(self) -> None:
+        """Demote the live frame to scratch (freed on exit): call when
+        the loop's result was re-materialized into a NEW frame, so the
+        final rolling checkpoint no longer escapes the ``with``."""
+        if self.live is not None:
+            self._scratch.append(self.live)
+            self.live = None
+
+
+@contextmanager
+def loop_checkpoints():
+    """Close the iterative-loop checkpoint-leak class (r9 ROADMAP item;
+    12 rolling-checkpoint loops shared it): on an exception mid-round the
+    live rolling frame AND the loop's scratch frames are freed; on normal
+    exit only the scratch frames are (the live frame IS the loop's result
+    — its blocks must outlive the ``with``, since a localCheckpoint
+    cannot be recomputed once unpersisted).
+
+        with loop_checkpoints() as lc:
+            edges = lc.own(raw.localCheckpoint())
+            state = lc.swap(init.localCheckpoint())
+            for _ in range(rounds):
+                new = step(state, edges).localCheckpoint(eager=False)
+                stat = new.agg(...).first()   # materializes `new`
+                state = lc.swap(new)
+            return state.select(...)
+    """
+    lc = _LoopCheckpoints()
+    try:
+        yield lc
+    except BaseException:
+        if lc.live is not None:
+            _free_checkpoint(lc.live)
+        raise
+    finally:
+        for frame in lc._scratch:
+            _free_checkpoint(frame)
+
+
 # Telemetry from the most recent connected_components() run per tag
 # (VERDICT r3 item 4): per-round changed-counts + partition counts, so a
 # bench-to-bench regression decomposes into "extra convergence round" vs
@@ -357,55 +421,57 @@ def _cc_min_label(docs, pairs, max_rounds: int, telemetry: dict):
     # the docs universe is well-partitioned and a conditional spread
     # no-ops anyway. Telemetry still reports the count so the claim stays
     # auditable.
-    labels = docs.select(
-        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
-    telemetry["label_partitions"] = labels.rdd.getNumPartitions()
-
-    converged = False
-    prev_ckpt = labels  # the round's live checkpoint; freed once superseded
-    for _ in range(max_rounds):
-        nbr = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
+    with loop_checkpoints() as lc:
+        lc.own(edges)
+        labels = lc.swap(
+            docs.select(
+                F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+            ).localCheckpoint()
         )
-        # one job per round: checkpoint the merged labels, then count
-        # changed rows off the checkpointed result (no recompute)
-        merged = labels.join(nbr, "u", "left").select(
-            "u",
-            "label",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-            ).alias("new_label"),
-        ).localCheckpoint()
-        changed = merged.filter(F.col("new_label") != F.col("label")).count()
-        telemetry["rounds"] += 1
-        telemetry["changed_per_round"].append(changed)
-        # the superseded round's checkpoint blocks are dead weight in the
-        # block manager — free them eagerly instead of waiting for GC
-        # (left pinned, they degrade UNRELATED queries later in the
-        # session via memory pressure; observed in bench). The final
-        # round's checkpoint stays: the returned plan reads from it.
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = merged
-        labels = merged.select("u", F.col("new_label").alias("label"))
-        if changed == 0:
-            converged = True
-            break
-    _free_checkpoint(edges)
-    if not converged:
-        # keep the final checkpoint alive: the caller seeds star from it
-        return None, labels
+        telemetry["label_partitions"] = labels.rdd.getNumPartitions()
 
-    return (
-        labels.select(
-            F.col("u").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            (F.col("u") == F.col("label")).alias("is_canonical"),
-        ),
-        labels,
-    )
+        converged = False
+        for _ in range(max_rounds):
+            nbr = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            # one job per round: checkpoint the merged labels, then count
+            # changed rows off the checkpointed result (no recompute)
+            merged = labels.join(nbr, "u", "left").select(
+                "u",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("new_label"),
+            ).localCheckpoint()
+            changed = merged.filter(F.col("new_label") != F.col("label")).count()
+            telemetry["rounds"] += 1
+            telemetry["changed_per_round"].append(changed)
+            # the superseded round's checkpoint blocks are dead weight in
+            # the block manager — lc.swap frees them eagerly instead of
+            # waiting for GC (left pinned, they degrade UNRELATED queries
+            # later in the session via memory pressure; observed in
+            # bench). The final round's checkpoint stays: the returned
+            # plan reads from it.
+            lc.swap(merged)
+            labels = merged.select("u", F.col("new_label").alias("label"))
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # keep the final checkpoint alive: the caller seeds star from it
+            return None, labels
+
+        return (
+            labels.select(
+                F.col("u").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                (F.col("u") == F.col("label")).alias("is_canonical"),
+            ),
+            labels,
+        )
 
 
 def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
@@ -439,89 +505,96 @@ def _cc_star(docs, pairs, telemetry: dict) -> DataFrame:
             .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
         )
 
-    prev_ckpt = edges
-    prev_sig: tuple | None = None
-    for _ in range(30):
-        # --- large-star: for v in Γ(u) with v > u: emit {v, m(u)} -------
-        sym = edges.select("lo", "hi").selectExpr("lo as u", "hi as v").unionByName(
-            edges.selectExpr("hi as u", "lo as v")
-        )
-        m = neighborhood_min(sym)
-        large = (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(
-                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
-            )
-            .filter(F.col("lo") != F.col("hi"))
-            .distinct()
-        )
-        # --- small-star: per node u over edges with v <= u:
-        #     emit {v, m} for v in Γ≤(u) ∪ {u} ---------------------------
-        down = large.selectExpr("hi as u", "lo as v")  # v < u by construction
-        m2 = neighborhood_min(down)  # = min neighbor (all < u) vs u
-        small = (
-            down.join(m2, "u")
-            .select(
-                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
-            )
-            .unionByName(
-                m2.select(
-                    F.least("u", "m").alias("lo"), F.greatest("u", "m").alias("hi")
+    with loop_checkpoints() as lc:
+        edges = lc.swap(edges)
+        prev_sig: tuple | None = None
+        for _ in range(30):
+            # --- large-star: for v in Γ(u) with v > u: emit {v, m(u)} ---
+            sym = edges.select("lo", "hi").selectExpr(
+                "lo as u", "hi as v"
+            ).unionByName(edges.selectExpr("hi as u", "lo as v"))
+            m = neighborhood_min(sym)
+            large = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(
+                    F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
                 )
+                .filter(F.col("lo") != F.col("hi"))
+                .distinct()
             )
-            .filter(F.col("lo") != F.col("hi"))
-            .distinct()
-            .localCheckpoint()
-        )
-        star_rounds += 1
-        # convergence: the edge set is a fixed point. count + endpoint-hash
-        # aggregate in ONE job over the fresh checkpoint, compared to the
-        # previous round's pair (cheap vs a symmetric-difference join).
-        # bit_xor (not sum): order-insensitive set signature over distinct
-        # edges that cannot overflow under ANSI arithmetic
-        sig = small.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        cur_sig = (sig["n"], sig["h"])
-        telemetry["star_changed_per_round"].append(cur_sig[0])
-        if prev_sig == cur_sig:
-            # Signature equality is one 2^-64 xxhash64 collision away from
-            # a silent early stop on an ORACLE-CHECKED path (unlike the
-            # MinHash paths, where a collision only perturbs candidate
-            # generation). Confirm the fixed point exactly: both edge sets
-            # are distinct() and same-count (from the signature), so one
-            # anti-join count == 0 iff they are equal — a single extra job
-            # at the final round only. (ADVICE r4.)
-            mismatch = edges.join(small, ["lo", "hi"], "left_anti").count()
-            if mismatch == 0:
-                _free_checkpoint(prev_ckpt)
-                prev_ckpt = small
-                edges = small
-                break
-            telemetry["sig_collisions"] = telemetry.get("sig_collisions", 0) + 1
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = small
-        edges = small
-        prev_sig = cur_sig
-    else:  # pragma: no cover - O(log n) rounds << 30
-        raise RuntimeError("star contraction did not converge in 30 rounds")
-    telemetry["rounds"] += star_rounds
+            # --- small-star: per node u over edges with v <= u:
+            #     emit {v, m} for v in Γ≤(u) ∪ {u} -----------------------
+            down = large.selectExpr("hi as u", "lo as v")  # v < u by construction
+            m2 = neighborhood_min(down)  # = min neighbor (all < u) vs u
+            small = (
+                down.join(m2, "u")
+                .select(
+                    F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+                )
+                .unionByName(
+                    m2.select(
+                        F.least("u", "m").alias("lo"),
+                        F.greatest("u", "m").alias("hi"),
+                    )
+                )
+                .filter(F.col("lo") != F.col("hi"))
+                .distinct()
+                .localCheckpoint()
+            )
+            star_rounds += 1
+            # convergence: the edge set is a fixed point. count +
+            # endpoint-hash aggregate in ONE job over the fresh
+            # checkpoint, compared to the previous round's pair (cheap vs
+            # a symmetric-difference join). bit_xor (not sum): order-
+            # insensitive set signature over distinct edges that cannot
+            # overflow under ANSI arithmetic
+            sig = small.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias(
+                    "h"
+                ),
+            ).collect()[0]
+            cur_sig = (sig["n"], sig["h"])
+            telemetry["star_changed_per_round"].append(cur_sig[0])
+            if prev_sig == cur_sig:
+                # Signature equality is one 2^-64 xxhash64 collision away
+                # from a silent early stop on an ORACLE-CHECKED path
+                # (unlike the MinHash paths, where a collision only
+                # perturbs candidate generation). Confirm the fixed point
+                # exactly: both edge sets are distinct() and same-count
+                # (from the signature), so one anti-join count == 0 iff
+                # they are equal — a single extra job at the final round
+                # only. (ADVICE r4.)
+                mismatch = edges.join(small, ["lo", "hi"], "left_anti").count()
+                if mismatch == 0:
+                    edges = lc.swap(small)
+                    break
+                telemetry["sig_collisions"] = (
+                    telemetry.get("sig_collisions", 0) + 1
+                )
+            edges = lc.swap(small)
+            prev_sig = cur_sig
+        else:  # pragma: no cover - O(log n) rounds << 30
+            raise RuntimeError("star contraction did not converge in 30 rounds")
+        telemetry["rounds"] += star_rounds
 
-    # fixed point = stars: hi -> lo IS (member -> component min)
-    mapping = edges.selectExpr("hi as doc_id", "lo as cluster_id")
-    return (
-        docs.select("doc_id")
-        .join(mapping, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
-            (F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")).alias(
-                "is_canonical"
-            ),
+        # fixed point = stars: hi -> lo IS (member -> component min)
+        mapping = edges.selectExpr("hi as doc_id", "lo as cluster_id")
+        return (
+            docs.select("doc_id")
+            .join(mapping, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+                (
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                    == F.col("doc_id")
+                ).alias("is_canonical"),
+            )
         )
-    )
 
 
 @query("q_dedup_clusters_star", oracle=_CLUSTERS_ORACLE)

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
-from .dedup import _free_checkpoint
+from .dedup import _free_checkpoint, loop_checkpoints
 
 OUT_LINKS = 3
 DAMPING = 0.85
@@ -194,43 +194,45 @@ def pagerank(
     )
     _free_checkpoint(edges)  # wedges + ranks are materialized; the raw
     # edge blocks are dead weight for the rest of the loop
-    prev_ckpt = ranks
-    for _ in range(rounds):
-        base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
-        contribs = (
-            wedges.join(ranks, wedges.src == ranks.doc_id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-        )
-        merged = (
-            ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
-            .select(
-                "doc_id",
-                F.col("rank").alias("old_rank"),
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-                "dangling",
+    with loop_checkpoints() as lc:
+        lc.own(wedges)
+        ranks = lc.swap(ranks)
+        for _ in range(rounds):
+            base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
+            contribs = (
+                wedges.join(ranks, wedges.src == ranks.doc_id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
             )
-            # lazy checkpoint: the agg below materializes the blocks in
-            # the SAME job (eager=True would spend a separate job per
-            # round just to write them — measured ~2x total jobs)
-            .localCheckpoint(eager=False)
-        )
-        l1, dangling_mass = merged.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
-            F.coalesce(F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)),
-        ).first()
-        telemetry["rounds"] += 1
-        telemetry["l1_per_round"].append(l1)
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = merged
-        ranks = merged.select("doc_id", "rank", "dangling")
-        if l1 < tol:
-            break
-    _free_checkpoint(wedges)
-    return ranks.select("doc_id", "rank")
+            merged = (
+                ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
+                .select(
+                    "doc_id",
+                    F.col("rank").alias("old_rank"),
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                    "dangling",
+                )
+                # lazy checkpoint: the agg below materializes the blocks in
+                # the SAME job (eager=True would spend a separate job per
+                # round just to write them — measured ~2x total jobs)
+                .localCheckpoint(eager=False)
+            )
+            l1, dangling_mass = merged.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+                ),
+            ).first()
+            telemetry["rounds"] += 1
+            telemetry["l1_per_round"].append(l1)
+            lc.swap(merged)
+            ranks = merged.select("doc_id", "rank", "dangling")
+            if l1 < tol:
+                break
+        return ranks.select("doc_id", "rank")
 
 
 def _pagerank_oracle_sql(rounds: int = PR_ROUNDS, d: float = DAMPING) -> str:
@@ -362,32 +364,34 @@ def pointer_jump_roots(
         F.coalesce(F.col(parent_col), F.col("doc_id")).alias("anc"),
         F.when(F.col(parent_col).isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("d"),
     ).localCheckpoint()
-    prev_ckpt = p
-    for _ in range(40):  # 2^40 depth bound; real exit is the changed-count
-        anc2 = p.select(
-            F.col("doc_id").alias("anc"),
-            F.col("anc").alias("anc_anc"),
-            F.col("d").alias("d2"),
-        )
-        jumped = (
-            p.join(anc2, "anc")
-            .select(
-                "doc_id",
-                F.col("anc_anc").alias("anc"),
-                (F.col("d") + F.col("d2")).alias("d"),
-                (F.col("anc") != F.col("anc_anc")).alias("moved"),
+    with loop_checkpoints() as lc:
+        p = lc.swap(p)
+        for _ in range(40):  # 2^40 depth bound; real exit is the changed-count
+            anc2 = p.select(
+                F.col("doc_id").alias("anc"),
+                F.col("anc").alias("anc_anc"),
+                F.col("d").alias("d2"),
             )
-            .localCheckpoint(eager=False)
+            jumped = (
+                p.join(anc2, "anc")
+                .select(
+                    "doc_id",
+                    F.col("anc_anc").alias("anc"),
+                    (F.col("d") + F.col("d2")).alias("d"),
+                    (F.col("anc") != F.col("anc_anc")).alias("moved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = jumped.agg(F.sum(F.col("moved").cast("int"))).first()[0]
+            telemetry["rounds"] += 1
+            telemetry["changed_per_round"].append(int(changed or 0))
+            lc.swap(jumped)
+            p = jumped.select("doc_id", "anc", "d")
+            if not changed:
+                break
+        return p.select(
+            "doc_id", F.col("anc").alias("root_id"), F.col("d").alias("depth")
         )
-        changed = jumped.agg(F.sum(F.col("moved").cast("int"))).first()[0]
-        telemetry["rounds"] += 1
-        telemetry["changed_per_round"].append(int(changed or 0))
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = jumped
-        p = jumped.select("doc_id", "anc", "d")
-        if not changed:
-            break
-    return p.select("doc_id", F.col("anc").alias("root_id"), F.col("d").alias("depth"))
 
 
 @query(
@@ -435,31 +439,29 @@ def kcore(edges: DataFrame, k: int = KCORE_K, tag: str = "default") -> DataFrame
     depth (<= max degeneracy ordering length, typically << nodes)."""
     telemetry: dict = {"rounds": 0, "edges_per_round": []}
     PR_TELEMETRY[f"kcore_{tag}"] = telemetry
-    sym = sym_edges(canonical_und(edges)).localCheckpoint()
-    n_prev = sym.count()
-    telemetry["edges_per_round"].append(n_prev)
-    prev_ckpt = sym
-    while True:
-        deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("a")
-        pruned = (
-            sym.join(keep, "a", "left_semi")
-            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=False)
+    with loop_checkpoints() as lc:
+        sym = lc.swap(sym_edges(canonical_und(edges)).localCheckpoint())
+        n_prev = sym.count()
+        telemetry["edges_per_round"].append(n_prev)
+        while True:
+            deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("a")
+            pruned = (
+                sym.join(keep, "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+            n_now = pruned.count()
+            telemetry["rounds"] += 1
+            telemetry["edges_per_round"].append(n_now)
+            sym = lc.swap(pruned)
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+        return sym.groupBy(F.col("a").alias("doc_id")).agg(
+            F.count("*").alias("core_degree")
         )
-        n_now = pruned.count()
-        telemetry["rounds"] += 1
-        telemetry["edges_per_round"].append(n_now)
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = pruned
-        sym = pruned
-        if n_now == n_prev:
-            break
-        n_prev = n_now
-    return sym.groupBy(F.col("a").alias("doc_id")).agg(
-        F.count("*").alias("core_degree")
-    )
 
 
 # Peeling rounds the recursive-CTE oracle runs before reading the fixpoint;
@@ -655,11 +657,17 @@ def hits(nodes: DataFrame, edges: DataFrame, rounds: int = HITS_ROUNDS,
     <new, old> (delta^2 = 2 - 2*cos) instead of a second pass."""
     telemetry: dict = {"rounds": 0, "auth_delta_per_round": []}
     PR_TELEMETRY[f"hits_{tag}"] = telemetry
-    e = edges.select("src", "dst").localCheckpoint()
-    state = nodes.select(
-        "doc_id", F.lit(1.0).alias("h"), F.lit(1.0).alias("a")
-    ).localCheckpoint()
-    prev_ckpt = state
+    with loop_checkpoints() as lc:
+        e = lc.own(edges.select("src", "dst").localCheckpoint())
+        state = lc.swap(
+            nodes.select(
+                "doc_id", F.lit(1.0).alias("h"), F.lit(1.0).alias("a")
+            ).localCheckpoint()
+        )
+        return _hits_rounds(e, state, rounds, telemetry, lc)
+
+
+def _hits_rounds(e, state, rounds, telemetry, lc):
     for _ in range(rounds):
         a_new = (
             e.join(state.select(F.col("doc_id").alias("src"), "h"), "src")
@@ -698,18 +706,15 @@ def hits(nodes: DataFrame, edges: DataFrame, rounds: int = HITS_ROUNDS,
         telemetry["auth_delta_per_round"].append(
             max(0.0, 2.0 - 2.0 * sao / na) ** 0.5
         )
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = merged
+        lc.swap(merged)
         state = merged.select(
             "doc_id",
             (F.col("h_raw") / F.lit(nh)).alias("h"),
             (F.col("a_raw") / F.lit(na)).alias("a"),
         )
-    out = state.select(
+    return state.select(
         "doc_id", F.round("h", 9).alias("hub"), F.round("a", 9).alias("authority")
     )
-    _free_checkpoint(e)
-    return out
 
 
 def _hits_oracle_sql(rounds: int = HITS_ROUNDS) -> str:
@@ -835,37 +840,38 @@ def label_propagation(
     from pyspark.sql import Window
 
     und = canonical_und(edges)
-    sym = sym_edges(und).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("community")).localCheckpoint()
-    prev_ckpt = labels
-    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "community")
-    for _ in range(rounds):
-        votes = (
-            sym.join(
-                labels.select(F.col("doc_id").alias("b"), "community"), "b"
+    with loop_checkpoints() as lc:
+        sym = lc.own(sym_edges(und).localCheckpoint())
+        labels = lc.swap(
+            docs.select(
+                "doc_id", F.col("doc_id").alias("community")
+            ).localCheckpoint()
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "community")
+        for _ in range(rounds):
+            votes = (
+                sym.join(
+                    labels.select(F.col("doc_id").alias("b"), "community"), "b"
+                )
+                .groupBy(F.col("a").alias("doc_id"), "community")
+                .agg(F.count("*").alias("c"))
             )
-            .groupBy(F.col("a").alias("doc_id"), "community")
-            .agg(F.count("*").alias("c"))
-        )
-        winner = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("community").alias("new_community"))
-        )
-        labels = (
-            labels.join(winner, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("new_community", "community").alias("community"),
+            winner = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", F.col("community").alias("new_community"))
             )
-            .localCheckpoint(eager=False)
-        )
-        labels.count()  # materialize round (and cut lineage)
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = labels
-    out = labels.select("doc_id", "community")
-    _free_checkpoint(sym)
-    return out
+            labels = (
+                labels.join(winner, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("new_community", "community").alias("community"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            labels.count()  # materialize round (and cut lineage)
+            lc.swap(labels)
+        return labels.select("doc_id", "community")
 
 
 _MOD_BODY, _MOD_LAST = _lpa_ctes()
@@ -994,37 +1000,39 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     PR_TELEMETRY["bfs_q_shortest_paths"] = telemetry
     e = link_graph(docs)
     und = canonical_und(e)
-    sym = sym_edges(und).localCheckpoint()
-    source = docs.agg(F.min("doc_id").alias("doc_id"))
-    visited = source.select("doc_id", F.lit(0).alias("dist")).localCheckpoint()
-    frontier = visited
-    prev_v, prev_f = visited, frontier
-    d = 0
-    while True:
-        d += 1
-        nxt = (
-            sym.join(
-                frontier.select(F.col("doc_id").alias("a")), "a"
-            )
-            .select(F.col("b").alias("doc_id"))
-            .distinct()
-            .join(visited, "doc_id", "left_anti")
-            .select("doc_id", F.lit(d).alias("dist"))
-            .localCheckpoint(eager=False)
+    # two rolling chains (visited accumulator + current frontier), each
+    # under its own checkpoint tracker; sym is loop scratch
+    with loop_checkpoints() as lcv, loop_checkpoints() as lcf:
+        sym = lcv.own(sym_edges(und).localCheckpoint())
+        source = docs.agg(F.min("doc_id").alias("doc_id"))
+        visited = lcv.swap(
+            source.select("doc_id", F.lit(0).alias("dist")).localCheckpoint()
         )
-        n = nxt.count()
-        telemetry["rounds"] += 1
-        telemetry["frontier_per_round"].append(n)
-        if n == 0:
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        visited.count()
-        _free_checkpoint(prev_v)
-        _free_checkpoint(prev_f)
-        prev_v, prev_f = visited, nxt
-        frontier = nxt
-    _free_checkpoint(sym)
-    return visited.select("doc_id", F.col("dist").cast("int").alias("dist"))
+        frontier = visited
+        d = 0
+        while True:
+            d += 1
+            nxt = (
+                sym.join(
+                    frontier.select(F.col("doc_id").alias("a")), "a"
+                )
+                .select(F.col("b").alias("doc_id"))
+                .distinct()
+                .join(visited, "doc_id", "left_anti")
+                .select("doc_id", F.lit(d).alias("dist"))
+                .localCheckpoint(eager=False)
+            )
+            n = nxt.count()
+            telemetry["rounds"] += 1
+            telemetry["frontier_per_round"].append(n)
+            if n == 0:
+                lcf.own(nxt)  # empty final frontier: not part of the result
+                break
+            grown = visited.unionByName(nxt).localCheckpoint(eager=False)
+            grown.count()  # materialize BEFORE freeing the superseded frame
+            visited = lcv.swap(grown)
+            frontier = lcf.swap(nxt)
+        return visited.select("doc_id", F.col("dist").cast("int").alias("dist"))
 
 
 PPR_SEED_SOURCE = "src0"
@@ -1124,39 +1132,43 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.agg(F.sum(F.when(F.col("dangling"), F.col("rank")))).first()[0] or 0.0
     )
     _free_checkpoint(edges)
-    prev_ckpt = ranks
-    for _ in range(PR_ROUNDS):
-        contribs = (
-            wedges.join(ranks, wedges.src == ranks.doc_id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-        )
-        base = F.when(
-            F.col("seed"),
-            ((1.0 - d) + d * dangling_mass) / n_seeds,
-        ).otherwise(0.0)
-        merged = (
-            ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
-            .select(
-                "doc_id",
-                F.col("rank").alias("old_rank"),
-                (base + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
-                "dangling",
-                "seed",
+    with loop_checkpoints() as lc:
+        lc.own(wedges)
+        ranks = lc.swap(ranks)
+        for _ in range(PR_ROUNDS):
+            contribs = (
+                wedges.join(ranks, wedges.src == ranks.doc_id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
             )
-            .localCheckpoint(eager=False)
-        )
-        l1, dangling_mass = merged.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
-            F.coalesce(F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)),
-        ).first()
-        telemetry["rounds"] += 1
-        telemetry["l1_per_round"].append(l1)
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = merged
-        ranks = merged.select("doc_id", "rank", "dangling", "seed")
-    _free_checkpoint(wedges)
-    return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
+            base = F.when(
+                F.col("seed"),
+                ((1.0 - d) + d * dangling_mass) / n_seeds,
+            ).otherwise(0.0)
+            merged = (
+                ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
+                .select(
+                    "doc_id",
+                    F.col("rank").alias("old_rank"),
+                    (base + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                        "rank"
+                    ),
+                    "dangling",
+                    "seed",
+                )
+                .localCheckpoint(eager=False)
+            )
+            l1, dangling_mass = merged.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+                ),
+            ).first()
+            telemetry["rounds"] += 1
+            telemetry["l1_per_round"].append(l1)
+            lc.swap(merged)
+            ranks = merged.select("doc_id", "rank", "dangling", "seed")
+        return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
 
 
 HILL_DMIN = 2  # power-law tail cutoff for the Hill estimator
@@ -1459,59 +1471,64 @@ def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     PR_TELEMETRY["bfs_q_closeness_sampled"] = telemetry
     e = link_graph(docs)
     und = canonical_und(e)
-    sym = sym_edges(und).localCheckpoint()
-    srcs = (
-        sym.select(F.col("a").alias("s"))
-        .distinct()
-        .orderBy("s")
-        .limit(CLOSENESS_SOURCES)
-    )
-    visited = srcs.select(
-        "s", F.col("s").alias("doc_id"), F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = visited
-    prev_v, prev_f = visited, frontier
-    d = 0
-    while True:
-        d += 1
-        nxt = (
-            sym.join(
-                frontier.select("s", F.col("doc_id").alias("a")), "a"
-            )
-            .select("s", F.col("b").alias("doc_id"))
+    with loop_checkpoints() as lcv, loop_checkpoints() as lcf:
+        sym = lcv.own(sym_edges(und).localCheckpoint())
+        srcs = (
+            sym.select(F.col("a").alias("s"))
             .distinct()
-            .join(visited, ["s", "doc_id"], "left_anti")
-            .select("s", "doc_id", F.lit(d).alias("dist"))
-            .localCheckpoint(eager=False)
+            .orderBy("s")
+            .limit(CLOSENESS_SOURCES)
         )
-        n = nxt.count()
-        telemetry["rounds"] += 1
-        telemetry["frontier_per_round"].append(n)
-        if n == 0:
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        visited.count()
-        _free_checkpoint(prev_v)
-        _free_checkpoint(prev_f)
-        prev_v, prev_f = visited, nxt
-        frontier = nxt
-    out = (
-        visited.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_sources_reached"),
-            F.sum("dist").cast("bigint").alias("total_dist"),
-            F.round(
-                F.sum(
-                    F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(
-                        0.0
-                    )
-                ),
-                6,
-            ).alias("harmonic"),
+        visited = lcv.swap(
+            srcs.select(
+                "s", F.col("s").alias("doc_id"), F.lit(0).alias("dist")
+            ).localCheckpoint()
         )
-        .orderBy("doc_id")
-    )
-    return out.localCheckpoint()
+        frontier = visited
+        d = 0
+        while True:
+            d += 1
+            nxt = (
+                sym.join(
+                    frontier.select("s", F.col("doc_id").alias("a")), "a"
+                )
+                .select("s", F.col("b").alias("doc_id"))
+                .distinct()
+                .join(visited, ["s", "doc_id"], "left_anti")
+                .select("s", "doc_id", F.lit(d).alias("dist"))
+                .localCheckpoint(eager=False)
+            )
+            n = nxt.count()
+            telemetry["rounds"] += 1
+            telemetry["frontier_per_round"].append(n)
+            if n == 0:
+                lcf.own(nxt)
+                break
+            grown = visited.unionByName(nxt).localCheckpoint(eager=False)
+            grown.count()  # materialize BEFORE freeing the superseded frame
+            visited = lcv.swap(grown)
+            frontier = lcf.swap(nxt)
+        out = (
+            visited.groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_sources_reached"),
+                F.sum("dist").cast("bigint").alias("total_dist"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(
+                            0.0
+                        )
+                    ),
+                    6,
+                ).alias("harmonic"),
+            )
+            .orderBy("doc_id")
+        )
+        # eager checkpoint: materialized HERE, so the visited chain and
+        # sym can be freed on exit without touching the returned frame
+        result = out.localCheckpoint()
+        lcv.release_live()
+        return result
 
 
 EIG_ROUNDS = 10
@@ -1560,28 +1577,29 @@ def q_eigen_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage flat."""
     docs = load_table(spark, sf_dir, "documents")
     und = canonical_und(link_graph(docs), checkpoint=True)
-    sym = sym_edges(und).localCheckpoint()
-    nodes = docs.select("doc_id").localCheckpoint()
-    v = nodes.select("doc_id", F.lit(1.0).alias("v")).localCheckpoint()
-    prev_ckpt = v
-    for _ in range(EIG_ROUNDS):
-        w = (
-            sym.join(v.select(F.col("doc_id").alias("b"), "v"), "b")
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.sum("v").alias("w"))
+    with loop_checkpoints() as lc:
+        sym = lc.own(sym_edges(und).localCheckpoint())
+        nodes = lc.own(docs.select("doc_id").localCheckpoint())
+        v = lc.swap(
+            nodes.select("doc_id", F.lit(1.0).alias("v")).localCheckpoint()
         )
-        nr = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))).first()[0]
-        v = (
-            nodes.join(w, "doc_id", "left")
-            .select(
-                "doc_id",
-                (F.coalesce("w", F.lit(0.0)) / F.lit(nr)).alias("v"),
+        for _ in range(EIG_ROUNDS):
+            w = (
+                sym.join(v.select(F.col("doc_id").alias("b"), "v"), "b")
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.sum("v").alias("w"))
             )
-            .localCheckpoint(eager=False)
-        )
-        _free_checkpoint(prev_ckpt)
-        prev_ckpt = v
-    return v.select("doc_id", F.round("v", 9).alias("centrality"))
+            nr = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))).first()[0]
+            v = (
+                nodes.join(w, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (F.coalesce("w", F.lit(0.0)) / F.lit(nr)).alias("v"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            lc.swap(v)
+        return v.select("doc_id", F.round("v", 9).alias("centrality"))
 
 
 BTW_SOURCES = 4  # deterministic sample: the lowest-id edge endpoints
@@ -1696,43 +1714,51 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     PR_TELEMETRY["btw_q_betweenness_sampled"] = telemetry
     e = link_graph(docs)
     und = canonical_und(e)
-    sym = sym_edges(und).localCheckpoint()
-    srcs = (
-        sym.select(F.col("a").alias("s"))
-        .distinct()
-        .orderBy("s")
-        .limit(BTW_SOURCES)
-    )
-    visited = srcs.select(
-        "s",
-        F.col("s").alias("v"),
-        F.lit(0).alias("d"),
-        F.lit(1.0).alias("sigma"),
-    ).localCheckpoint()
-    frontier = visited.select("s", "v", "sigma")
-    depth = 0
-    prev = [visited, frontier]
-    while True:
-        depth += 1
-        nxt = (
-            sym.join(frontier.withColumnRenamed("v", "a"), "a")
-            .groupBy("s", F.col("b").alias("v"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
-            .select("s", "v", F.lit(depth).alias("d"), "sigma")
-            .localCheckpoint(eager=False)
+    with loop_checkpoints() as lcv, loop_checkpoints() as lcf:
+        sym = lcv.own(sym_edges(und).localCheckpoint())
+        srcs = (
+            sym.select(F.col("a").alias("s"))
+            .distinct()
+            .orderBy("s")
+            .limit(BTW_SOURCES)
         )
-        n = nxt.count()
-        telemetry["rounds"] += 1
-        telemetry["frontier_per_round"].append(n)
-        if n == 0:
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        visited.count()
-        for df in prev:
-            _free_checkpoint(df)
-        prev = [visited, nxt]
-        frontier = nxt.select("s", "v", "sigma")
+        visited = lcv.swap(
+            srcs.select(
+                "s",
+                F.col("s").alias("v"),
+                F.lit(0).alias("d"),
+                F.lit(1.0).alias("sigma"),
+            ).localCheckpoint()
+        )
+        frontier = visited.select("s", "v", "sigma")
+        depth = 0
+        while True:
+            depth += 1
+            nxt = (
+                sym.join(frontier.withColumnRenamed("v", "a"), "a")
+                .groupBy("s", F.col("b").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(depth).alias("d"), "sigma")
+                .localCheckpoint(eager=False)
+            )
+            n = nxt.count()
+            telemetry["rounds"] += 1
+            telemetry["frontier_per_round"].append(n)
+            if n == 0:
+                lcf.own(nxt)
+                break
+            grown = visited.unionByName(nxt).localCheckpoint(eager=False)
+            grown.count()  # materialize BEFORE freeing the superseded frame
+            visited = lcv.swap(grown)
+            frontier = lcf.swap(nxt).select("s", "v", "sigma")
+        return _betweenness_backward(visited, sym, depth, lcv)
+
+
+def _betweenness_backward(visited, sym, depth, lcv):
+    """Backward dependency accumulation (the second half of
+    q_betweenness_sampled, split out so the forward loop's checkpoint
+    tracker scopes both passes)."""
     max_d = depth - 1  # bounded scalar: the last non-empty level
     v1 = visited.select(
         "s",
@@ -1746,7 +1772,7 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("dw"),
         F.col("sigma").alias("sig_w"),
     )
-    dag = (
+    dag = lcv.own(
         v1.join(sym.withColumnRenamed("a", "v"), "v")
         .join(
             v2,
@@ -1790,6 +1816,7 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        lcv.own(delta_next)  # all levels feed the union below; freed on exit
         deltas.append(delta_next)
     from functools import reduce
 
@@ -1802,7 +1829,8 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    # eager checkpoint: materialized here, so every upstream frame (sym,
+    # dag, the visited chain, all delta levels) frees on exit
     out = out.localCheckpoint()
-    _free_checkpoint(sym)
-    _free_checkpoint(dag)
+    lcv.release_live()
     return out

@@ -1042,7 +1042,15 @@ WITH tok AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
     ROUND(regr_slope(LN(vocab), LN(n_tokens)), 6) AS heaps_beta,
     ROUND(EXP(regr_intercept(LN(vocab), LN(n_tokens))), 6) AS heaps_k,
-    ROUND(regr_r2(LN(vocab), LN(n_tokens)), 6) AS r2
+    -- degenerate-fit guard (r10 sweep forensics): when the fixture's
+    -- 31-word vocabulary saturates, vocab is CONSTANT across sources and
+    -- DuckDB's regr_r2 becomes noise/noise (sum-of-squares cancellation;
+    -- its value varied run-to-run: 1.0 vs 0.086872 at sf0.1). Spark's
+    -- Welford-style syy is exactly 0 there and its regr_r2 returns 1.0
+    -- deterministically, so pin the exact constant-y case to 1.0; the
+    -- MIN = MAX comparison is exact double equality in both engines.
+    ROUND(CASE WHEN MIN(LN(vocab)) = MAX(LN(vocab)) THEN 1.0
+          ELSE regr_r2(LN(vocab), LN(n_tokens)) END, 6) AS r2
 FROM per_src""",
 )
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
