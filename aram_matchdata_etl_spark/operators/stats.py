@@ -891,6 +891,65 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# reference-sketch resolution for the approx quantile normalization: the
+# pooled distribution is summarized by B+1 quantiles, so the mapping
+# error is bounded by 1/B of quantile rank plus the sketch's own error
+QNORM_SKETCH_B = 1000
+
+
+@query("q_quantile_normalize_approx")
+def q_quantile_normalize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_quantile_normalize's 100 TB path (r9 verdict item: the exact
+    twin's docstring specified this design; now it is code): the POOLED
+    reference distribution is a bounded percentile sketch
+    (percentile_approx, QNORM_SKETCH_B + 1 cut points) broadcast to the mapping
+    join, replacing the exact twin's full-corpus single-partition
+    ROW_NUMBER ranking — the one remaining global-sort seam in the stats
+    family. Within-source percentiles are unchanged (source-partitioned
+    windows); each doc's normalized score is the sketch value at its
+    percentile bucket.
+
+    Rows-only at the driver (percentile_approx's Greenwald-Khanna sketch
+    is not reproducible in DuckDB); tests/test_stats_differential.py
+    tolerance-checks it against the exact twin (pooled-rank drift
+    <= quantization + sketch error) and tests/test_plan_audit.py pins
+    the plan free of global windows via the plan-audit detector.
+
+    Scale: per-source windows share one source-keyed exchange (same as
+    the exact twin); the reference is ONE sketch row (B+1 doubles) from
+    a partial-aggregated pass — broadcast, never shuffled; no Sort or
+    Window over the pooled corpus anywhere in the plan."""
+    from pyspark.sql import Window
+
+    B = QNORM_SKETCH_B
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    p = F.when(
+        F.col("ns") > 1, (F.col("r") - 1) * 1.0 / (F.col("ns") - 1)
+    ).otherwise(F.lit(0.0))
+    mapped = src.select("doc_id", "source", "n_chars", p.alias("p"))
+    sketch = docs.agg(
+        F.percentile_approx(
+            "n_chars", [i / B for i in range(B + 1)], 10_000
+        ).alias("qs")
+    )
+    idx = (F.floor(F.col("p") * B + 0.5) + 1).cast("int")
+    return mapped.crossJoin(F.broadcast(sketch)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("p", 6).alias("pct"),
+        F.element_at("qs", idx).cast("bigint").alias("norm_score"),
+    )
+
+
 @query(
     "q_corr_matrix",
     oracle="""

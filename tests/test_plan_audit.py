@@ -37,6 +37,57 @@ def test_committed_audit_reports_no_hard_flags():
     assert m.group(1).strip() == "none", m.group(0)
 
 
+def test_global_windows_are_allowlisted(spark):
+    """Soft-flag gate (r9 verdict item 6): every unpartitioned WindowExec
+    must belong to a documented rollup-bounded operator. Live-checked on
+    the perf-graded set plus the new-in-r10 approx twin (whose whole
+    point is a global-window-free plan); the full registry is covered by
+    the committed sweep's global_window_unlisted line."""
+    from plan_audit import GLOBAL_WINDOW_ALLOWLIST, SF, count_global_windows
+
+    from bench import HEADLINE, SCALE_TIER
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    names = list(dict.fromkeys(list(HEADLINE) + list(SCALE_TIER))) + [
+        "q_quantile_normalize",
+        "q_quantile_normalize_approx",
+    ]
+    offenders = {}
+    for name in names:
+        plan = qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        n = count_global_windows(plan)
+        if n and name not in GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = n
+    assert not offenders, (
+        f"undocumented global windows: {offenders} — repartition, or "
+        "document the bounded input and add to GLOBAL_WINDOW_ALLOWLIST"
+    )
+    # the approx twin's plan must stay free of global windows: that IS
+    # its 100 TB claim vs the exact twin (which is allowlisted)
+    plan = (
+        qs["q_quantile_normalize_approx"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert count_global_windows(plan) == 0, plan[:2000]
+    # allowlist staleness: every listed key must still exist
+    dead = GLOBAL_WINDOW_ALLOWLIST - set(qs)
+    assert not dead, f"allowlisted keys no longer registered: {dead}"
+
+
+def test_committed_sweep_has_no_unlisted_global_windows():
+    with open(os.path.join(REPO, "PLAN_AUDIT_ALL.md")) as f:
+        content = f.read()
+    m = re.search(r"global_window_unlisted: (.*)", content)
+    assert m is not None, (
+        "PLAN_AUDIT_ALL.md predates the global-window flag — re-run "
+        "`python tools/plan_audit.py --all`"
+    )
+    assert m.group(1).strip() == "none", m.group(0)
+
+
 def test_full_registry_sweep_fresh():
     """The per-round full sweep (`python tools/plan_audit.py --all`,
     end-of-round checklist) must exist, report zero hard flags, and

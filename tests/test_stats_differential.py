@@ -2165,6 +2165,49 @@ def test_quantile_normalize_matches_python(spark):
             assert gs == pooled[tgt][0], did
 
 
+def test_quantile_normalize_approx_tracks_exact(spark):
+    """The sketch-broadcast twin (r10: the exact twin's documented 100 TB
+    design, now code) must stay within the theoretical drift of the
+    exact mapping: the reference distribution is quantized to B+1 cut
+    points with percentile_approx error on top, so each doc's approx
+    norm_score may sit at most a few quantile ranks away from its exact
+    one — checked in POOLED-RANK space (value space is meaningless when
+    the distribution has heavy ties), with the within-source pct
+    required bit-identical."""
+    from aram_matchdata_etl_spark.operators.stats import QNORM_SKETCH_B
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r.doc_id: (r.pct, r.norm_score)
+        for r in qs["q_quantile_normalize"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.doc_id: (r.pct, r.norm_score)
+        for r in qs["q_quantile_normalize_approx"](spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    docs = _duck("SELECT doc_id, n_chars FROM documents")
+    pooled = sorted(docs["n_chars"])
+    n = len(pooled)
+    import bisect
+
+    def rank_frac(v):  # mid-rank of value v in the pooled distribution
+        lo = bisect.bisect_left(pooled, v)
+        hi = bisect.bisect_right(pooled, v)
+        return ((lo + hi) / 2) / n
+
+    # quantization (1/B) + sketch error + tie-block width: the fixture's
+    # n_chars ties are wide, so compare mid-ranks with a 2% band
+    tol = 2.0 / QNORM_SKETCH_B + 0.02
+    worst = 0.0
+    for did, (pct_e, score_e) in exact.items():
+        pct_a, score_a = approx[did]
+        assert pct_a == pct_e, did  # within-source percentile: identical
+        worst = max(worst, abs(rank_frac(score_a) - rank_frac(score_e)))
+    assert worst <= tol, f"pooled-rank drift {worst} > {tol}"
+
+
 def test_ratio_metric_delta_matches_numpy(spark):
     """Pure-numpy delta-method ratio metric: per-user (revenue, events)
     rollup, r = mean(x)/mean(y), Var = (vx - 2r cxy + r^2 vy)/my^2/n —

@@ -41,13 +41,78 @@ HARD_FLAGS = {
     "BatchEvalPython": "row-at-a-time Python UDF in the plan",
 }
 
+# SOFT flag (r9 verdict item 6): a WindowExec with an EMPTY partition
+# spec moves the whole input to one partition — a scale cliff unless the
+# input is a bounded rollup. Every current site is documented as
+# rollup-bounded (distinct-value / per-group / sketch inputs, never the
+# raw corpus); the allowlist makes that claim enforceable so a NEW
+# operator can't silently regress the pattern
+# (tests/test_plan_audit.py::test_global_windows_are_allowlisted).
+_WINDOWSPEC = re.compile(
+    r"windowspecdefinition\(((?:[^)]|\([^)]*\))*?)(?:, )?specifiedwindowframe"
+)
+
+
+def count_global_windows(plan: str) -> int:
+    """Count Window operators whose windowspecdefinition carries no
+    partition columns: the args before specifiedwindowframe are either
+    empty (orderless ``OVER ()``) or start straight at an ordered column
+    (``x ASC/DESC ...``). Partition columns are bare expressions without
+    a sort direction, so a non-ASC/DESC first arg means partitioned."""
+    n = 0
+    for m in _WINDOWSPEC.finditer(plan):
+        args = m.group(1).strip().rstrip(",")
+        if not args:
+            n += 1  # OVER (): no partition, no order
+            continue
+        first = args.split(",")[0]
+        if re.search(r"\s(ASC|DESC)(\s|$)", first):
+            n += 1  # first arg is an ORDER column: no partition spec
+    return n
+
+
+# Documented-global-window allowlist: keys whose unpartitioned windows
+# run over BOUNDED inputs by construction (see each operator's
+# docstring — distinct-value rollups, daily/user rollups, dim tables,
+# sample-bounded pair sets; never the raw corpus). Audited r10 (spot
+# checks: q_label_encode = champion vocab; q_window_ntile = customer dim
+# with the approx alternative named; q_rfm_segmentation /
+# q_cumulative_users = per-user/day rollups; q_theil_sen = |days|^2
+# rollup pairs; the rank tests = distinct-value rollups). The one
+# corpus-scale site, q_quantile_normalize's exact global reference rank,
+# now has the sketch-broadcast twin q_quantile_normalize_approx whose
+# plan this flag proves clean. A NEW operator with a global window must
+# either document its bounded input and join this list, or repartition.
+GLOBAL_WINDOW_ALLOWLIST: set[str] = {
+    "q_abc_analysis", "q_als_factorization", "q_anomaly_seasonal",
+    "q_anova_oneway", "q_auc_eval", "q_benford", "q_bh_fdr",
+    "q_calibration_bins", "q_chi_squared", "q_competing_risks",
+    "q_cramers_v", "q_cumulative_users", "q_cusum_changepoint",
+    "q_degree_dist", "q_fairness_audit", "q_funnel_by_variant",
+    "q_k_anonymity", "q_kaplan_meier", "q_kruskal_wallis", "q_ks_test",
+    "q_label_encode", "q_leadlag_corr", "q_lift_deciles",
+    "q_logrank_test", "q_lorenz_curve", "q_mannwhitney_u", "q_mrr_eval",
+    "q_mutual_information", "q_nelson_aalen", "q_ols_diagnostics",
+    "q_power_user_curve", "q_pr_auc", "q_psi", "q_quantile_normalize",
+    "q_rank_fusion", "q_ransac_line", "q_rfm_segmentation",
+    "q_ridge_ols", "q_runs_test", "q_seasonal_decompose",
+    "q_seasonality_strength", "q_skyline", "q_srm_check", "q_theil_sen",
+    "q_threshold_sweep", "q_wasserstein_1d", "q_window_ntile",
+    "q_woe_iv", "q_zipf_fit",
+}
+
 
 def audit(names: list[str] | None = None) -> dict[str, dict]:
     from bench import HEADLINE, SCALE_TIER
     from aram_matchdata_etl_spark.registry import all_queries
     from aram_matchdata_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="plan-audit")
+    # high maxToStringFields: a truncated plan string would hide
+    # windowspecdefinition args from the global-window detector
+    spark = get_spark(
+        app_name="plan-audit",
+        extra_conf={"spark.sql.debug.maxToStringFields": "10000"},
+    )
     qs = all_queries()
     if names is None:
         names = list(dict.fromkeys(list(HEADLINE) + list(SCALE_TIER)))
@@ -63,6 +128,7 @@ def audit(names: list[str] | None = None) -> dict[str, dict]:
             "codegen": "WholeStageCodegen" in plan
             or "AdaptiveSparkPlan" in plan,
             "flags": flags,
+            "global_windows": count_global_windows(plan),
         }
     return out
 
@@ -80,14 +146,20 @@ def render(results: dict[str, dict]) -> str:
         "cross joins). HARD flags (CartesianProduct, BatchEvalPython)",
         "must stay empty — asserted by tests/test_plan_audit.py.",
         "",
-        "| query | exchanges | broadcasts | bnlj | hard flags |",
-        "|---|---|---|---|---|",
+        "`gw` counts Window operators with an EMPTY partition spec (soft",
+        "flag: a scale cliff unless the input is a bounded rollup — every",
+        "listed site is documented and allowlisted, enforced by",
+        "tests/test_plan_audit.py::test_global_windows_are_allowlisted).",
+        "",
+        "| query | exchanges | broadcasts | bnlj | gw | hard flags |",
+        "|---|---|---|---|---|---|",
     ]
     for name in sorted(results):
         r = results[name]
         lines.append(
             f"| `{name}` | {r['exchanges']} | {r['broadcasts']} | "
-            f"{r['bnlj']} | {', '.join(r['flags']) or '—'} |"
+            f"{r['bnlj']} | {r['global_windows']} | "
+            f"{', '.join(r['flags']) or '—'} |"
         )
     flagged = {n: r["flags"] for n, r in results.items() if r["flags"]}
     lines += [
@@ -103,6 +175,8 @@ def render_all(results: dict[str, dict]) -> str:
     outliers only (the per-key table lives in PLAN_AUDIT.md for the
     perf-graded set; here the signal is 'zero hard flags over N keys')."""
     flagged = {n: r["flags"] for n, r in results.items() if r["flags"]}
+    gw = sorted(n for n, r in results.items() if r["global_windows"])
+    unlisted = sorted(set(gw) - GLOBAL_WINDOW_ALLOWLIST)
     heavy = sorted(
         ((n, r["exchanges"]) for n, r in results.items()),
         key=lambda t: -t[1],
@@ -112,6 +186,9 @@ def render_all(results: dict[str, dict]) -> str:
         "",
         f"keys_audited: {len(results)}",
         f"hard_flagged: {flagged if flagged else 'none'}",
+        f"global_window_keys: {len(gw)} (all documented rollup-bounded; "
+        "allowlist in tools/plan_audit.py)",
+        f"global_window_unlisted: {unlisted if unlisted else 'none'}",
         "",
         "Regenerate per round with `python tools/plan_audit.py --all`",
         "(end-of-round checklist, ROADMAP.md). The staleness + zero-flag",
