@@ -1360,6 +1360,133 @@ def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+# Zipfian synthetic corpus for the benchable prefix-join twin: token ids
+# drawn as floor(u^4 * V) (u = md5-uniform) give a stop-word-like head
+# and a long rare tail; 8% of docs are planted near-dup PAIRS (adjacent
+# ids share a base token stream, odd member perturbed at every 20th
+# position -> true token-set Jaccard ~0.9 >= the 0.7 threshold).
+SETSIM_ZIPF_LEN = 40  # token positions per doc
+SETSIM_ZIPF_VOCAB_MULT = 6  # vocab = 6 x corpus docs: scales with sf
+SETSIM_ZIPF_THRESHOLD = 0.7
+
+_SETSIM_ZIPF_SQL = f"""
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+zgrid AS (
+    SELECT d.doc_id, g.pos, nd.n,
+        CASE WHEN d.doc_id < (2 * nd.n) // 25 THEN d.doc_id // 2
+             ELSE d.doc_id END AS bkey
+    FROM documents d
+    CROSS JOIN nd
+    CROSS JOIN UNNEST(generate_series(0, {SETSIM_ZIPF_LEN - 1})) AS g(pos)
+),
+ztok AS (
+    SELECT doc_id,
+        CASE WHEN doc_id < (2 * n) // 25 AND doc_id % 2 = 1
+                  AND pos % 20 = 0
+             THEN (wid + 7) % ({SETSIM_ZIPF_VOCAB_MULT} * n)
+             ELSE wid END AS wid
+    FROM (
+        SELECT doc_id, pos, n,
+            CAST(FLOOR(u * u * u * u * ({SETSIM_ZIPF_VOCAB_MULT} * n))
+                AS BIGINT) AS wid
+        FROM (
+            SELECT doc_id, pos, n,
+                ('0x' || substr(md5(CAST(bkey AS VARCHAR) || '_'
+                    || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0 AS u
+            FROM zgrid
+        )
+    )
+),
+zsets AS (SELECT DISTINCT doc_id, CAST(wid AS VARCHAR) AS shingle FROM ztok)
+"""
+
+
+def zipf_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _SETSIM_ZIPF_SQL generator: a deterministic
+    (doc_id, shingle) distinct-set frame over a Zipf-headed vocabulary,
+    sized from the documents table so it scales with the fixture."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count("*").cast("bigint").alias("n"))
+    pos = spark.range(SETSIM_ZIPF_LEN).select(F.col("id").alias("pos"))
+    grid = docs.crossJoin(F.broadcast(pos)).crossJoin(F.broadcast(nd))
+    dup_cut = F.expr("(2 * n) DIV 25")
+    bkey = F.when(F.col("doc_id") < dup_cut, F.expr("doc_id DIV 2")).otherwise(
+        F.col("doc_id")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", bkey.cast("string"), F.col("pos").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    vocab = F.lit(SETSIM_ZIPF_VOCAB_MULT) * F.col("n")
+    wid = F.floor(u * u * u * u * vocab).cast("bigint")
+    perturbed = (
+        (F.col("doc_id") < dup_cut)
+        & (F.col("doc_id") % 2 == 1)
+        & (F.col("pos") % 20 == 0)
+    )
+    wid = F.when(perturbed, (wid + 7) % vocab).otherwise(wid)
+    return grid.select(
+        "doc_id", wid.cast("string").alias("shingle")
+    ).distinct()
+
+
+@query(
+    "q_setsim_zipf",
+    oracle="WITH "
+    + _SETSIM_ZIPF_SQL.strip()
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM zsets GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM zsets a
+    JOIN zsets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+    ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE n_common / (sa.n + sb.n - n_common) >= {SETSIM_ZIPF_THRESHOLD}""",
+)
+def q_setsim_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_setsim_prefix_join on a corpus where prefix filtering can
+    actually prune (r9 verdict item 8): the fixture documents' 31-word
+    vocabulary has no rare tokens, so the exact twin degenerates to
+    near-all-pairs and stays out of the headline; THIS key runs the
+    identical prefix machinery (setsim_prefix_pairs) over a
+    deterministic Zipf-headed synthetic corpus sized from the fixture
+    (vocab and docs scale with sf, 8% planted near-dup pairs), making
+    the scale path a measured headline number instead of an argued one.
+
+    Hash-oracled: the generator is shared md5/integer arithmetic (the
+    _lsh_ctes discipline) and the oracle verifies via the NAIVE
+    all-token join — prefix filtering is provably lossless, so the hash
+    gate doubles as a completeness proof on a corpus with real df
+    variance (head tokens hot, tail tokens rare).
+
+    Scale shape: identical to q_setsim_prefix_join — df rollup, rare-
+    token prefix self-join (near-linear candidates), candidates-only
+    verify. The generator itself is one crossJoin of the doc list with a
+    broadcast 40-row position frame: no corpus-scale shuffle."""
+    return setsim_prefix_pairs(
+        zipf_token_sets(spark, sf_dir), SETSIM_ZIPF_THRESHOLD
+    )
+
+
 @query(
     "q_ngram_novelty",
     oracle="WITH "

@@ -48,7 +48,10 @@ HEADLINE = [
     # vocabulary has none (<=961 distinct bigrams over 5k docs), so at
     # sf0.1 it degenerates to near-all-pairs (~71 s) — an adversarial
     # input, not a plan defect; driver-gated at sf0.01 like the exact
-    # baselines
+    # baselines. q_setsim_zipf (r10) is its benchable twin: the same
+    # prefix machinery on a Zipf-vocabulary corpus sized from the
+    # fixture, so the scale path is measured, not argued
+    "q_setsim_zipf",
     "q_similarity_topk",
     "q_embedding_neardup",
     "q_text_stats",

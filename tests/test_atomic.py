@@ -169,9 +169,14 @@ def test_source_wins_condition_is_lexicographic():
         assert got == expected, (s_ts, s_ev, t_ts, t_ev)
 
 
-def test_delta_merge_body(spark, tmp_path):
-    """Exercises the Delta MERGE path itself — skipped where delta-spark
-    is not installed (this image)."""
-    import pytest
-
-    pytest.importorskip("delta")
+# NOTE (r10, closing the perpetual-skip item): the Delta MERGE body
+# itself is environment-out-of-scope — delta-spark's package + jars are
+# not in this image and installs are not permitted, so a
+# pytest.importorskip placeholder sat here skipped every round. What IS
+# testable without the jars is fully covered above and in
+# test_merge_upsert_*: the dispatch takes the versioned-parquet fallback,
+# the MERGE's whenMatchedUpdate gate (source_wins_condition) is
+# truth-tabled through DuckDB, and the fallback shares the exact
+# last-writer-wins / idempotent-replay semantics the Delta arm encodes.
+# Where delta-spark exists, delta_available() flips merge_upsert to the
+# transactional arm with no caller change (streaming/lakehouse.py).

@@ -26,6 +26,42 @@ def test_cross_validator_picks_a_model(spark, silver):
     assert pred.filter(F.isnan("prediction") | F.col("prediction").isNull()).count() == 0
 
 
+def test_cross_validator_fold_fits_actually_overlap(spark, silver):
+    """CrossValidator(parallelism=4) must be EXECUTOR-parallel in fact,
+    not just in the parameter (r9 verdict item 7: prove fold search
+    overlaps, the way train_ensemble's member-fit overlap was proved):
+    poll the status tracker while cv.fit runs and require >= 2 Spark
+    jobs in flight at once. The 9 fold-fits (3 folds x 3 regParams) on
+    the fixture each spawn several jobs, so with 4 submitter threads
+    concurrent jobs are observed reliably; a serial fit (parallelism=1)
+    never shows more than one."""
+    import threading
+    import time
+
+    from aram_matchdata_etl_spark.ml.ranking import cross_validate_linear
+
+    tracker = spark.sparkContext.statusTracker()
+    peak = [0]
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            peak[0] = max(peak[0], len(tracker.getActiveJobsIds()))
+            time.sleep(0.002)
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        cross_validate_linear(silver)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    assert peak[0] >= 2, (
+        f"cv.fit never had concurrent jobs in flight (peak={peak[0]}) — "
+        "CrossValidator parallelism is not reaching the scheduler"
+    )
+
+
 def test_pandas_udf_inference_matches_spark_ml(spark, silver):
     """The Arrow-vectorized UDF scorer reproduces PipelineModel.transform
     on the SAME features to float tolerance (summation-order only)."""
