@@ -247,9 +247,17 @@ class _LoopCheckpoints:
 
     def swap(self, new: DataFrame) -> DataFrame:
         """Adopt ``new`` as the live rolling checkpoint, freeing the
-        superseded one. Call ONLY after an action has materialized
-        ``new``: a lazy checkpoint's first computation still reads the
-        previous frame's blocks."""
+        superseded one. Safety requirement: ``new`` must no longer need
+        the superseded frame's BLOCKS. Sufficient conditions (r10
+        mechanism probe, tests/test_loop_checkpoints.py::
+        test_shuffle_separated_free_is_safe): (a) an action has
+        materialized ``new``, or (b) ``new`` is a lazy
+        localCheckpoint(eager=False) whose lineage crosses an EXCHANGE
+        from the old frame — AQE executes upstream shuffle stages at
+        checkpoint-definition time, so the old frame's data already sits
+        in shuffle outputs. A NARROW lazy dependent (no exchange) still
+        reads the old blocks directly and dies with
+        CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND after the free."""
         old, self.live = self.live, new
         if old is not None:
             _free_checkpoint(old)

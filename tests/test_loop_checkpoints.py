@@ -49,6 +49,39 @@ def test_release_live_demotes_result_to_scratch(freed):
     assert freed == ["rolling"]
 
 
+def test_shuffle_separated_free_is_safe(spark):
+    """Pins the mechanism every rolling-checkpoint loop relies on (r10
+    probe): freeing a materialized localCheckpoint while a LAZY
+    checkpoint built across an EXCHANGE from it is still unmaterialized
+    is safe, because AQE executes upstream shuffle stages at
+    checkpoint-definition time — the old frame's data already lives in
+    shuffle outputs. If a Spark upgrade stops eager exchange execution,
+    every iterative loop would start dying with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; this test turns that into one
+    obvious failure. (The converse — a NARROW lazy dependent — does
+    read the old blocks directly and is NOT safe; the loops always
+    interpose a join/groupBy, so that shape never occurs there.)"""
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.dedup import _free_checkpoint
+
+    prev = (
+        spark.range(2000)
+        .select((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+        .localCheckpoint()  # eager: materialized
+    )
+    # exchange between prev and new: groupBy shuffles, AQE runs the map
+    # stage at definition time below
+    new = (
+        prev.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .localCheckpoint(eager=False)  # lazy: tail not yet materialized
+    )
+    _free_checkpoint(prev)  # prev's blocks drop NOW
+    total = new.agg(F.sum("s")).first()[0]  # must not need prev's blocks
+    assert total == sum(range(2000))
+
+
 def test_real_loop_survives_both_paths(spark):
     """End-to-end on real localCheckpoints: the result frame stays
     readable after a clean exit, and an exception mid-loop leaves the
