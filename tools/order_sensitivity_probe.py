@@ -22,20 +22,30 @@ Fix pattern: exact-integer reformulation (cents/microseconds) or a
 degenerate-case guard, per operators/oracle_helpers.py forensics.
 
 Recurrence: end-of-round checklist (ROADMAP.md) when oracles or
-fixtures changed. DuckDB-only (no Spark session): minutes per SF.
+fixtures changed. DuckDB-only (no Spark session). Runtime budget: the
+threads=1 arm is brutal on the intentionally-quadratic exact-baseline
+oracles at sf0.1 (the first full run spent ~2h there), so the alternate
+arm adapts to the measured first-arm time — threads=1 when the 8-thread
+run was fast, threads=4 (still a different merge order) when it was
+slow, skipped entirely above SKIP_BUDGET_S with the skip reported. This
+keeps the whole probe to minutes at sf0.01 and tens of minutes at sf0.1
+while every cheap key still gets the most extreme order change.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 DEFAULT_SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-THREAD_ARMS = (8, 1)
+FIRST_ARM_THREADS = 8
+SLOW_KEY_S = 10.0  # first arm slower than this -> alternate uses 4 threads
+SKIP_BUDGET_S = 90.0  # first arm slower than this -> skip alternate, report
 
 
 def canon(df) -> list[tuple]:
@@ -68,21 +78,30 @@ def main() -> int:
 
     oracles = all_oracles()
     flagged: list[tuple[str, str]] = []
+    skipped: list[tuple[str, str]] = []
     for sf in sfs:
         n = 0
         for i, (name, sql) in enumerate(oracles.items()):
             n += 1
             try:
-                arms = [run_arm(sql, sf, t) for t in THREAD_ARMS]
+                t0 = time.perf_counter()
+                first = run_arm(sql, sf, FIRST_ARM_THREADS)
+                first_s = time.perf_counter() - t0
+                if first_s > SKIP_BUDGET_S:
+                    skipped.append((sf, f"{name} ({first_s:.0f}s)"))
+                    print(
+                        f"SKIP alternate arm {sf} {name}: first arm "
+                        f"{first_s:.0f}s > {SKIP_BUDGET_S:.0f}s budget",
+                        flush=True,
+                    )
+                    continue
+                alt_threads = 1 if first_s < SLOW_KEY_S else 4
+                alt = run_arm(sql, sf, alt_threads)
             except Exception as e:  # noqa: BLE001 - report-and-continue
                 flagged.append((sf, f"{name}: ERROR {str(e)[:120]}"))
                 continue
-            if any(a != arms[0] for a in arms[1:]):
-                diffs = [
-                    (a, b)
-                    for a, b in zip(arms[0], arms[1])
-                    if a != b
-                ][:3]
+            if alt != first:
+                diffs = [(a, b) for a, b in zip(first, alt) if a != b][:3]
                 flagged.append((sf, f"{name}: order-sensitive {diffs}"))
                 print(f"FLAG {sf} {name}: {str(diffs)[:200]}", flush=True)
             if i % 60 == 0:
@@ -92,9 +111,14 @@ def main() -> int:
             "order-stable",
             flush=True,
         )
-    print(f"RESULT: {len(flagged)} flagged across {len(sfs)} scale(s)")
+    print(
+        f"RESULT: {len(flagged)} flagged across {len(sfs)} scale(s); "
+        f"{len(skipped)} alternate arms skipped on budget"
+    )
     for sf, msg in flagged:
         print(" -", sf, msg)
+    for sf, msg in skipped:
+        print(" - SKIPPED", sf, msg)
     return 1 if flagged else 0
 
 
