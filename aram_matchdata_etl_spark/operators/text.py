@@ -1449,3 +1449,153 @@ def q_log_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         yb.alias("n_b"),
         F.round(delta / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+# Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1:
+# top-2-gram 0.20, top-3-gram 0.18; the duplicate-n-gram family there is
+# specified for 5..10-grams — on this fixture's 31-word vocabulary 5-gram
+# repeats are vanishingly rare, so the duplicate signal is computed over
+# 2/3-grams with an illustrative 0.60 cap; the operator SHAPE is the
+# paper's).
+REP_TOP2_MAX = 0.20
+REP_TOP3_MAX = 0.18
+REP_DUP2_MAX = 0.60
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB: list of space-joined word n-grams (empty when too short)."""
+    if n == 2:
+        grams = "words[i] || ' ' || words[i+1]"
+    else:
+        grams = f"array_to_string(list_slice(words, i, i+{n - 1}), ' ')"
+    return (
+        f"CASE WHEN len(words) >= {n} THEN "
+        f"list_transform(generate_series(1, len(words)-{n - 1}), i -> {grams}) "
+        "ELSE [] END"
+    )
+
+
+def _top_sql(g: str) -> str:
+    """DuckDB: chars covered by the most-repeated n-gram (count x length,
+    maxed over distinct grams — the count*length max is tie-free even when
+    the raw count ties)."""
+    return (
+        f"COALESCE(list_max(list_transform(list_distinct({g}), "
+        f"gg -> len(list_filter({g}, x -> x = gg)) * LENGTH(gg))), 0)"
+    )
+
+
+def _dup_sql(g: str) -> str:
+    """DuckDB: chars covered by all occurrences of n-grams seen >= 2 times."""
+    return (
+        f"COALESCE(list_sum(list_transform(list_distinct({g}), "
+        f"gg -> CASE WHEN len(list_filter({g}, x -> x = gg)) >= 2 "
+        f"THEN len(list_filter({g}, x -> x = gg)) * LENGTH(gg) ELSE 0 END)), 0)"
+    )
+
+
+@query(
+    "q_repetition_signals",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        string_split(text, ' ') AS words
+    FROM documents
+), g AS (
+    SELECT doc_id, n_chars,
+        {_ngram_sql(2)} AS g2,
+        {_ngram_sql(3)} AS g3
+    FROM w
+)
+SELECT doc_id,
+    {_top_sql("g2")} / n_chars AS top2_char_frac,
+    {_top_sql("g3")} / n_chars AS top3_char_frac,
+    {_dup_sql("g2")} / n_chars AS dup2_char_frac,
+    {_dup_sql("g3")} / n_chars AS dup3_char_frac,
+    ({_top_sql("g2")} / n_chars <= {REP_TOP2_MAX}
+     AND {_top_sql("g3")} / n_chars <= {REP_TOP3_MAX}
+     AND {_dup_sql("g2")} / n_chars <= {REP_DUP2_MAX}) AS passes_repetition
+FROM g""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 "Scaling
+    Language Models: ... Gopher", MassiveText filtering, table A1): per
+    document, the fraction of characters covered by (a) the single most
+    frequent word 2-gram / 3-gram (boilerplate headers, SEO keyword
+    stuffing) and (b) every occurrence of any 2-gram / 3-gram appearing
+    at least twice (loops, template spam), plus the pass/fail flag the
+    corpus filter would apply. The sibling q_repetition_ratio reports
+    COUNT-based bigram shares (what fraction of bigram slots repeat);
+    this one is the paper's actual filter metric — CHARACTER coverage,
+    which weights long repeated phrases the way the filter intends —
+    extended to 3-grams, the duplicate-gram family, and the composite
+    threshold flag a curation pipeline would gate on.
+
+    Convention pinned for the oracle: "fraction of characters" =
+    occurrences x chars-of-the-gram (grams joined by single spaces)
+    over LENGTH(text); the top gram is chosen by max(count x length),
+    which is tie-free where raw counts tie. Every ratio is one IEEE
+    division of exact integers, so Spark and DuckDB agree bit-for-bit
+    (no ROUND anywhere — the r9/r10 FP-boundary class cannot occur).
+
+    Scale: pure narrow per-row higher-order functions (transform /
+    filter / aggregate inside codegen), zero shuffles, zero UDFs —
+    embarrassingly parallel like the rest of this module. The per-doc
+    distinct-gram counting is O(d^2) in doc length with tiny constants;
+    for 100 TB corpora with mega-documents, cap d by slicing words to
+    the filter's window (the paper scores the whole doc; real pipelines
+    truncate) — the plan shape is unchanged."""
+    df = with_words(_docs(spark, sf_dir))
+
+    def ngrams(n: int):
+        return F.when(
+            F.size("words") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def counted(g):
+        # (count, chars) per distinct gram, computed once and shared by
+        # the top- and dup- reductions
+        return F.transform(
+            F.array_distinct(g),
+            lambda gg: F.size(F.filter(g, lambda x: x == gg))
+            * F.length(gg),
+        )
+
+    def top_chars(g):
+        return F.coalesce(F.array_max(counted(g)), F.lit(0))
+
+    def dup_chars(g):
+        return F.aggregate(
+            F.transform(
+                F.array_distinct(g),
+                lambda gg: F.when(
+                    F.size(F.filter(g, lambda x: x == gg)) >= 2,
+                    F.size(F.filter(g, lambda x: x == gg)) * F.length(gg),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    n_chars = F.length("text").cast("bigint")
+    df = df.withColumn("g2", ngrams(2)).withColumn("g3", ngrams(3))
+    top2 = top_chars(F.col("g2")) / n_chars
+    top3 = top_chars(F.col("g3")) / n_chars
+    dup2 = dup_chars(F.col("g2")) / n_chars
+    dup3 = dup_chars(F.col("g3")) / n_chars
+    return df.select(
+        "doc_id",
+        top2.alias("top2_char_frac"),
+        top3.alias("top3_char_frac"),
+        dup2.alias("dup2_char_frac"),
+        dup3.alias("dup3_char_frac"),
+        (
+            (top2 <= REP_TOP2_MAX)
+            & (top3 <= REP_TOP3_MAX)
+            & (dup2 <= REP_DUP2_MAX)
+        ).alias("passes_repetition"),
+    )

@@ -2306,3 +2306,45 @@ def test_group_ols_matches_numpy(spark):
         assert abs(r.slope - round(float(slope), 6)) < 1e-5
         assert abs(r.intercept - round(float(intercept), 4)) < 1e-2
         assert abs(r.r - round(float(np.corrcoef(y, x)[0, 1]), 6)) < 1e-6
+
+
+def test_repetition_signals_matches_python(spark):
+    """Bit-for-bit: the Gopher repetition fractions are exact-integer
+    divisions, so the pure-Python rederivation must match with zero
+    tolerance (and the pass flag must be the thresholds applied to the
+    recomputed fractions)."""
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.operators.text import (
+        REP_DUP2_MAX,
+        REP_TOP2_MAX,
+        REP_TOP3_MAX,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_repetition_signals"](spark, SF_ORACLE).collect()
+    docs = _duck("SELECT doc_id, text FROM documents")
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    assert len(rows) == len(texts)
+
+    def signals(text, n):
+        words = text.split(" ")
+        grams = [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+        cnt = Counter(grams)
+        top = max((c * len(g) for g, c in cnt.items()), default=0)
+        dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+        return top / len(text), dup / len(text)
+
+    for r in rows:
+        top2, dup2 = signals(texts[r.doc_id], 2)
+        top3, dup3 = signals(texts[r.doc_id], 3)
+        assert r.top2_char_frac == top2, r.doc_id
+        assert r.top3_char_frac == top3, r.doc_id
+        assert r.dup2_char_frac == dup2, r.doc_id
+        assert r.dup3_char_frac == dup3, r.doc_id
+        assert r.passes_repetition == (
+            top2 <= REP_TOP2_MAX and top3 <= REP_TOP3_MAX
+            and dup2 <= REP_DUP2_MAX
+        ), r.doc_id
