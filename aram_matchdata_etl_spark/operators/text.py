@@ -1494,9 +1494,11 @@ def _dup_sql(g: str) -> str:
     )
 
 
-@query(
-    "q_repetition_signals",
-    oracle=f"""
+# Shared by q_repetition_signals and its mega-document twin
+# q_repetition_signals_agg: both plans compute the SAME exact-integer
+# divisions, so one oracle pins both (the twin equality is also asserted
+# bit-for-bit in tests/test_stats_differential.py).
+_REPETITION_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
         string_split(text, ' ') AS words
@@ -1515,8 +1517,10 @@ SELECT doc_id,
     ({_top_sql("g2")} / n_chars <= {REP_TOP2_MAX}
      AND {_top_sql("g3")} / n_chars <= {REP_TOP3_MAX}
      AND {_dup_sql("g2")} / n_chars <= {REP_DUP2_MAX}) AS passes_repetition
-FROM g""",
-)
+FROM g"""
+
+
+@query("q_repetition_signals", oracle=_REPETITION_ORACLE)
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 "Scaling
     Language Models: ... Gopher", MassiveText filtering, table A1): per
@@ -1588,6 +1592,84 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup2 = dup_chars(F.col("g2")) / n_chars
     dup3 = dup_chars(F.col("g3")) / n_chars
     return df.select(
+        "doc_id",
+        top2.alias("top2_char_frac"),
+        top3.alias("top3_char_frac"),
+        dup2.alias("dup2_char_frac"),
+        dup3.alias("dup3_char_frac"),
+        (
+            (top2 <= REP_TOP2_MAX)
+            & (top3 <= REP_TOP3_MAX)
+            & (dup2 <= REP_DUP2_MAX)
+        ).alias("passes_repetition"),
+    )
+
+
+@query("q_repetition_signals_agg", oracle=_REPETITION_ORACLE)
+def q_repetition_signals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-document twin of q_repetition_signals: identical output
+    (same oracle string — every value is the same exact-integer
+    division, so the two plans are bit-equal), different physical
+    shape. The HOF form counts distinct grams per row in O(d^2) — the
+    right plan while documents fit a task comfortably (zero shuffles);
+    a 100 TB corpus with multi-megabyte documents instead wants the
+    explode -> (doc_id, n, gram) count -> per-doc conditional rollup
+    shape, where the work is O(total grams) and a single monster
+    document spreads across map tasks before the combiner collapses
+    it. Same twin discipline as dedup exact-vs-LSH and
+    q_quantile_normalize(_approx): the semantics are pinned once, the
+    plan is chosen by data shape.
+
+    Shuffle budget: one exchange on (doc_id, gram_size, gram) with
+    map-side partial counts, one on doc_id for the rollup, one
+    broadcast-free join back to the (doc_id, n_chars) base (AQE turns
+    it into a broadcast at fixture scale). Char totals never ride
+    through the gram shuffle — only 16-byte-ish gram keys do."""
+    df = with_words(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "words",
+    )
+
+    def grams(n: int):
+        return F.when(
+            F.size("words") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("words", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    exploded = df.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit(2), F.lit(3)),
+                F.array(grams(2), grams(3)),
+            )
+        ).alias("n", "gs"),
+    ).select("doc_id", "n", F.explode("gs").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    chars = F.col("c") * F.length("gram")
+    rolled = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, chars)).alias("t2"),
+        F.max(F.when(F.col("n") == 3, chars)).alias("t3"),
+        F.sum(
+            F.when((F.col("n") == 2) & (F.col("c") >= 2), chars).otherwise(0)
+        ).alias("d2"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("c") >= 2), chars).otherwise(0)
+        ).alias("d3"),
+    )
+    base = df.select("doc_id", "n_chars")
+    joined = base.join(rolled, "doc_id", "left")
+    top2 = F.coalesce(F.col("t2"), F.lit(0)) / F.col("n_chars")
+    top3 = F.coalesce(F.col("t3"), F.lit(0)) / F.col("n_chars")
+    dup2 = F.coalesce(F.col("d2"), F.lit(0)) / F.col("n_chars")
+    dup3 = F.coalesce(F.col("d3"), F.lit(0)) / F.col("n_chars")
+    return joined.select(
         "doc_id",
         top2.alias("top2_char_frac"),
         top3.alias("top3_char_frac"),

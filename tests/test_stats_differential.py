@@ -2348,3 +2348,23 @@ def test_repetition_signals_matches_python(spark):
             top2 <= REP_TOP2_MAX and top3 <= REP_TOP3_MAX
             and dup2 <= REP_DUP2_MAX
         ), r.doc_id
+
+
+def test_repetition_signals_twins_bit_equal(spark):
+    """q_repetition_signals (per-row HOFs, zero shuffles) and
+    q_repetition_signals_agg (explode -> gram-count -> rollup, the
+    mega-document plan) share one oracle; their outputs must be
+    bit-identical since every value is the same exact-integer
+    division."""
+    from aram_matchdata_etl_spark.registry import all_oracles, all_queries
+
+    qs = all_queries()
+    a = sorted(map(tuple, qs["q_repetition_signals"](spark, SF_ORACLE).collect()))
+    b = sorted(
+        map(tuple, qs["q_repetition_signals_agg"](spark, SF_ORACLE).collect())
+    )
+    assert a == b
+    oracles = all_oracles()
+    assert (
+        oracles["q_repetition_signals"] == oracles["q_repetition_signals_agg"]
+    )
