@@ -549,7 +549,17 @@ SCALE_TIER = [
 SCALE_TIER_K = 10
 # bump when the replication recipe changes so a stale materialized tier
 # is rebuilt instead of silently reused
-_SCALE_TIER_VERSION = 2
+# v3 (r10): replicated fact tables are repartitioned before the write.
+# Through v2 each fact landed as ONE file with ONE row group (the
+# broadcast crossJoin preserves the source's single input partition),
+# so every tier scan ran as a single task no matter the split count —
+# parquet splits by row group, and there was only one. That serialized
+# the scan stage of every tier measurement (a linear-in-k term that
+# UNDERSTATES plan scalability and, for scan-fused compute, dominates).
+# The v2-era ratios remain valid upper bounds; v3 ratios measure the
+# plans, not the artifact.
+_SCALE_TIER_VERSION = 3
+_SCALE_TIER_FILES = 32
 
 
 def build_scale_tier_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
@@ -684,6 +694,11 @@ def build_scale_tier_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
         "label",
     )
     for t, df in out.items():
+        if t not in ("region", "nation"):
+            # see _SCALE_TIER_VERSION v3 note: without this the
+            # replicated fact is one file / one row group and every
+            # tier scan is a single task
+            df = df.repartition(_SCALE_TIER_FILES)
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     with open(marker, "w") as f:
         json.dump(want, f)
