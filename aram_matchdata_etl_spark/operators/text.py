@@ -1543,17 +1543,18 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no ROUND anywhere — the r9/r10 FP-boundary class cannot occur).
 
     Scale: pure narrow per-row higher-order functions (transform /
-    filter / aggregate inside codegen), zero shuffles, zero UDFs. The
-    per-doc distinct-gram counting is O(d^2) in doc length — MEASURED
-    to lose to the explode/rollup twin even on this short-doc corpus
-    (1x: 5.4 s vs 1.6 s; 100x tier: 25.3 s vs 23.1 s — the d^2 string
-    comparisons cost more than the twin's gram shuffle buys back), so
-    q_repetition_signals_agg is the production path at every measured
-    scale and this form is kept as the algorithm-diverse gate twin
+    sort_array / one run-length aggregate, all inside codegen), zero
+    shuffles, zero UDFs. Per-doc cost is O(d log d): grams are sorted
+    and equal runs folded in a single pass with a struct accumulator
+    (the first draft counted each distinct gram with a nested filter —
+    O(d^2) — and MEASURED 5.4 s at 1x / 25.3 s at 100x against the
+    explode/rollup twin's 1.6 s / 23.1 s; the sorted-runs rewrite
+    removed the quadratic term while keeping the zero-shuffle shape).
+    Kept as the algorithm-diverse gate twin of q_repetition_signals_agg
     (two independent plans + the shared oracle + the pure-Python
-    differential triangulate the semantics). If a shuffle-free form is
-    ever needed (e.g. scoring inside a map-only ingest pass), cap d by
-    truncating words to the filter's window first."""
+    differential triangulate the semantics); for corpora of bounded
+    documents whichever of the two measures faster wins — re-measure
+    after this rewrite before choosing."""
     df = with_words(_docs(spark, sf_dir))
 
     def ngrams(n: int):
@@ -1565,37 +1566,53 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def counted(g):
-        # (count, chars) per distinct gram, computed once and shared by
-        # the top- and dup- reductions
-        return F.transform(
-            F.array_distinct(g),
-            lambda gg: F.size(F.filter(g, lambda x: x == gg))
-            * F.length(gg),
+    # run-length fold over the sorted gram array: one pass yields both
+    # max(count x chars) and sum(count x chars | count >= 2). The ""
+    # sentinel in `prev` cannot collide with a real gram: run = 0
+    # guards the first comparison.
+    _init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def _fold(acc):
+        contrib = acc["run"] * F.length(acc["prev"])
+        return (
+            F.greatest(acc["best"], contrib),
+            acc["dup"]
+            + F.when(acc["run"] >= 2, contrib).otherwise(F.lit(0)),
         )
 
-    def top_chars(g):
-        return F.coalesce(F.array_max(counted(g)), F.lit(0))
-
-    def dup_chars(g):
-        return F.aggregate(
-            F.transform(
-                F.array_distinct(g),
-                lambda gg: F.when(
-                    F.size(F.filter(g, lambda x: x == gg)) >= 2,
-                    F.size(F.filter(g, lambda x: x == gg)) * F.length(gg),
-                ).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    def _merge(acc, x):
+        same = (acc["run"] > 0) & (acc["prev"] == x)
+        best_f, dup_f = _fold(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["best"]).otherwise(best_f).alias("best"),
+            F.when(same, acc["dup"]).otherwise(dup_f).alias("dup"),
         )
+
+    def _finish(acc):
+        best_f, dup_f = _fold(acc)
+        return F.struct(
+            F.when(acc["run"] > 0, best_f).otherwise(acc["best"]).alias("best"),
+            F.when(acc["run"] > 0, dup_f).otherwise(acc["dup"]).alias("dup"),
+        )
+
+    def rl_stats(g):
+        return F.aggregate(F.sort_array(g), _init, _merge, _finish)
 
     n_chars = F.length("text").cast("bigint")
-    df = df.withColumn("g2", ngrams(2)).withColumn("g3", ngrams(3))
-    top2 = top_chars(F.col("g2")) / n_chars
-    top3 = top_chars(F.col("g3")) / n_chars
-    dup2 = dup_chars(F.col("g2")) / n_chars
-    dup3 = dup_chars(F.col("g3")) / n_chars
+    df = df.withColumn("s2", rl_stats(ngrams(2))).withColumn(
+        "s3", rl_stats(ngrams(3))
+    )
+    top2 = F.col("s2")["best"] / n_chars
+    top3 = F.col("s3")["best"] / n_chars
+    dup2 = F.col("s2")["dup"] / n_chars
+    dup3 = F.col("s3")["dup"] / n_chars
     return df.select(
         "doc_id",
         top2.alias("top2_char_frac"),
