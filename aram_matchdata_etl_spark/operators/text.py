@@ -1545,16 +1545,16 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure narrow per-row higher-order functions (transform /
     sort_array / one run-length aggregate, all inside codegen), zero
     shuffles, zero UDFs. Per-doc cost is O(d log d): grams are sorted
-    and equal runs folded in a single pass with a struct accumulator
-    (the first draft counted each distinct gram with a nested filter —
-    O(d^2) — and MEASURED 5.4 s at 1x / 25.3 s at 100x against the
-    explode/rollup twin's 1.6 s / 23.1 s; the sorted-runs rewrite
-    removed the quadratic term while keeping the zero-shuffle shape).
-    Kept as the algorithm-diverse gate twin of q_repetition_signals_agg
-    (two independent plans + the shared oracle + the pure-Python
-    differential triangulate the semantics); for corpora of bounded
-    documents whichever of the two measures faster wins — re-measure
-    after this rewrite before choosing."""
+    and equal runs folded in a single pass with a struct accumulator.
+    MEASURED as the production path for bounded-document corpora after
+    two plan iterations (SCALE.md r10 "repetition-signals twins"): the
+    first draft's nested filter-per-distinct-gram counting was O(d^2)
+    and LOST to the explode/rollup twin at every scale (5.4 s vs 1.6 s
+    at 1x); this sorted-runs form wins at both measured scales (1x:
+    1.8 s vs 1.9 s; 100x tier: 14.4 s vs 34.3 s — no gram ever leaves
+    its row). q_repetition_signals_agg remains the safety twin for the
+    one shape this form cannot spread: a single multi-megabyte document
+    whose per-row sort would pin one task."""
     df = with_words(_docs(spark, sf_dir))
 
     def ngrams(n: int):
@@ -1629,17 +1629,20 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_repetition_signals_agg", oracle=_REPETITION_ORACLE)
 def q_repetition_signals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production twin of q_repetition_signals: identical output
+    """Mega-document twin of q_repetition_signals: identical output
     (same oracle string — every value is the same exact-integer
     division, so the two plans are bit-equal), different physical
     shape: explode -> (doc_id, n, gram) count -> per-doc conditional
     rollup, where the work is O(total grams) and a single monster
     document spreads across map tasks before the combiner collapses
-    it. MEASURED faster than the zero-shuffle HOF form at every scale
-    tried (1x: 1.6 s vs 5.4 s; 100x tier: 23.1 s vs 25.3 s) — the HOF
-    form's O(d^2) per-row string comparisons cost more than this
-    plan's gram shuffle even at d <= 100, and the gap can only widen
-    with document length. Same twin discipline as dedup exact-vs-LSH
+    it. On bounded-document corpora the zero-shuffle sorted-runs form
+    wins (1x: 1.9 s vs its 1.8 s; 100x tier: 34.3 s vs 14.4 s — this
+    plan pays the full gram volume through an exchange); this twin is
+    the right plan only when single documents are large enough that a
+    per-row sort would pin one task. It also beat the FIRST HOF draft
+    (O(d^2) nested filters) at every scale — the round's reminder that
+    "zero shuffles" is not free when the narrow replacement is
+    super-linear per row. Same twin discipline as dedup exact-vs-LSH
     and q_quantile_normalize(_approx): the semantics are pinned once,
     the plan is chosen by measurement.
 
