@@ -401,3 +401,143 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
+
+
+# --- resize: the remaining member of the decode/featurize/resize/
+# frame-sample plumbing set -------------------------------------------------
+
+RESIZE_OUT_W = 8
+RESIZE_OUT_H = 6
+
+
+def nn_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact nearest-neighbor resize (both directions): output pixel
+    (i, j) reads source pixel ((i*H_in)//H_out, (j*W_in)//W_out) — pure
+    integer index math, so the result is bit-deterministic and a SQL
+    oracle can reproduce it in closed form."""
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def _pattern_ppm(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic formula image encoded as REAL binary PPM (P6):
+    pixel (y, x, c) = (doc_id*7 + y*5 + x*3 + c) % 256. The formula is
+    the contract the oracle recomputes after the round trip."""
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    arr = ((doc_id * 7 + y * 5 + x * 3 + c) % 256).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> summary stats over binary
+    image payloads via mapInPandas (Arrow-batched; the decode/resize
+    pair is a per-row codec call exactly as a real thumbnailer would
+    be). Payloads never leave their partition; only the small stat rows
+    flow downstream."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                small = nn_resize(img, out_w, out_h)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        out_w,
+                        out_h,
+                        int(small.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h", "px_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        work,
+        schema=(
+            "doc_id long, in_w int, in_h int, out_w int, out_h int, "
+            "px_sum long"
+        ),
+    )
+
+
+@query(
+    "q_media_resize",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+        CAST(doc_id % 13 + 4 AS INTEGER) AS in_w,
+        CAST(doc_id % 11 + 4 AS INTEGER) AS in_h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.in_w, d.in_h,
+        (d.doc_id * 7
+         + ((i.i * d.in_h) // {RESIZE_OUT_H}) * 5
+         + ((j.j * d.in_w) // {RESIZE_OUT_W}) * 3
+         + c.c) % 256 AS v
+    FROM d,
+        UNNEST(generate_series(0, {RESIZE_OUT_H - 1})) AS i(i),
+        UNNEST(generate_series(0, {RESIZE_OUT_W - 1})) AS j(j),
+        UNNEST(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id, in_w, in_h,
+    CAST({RESIZE_OUT_W} AS INTEGER) AS out_w,
+    CAST({RESIZE_OUT_H} AS INTEGER) AS out_h,
+    CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px
+GROUP BY doc_id, in_w, in_h""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary payloads — the remaining member of the
+    brief's decode / feature-extract / resize / frame-sample plumbing
+    set, and unlike the featurizer it exercises the REAL decode path
+    end-to-end: each document gets a deterministic formula image
+    (pixel (y,x,c) = (doc_id*7 + y*5 + x*3 + c) % 256, dims
+    (doc_id%13+4) x (doc_id%11+4)) encoded as genuine binary PPM (P6)
+    executor-side, decoded back through decode_image, resized to
+    {RESIZE_OUT_W}x{RESIZE_OUT_H} with exact integer nearest-neighbor
+    indexing (up- AND down-sampling across the fixture), and reduced
+    to per-image stats. The oracle recomputes the resized pixel sum in
+    closed form from the formula — a full-circle hash check over
+    encode -> decode -> resize, all exact integer math.
+
+    Scale: two narrow mapInPandas stages (encode, then decode/resize)
+    — payloads never cross a shuffle, per the module's design rule;
+    Arrow batches amortize the Python crossing and the per-row codec
+    calls are the honest shape of a real thumbnail pass. On a real
+    corpus the encode stage is replaced by `spark.read.format(
+    'binaryFile')` and the decode dispatch gains compressed codecs
+    behind the documented seam (decode_image)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 4).cast("int").alias("in_w"),
+        (F.col("doc_id") % 11 + 4).cast("int").alias("in_h"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _pattern_ppm(int(d), int(w), int(h))
+                        for d, w, h in zip(
+                            pdf["doc_id"], pdf["in_w"], pdf["in_h"]
+                        )
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return resize_images(media, RESIZE_OUT_W, RESIZE_OUT_H)

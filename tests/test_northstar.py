@@ -883,3 +883,44 @@ def test_shingle_cache_survives_clear_cache(spark):
         "clearCache() — otherwise every downstream use re-runs the "
         "corpus-wide shingle build"
     )
+
+
+def test_media_resize_kernel_and_roundtrip(spark):
+    """q_media_resize's pieces, pinned independently of the oracle
+    formula: (a) nn_resize is exact nearest-neighbor (matches direct
+    integer-index fancy indexing, both down- and up-sampling); (b) the
+    formula image survives encode -> decode pixel-exact; (c) the
+    executor-side resize_images plumbing reports the same px_sum as a
+    driver-side numpy rerun."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.multimodal import (
+        _pattern_ppm,
+        decode_image,
+        nn_resize,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    down = nn_resize(img, 4, 3)
+    assert down.shape == (3, 4, 3)
+    rows = (np.arange(3, dtype=np.int64) * 9) // 3
+    cols = (np.arange(4, dtype=np.int64) * 7) // 4
+    assert np.array_equal(down, img[rows][:, cols])
+    up = nn_resize(img, 14, 18)  # upsample repeats source pixels
+    assert up.shape == (18, 14, 3)
+    assert np.array_equal(up[::2][:, ::2], img)
+
+    payload = _pattern_ppm(42, 7, 9)
+    decoded = decode_image(payload)
+    assert decoded.shape == (9, 7, 3)
+    assert decoded[3, 2, 1] == (42 * 7 + 3 * 5 + 2 * 3 + 1) % 256
+
+    media = spark.createDataFrame(
+        [(42, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = resize_images(media, 8, 6).collect()[0]
+    expect = int(nn_resize(decoded, 8, 6).astype(np.int64).sum())
+    assert (row.in_w, row.in_h, row.out_w, row.out_h) == (7, 9, 8, 6)
+    assert row.px_sum == expect
