@@ -1455,11 +1455,15 @@ def q_log_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-2-gram 0.20, top-3-gram 0.18; the duplicate-n-gram family there is
 # specified for 5..10-grams — on this fixture's 31-word vocabulary 5-gram
 # repeats are vanishingly rare, so the duplicate signal is computed over
-# 2/3-grams with an illustrative 0.60 cap; the operator SHAPE is the
-# paper's).
+# 2/3-grams with an illustrative 0.60 cap on BOTH (the composite flag
+# gates every reported fraction — top2/top3/dup2/dup3; r10 advisory).
+# The paper's full 5..10-gram duplicate family, with its real per-n
+# thresholds, is exercised by q_repetition_gopher_zipf on a Zipf-shaped
+# corpus where it is non-degenerate.
 REP_TOP2_MAX = 0.20
 REP_TOP3_MAX = 0.18
 REP_DUP2_MAX = 0.60
+REP_DUP3_MAX = 0.60
 
 
 def _ngram_sql(n: int) -> str:
@@ -1516,7 +1520,8 @@ SELECT doc_id,
     {_dup_sql("g3")} / n_chars AS dup3_char_frac,
     ({_top_sql("g2")} / n_chars <= {REP_TOP2_MAX}
      AND {_top_sql("g3")} / n_chars <= {REP_TOP3_MAX}
-     AND {_dup_sql("g2")} / n_chars <= {REP_DUP2_MAX}) AS passes_repetition
+     AND {_dup_sql("g2")} / n_chars <= {REP_DUP2_MAX}
+     AND {_dup_sql("g3")} / n_chars <= {REP_DUP3_MAX}) AS passes_repetition
 FROM g"""
 
 
@@ -1569,12 +1574,15 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run-length fold over the sorted gram array: one pass yields both
     # max(count x chars) and sum(count x chars | count >= 2). The ""
     # sentinel in `prev` cannot collide with a real gram: run = 0
-    # guards the first comparison.
+    # guards the first comparison. Accumulators are BIGINT so a single
+    # ~1 GB document (2^31+ gram-chars) degrades only in latency, never
+    # by silent 32-bit wraparound (r10 advisory; non-ANSI Spark would
+    # wrap an int accumulator while the DuckDB oracle stays exact).
     _init = F.struct(
         F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-        F.lit(0).alias("dup"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
     )
 
     def _fold(acc):
@@ -1623,6 +1631,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (top2 <= REP_TOP2_MAX)
             & (top3 <= REP_TOP3_MAX)
             & (dup2 <= REP_DUP2_MAX)
+            & (dup3 <= REP_DUP3_MAX)
         ).alias("passes_repetition"),
     )
 
@@ -1705,5 +1714,6 @@ def q_repetition_signals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (top2 <= REP_TOP2_MAX)
             & (top3 <= REP_TOP3_MAX)
             & (dup2 <= REP_DUP2_MAX)
+            & (dup3 <= REP_DUP3_MAX)
         ).alias("passes_repetition"),
     )

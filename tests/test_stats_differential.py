@@ -2317,6 +2317,7 @@ def test_repetition_signals_matches_python(spark):
 
     from aram_matchdata_etl_spark.operators.text import (
         REP_DUP2_MAX,
+        REP_DUP3_MAX,
         REP_TOP2_MAX,
         REP_TOP3_MAX,
     )
@@ -2346,7 +2347,7 @@ def test_repetition_signals_matches_python(spark):
         assert r.dup3_char_frac == dup3, r.doc_id
         assert r.passes_repetition == (
             top2 <= REP_TOP2_MAX and top3 <= REP_TOP3_MAX
-            and dup2 <= REP_DUP2_MAX
+            and dup2 <= REP_DUP2_MAX and dup3 <= REP_DUP3_MAX
         ), r.doc_id
 
 
