@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_input
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -1498,6 +1498,70 @@ def _dup_sql(g: str) -> str:
     )
 
 
+def _word_ngrams(n: int, words: str = "words"):
+    """Space-joined word n-grams of the ``words`` array column (empty
+    array when the document is shorter than n) — the in-row twin of
+    ``_ngram_sql``."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# run-length fold over the sorted gram array: one pass yields both
+# max(count x chars) and sum(count x chars | count >= 2). The ""
+# sentinel in `prev` cannot collide with a real gram: run = 0
+# guards the first comparison. Accumulators are BIGINT so a single
+# ~1 GB document (2^31+ gram-chars) degrades only in latency, never
+# by silent 32-bit wraparound (r10 advisory; non-ANSI Spark would
+# wrap an int accumulator while the DuckDB oracle stays exact).
+def _rl_init():
+    return F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+
+def _rl_fold(acc):
+    contrib = acc["run"] * F.length(acc["prev"])
+    return (
+        F.greatest(acc["best"], contrib),
+        acc["dup"] + F.when(acc["run"] >= 2, contrib).otherwise(F.lit(0)),
+    )
+
+
+def _rl_merge(acc, x):
+    same = (acc["run"] > 0) & (acc["prev"] == x)
+    best_f, dup_f = _rl_fold(acc)
+    return F.struct(
+        x.alias("prev"),
+        F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.when(same, acc["best"]).otherwise(best_f).alias("best"),
+        F.when(same, acc["dup"]).otherwise(dup_f).alias("dup"),
+    )
+
+
+def _rl_finish(acc):
+    best_f, dup_f = _rl_fold(acc)
+    return F.struct(
+        F.when(acc["run"] > 0, best_f).otherwise(acc["best"]).alias("best"),
+        F.when(acc["run"] > 0, dup_f).otherwise(acc["dup"]).alias("dup"),
+    )
+
+
+def _rl_stats(g):
+    """O(d log d) sorted run-length gram statistics: (best, dup) struct
+    of max(count x chars) and sum(count x chars | count >= 2). Shared by
+    the repetition-signal family (see q_repetition_signals for the
+    measured plan history)."""
+    return F.aggregate(F.sort_array(g), _rl_init(), _rl_merge, _rl_finish)
+
+
 # Shared by q_repetition_signals and its mega-document twin
 # q_repetition_signals_agg: both plans compute the SAME exact-integer
 # divisions, so one oracle pins both (the twin equality is also asserted
@@ -1561,61 +1625,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shape this form cannot spread: a single multi-megabyte document
     whose per-row sort would pin one task."""
     df = with_words(_docs(spark, sf_dir))
-
-    def ngrams(n: int):
-        return F.when(
-            F.size("words") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice("words", i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    # run-length fold over the sorted gram array: one pass yields both
-    # max(count x chars) and sum(count x chars | count >= 2). The ""
-    # sentinel in `prev` cannot collide with a real gram: run = 0
-    # guards the first comparison. Accumulators are BIGINT so a single
-    # ~1 GB document (2^31+ gram-chars) degrades only in latency, never
-    # by silent 32-bit wraparound (r10 advisory; non-ANSI Spark would
-    # wrap an int accumulator while the DuckDB oracle stays exact).
-    _init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-        F.lit(0).cast("long").alias("dup"),
-    )
-
-    def _fold(acc):
-        contrib = acc["run"] * F.length(acc["prev"])
-        return (
-            F.greatest(acc["best"], contrib),
-            acc["dup"]
-            + F.when(acc["run"] >= 2, contrib).otherwise(F.lit(0)),
-        )
-
-    def _merge(acc, x):
-        same = (acc["run"] > 0) & (acc["prev"] == x)
-        best_f, dup_f = _fold(acc)
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(same, acc["best"]).otherwise(best_f).alias("best"),
-            F.when(same, acc["dup"]).otherwise(dup_f).alias("dup"),
-        )
-
-    def _finish(acc):
-        best_f, dup_f = _fold(acc)
-        return F.struct(
-            F.when(acc["run"] > 0, best_f).otherwise(acc["best"]).alias("best"),
-            F.when(acc["run"] > 0, dup_f).otherwise(acc["dup"]).alias("dup"),
-        )
-
-    def rl_stats(g):
-        return F.aggregate(F.sort_array(g), _init, _merge, _finish)
-
     n_chars = F.length("text").cast("bigint")
-    df = df.withColumn("s2", rl_stats(ngrams(2))).withColumn(
-        "s3", rl_stats(ngrams(3))
+    df = df.withColumn("s2", _rl_stats(_word_ngrams(2))).withColumn(
+        "s3", _rl_stats(_word_ngrams(3))
     )
     top2 = F.col("s2")["best"] / n_chars
     top3 = F.col("s3")["best"] / n_chars
@@ -1717,3 +1729,329 @@ def q_repetition_signals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dup3 <= REP_DUP3_MAX)
         ).alias("passes_repetition"),
     )
+
+# ---------------------------------------------------------------------------
+# The FULL Gopher repetition rule set (Rae et al. 2021, table A1) on a
+# corpus where it is non-degenerate. The fixture documents' 31-word
+# vocabulary makes 5..10-gram duplicates vanishingly rare (the reason
+# q_repetition_signals gates 2/3-grams with illustrative caps), so this
+# key generates a deterministic Zipf-headed corpus sized from the
+# documents table — the q_setsim_zipf discipline (dedup.py) applied to
+# the text-quality family (r10 verdict gap 1) — with four planted
+# repetition classes so every threshold has real work to do:
+#   doc_id % 10 == 0: words 45..119 replay words 0..74 (period-45
+#                     template — near-total duplication, fails the whole
+#                     dup5..dup10 family at ~1.0)
+#   doc_id % 10 == 1: last 25 of 120 words repeat the first 25
+#                     (moderate — union covers ~42% of chars, fails all
+#                     six dup thresholds but passes the top family)
+#   doc_id % 10 == 2: last 6 words repeat the first 6 (light — dup5/dup6
+#                     ~0.10 stay under the 0.15/0.14 caps, dup7..dup10
+#                     are exactly 0; a pass WITH signal)
+#   doc_id % 10 == 3: first 60 words alternate two tokens (keyword
+#                     stuffing — top2 ~0.28 > 0.20, top3/top4 worse; the
+#                     stuffed block is also self-duplicating, so it fails
+#                     the dup family too, like real SEO spam)
+#   else:             pure Zipf draws (head word ~15% of tokens; 5-gram
+#                     collisions have probability ~1e-8 per pair, so the
+#                     dup family is ~0 and the doc passes)
+# Dup-n follows the paper's definition EXACTLY: the fraction of
+# characters covered by the UNION of all occurrences of n-grams that
+# appear >= 2 times (overlapping occurrences counted once), computed as
+# an exact integer interval union in joined-text char space. Top-n keeps
+# the repo's pinned tie-free convention (gram maximizing count x chars;
+# occurrences of a single top gram rarely overlap, and the paper does
+# not union them). Every fraction is one IEEE division of exact
+# integers, so Spark and DuckDB agree bit-for-bit at any SF.
+GOPHER_ZIPF_LEN = 120
+GOPHER_ZIPF_VOCAB = 2000
+# table A1 thresholds, verbatim
+GOPHER_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gopher_zipf_words_sql() -> str:
+    """DuckDB CTEs producing (doc_id, words[]) for the planted-repetition
+    Zipf corpus; shared md5/integer arithmetic with zipf_corpus_words so
+    both engines derive the identical corpus."""
+    n = GOPHER_ZIPF_LEN
+    return f"""
+zgrid AS (
+    SELECT d.doc_id, g.pos,
+        CASE d.doc_id % 10 WHEN 0 THEN 75 WHEN 1 THEN 25 WHEN 2 THEN 6
+             ELSE 0 END AS k
+    FROM documents d
+    CROSS JOIN UNNEST(generate_series(0, {n - 1})) AS g(pos)
+),
+zw AS (
+    SELECT doc_id, pos,
+        CASE WHEN doc_id % 10 = 3 AND pos < 60 THEN CAST(pos % 2 AS VARCHAR)
+             ELSE CAST(CAST(FLOOR(u * u * u * u * {GOPHER_ZIPF_VOCAB})
+                 AS BIGINT) AS VARCHAR)
+        END AS word
+    FROM (
+        SELECT doc_id, pos,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+                || CAST(p_eff AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 AS u
+        FROM (
+            SELECT doc_id, pos,
+                CASE WHEN k > 0 AND pos >= {n} - k THEN pos - ({n} - k)
+                     ELSE pos END AS p_eff
+            FROM zgrid
+        )
+    )
+),
+zdocs AS (
+    SELECT doc_id, array_agg(word ORDER BY pos) AS words
+    FROM zw GROUP BY doc_id
+)"""
+
+
+def zipf_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _gopher_zipf_words_sql: (doc_id, words) built
+    entirely IN-ROW — one transform over a literal position sequence per
+    document, so corpus generation is a narrow codegen'd projection with
+    zero shuffles (the oracle's explode/array_agg shape exists only
+    because SQL lacks higher-order generation)."""
+    docs = spread_input(_docs(spark, sf_dir).select("doc_id"))
+    did = F.col("doc_id")
+    n = GOPHER_ZIPF_LEN
+    k = (
+        F.when(did % 10 == 0, F.lit(75))
+        .when(did % 10 == 1, F.lit(25))
+        .when(did % 10 == 2, F.lit(6))
+        .otherwise(F.lit(0))
+    )
+
+    def word(p):
+        p_eff = F.when(
+            (k > 0) & (p >= F.lit(n) - k), p - (F.lit(n) - k)
+        ).otherwise(p)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", did.cast("string"), p_eff.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+        wid = F.floor(u * u * u * u * F.lit(GOPHER_ZIPF_VOCAB)).cast("bigint")
+        return F.when(
+            (did % 10 == 3) & (p < 60), (p % 2).cast("string")
+        ).otherwise(wid.cast("string"))
+
+    return docs.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), word).alias("words"),
+    )
+
+
+def _char_offsets(words) -> Column:
+    """0-based start-char offset of each word inside the single-space
+    joined text: off[0] = 0, off[w] = len(join(words[:w])) + 1. O(d^2)
+    chars per row — d is the (small, bounded) per-document word count,
+    and the array is built once and shared by all six dup-n unions."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words) - 1),
+        lambda w: F.when(w == 0, F.lit(0))
+        .otherwise(F.length(F.concat_ws(" ", F.slice(words, 1, w))) + 1)
+        .cast("long"),
+    )
+
+
+def _with_dup_union(df: DataFrame, m: int) -> DataFrame:
+    """Exact Gopher dup-n character coverage: adds ``cov{m}`` = chars
+    covered by the UNION of all occurrences of duplicated n-grams, as an
+    integer interval union. O(s log s) per row: sort (gram, idx)
+    structs, mark duplicate runs by neighbor equality, then fold the
+    (already start-sorted) fixed-shape intervals left to right. No gram
+    ever leaves its row.
+
+    Each intermediate (the sorted pair array, the duplicate-start index
+    list) is MATERIALIZED as its own column: higher-order-function
+    lambdas are interpreted, so an inlined subexpression re-evaluates on
+    every F.get reference — the first draft inlined the sort and cost
+    ~450 re-sorts per document per n (82 s for 500 docs; this form is
+    <1 s). CollapseProject keeps multi-referenced non-cheap aliases in
+    their own projection, so naming the columns pins the evaluate-once
+    shape."""
+    g = F.col(f"g{m}")
+    sz = F.size(g)
+    df = df.withColumn(
+        f"sp{m}",
+        F.sort_array(
+            F.transform(
+                F.sequence(F.lit(0), sz - 1),
+                lambda i: F.struct(F.get(g, i).alias("g"), i.alias("i")),
+            )
+        ),
+    )
+    sp = F.col(f"sp{m}")
+    # F.get is 0-based and NULL out of bounds, so the edge comparisons
+    # degrade to NULL (= dropped by filter) without explicit guards
+    df = df.withColumn(
+        f"dupidx{m}",
+        F.array_sort(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), sz - 1),
+                    lambda j: (F.get(sp, j)["g"] == F.get(sp, j - 1)["g"])
+                    | (F.get(sp, j)["g"] == F.get(sp, j + 1)["g"]),
+                ),
+                lambda j: F.get(sp, j)["i"],
+            )
+        ),
+    )
+    off = F.col("off")
+
+    def start(i):
+        return F.get(off, i)
+
+    def end(i):
+        return F.get(off, i) + F.length(F.get(g, i))
+
+    return df.withColumn(
+        f"cov{m}",
+        F.aggregate(
+            F.col(f"dupidx{m}"),
+            F.struct(
+                F.lit(0).cast("long").alias("last_end"),
+                F.lit(0).cast("long").alias("cov"),
+            ),
+            lambda acc, i: F.struct(
+                F.greatest(acc["last_end"], end(i)).alias("last_end"),
+                (
+                    acc["cov"]
+                    + F.greatest(
+                        F.lit(0).cast("long"),
+                        end(i) - F.greatest(start(i), acc["last_end"]),
+                    )
+                ).alias("cov"),
+            ),
+            lambda acc: acc["cov"],
+        ),
+    )
+
+
+def _gopher_zipf_oracle() -> str:
+    """Oracle: same corpus CTEs, naive O(s^2) duplicate detection per
+    document (list_filter counting — deliberately independent of the
+    sorted-runs trick), then the classic relational interval union: dup
+    starts UNNEST to rows and a running MAX(end) window subtracts
+    overlap. Top-n reuses _top_sql (max count x chars)."""
+    n_grams = ",\n        ".join(
+        f"{_ngram_sql(m)} AS g{m}" for m in (*GOPHER_TOP_MAX, *GOPHER_DUP_MAX)
+    )
+    frac_top = ",\n    ".join(
+        f'{_top_sql(f"g{m}")} / n_chars AS top{m}_frac' for m in GOPHER_TOP_MAX
+    )
+    # one UNNEST per dup n: duplicated gram start indices (1-based in
+    # DuckDB lists) with their char intervals in the joined text
+    dup_rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT doc_id, {m} AS n, off[i] AS s, off[i] + LENGTH(g{m}[i]) AS e
+    FROM zgram, UNNEST(list_filter(generate_series(1, len(g{m})),
+        i -> len(list_filter(g{m}, x -> x = g{m}[i])) >= 2)) AS u(i)"""
+        for m in GOPHER_DUP_MAX
+    )
+    dup_cols = ",\n    ".join(
+        f"COALESCE(d{m}.cov, 0) / z.n_chars AS dup{m}_frac"
+        for m in GOPHER_DUP_MAX
+    )
+    dup_joins = "\n".join(
+        f"LEFT JOIN dcov d{m} ON d{m}.doc_id = z.doc_id AND d{m}.n = {m}"
+        for m in GOPHER_DUP_MAX
+    )
+    flag = " AND ".join(
+        [f"top{m}_frac <= {t}" for m, t in GOPHER_TOP_MAX.items()]
+        + [f"dup{m}_frac <= {t}" for m, t in GOPHER_DUP_MAX.items()]
+    )
+    return f"""WITH {_gopher_zipf_words_sql().strip()},
+zgram AS (
+    SELECT doc_id,
+        CAST(LENGTH(array_to_string(words, ' ')) AS BIGINT) AS n_chars,
+        list_transform(generate_series(1, len(words)),
+            w -> CASE WHEN w = 1 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(LENGTH(array_to_string(list_slice(words, 1, w - 1),
+                     ' ')) + 1 AS BIGINT) END) AS off,
+        {n_grams}
+    FROM zdocs
+),
+dstart AS (
+    {dup_rows}
+),
+dcov AS (
+    SELECT doc_id, n, SUM(GREATEST(0, e - GREATEST(s, prev_end))) AS cov
+    FROM (
+        SELECT doc_id, n, s, e,
+            COALESCE(MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prev_end
+        FROM dstart
+    )
+    GROUP BY doc_id, n
+)
+SELECT doc_id,
+    top2_frac, top3_frac, top4_frac,
+    dup5_frac, dup6_frac, dup7_frac, dup8_frac, dup9_frac, dup10_frac,
+    ({flag}) AS passes_gopher_repetition
+FROM (
+    SELECT z.doc_id, z.n_chars,
+        {frac_top},
+        {dup_cols}
+    FROM zgram z
+    {dup_joins}
+) t"""
+
+
+@query("q_repetition_gopher_zipf", oracle=_gopher_zipf_oracle())
+def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters at FULL table-A1 strength (Rae et al.
+    2021): fraction of characters in the most frequent 2/3/4-gram and
+    the paper-exact UNION fraction of characters in duplicated
+    5..10-grams, each against the paper's own threshold, over a
+    deterministic Zipf-vocabulary corpus with planted repetition classes
+    (module comment above GOPHER_ZIPF_LEN) — the shape the 31-word
+    fixture cannot exercise. The pass/fail split is non-trivial by
+    construction (template duplication and keyword stuffing fail on
+    DIFFERENT thresholds; pure-Zipf docs pass with live dup2-level
+    signal) and asserted in tests/test_stats_differential.py together
+    with a pure-Python rederivation of both the generator and the
+    union metrics.
+
+    Scale: corpus generation AND all nine gram statistics are narrow
+    in-row expressions (transform + the shared _rl_stats fold for top-n;
+    sorted-neighbor duplicate marking + an O(dups) interval-union fold
+    for dup-n) — the whole query is one codegen'd projection chain with
+    ZERO exchanges (plan-pinned), so it partitions perfectly at any
+    corpus size. Per-doc cost is O(9 x d log d) plus one O(d^2)-char
+    offset table (d = 120 words, built once, shared by all six unions)."""
+    df = zipf_corpus_words(spark, sf_dir)
+    n_chars = F.length(F.concat_ws(" ", F.col("words"))).cast("bigint")
+    df = df.withColumn("n_chars", n_chars).withColumn(
+        "off", _char_offsets(F.col("words"))
+    )
+    for m in GOPHER_TOP_MAX:
+        df = df.withColumn(f"s{m}", _rl_stats(_word_ngrams(m)))
+    for m in GOPHER_DUP_MAX:
+        df = _with_dup_union(df.withColumn(f"g{m}", _word_ngrams(m)), m)
+    cols = [F.col("doc_id")]
+    flag = F.lit(True)
+    for m, t in GOPHER_TOP_MAX.items():
+        frac = F.col(f"s{m}")["best"] / F.col("n_chars")
+        cols.append(frac.alias(f"top{m}_frac"))
+        flag = flag & (frac <= F.lit(t))
+    for m, t in GOPHER_DUP_MAX.items():
+        frac = F.col(f"cov{m}") / F.col("n_chars")
+        cols.append(frac.alias(f"dup{m}_frac"))
+        flag = flag & (frac <= F.lit(t))
+    cols.append(flag.alias("passes_gopher_repetition"))
+    return df.select(*cols)

@@ -484,3 +484,15 @@ def test_ann_ivf_no_vectors_through_shuffle(spark):
     assert "BroadcastHashJoin [cell" in plan, plan
     assert "sort_array" in plan, plan  # in-row centroid ranking
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_zipf_no_corpus_shuffle(spark):
+    """q_repetition_gopher_zipf: corpus generation and all nine gram
+    statistics are in-row expressions — the plan must carry NO hash or
+    single-partition exchange (the only allowed exchange is
+    spread_input's fixture-shape round robin, absent on well-partitioned
+    production input)."""
+    plan = _plan(spark, "q_repetition_gopher_zipf")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -2369,3 +2369,103 @@ def test_repetition_signals_twins_bit_equal(spark):
     assert (
         oracles["q_repetition_signals"] == oracles["q_repetition_signals_agg"]
     )
+
+
+def test_gopher_zipf_matches_python(spark):
+    """Full independent rederivation of q_repetition_gopher_zipf: the
+    corpus generator (hashlib md5), the top-n max(count x chars)
+    statistic, and the paper-exact dup-n positional UNION are all
+    recomputed in pure Python; every fraction must match bit-for-bit
+    (exact-integer divisions), and the planted classes must fail on the
+    thresholds they were designed to fail."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from aram_matchdata_etl_spark.operators.text import (
+        GOPHER_DUP_MAX,
+        GOPHER_TOP_MAX,
+        GOPHER_ZIPF_LEN,
+        GOPHER_ZIPF_VOCAB,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_repetition_gopher_zipf"](
+        spark, SF_ORACLE
+    ).collect()
+    n_docs = len(_duck("SELECT doc_id FROM documents"))
+    assert len(rows) == n_docs
+
+    def gen_words(doc_id):
+        k = {0: 75, 1: 25, 2: 6}.get(doc_id % 10, 0)
+        words = []
+        for pos in range(GOPHER_ZIPF_LEN):
+            if doc_id % 10 == 3 and pos < 60:
+                words.append(str(pos % 2))
+                continue
+            p_eff = pos - (GOPHER_ZIPF_LEN - k) if (
+                k > 0 and pos >= GOPHER_ZIPF_LEN - k
+            ) else pos
+            h = hashlib.md5(f"{doc_id}_{p_eff}".encode()).hexdigest()
+            u = int(h[:8], 16) / 4294967296.0
+            words.append(str(math.floor(u * u * u * u * GOPHER_ZIPF_VOCAB)))
+        return words
+
+    def expected(doc_id):
+        words = gen_words(doc_id)
+        text = " ".join(words)
+        n_chars = len(text)
+        off = [0]
+        for w in words[:-1]:
+            off.append(off[-1] + len(w) + 1)
+        out = {}
+        for m, _t in GOPHER_TOP_MAX.items():
+            grams = [
+                " ".join(words[i : i + m])
+                for i in range(len(words) - m + 1)
+            ]
+            cnt = Counter(grams)
+            out[f"top{m}_frac"] = (
+                max((c * len(g) for g, c in cnt.items()), default=0) / n_chars
+            )
+        for m, _t in GOPHER_DUP_MAX.items():
+            grams = [
+                " ".join(words[i : i + m])
+                for i in range(len(words) - m + 1)
+            ]
+            cnt = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(off[i], off[i] + len(g)))
+            out[f"dup{m}_frac"] = len(covered) / n_chars
+        out["passes_gopher_repetition"] = all(
+            out[f"top{m}_frac"] <= t for m, t in GOPHER_TOP_MAX.items()
+        ) and all(
+            out[f"dup{m}_frac"] <= t for m, t in GOPHER_DUP_MAX.items()
+        )
+        return out
+
+    for r in rows:
+        exp = expected(r.doc_id)
+        for col, v in exp.items():
+            assert getattr(r, col) == v, (r.doc_id, col, getattr(r, col), v)
+
+    # the planted-class contract: a non-trivial split where each class
+    # fails on the thresholds it was designed for
+    by_cls = {}
+    for r in rows:
+        by_cls.setdefault(r.doc_id % 10, []).append(r)
+    assert all(not r.passes_gopher_repetition for r in by_cls[0])
+    assert all(not r.passes_gopher_repetition for r in by_cls[1])
+    assert all(r.dup5_frac > 0.15 for r in by_cls[0] + by_cls[1])
+    # light repetition: passes, but with live dup5/dup6 signal and a
+    # hard-zero tail (7..10-grams cannot fit the 6-word copy)
+    assert all(r.passes_gopher_repetition for r in by_cls[2])
+    assert all(0 < r.dup5_frac <= 0.15 for r in by_cls[2])
+    assert all(r.dup10_frac == 0 for r in by_cls[2])
+    # keyword stuffing fails the TOP family specifically
+    assert all(r.top2_frac > 0.20 for r in by_cls[3])
+    # pure Zipf background passes with a ~0 dup family
+    for cls in range(4, 10):
+        assert all(r.passes_gopher_repetition for r in by_cls[cls])
