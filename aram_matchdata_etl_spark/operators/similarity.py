@@ -1882,3 +1882,148 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+# --- SemDeDup: semantic near-duplicate pruning --------------------------------
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): k-means cells over the embedding
+# space, exact pairwise cosine WITHIN each cell, and one canonical
+# representative kept per semantic-duplicate neighborhood. Completes the
+# LLM-curation dedup spectrum — exact (q_dedup_exact), fuzzy/MinHash
+# (q_dedup_*_lsh), substring (q_substring_dedup_apply), URL
+# (q_url_normalize) — with the embedding-space family (r10 verdict
+# item 7), composed from the already-oracled kernels: the shared
+# deterministic Lloyd trainer, the in-row argmin assignment, and the
+# q_embedding_neardup cosine predicate.
+SEMDEDUP_COSINE = NEARDUP_COSINE  # same non-vacuous fixture rationale
+
+
+def _semdedup_oracle() -> str:
+    """Unrolled-Lloyd CTE chain (shared generator) -> per-vector cell
+    argmin WITH its centroid distance -> within-cell cosine pairs ->
+    keep-rule rollup. The keep rule is the paper's, made deterministic:
+    within a duplicate pair the vector FARTHER from its centroid is
+    kept (SemDeDup keeps low centroid-similarity examples to preserve
+    diversity); ties break to the lower vec_id. A vector is dropped iff
+    ANY same-cell near-dup partner beats it — EXISTS semantics, pinned
+    (the paper's sequential greedy depends on scan order; this form is
+    order-free and hash-stable)."""
+    r = KMEANS_ROUNDS
+    return (
+        "WITH "
+        + _lloyd_ctes(KMEANS_K, r)
+        + f""", cdist AS MATERIALIZED (
+    SELECT p.vec_id, c.cid,
+        SUM((p.val - c.val) * (p.val - c.val)) AS d
+    FROM pts p JOIN c{r - 1} c ON p.dim = c.dim
+    GROUP BY p.vec_id, c.cid
+), cells AS MATERIALIZED (
+    SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cdist
+    ) WHERE rn = 1
+), pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.d AS da, b.d AS db
+    FROM cells a
+    JOIN cells b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+    JOIN emb ea ON ea.vec_id = a.vec_id
+    JOIN emb eb ON eb.vec_id = b.vec_id
+    WHERE list_dot_product(ea.vec, eb.vec) / (ea.vnorm * eb.vnorm)
+        >= {SEMDEDUP_COSINE}
+), agg AS (
+    SELECT va AS vec_id,
+        CAST(COUNT(*) AS BIGINT) AS n_neardups,
+        CAST(COUNT(CASE WHEN db > da OR (db = da AND vb < va) THEN 1 END)
+            AS BIGINT) AS n_beaten
+    FROM pairs GROUP BY va
+)
+SELECT c.vec_id, CAST(c.cid AS BIGINT) AS cell,
+    COALESCE(g.n_neardups, 0) AS n_neardups,
+    (COALESCE(g.n_beaten, 0) = 0) AS is_kept
+FROM cells c LEFT JOIN agg g ON g.vec_id = c.vec_id"""
+    )
+
+
+@query("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: the deterministic fixed-round
+    Lloyd trainer (q_kmeans_lloyd's loop, k={k}, {r} rounds) partitions
+    the corpus into cells; exact cosine runs only WITHIN cells (the
+    paper's trick — k-means replaces the quadratic corpus cross join
+    with per-cell blocks); within each near-dup pair (cosine >=
+    SEMDEDUP_COSINE) the vector farther from its centroid is kept and
+    the closer one dropped (ties to the lower vec_id). Output per
+    vector: its cell, its same-cell near-dup degree, and the keep
+    verdict — all-integer/boolean, so the driver hash is exact (floats
+    only decide the argmin and the keep comparisons; margins asserted
+    in tests/test_northstar.py::test_semdedup_oracle_margin_floor).
+
+    Scale: assignment is the zero-shuffle in-row argmin (centroids fold
+    in as literals); the ONLY corpus-scale exchange is the hash
+    partition on cell for the within-cell self-join — exactly how the
+    paper runs at web scale, with k chosen so a cell fits an executor
+    (k ~ n/50k; their 100M-doc run used k=11k). The keep-rule rollup
+    reuses the pair shuffle's partitioning; the join back to the
+    assignment frame is AQE-broadcast at fixture scale. EXISTS
+    keep-semantics make the result independent of pair enumeration
+    order — no sequential scan to distribute."""
+    emb = embeddings_d(spark, sf_dir)
+    cents = lloyd_centroids(
+        emb.select("vec_id", "vec"), KMEANS_K, KMEANS_ROUNDS
+    )
+    best = F.sort_array(F.array(*_centroid_dist_structs(cents)))[0]
+    cells = emb.select(
+        "vec_id",
+        "vec",
+        "vnorm",
+        best["cid"].alias("cell"),
+        best["d"].alias("cdist"),
+    )
+    a = cells.select(
+        F.col("vec_id").alias("va"),
+        "cell",
+        F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("norm_a"),
+        F.col("cdist").alias("da"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"),
+        "cell",
+        F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("norm_b"),
+        F.col("cdist").alias("db"),
+    )
+    cos = dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(cos >= SEMDEDUP_COSINE)
+        .select("va", "vb", "da", "db")
+    )
+    beaten = (F.col("db") > F.col("da")) | (
+        (F.col("db") == F.col("da")) & (F.col("vb") < F.col("va"))
+    )
+    agg = pairs.groupBy("va").agg(
+        F.count("*").cast("bigint").alias("n_neardups"),
+        F.count(F.when(beaten, 1)).cast("bigint").alias("n_beaten"),
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(agg, cells["vec_id"] == agg["va"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_neardups"), F.lit(0).cast("bigint")).alias(
+                "n_neardups"
+            ),
+            (F.coalesce(F.col("n_beaten"), F.lit(0).cast("bigint")) == 0).alias(
+                "is_kept"
+            ),
+        )
+    )
+
+
+q_semdedup.__doc__ = q_semdedup.__doc__.format(k=KMEANS_K, r=KMEANS_ROUNDS)

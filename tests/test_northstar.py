@@ -924,3 +924,60 @@ def test_media_resize_kernel_and_roundtrip(spark):
     expect = int(nn_resize(decoded, 8, 6).astype(np.int64).sum())
     assert (row.in_w, row.in_h, row.out_w, row.out_h) == (7, 9, 8, 6)
     assert row.px_sum == expect
+
+
+def test_semdedup_oracle_margin_floor(spark):
+    """q_semdedup's hash oracle depends on three FP comparisons staying
+    clear of cross-engine accumulated error (sequential zip_with folds
+    vs unordered SUM, ~d*eps ~ 1e-13): the cell argmin (covered by the
+    Lloyd margin above at KMEANS_K), the cosine >= SEMDEDUP_COSINE
+    threshold, and the keep rule's centroid-distance comparison between
+    near-dup partners. Assert the latter two on the oracle fixture so a
+    future near-tie fails HERE with a named margin, not as an opaque
+    driver hash mismatch (the r8 advisory discipline)."""
+    import numpy as np
+
+    from aram_matchdata_etl_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        SEMDEDUP_COSINE,
+    )
+
+    THRESH_MARGIN = 1e-9  # cosine distance from the eps boundary
+    DIST_MARGIN = 1e-9  # |da - db| on same-cell near-dup pairs
+
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    # rerun the deterministic trainer to the final assignment + distance
+    cents = {int(i): X[ids == i][0] for i in range(KMEANS_K)}
+    for r in range(KMEANS_ROUNDS):
+        C = np.stack([cents[c] for c in sorted(cents)])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.array([sorted(cents)[j] for j in d2.argmin(axis=1)])
+        if r < KMEANS_ROUNDS - 1:
+            cents = {
+                int(c): X[assign == c].mean(axis=0)
+                for c in np.unique(assign)
+            }
+    dist = d2.min(axis=1)
+
+    norms = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.outer(norms, norms)
+    same_cell = assign[:, None] == assign[None, :]
+    off_diag = ids[:, None] != ids[None, :]
+    cand = same_cell & off_diag
+    # every same-cell cosine must sit clear of the threshold boundary
+    gaps = np.abs(cos[cand] - SEMDEDUP_COSINE)
+    assert float(gaps.min()) > THRESH_MARGIN, float(gaps.min())
+    # every near-dup pair's keep comparison must be decided by distance
+    # gaps far above cross-engine noise (exact ties would fall to the
+    # vec_id break, which is integer-exact — only NEAR-ties are unsafe)
+    nd = cand & (cos >= SEMDEDUP_COSINE)
+    ia, ib = np.where(nd)
+    dgaps = np.abs(dist[ia] - dist[ib])
+    dgaps = dgaps[dgaps != 0.0]
+    assert ia.size > 0  # non-vacuous: the fixture has near-dup pairs
+    assert float(dgaps.min()) > DIST_MARGIN, float(dgaps.min())
