@@ -10,6 +10,7 @@ whole plan — scan, shuffles, codegen — without driver-side collect cost).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -825,6 +826,26 @@ def neighbor_share(s0: dict | None, s1: dict | None) -> float | None:
     return round(other / capacity, 3)
 
 
+def measure_query(spark, fn, sf_dir: str) -> float:
+    """The per-query protocol: cache clear + untimed full GC (isolate
+    from session debris — the r4 forensics class), one untimed warmup
+    (whole-stage-codegen JIT, which amortizes on a real cluster), then
+    best-of-2 timed runs to damp GC/scheduler noise. 2 decimals (10 ms):
+    per-query widths are the final line's dominant cost."""
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
 def run_headline(
     spark, queries, sf_dir: str
 ) -> tuple[dict[str, float], dict[str, str]]:
@@ -832,35 +853,74 @@ def run_headline(
     errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
-            fn = queries[name]  # inside try: a renamed/unregistered query
-            # records as an error instead of sinking the whole run
-            # Isolate queries from each other's session debris: the r4
-            # suite showed q_tpch_q3 at 3x its standalone time purely from
-            # in-suite pressure (accumulated broadcasts / checkpoint blocks
-            # / GC debt from the CC loop running just before the TPC-H
-            # block — SCALE.md r5). Cache clear + an untimed full GC
-            # between queries makes each number reproducible standalone.
-            spark.catalog.clearCache()
-            try:
-                spark._jvm.System.gc()
-            except Exception:
-                pass
-            # one untimed warmup: first execution pays whole-stage-codegen
-            # JIT for the query's expression tree (10-20s for the big
-            # ones), which on a real cluster amortizes across the job;
-            # then best-of-2 timed runs to damp GC/scheduler noise
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            # 2 decimals (10 ms): per-query widths are the final line's
-            # dominant cost, and the r10 load block must fit at worst case
-            timings[name] = round(best, 2)
+            # fn lookup inside try: a renamed/unregistered query records
+            # as an error instead of sinking the whole run
+            timings[name] = measure_query(spark, queries[name], sf_dir)
         except Exception as e:  # one broken query must not sink the suite
             errors[name] = str(e).splitlines()[0][:160]
     return timings, errors
+
+
+# --- in-suite pressure defense (r10 verdict item 1) --------------------------
+# The neighbor-CPU guard catches EXTERNAL load, but BENCH_r10 shipped
+# q_dedup_clusters_lsh at 4.44 s when the code's standalone number was
+# 2.52 s — pressure from the suite's own session debris (accumulated
+# checkpoint blocks / JVM heap state on the most scheduling-sensitive
+# query), which per-query clearCache+GC demonstrably cannot always
+# drain. Defense: any scale-path query whose best-of-2 lands far above
+# its trailing-artifact band re-runs once in a FRESH SparkSession (the
+# old context's broadcasts, checkpoint RDDs and cache die with it); the
+# artifact ships the per-query minimum plus a `rerun` block recording
+# both arms, so a number that stays high is visibly load-adjudicated
+# instead of silently wrong.
+TRAILING_BAND_ROUNDS = 3
+BAND_RATIO = 1.5  # trigger: t > max(ratio * trailing_min, min + slack)
+BAND_ABS_SLACK = 0.5  # seconds; keeps sub-second noise out of the trigger
+
+
+def trailing_minima(sf: float) -> dict[str, float]:
+    """Per-query minimum over the last TRAILING_BAND_ROUNDS shipped bench
+    artifacts (BENCH_r*.json at the repo root) at the same sf — the
+    cleanest recent measurement of each query, the reference the in-suite
+    pressure trigger compares against."""
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    out: dict[str, float] = {}
+    for p in paths[-TRAILING_BAND_ROUNDS:]:
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        # the driver wraps the bench's final line under "parsed"; a raw
+        # final line (self-recorded) carries "queries" at the top level
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        try:
+            if abs(float(data.get("sf", -1.0)) - sf) > 1e-9:
+                continue
+        except (TypeError, ValueError):
+            continue
+        for name, sec in (data.get("queries") or {}).items():
+            if isinstance(sec, (int, float)):
+                out[name] = min(out.get(name, float("inf")), float(sec))
+    return out
+
+
+def band_outliers(
+    timings: dict[str, float], bands: dict[str, float]
+) -> list[str]:
+    """Scale-path queries whose in-suite best-of-2 exceeds the trailing
+    band — candidates for the fresh-session standalone arm."""
+    return [
+        n
+        for n, t in timings.items()
+        if n not in ORACLE_BASELINES
+        and n in bands
+        and t > max(BAND_RATIO * bands[n], bands[n] + BAND_ABS_SLACK)
+    ]
 
 
 def main() -> None:
@@ -893,6 +953,27 @@ def main() -> None:
             timings[name] = min(timings.get(name, float("inf")), sec)
         errors = {n: e for n, e in errors.items() if n in errors2}
 
+    # in-suite pressure arm: band-flagged queries re-measure in a fresh
+    # session; both arms ship in the load block (see trailing_minima)
+    rerun_block: dict[str, list[float]] = {}
+    suspects = band_outliers(timings, trailing_minima(sf))
+    if suspects:
+        print(
+            f"BAND_WARN in-suite outliers vs trailing artifacts: {suspects};"
+            " re-running each standalone in a fresh SparkSession",
+            flush=True,
+        )
+        spark.stop()
+        spark = get_spark(app_name="aram-etl-bench-standalone")
+        for name in suspects:
+            try:
+                standalone = measure_query(spark, queries[name], sf_dir)
+            except Exception as e:
+                errors[name] = str(e).splitlines()[0][:160]
+                continue
+            rerun_block[name] = [timings[name], standalone]
+            timings[name] = min(timings[name], standalone)
+
     scale_total = round(
         sum(t for n, t in timings.items() if n not in ORACLE_BASELINES), 3
     )
@@ -908,6 +989,8 @@ def main() -> None:
     # prefix and lands in bench_telemetry.json; the LAST line is a
     # compact headline-only JSON that always fits the tail.
     load_block = {"pre": load_pre, "nbr": nbr_shares}
+    if rerun_block:
+        load_block["rerun"] = rerun_block
     telemetry: dict = {
         # duplicated from the final line so compact_final_line may shed
         # them there without information loss

@@ -105,3 +105,67 @@ def test_headline_and_baselines_disjoint_and_registered():
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, f"headline names not in registry: {missing}"
     assert ORACLE_BASELINES <= set(HEADLINE)
+
+
+def test_band_outlier_trigger():
+    """The r11 in-suite pressure defense: a scale-path query far above
+    its trailing-artifact band triggers; baselines, unknown keys, and
+    noise-level drift do not."""
+    from bench import BAND_ABS_SLACK, BAND_RATIO, band_outliers
+
+    bands = {"q_a": 2.5, "q_b": 0.1, "q_dedup_clusters": 10.0}
+    timings = {
+        "q_a": 4.4,  # 1.76x and +1.9s over the band -> triggers
+        "q_b": 0.3,  # 3x but inside the absolute slack -> no trigger
+        "q_dedup_clusters": 99.0,  # oracle baseline -> exempt
+        "q_new": 50.0,  # no trailing artifact -> no band to compare
+    }
+    assert band_outliers(timings, bands) == ["q_a"]
+    # boundary: exactly at the threshold does not trigger
+    t = max(BAND_RATIO * 2.5, 2.5 + BAND_ABS_SLACK)
+    assert band_outliers({"q_a": t}, bands) == []
+    assert band_outliers({"q_a": t + 0.01}, bands) == ["q_a"]
+
+
+def test_trailing_minima_reads_shipped_artifacts():
+    """trailing_minima must read the repo's real BENCH artifacts (same
+    sf only) and take per-query minima across the trailing window."""
+    from bench import TRAILING_BAND_ROUNDS, trailing_minima
+
+    bands = trailing_minima(0.1)
+    assert bands, "repo ships BENCH_r*.json at sf0.1"
+    roots = sorted(
+        p
+        for p in os.listdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if p.startswith("BENCH_r") and p.endswith(".json")
+    )[-TRAILING_BAND_ROUNDS:]
+    per_query: dict[str, float] = {}
+    for p in roots:
+        data = json.load(open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), p)))
+        if isinstance(data.get("parsed"), dict):  # driver-wrapped artifact
+            data = data["parsed"]
+        if abs(float(data.get("sf", -1.0)) - 0.1) > 1e-9:
+            continue
+        for n, s in (data.get("queries") or {}).items():
+            per_query[n] = min(per_query.get(n, float("inf")), float(s))
+    assert bands == per_query
+    # a different sf has no artifacts -> empty bands, defense disarmed
+    assert trailing_minima(0.0123) == {}
+
+
+def test_realistic_line_with_rerun_block_fits():
+    """Worst plausible rerun block (three flagged queries, both arms)
+    still fits the driver tail with the judge-facing blocks intact."""
+    out = _realistic_out(
+        {"scale_tier": {"k": 10, "ratios": {n: 99.9 for n in SCALE_TIER}}}
+    )
+    out["load"]["rerun"] = {
+        "q_dedup_clusters_lsh": [44.44, 22.52],
+        "q_pagerank": [33.41, 13.41],
+        "q_textrank_keywords": [13.13, 3.13],
+    }
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(HEADLINE)
