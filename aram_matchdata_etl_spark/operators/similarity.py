@@ -1967,11 +1967,27 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the pair shuffle's partitioning; the join back to the
     assignment frame is AQE-broadcast at fixture scale. EXISTS
     keep-semantics make the result independent of pair enumeration
-    order — no sequential scan to distribute."""
+    order — no sequential scan to distribute.
+
+    The cell count is the MANDATORY scale knob: at fixed k the
+    within-cell pair space grows O(n^2/k) — measured super-linear at
+    the 10x tier (19.2-21.1x wall across runs) with the fixture k=8,
+    and measured RESTORED by scaling k with the corpus: k=80 on the
+    same 10x corpus runs 12.7s vs k=8's 97s, a 2.5x ratio (SCALE.md
+    r11 "semdedup cell knob"). The registry key pins k={k} for oracle
+    determinism; production calls semdedup_frame with
+    k ~ n / target_cell_size."""
+    return semdedup_frame(spark, sf_dir, KMEANS_K)
+
+
+def semdedup_frame(
+    spark: SparkSession, sf_dir: str, k: int, rounds: int = KMEANS_ROUNDS
+) -> DataFrame:
+    """Parameterized SemDeDup (see q_semdedup): `k` cells bound the
+    within-cell pair space to ~n^2/k; scale k with the corpus to hold
+    per-cell size (and thus total pair work per vector) constant."""
     emb = embeddings_d(spark, sf_dir)
-    cents = lloyd_centroids(
-        emb.select("vec_id", "vec"), KMEANS_K, KMEANS_ROUNDS
-    )
+    cents = lloyd_centroids(emb.select("vec_id", "vec"), k, rounds)
     best = F.sort_array(F.array(*_centroid_dist_structs(cents)))[0]
     cells = emb.select(
         "vec_id",
