@@ -354,10 +354,13 @@ BOILER_CHUNK_W = 10  # tokens per pseudo-line (fixture text has no newlines)
 BOILER_MIN_DOCS = 2  # a chunk seen in >= this many distinct docs is boilerplate
 
 
-@query(
-    "q_boilerplate_removal",
-    oracle=f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _boilerplate_sql(src: str = "documents", extra_ctes: str = "") -> str:
+    """The chunk-frequency boilerplate-removal oracle over any (doc_id,
+    text) relation ``src`` — shared by the fixture key and the Zipf twin
+    (q_boilerplate_zipf). ``extra_ctes`` (if given, ending with a comma)
+    prepends the CTEs that define ``src``."""
+    return f"""
+WITH {extra_ctes}toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
 chunks AS (
     SELECT doc_id, i AS chunk_idx,
         array_to_string(t[i * {BOILER_CHUNK_W} + 1 : i * {BOILER_CHUNK_W} + {BOILER_CHUNK_W}], ' ') AS chunk
@@ -379,8 +382,10 @@ SELECT t.doc_id,
     COALESCE(r.clean_text, '') AS clean_text,
     CAST(COALESCE(r.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept,
     CAST(ceil(len(t.t) / {BOILER_CHUNK_W}.0) AS BIGINT) AS n_chunks_total
-FROM toks t LEFT JOIN rebuilt r USING (doc_id)""",
-)
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+@query("q_boilerplate_removal", oracle=_boilerplate_sql())
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal, the CCNet/RefinedWeb "line-level dedup" pass:
     drop every pseudo-line (fixed 10-token chunk — fixture text carries no
@@ -2055,3 +2060,32 @@ def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag = flag & (frac <= F.lit(t))
     cols.append(flag.alias("passes_gopher_repetition"))
     return df.select(*cols)
+
+
+@query(
+    "q_boilerplate_zipf",
+    oracle=_boilerplate_sql(
+        "zd",
+        extra_ctes=_gopher_zipf_words_sql().strip()
+        + ",\nzd AS (SELECT doc_id, array_to_string(words, ' ') AS text FROM zdocs),\n",
+    ),
+)
+def q_boilerplate_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_boilerplate_removal on the Zipf corpus (r10 verdict gap 1): the
+    fixture's 31-word vocabulary makes cross-document 10-token chunks
+    common by accident; on the Zipf corpus chunk collisions across
+    documents are VANISHINGLY rare for natural text (doc-keyed hashes)
+    while the keyword-stuffing class (doc_id % 10 == 3) shares its
+    60-word alternating template VERBATIM across all its documents —
+    the exact shape of real web boilerplate (nav chrome, license
+    banners, SEO templates repeated across a site). The filter must
+    therefore remove exactly the 6 template chunks from every stuffed
+    doc and nothing else, giving the operator a sharp, fully predicted
+    oracle on realistic df shape (asserted chunk-for-chunk in
+    tests/test_stats_differential.py). Same SHIPPED expression graph as
+    the fixture key (boilerplate_removal core); same plan shape on top
+    of the zero-shuffle corpus generator."""
+    zd = zipf_corpus_words(spark, sf_dir).select(
+        "doc_id", F.concat_ws(" ", F.col("words")).alias("text")
+    )
+    return boilerplate_removal(zd)

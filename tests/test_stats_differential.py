@@ -2469,3 +2469,45 @@ def test_gopher_zipf_matches_python(spark):
     # pure Zipf background passes with a ~0 dup family
     for cls in range(4, 10):
         assert all(r.passes_gopher_repetition for r in by_cls[cls])
+
+
+def test_boilerplate_zipf_removes_exactly_the_stuffed_template(spark):
+    """The Zipf boilerplate twin's fully-predicted contract: the
+    keyword-stuffing class shares its first 6 ten-token chunks verbatim
+    across documents (cross-doc boilerplate), every other chunk is
+    doc-keyed-hash unique — so removal hits exactly those 6 chunks on
+    exactly the stuffed docs, and the rebuilt text equals the doc's own
+    last 60 words."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_boilerplate_zipf"](spark, SF_ORACLE).collect()
+    n_docs = len(_duck("SELECT doc_id FROM documents"))
+    assert len(rows) == n_docs
+    stuffed = [r for r in rows if r.doc_id % 10 == 3]
+    clean = [r for r in rows if r.doc_id % 10 != 3]
+    assert stuffed and clean
+    assert all(r.n_chunks_total == 12 for r in rows)
+    assert all(r.n_chunks_kept == 6 for r in stuffed)
+    assert all(r.n_chunks_kept == 12 for r in clean)
+    # the surviving text is the doc's own (hash-generated) second half
+    import hashlib
+    import math
+
+    from aram_matchdata_etl_spark.operators.text import (
+        GOPHER_ZIPF_LEN,
+        GOPHER_ZIPF_VOCAB,
+    )
+
+    def words(doc_id):
+        out = []
+        for pos in range(GOPHER_ZIPF_LEN):
+            if pos < 60:
+                out.append(str(pos % 2))
+                continue
+            h = hashlib.md5(f"{doc_id}_{pos}".encode()).hexdigest()
+            u = int(h[:8], 16) / 4294967296.0
+            out.append(str(math.floor(u * u * u * u * GOPHER_ZIPF_VOCAB)))
+        return out
+
+    for r in stuffed[:5]:
+        assert r.clean_text == " ".join(words(r.doc_id)[60:]), r.doc_id

@@ -188,3 +188,38 @@ def test_perplexity_approx_agrees_with_exact_buckets(spark):
         F.col("b_approx") == "middle", 1
     ).otherwise(2)
     assert j.filter(F.abs(rank - rank_a) > 1).count() == 0
+
+
+def test_perplexity_zipf_pathology_and_spread(spark):
+    """The Zipf twin's reason to exist: (a) real score SPREAD (the
+    31-word fixture collapses scores toward tie-breaks; the Zipf corpus
+    must not), and (b) the documented perplexity-gate pathology —
+    templated/stuffed text is maximally predictable under a
+    corpus-trained LM, so it outscores natural text COMPLETELY (every
+    stuffed doc above every natural doc), which is why the gate is
+    paired with the Gopher repetition filters."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    rows = all_queries()["q_perplexity_zipf"](spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        assert r.bucket in ("head", "middle", "tail", "unscored")
+        if r.avg_logp is not None:
+            by_lang.setdefault(r.lang, []).append(r.avg_logp)
+    assert set(by_lang) == {"rep", "stuff", "nat"}
+    # (a) non-degenerate spread within the natural class
+    nat = by_lang["nat"]
+    assert max(nat) - min(nat) > 0.1
+    # (b) complete separation: predictability loves the stuffed template
+    assert min(by_lang["stuff"]) > max(nat)
+    # suffix-copy repetition is milder but still more predictable on avg
+    assert sum(by_lang["rep"]) / len(by_lang["rep"]) > sum(nat) / len(nat)
+    # terciles are balanced per language (NTILE contract)
+    from collections import Counter
+
+    c = Counter((r.lang, r.bucket) for r in rows if r.bucket != "unscored")
+    for lang, n in (("nat", 300), ("rep", 150), ("stuff", 50)):
+        sizes = sorted(c[(lang, b)] for b in ("head", "middle", "tail"))
+        assert sum(sizes) == n and sizes[-1] - sizes[0] <= 1, (lang, sizes)
