@@ -1807,7 +1807,7 @@ zw AS (
         )
     )
 ),
-zdocs AS (
+zdocs AS MATERIALIZED (
     SELECT doc_id, array_agg(word ORDER BY pos) AS words
     FROM zw GROUP BY doc_id
 )"""
@@ -2067,7 +2067,8 @@ def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_boilerplate_sql(
         "zd",
         extra_ctes=_gopher_zipf_words_sql().strip()
-        + ",\nzd AS (SELECT doc_id, array_to_string(words, ' ') AS text FROM zdocs),\n",
+        + ",\nzd AS MATERIALIZED (SELECT doc_id, array_to_string(words, ' ')"
+        + " AS text FROM zdocs),\n",
     ),
 )
 def q_boilerplate_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:

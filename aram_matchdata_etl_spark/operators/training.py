@@ -1786,7 +1786,7 @@ def _perplexity_zipf_oracle() -> str:
     from .text import _gopher_zipf_words_sql
 
     return f"""WITH {_gopher_zipf_words_sql().strip()},
-zd AS (
+zd AS MATERIALIZED (
     SELECT doc_id, array_to_string(words, ' ') AS text,
         {_ZIPF_LANG_SQL} AS lang
     FROM zdocs
