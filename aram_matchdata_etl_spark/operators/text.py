@@ -2090,3 +2090,88 @@ def q_boilerplate_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat_ws(" ", F.col("words")).alias("text")
     )
     return boilerplate_removal(zd)
+
+
+def _zipf_curation_oracle() -> str:
+    """Compose the three Zipf-gate oracles VERBATIM as nested-WITH
+    subqueries (zero re-derivation — whatever those oracles pin, this
+    one joins), then apply the final verdict."""
+    from .training import _perplexity_zipf_oracle
+
+    rep = _gopher_zipf_oracle()
+    ppl = _perplexity_zipf_oracle()
+    boiler = _boilerplate_sql(
+        "zd",
+        extra_ctes=_gopher_zipf_words_sql().strip()
+        + ",\nzd AS MATERIALIZED (SELECT doc_id, array_to_string(words, ' ')"
+        + " AS text FROM zdocs),\n",
+    )
+    return f"""WITH rep AS (
+    SELECT doc_id, passes_gopher_repetition FROM ({rep}) g
+), ppl AS (
+    SELECT doc_id, lang, keep AS ppl_keep FROM ({ppl}) p
+), boiler AS (
+    SELECT doc_id, n_chunks_kept, n_chunks_total FROM ({boiler}) b
+)
+SELECT r.doc_id, ppl.lang, r.passes_gopher_repetition, ppl.ppl_keep,
+    b.n_chunks_kept * 1.0 / b.n_chunks_total AS boiler_frac_kept,
+    (r.passes_gopher_repetition AND ppl.ppl_keep
+     AND b.n_chunks_kept * 1.0 / b.n_chunks_total >= 0.5) AS keep_final
+FROM rep r JOIN ppl USING (doc_id) JOIN boiler b USING (doc_id)"""
+
+
+@query("q_zipf_curation_pipeline", oracle=_zipf_curation_oracle())
+def q_zipf_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-quality stack fused into one verdict per document
+    on the realistic Zipf corpus: Gopher table-A1 repetition flag
+    (q_repetition_gopher_zipf) AND CCNet per-class perplexity keep
+    (q_perplexity_zipf) AND a boilerplate-survival floor (>= half the
+    doc's chunks survive q_boilerplate_zipf's removal). The three gate
+    columns ship alongside the composite so a pipeline owner sees WHY a
+    doc dropped. Composes the SHIPPED query graphs (the registered
+    functions are called, not re-implemented) and the oracle composes
+    the three oracle strings verbatim as nested-WITH subqueries — the
+    verdict can never drift from its constituent gates.
+
+    The gates measurably interact (the reason curation stacks them):
+    the light-repetition class passes Gopher but is the LEAST
+    predictable of the repetition-language group, so the perplexity
+    tercile sends most of it to tail; heavy repetition fails Gopher
+    outright while ranking HEAD on perplexity; stuffing fails Gopher
+    and loses half its chunks to boilerplate removal. Splits asserted
+    per class in tests/test_stats_differential.py.
+
+    Scale shape: three independent branches over the zero-shuffle
+    corpus generator (in-row repetition, the LM's two count shuffles,
+    the chunk-frequency shuffle) joined twice on doc_id — doc-level
+    rows only; document bodies cross no join. At warehouse scale the
+    doc_id joins co-locate under bucketing like every other doc-keyed
+    composition here."""
+    rep = q_repetition_gopher_zipf(spark, sf_dir).select(
+        "doc_id", "passes_gopher_repetition"
+    )
+    from .training import q_perplexity_zipf
+
+    ppl = q_perplexity_zipf(spark, sf_dir).select(
+        "doc_id", "lang", F.col("keep").alias("ppl_keep")
+    )
+    boiler = q_boilerplate_zipf(spark, sf_dir).select(
+        "doc_id", "n_chunks_kept", "n_chunks_total"
+    )
+    frac = F.col("n_chunks_kept") * 1.0 / F.col("n_chunks_total")
+    return (
+        rep.join(ppl, "doc_id")
+        .join(boiler, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "passes_gopher_repetition",
+            "ppl_keep",
+            frac.alias("boiler_frac_kept"),
+            (
+                F.col("passes_gopher_repetition")
+                & F.col("ppl_keep")
+                & (frac >= 0.5)
+            ).alias("keep_final"),
+        )
+    )

@@ -2511,3 +2511,39 @@ def test_boilerplate_zipf_removes_exactly_the_stuffed_template(spark):
 
     for r in stuffed[:5]:
         assert r.clean_text == " ".join(words(r.doc_id)[60:]), r.doc_id
+
+
+def test_zipf_curation_pipeline_class_interplay(spark):
+    """The fused curation verdict's per-class contract — including the
+    measured gate INTERPLAY: heavy/moderate repetition and stuffing
+    drop on the Gopher flag; light repetition passes Gopher but is the
+    least predictable doc in its perplexity language, so the tercile
+    gate removes most of it; only natural-class docs keep at the ~2/3
+    tercile rate."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rows = all_queries()["q_zipf_curation_pipeline"](
+        spark, SF_ORACLE
+    ).collect()
+    n_docs = len(_duck("SELECT doc_id FROM documents"))
+    assert len(rows) == n_docs
+    by_cls = {}
+    for r in rows:
+        by_cls.setdefault(r.doc_id % 10, []).append(r)
+    # repetition classes 0/1 and stuffing 3: Gopher gate drops all
+    for cls in (0, 1, 3):
+        assert all(not r.passes_gopher_repetition for r in by_cls[cls])
+        assert all(not r.keep_final for r in by_cls[cls])
+    # stuffing also loses exactly half its chunks to boilerplate
+    assert all(r.boiler_frac_kept == 0.5 for r in by_cls[3])
+    # light repetition passes Gopher; the perplexity tercile does the
+    # dropping (some survive — the gate is a cut, not a wipe)
+    assert all(r.passes_gopher_repetition for r in by_cls[2])
+    kept2 = sum(r.keep_final for r in by_cls[2]) / len(by_cls[2])
+    assert 0 < kept2 < 0.67
+    # natural classes: boilerplate never fires, Gopher passes, keep
+    # rate is the tercile's ~2/3
+    nat = [r for cls in range(4, 10) for r in by_cls[cls]]
+    assert all(r.boiler_frac_kept == 1.0 for r in nat)
+    kept_nat = sum(r.keep_final for r in nat) / len(nat)
+    assert 0.55 < kept_nat < 0.78
