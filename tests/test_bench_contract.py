@@ -169,3 +169,39 @@ def test_realistic_line_with_rerun_block_fits():
     assert len(line) <= FINAL_LINE_BUDGET
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(HEADLINE)
+
+
+def test_fresh_session_rerun_arm_survives_restart():
+    """The band defense's riskiest step is the mid-run SparkSession
+    restart (spark.stop() then get_spark()): if the rebuilt session were
+    stale or unusable, the driver's bench would DIE the first time the
+    band fires — worse than the contamination it guards. Prove the
+    restart path end-to-end in a SUBPROCESS (a stop would poison the
+    suite's shared session): build a session, stop it, rebuild via the
+    same get_spark the bench uses, and run measure_query on the new
+    session against a registered scale-path query."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys
+sys.path.insert(0, %r)
+from aram_matchdata_etl_spark.session import get_spark
+from aram_matchdata_etl_spark.registry import all_queries
+from bench import measure_query
+first = get_spark(app_name="restart-arm-first", shuffle_partitions=8)
+assert first.range(3).count() == 3
+first.stop()
+fresh = get_spark(app_name="restart-arm-fresh", shuffle_partitions=8)
+sec = measure_query(fresh, all_queries()["q_groupby_sum"],
+                    "/root/testdata/sf0.01")
+assert sec >= 0.0
+assert fresh.range(3).count() == 3
+print("RESTART_ARM_OK", sec)
+""" % (repo,)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RESTART_ARM_OK" in out.stdout
