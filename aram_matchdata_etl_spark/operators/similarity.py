@@ -1980,22 +1980,72 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_frame(spark, sf_dir, KMEANS_K)
 
 
+# Above this k x d product the centroid matrix stops folding into the
+# plan as literals (expression-tree size, codegen JIT cost) and the
+# assignment argmin switches to the broadcast-frame join — the same
+# dataflow the Lloyd trainer's own update rounds use.
+SEMDEDUP_LITERAL_ARGMIN_MAX = 50_000
+
+
+def _assign_cells_via_join(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Large-k cell assignment: long-form points join a BROADCAST
+    centroid frame, per-(vec, cid) squared distance sums, min_by argmin
+    with (d, cid) tie-break — the trainer's own update dataflow, used
+    when k x d is too large to fold in as plan literals. Returns the
+    same (vec_id, vec, vnorm, cell, cdist) frame as the literal path
+    (identity asserted at small k in tests/test_northstar.py)."""
+    spark = emb.sparkSession
+    cbl = spark.createDataFrame(
+        [(cid, d, v) for cid, vec in cents for d, v in enumerate(vec)],
+        "cid long, dim int, cval double",
+    )
+    pts = emb.select("vec_id", F.posexplode("vec").alias("dim", "val"))
+    assign = (
+        pts.join(F.broadcast(cbl), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("d")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cid").alias("cell"), F.col("d").alias("cdist")),
+                F.struct("d", "cid"),
+            ).alias("best")
+        )
+        .select("vec_id", "best.cell", "best.cdist")
+    )
+    return emb.join(assign, "vec_id").select(
+        "vec_id", "vec", "vnorm", "cell", "cdist"
+    )
+
+
 def semdedup_frame(
     spark: SparkSession, sf_dir: str, k: int, rounds: int = KMEANS_ROUNDS
 ) -> DataFrame:
     """Parameterized SemDeDup (see q_semdedup): `k` cells bound the
     within-cell pair space to ~n^2/k; scale k with the corpus to hold
-    per-cell size (and thus total pair work per vector) constant."""
+    per-cell size (and thus total pair work per vector) constant. Past
+    SEMDEDUP_LITERAL_ARGMIN_MAX the assignment argmin switches from
+    plan-literal centroids to the broadcast-frame join automatically."""
     emb = embeddings_d(spark, sf_dir)
     cents = lloyd_centroids(emb.select("vec_id", "vec"), k, rounds)
-    best = F.sort_array(F.array(*_centroid_dist_structs(cents)))[0]
-    cells = emb.select(
-        "vec_id",
-        "vec",
-        "vnorm",
-        best["cid"].alias("cell"),
-        best["d"].alias("cdist"),
-    )
+    dim = len(cents[0][1]) if cents else 0
+    if k * dim > SEMDEDUP_LITERAL_ARGMIN_MAX:
+        cells = _assign_cells_via_join(emb, cents)
+    else:
+        best = F.sort_array(F.array(*_centroid_dist_structs(cents)))[0]
+        cells = emb.select(
+            "vec_id",
+            "vec",
+            "vnorm",
+            best["cid"].alias("cell"),
+            best["d"].alias("cdist"),
+        )
     a = cells.select(
         F.col("vec_id").alias("va"),
         "cell",

@@ -981,3 +981,39 @@ def test_semdedup_oracle_margin_floor(spark):
     dgaps = dgaps[dgaps != 0.0]
     assert ia.size > 0  # non-vacuous: the fixture has near-dup pairs
     assert float(dgaps.min()) > DIST_MARGIN, float(dgaps.min())
+
+
+def test_semdedup_join_argmin_matches_literal_path(spark):
+    """The large-k assignment fallback (broadcast-frame join argmin,
+    engaged past SEMDEDUP_LITERAL_ARGMIN_MAX) must produce the exact
+    same SemDeDup output as the literal-folded argmin at a k where both
+    can run — proving the switch is a physical-plan choice, not a
+    semantics change. (cdist comes from a sequential in-row fold on one
+    path and an unordered SUM on the other; the margin-floor test above
+    guarantees no decision sits within that FP gap on the fixture.)"""
+    from aram_matchdata_etl_spark.operators import similarity as sim
+
+    lit_rows = sorted(
+        map(tuple, sim.semdedup_frame(spark, SF_ORACLE, sim.KMEANS_K)
+            .collect())
+    )
+    emb = sim.embeddings_d(spark, SF_ORACLE)
+    cents = sim.lloyd_centroids(
+        emb.select("vec_id", "vec"), sim.KMEANS_K, sim.KMEANS_ROUNDS
+    )
+    # drive the private join path directly at the same k
+    joined = sim._assign_cells_via_join(emb, cents)
+    lit_best = F.sort_array(
+        F.array(*sim._centroid_dist_structs(cents))
+    )[0]
+    lit_cells = emb.select(
+        "vec_id", lit_best["cid"].alias("cell"), lit_best["d"].alias("cdist")
+    )
+    a = joined.select("vec_id", "cell", "cdist").toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = lit_cells.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert (a["cell"].to_numpy() == b["cell"].to_numpy()).all()
+    # distances agree to FP-fold-vs-SUM noise, decisions exactly
+    import numpy as np
+
+    assert np.allclose(a["cdist"], b["cdist"], rtol=1e-9, atol=1e-9)
+    assert lit_rows  # literal-path frame is non-empty (sanity)
