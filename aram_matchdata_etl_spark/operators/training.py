@@ -526,12 +526,13 @@ def _bigram_scored_ctes(src: str = "documents") -> str:
     """The bigram-LM training + scoring CTE chain over any (doc_id,
     text) relation ``src`` — shared by the fixture keys and the
     Zipf-corpus twin (q_perplexity_zipf), so both engines train the
-    identical model on the identical corpus."""
-    return _BIGRAM_SCORED_CTES.replace("FROM documents", f"FROM {src}")
-
-
-_BIGRAM_SCORED_CTES = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    identical model on the identical corpus. The source relation is an
+    explicit template parameter in exactly the two intended read sites
+    (toks, voc) — a blind post-hoc 'FROM documents' replace would also
+    rewrite any FUTURE intentional documents reference added to the
+    chain (ADVICE r11)."""
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
 big AS (
     SELECT doc_id, CONCAT(t[i], ' ', t[i + 1]) AS bg
     FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
@@ -543,7 +544,7 @@ pfx AS (
 ),
 voc AS (
     SELECT COUNT(DISTINCT w) AS v
-    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {src})
 ),
 scored AS (
     SELECT b.doc_id,
@@ -555,6 +556,9 @@ scored AS (
     CROSS JOIN voc
     GROUP BY b.doc_id
 )"""
+
+
+_BIGRAM_SCORED_CTES = _bigram_scored_ctes()
 
 
 @query(

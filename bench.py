@@ -878,13 +878,26 @@ BAND_RATIO = 1.5  # trigger: t > max(ratio * trailing_min, min + slack)
 BAND_ABS_SLACK = 0.5  # seconds; keeps sub-second noise out of the trigger
 
 
-def trailing_minima(sf: float) -> dict[str, float]:
+def _bench_round(path: str) -> int:
+    """Round number parsed from a BENCH_rNN.json filename (-1 if absent).
+    The trailing window MUST sort on this, not the raw filename: the
+    zero-padded naming sorts lexicographically only through r99
+    (BENCH_r100 < BENCH_r11), so a filename sort would silently pick the
+    wrong rounds past that (ADVICE r11)."""
+    m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def trailing_minima(sf: float, root: str | None = None) -> dict[str, float]:
     """Per-query minimum over the last TRAILING_BAND_ROUNDS shipped bench
     artifacts (BENCH_r*.json at the repo root) at the same sf — the
     cleanest recent measurement of each query, the reference the in-suite
-    pressure trigger compares against."""
-    repo_root = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    pressure trigger compares against. ``root`` overrides the artifact
+    directory (tests point it at fixture artifacts)."""
+    repo_root = root or os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(repo_root, "BENCH_r*.json")), key=_bench_round
+    )
     out: dict[str, float] = {}
     for p in paths[-TRAILING_BAND_ROUNDS:]:
         try:
@@ -969,6 +982,13 @@ def main() -> None:
             try:
                 standalone = measure_query(spark, queries[name], sf_dir)
             except Exception as e:
+                # fresh-session arm died: the in-suite number still ships
+                # (it is a real measurement) but the rerun block records
+                # the attempt as [suspect, null] so a band-flagged number
+                # never ships without visible adjudication (ADVICE r11 —
+                # previously the timing shipped clean-looking next to a
+                # contradictory errors entry for the same key)
+                rerun_block[name] = [timings[name], None]
                 errors[name] = str(e).splitlines()[0][:160]
                 continue
             rerun_block[name] = [timings[name], standalone]

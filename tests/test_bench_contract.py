@@ -127,31 +127,54 @@ def test_band_outlier_trigger():
     assert band_outliers({"q_a": t + 0.01}, bands) == ["q_a"]
 
 
-def test_trailing_minima_reads_shipped_artifacts():
-    """trailing_minima must read the repo's real BENCH artifacts (same
-    sf only) and take per-query minima across the trailing window."""
+def test_trailing_minima_window_and_minima(tmp_path):
+    """trailing_minima against HAND-WRITTEN fixture artifacts with known
+    expected minima (the previous form reimplemented the function's own
+    sort and asserted equality — tautological, ADVICE r11). The round
+    numbers deliberately stress the ordering: with files r11 r12 r13
+    r100, a lexicographic filename sort windows {r11, r12, r13}
+    (BENCH_r100 < BENCH_r11) while the correct numeric window is
+    {r12, r13, r100} — the two windows yield DIFFERENT minima here."""
     from bench import TRAILING_BAND_ROUNDS, trailing_minima
+
+    assert TRAILING_BAND_ROUNDS == 3  # fixture below is sized to this
+
+    def write(name: str, payload: dict) -> None:
+        (tmp_path / name).write_text(json.dumps(payload))
+
+    # r11 carries the global minimum (1.0) but falls OUTSIDE the numeric
+    # trailing-3 window; a lexicographic sort would include it (and drop
+    # r100, whose 4.0 is the true window minimum)
+    write("BENCH_r11.json", {"sf": 0.1, "queries": {"q_x": 1.0, "q_old": 9.0}})
+    # driver-wrapped artifact form: final line under "parsed"
+    write(
+        "BENCH_r12.json",
+        {"parsed": {"sf": 0.1, "queries": {"q_x": 5.0, "q_y": 2.0}}},
+    )
+    write("BENCH_r13.json", {"sf": 0.1, "queries": {"q_x": 6.0, "q_y": 7.5}})
+    write("BENCH_r100.json", {"sf": 0.1, "queries": {"q_x": 4.0}})
+    # old rounds outside the numeric window — but BOTH sort lexically
+    # AFTER BENCH_r13 ('2' > '1'), so a filename sort would window them:
+    # wrong sf (skipped by the sf filter) and a malformed artifact
+    # (skipped, never raises)
+    write("BENCH_r2.json", {"sf": 0.01, "queries": {"q_x": 0.01}})
+    (tmp_path / "BENCH_r3.json").write_text("{not json")
+
+    bands = trailing_minima(0.1, root=str(tmp_path))
+    assert bands == {"q_x": 4.0, "q_y": 2.0}
+    # a different sf has no artifacts -> empty bands, defense disarmed
+    assert trailing_minima(0.0123, root=str(tmp_path)) == {}
+
+
+def test_trailing_minima_reads_shipped_artifacts():
+    """Smoke on the repo's REAL artifacts: the default root resolves and
+    the shipped sf0.1 history yields non-empty bands covering the
+    long-standing headline queries."""
+    from bench import trailing_minima
 
     bands = trailing_minima(0.1)
     assert bands, "repo ships BENCH_r*.json at sf0.1"
-    roots = sorted(
-        p
-        for p in os.listdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        if p.startswith("BENCH_r") and p.endswith(".json")
-    )[-TRAILING_BAND_ROUNDS:]
-    per_query: dict[str, float] = {}
-    for p in roots:
-        data = json.load(open(os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), p)))
-        if isinstance(data.get("parsed"), dict):  # driver-wrapped artifact
-            data = data["parsed"]
-        if abs(float(data.get("sf", -1.0)) - 0.1) > 1e-9:
-            continue
-        for n, s in (data.get("queries") or {}).items():
-            per_query[n] = min(per_query.get(n, float("inf")), float(s))
-    assert bands == per_query
-    # a different sf has no artifacts -> empty bands, defense disarmed
-    assert trailing_minima(0.0123) == {}
+    assert "q_groupby_sum" in bands and bands["q_groupby_sum"] > 0
 
 
 def test_realistic_line_with_rerun_block_fits():

@@ -223,3 +223,63 @@ def test_perplexity_zipf_pathology_and_spread(spark):
     for lang, n in (("nat", 300), ("rep", 150), ("stuff", 50)):
         sizes = sorted(c[(lang, b)] for b in ("head", "middle", "tail"))
         assert sum(sizes) == n and sizes[-1] - sizes[0] <= 1, (lang, sizes)
+
+
+def test_perplexity_zipf_margin_floor():
+    """q_perplexity_zipf's hash oracle hinges on NTILE over
+    round(avg_logp, 6) with avg_logp computed by DIFFERENTLY-ORDERED
+    float summations in Spark vs DuckDB (the r8 margin-floor discipline;
+    ADVICE r11 flagged this key as the one Zipf gate without it). Two
+    floors, asserted on the UNROUNDED per-doc averages:
+
+    (a) every score sits > 1e-10 from the nearest 0.5e-6 rounding
+        boundary, so both engines round it to the SAME 6-dp value even
+        under ~n*eps cross-engine summation noise (~1e-13 here);
+    (b) within each lang, adjacent unrounded scores are either exactly
+        equal (the tie falls to the integer-exact doc_id break) or
+        differ by > 1e-10, so the NTILE order cannot flip.
+
+    sf0.01 only: the Zipf corpus is a pure function of doc_id and the
+    sf0.001 fixture has the identical 500 doc_ids (same corpus); sf0.1
+    is covered by the parity sweep + order probe per the ROADMAP
+    checklist."""
+    import math
+
+    from aram_matchdata_etl_spark.operators.text import _gopher_zipf_words_sql
+    from aram_matchdata_etl_spark.operators.training import (
+        _ZIPF_LANG_SQL,
+        _bigram_scored_ctes,
+    )
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import duckdb_df
+
+    rounded = "ROUND(AVG(LN((c_bg + 1.0) / (c_prefix + v))), 6)"
+    raw_ctes = _bigram_scored_ctes("zd").replace(
+        rounded, "AVG(LN((c_bg + 1.0) / (c_prefix + v)))"
+    )
+    assert rounded not in raw_ctes and "AVG(LN((c_bg" in raw_ctes
+    sql = f"""WITH {_gopher_zipf_words_sql().strip()},
+zd AS MATERIALIZED (
+    SELECT doc_id, array_to_string(words, ' ') AS text,
+        {_ZIPF_LANG_SQL} AS lang
+    FROM zdocs
+),
+{raw_ctes}
+SELECT d.doc_id, d.lang, s.avg_logp
+FROM zd d JOIN scored s USING (doc_id)"""
+    pdf = duckdb_df(sql, SF_ORACLE)
+    assert len(pdf) == 500  # every 120-word doc scores
+
+    BOUNDARY_MARGIN = 1e-10
+    for x in pdf["avg_logp"]:
+        scaled = x * 1e6
+        dist = abs(scaled - math.floor(scaled) - 0.5) * 1e-6
+        assert dist > BOUNDARY_MARGIN, (x, dist)
+
+    GAP_MARGIN = 1e-10
+    for _, grp in pdf.groupby("lang"):
+        vals = sorted(grp["avg_logp"])
+        for a, b in zip(vals, vals[1:]):
+            gap = b - a
+            assert gap == 0.0 or gap > GAP_MARGIN, (a, b, gap)
