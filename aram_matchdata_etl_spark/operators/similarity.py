@@ -2025,17 +2025,24 @@ def _assign_cells_via_join(
 
 
 def semdedup_frame(
-    spark: SparkSession, sf_dir: str, k: int, rounds: int = KMEANS_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    rounds: int = KMEANS_ROUNDS,
+    force_join_argmin: bool = False,
 ) -> DataFrame:
     """Parameterized SemDeDup (see q_semdedup): `k` cells bound the
     within-cell pair space to ~n^2/k; scale k with the corpus to hold
     per-cell size (and thus total pair work per vector) constant. Past
     SEMDEDUP_LITERAL_ARGMIN_MAX the assignment argmin switches from
-    plan-literal centroids to the broadcast-frame join automatically."""
+    plan-literal centroids to the broadcast-frame join automatically;
+    ``force_join_argmin`` pins the join path regardless of k x d (the
+    driver-gated twin q_semdedup_joined uses it so the 100 TB assignment
+    dataflow gets a hash verdict every round, not just a local test)."""
     emb = embeddings_d(spark, sf_dir)
     cents = lloyd_centroids(emb.select("vec_id", "vec"), k, rounds)
     dim = len(cents[0][1]) if cents else 0
-    if k * dim > SEMDEDUP_LITERAL_ARGMIN_MAX:
+    if force_join_argmin or k * dim > SEMDEDUP_LITERAL_ARGMIN_MAX:
         cells = _assign_cells_via_join(emb, cents)
     else:
         best = F.sort_array(F.array(*_centroid_dist_structs(cents)))[0]
@@ -2093,3 +2100,53 @@ def semdedup_frame(
 
 
 q_semdedup.__doc__ = q_semdedup.__doc__.format(k=KMEANS_K, r=KMEANS_ROUNDS)
+
+
+@query("q_semdedup_joined", oracle=_semdedup_oracle())
+def q_semdedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semdedup with the assignment argmin FORCED through the
+    broadcast-centroid-frame join (`_assign_cells_via_join`) — the
+    dataflow the operator uses automatically past
+    SEMDEDUP_LITERAL_ARGMIN_MAX, i.e. the path a 100 TB run with
+    corpus-scaled k actually executes. Registered under the SAME hash
+    oracle as q_semdedup: the two paths are output-identical by
+    construction (tests/test_northstar.py pins the identity), so this
+    key gives the join argmin a per-round DRIVER verdict instead of
+    only a local test (r11 verdict residual 2 — previously a
+    regression in the join path could never surface in a driver
+    round). Plan difference is pinned in tests: this form carries the
+    posexplode Generate + broadcast join; the literal path carries
+    neither."""
+    return semdedup_frame(spark, sf_dir, KMEANS_K, force_join_argmin=True)
+
+
+# Production cell sizing: k ~ n / target keeps the within-cell pair space
+# (and so total pair work per vector) constant as the corpus grows — the
+# paper's own knob (k=11k for 100M docs ~ 9k/cell; 250 here keeps the
+# fixture's per-cell pair stage comparable to q_semdedup's k=8 at sf0.1).
+SEMDEDUP_TARGET_CELL = 250
+
+
+@query("q_semdedup_scaled")
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION cell sizing: k = ceil(n /
+    SEMDEDUP_TARGET_CELL) computed from the corpus (one count job —
+    bounded driver state, like the Lloyd centroid collect), so per-cell
+    pair work stays constant as the corpus grows instead of the fixed-k
+    O(n^2/k) blow-up measured in SCALE.md "semdedup cell knob" (k=8 at
+    the 10x tier: 19.2x wall; k=80: 2.5x). This is the entry the bench
+    scale tier measures — the tier's 10x corpus gets k=80
+    automatically, so the shipped ratio tracks the knob the paper says
+    to turn, not the fixture constant pinned for oracle determinism.
+
+    Rows-only by design: k is data-dependent, and the oracle's
+    unrolled-Lloyd CTE chain is generated for a FIXED k — the hash
+    gates on this operator are q_semdedup (literal argmin, k=8) and
+    q_semdedup_joined (join argmin, same oracle); this key adds the
+    sizing policy on top, invariant-checked in tests/test_northstar.py
+    (cells within range, schema identical to q_semdedup, non-vacuous
+    drop set)."""
+    emb = embeddings_d(spark, sf_dir)
+    n = emb.count()
+    k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
+    return semdedup_frame(spark, sf_dir, k)

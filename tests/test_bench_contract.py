@@ -47,11 +47,33 @@ def test_realistic_line_with_scale_tier_fits():
     assert len(line) <= FINAL_LINE_BUDGET
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(HEADLINE)
-    # the judge-facing blocks survive worst-case widths; only the
-    # telemetry-duplicated totals may be shed
+    # the tier ratios (the judge-facing scaling factors, which exist
+    # ONLY on this line) survive even worst-case widths; load and the
+    # totals also ride the TELEMETRY line + sidecar, so they may shed
+    # under worst-case widths (r12: the r11 family joined the suite)
     assert "scale_tier" in parsed
-    assert "load" in parsed
     assert SCALE_TIER and set(SCALE_TIER) <= set(HEADLINE)
+
+
+def test_realistic_line_at_shipped_widths_keeps_everything():
+    """At the widths the suite ACTUALLY ships (r11 artifact timings plus
+    measured-scale estimates for the r12 additions), nothing sheds: the
+    final line carries queries + load + tier + both totals."""
+    prev = json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_r11.json")))["parsed"]
+    q = {n: float(prev["queries"].get(n, 9.99)) for n in HEADLINE}
+    out = _realistic_out()
+    out["queries"] = q
+    out["load"] = {"pre": 5.3, "nbr": [0.009]}
+    ratios = {n: 9.9 for n in SCALE_TIER}
+    ratios.update(prev["scale_tier"]["ratios"])
+    out["scale_tier"] = {"k": 10, "ratios": ratios}
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    for block in ("load", "scale_tier", "grand_total", "oracle_baseline_total"):
+        assert block in parsed, block
 
 
 def test_oversized_optional_blocks_shed_before_queries():

@@ -1017,3 +1017,53 @@ def test_semdedup_join_argmin_matches_literal_path(spark):
 
     assert np.allclose(a["cdist"], b["cdist"], rtol=1e-9, atol=1e-9)
     assert lit_rows  # literal-path frame is non-empty (sanity)
+
+
+def test_semdedup_joined_key_output_and_plan(spark):
+    """q_semdedup_joined (the driver-gated join-argmin twin) must (a)
+    produce EXACTLY q_semdedup's rows — they share one hash oracle, so
+    any drift would be a driver red — and (b) actually TAKE the join
+    path: its optimized plan carries the posexplode Generate node the
+    assignment join introduces, which the literal-argmin plan never has
+    (the guard against the force flag silently not engaging)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    base = qs["q_semdedup"](spark, SF_ORACLE)
+    twin = qs["q_semdedup_joined"](spark, SF_ORACLE)
+    assert base.columns == twin.columns
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    plan_twin = twin._jdf.queryExecution().optimizedPlan().toString()
+    plan_base = base._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" in plan_twin
+    assert "posexplode" not in plan_base
+
+
+def test_semdedup_scaled_key_invariants(spark):
+    """q_semdedup_scaled (production cell sizing, rows-only by design):
+    k = ceil(n / SEMDEDUP_TARGET_CELL) on the sf0.01 fixture is 2, so
+    every vector lands in cell {0, 1}; output schema matches
+    q_semdedup's; every vector appears exactly once; and the drop set
+    is non-vacuous (the fixture's planted near-dup blob survives any
+    cell partition — fewer cells can only merge blocks, never split a
+    near-dup pair's cell... unless k-means separates them, which the
+    assertion would catch)."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        SEMDEDUP_TARGET_CELL,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["q_semdedup_scaled"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n == 500 and len({r.vec_id for r in rows}) == n
+    k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
+    assert {r.cell for r in rows} <= set(range(k))
+    base = qs["q_semdedup"](spark, SF_ORACLE)
+    assert [f.name for f in base.schema.fields] == [
+        "vec_id", "cell", "n_neardups", "is_kept",
+    ] == list(rows[0].asDict())
+    dropped = sum(1 for r in rows if not r.is_kept)
+    assert 0 < dropped < n
