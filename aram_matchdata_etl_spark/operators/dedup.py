@@ -941,11 +941,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_clusters_lsh",
-    oracle="WITH RECURSIVE "
-    + _lsh_ctes()
-    + """,
+def _clusters_lsh_oracle() -> str:
+    """Full q_dedup_clusters_lsh oracle (LSH pair set + recursive-CTE
+    closure) as a reusable string — the q_corpus_prep capstone composes
+    it verbatim as a subquery."""
+    return (
+        "WITH RECURSIVE "
+        + _lsh_ctes()
+        + """,
 edges AS (
     SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
     UNION ALL
@@ -958,8 +961,11 @@ reach(u, label) AS (
 )
 SELECT u AS doc_id, MIN(label) AS cluster_id,
     (u = MIN(label)) AS is_canonical
-FROM reach GROUP BY u""",
-)
+FROM reach GROUP BY u"""
+    )
+
+
+@query("q_dedup_clusters_lsh", oracle=_clusters_lsh_oracle())
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full sub-quadratic dedup pipeline end-to-end: MinHash+LSH
     candidates → exact-Jaccard verification → connected components →

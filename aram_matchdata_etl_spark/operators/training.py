@@ -718,15 +718,19 @@ PACK_BUDGET = 256  # tokens per packed training sequence
 PACK_SHARDS = 16
 
 
-@query(
-    "q_pack_sequences",
-    oracle=f"""
+def _pack_oracle(src: str = "documents") -> str:
+    """The sequence-packing oracle over any (doc_id, text) relation
+    ``src`` (explicit template parameter, same discipline as
+    _bigram_scored_ctes / _boilerplate_sql) — shared by the fixture key
+    and the q_corpus_prep capstone, which packs only the docs surviving
+    its gate + dedup stages."""
+    return f"""
 WITH chunks AS (
     SELECT doc_id,
         CAST({_bucket_sql("doc_id", PACK_SHARDS)} AS BIGINT) AS shard,
         CAST(i AS INTEGER) AS chunk_id,
         CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_TOKENS}) AS INTEGER) AS chunk_tokens
-    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents) d,
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM {src}) d,
         UNNEST(generate_series(0,
             CAST(ceil(n / {CHUNK_TOKENS}.0) AS INT) - 1)) AS g(i)
 ),
@@ -741,8 +745,10 @@ SELECT shard, doc_id, chunk_id, chunk_tokens,
     CAST(cum - chunk_tokens
         - floor((cum - chunk_tokens) / {PACK_BUDGET}.0) * {PACK_BUDGET}
         AS BIGINT) AS pack_offset
-FROM packed""",
-)
+FROM packed"""
+
+
+@query("q_pack_sequences", oracle=_pack_oracle())
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign every {CHUNK_TOKENS}-token chunk to a
     fixed-budget training pack ({PACK_BUDGET} tokens) — the
@@ -757,7 +763,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, thousands) and each shard packs independently: one exchange on
     shard, window within shard, embarrassingly parallel across shards.
     Pure integer arithmetic → bit-identical to the oracle."""
-    docs = _docs(spark, sf_dir).select(
+    return pack_sequences_frame(_docs(spark, sf_dir))
+
+
+def pack_sequences_frame(src: DataFrame) -> DataFrame:
+    """Core of q_pack_sequences over any (doc_id, text, ...) relation —
+    the q_corpus_prep capstone packs its survivor set through this same
+    shipped graph."""
+    docs = src.select(
         "doc_id",
         hash_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard"),
         F.size(F.split(F.col("text"), " ")).alias("n"),
@@ -1426,9 +1439,10 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- CCNet-style perplexity buckets -----------------------------------------
 
 
-@query(
-    "q_perplexity_buckets",
-    oracle=f"""
+def _perplexity_buckets_oracle() -> str:
+    """Full q_perplexity_buckets oracle as a reusable string — the
+    q_corpus_prep capstone composes it verbatim as a subquery."""
+    return f"""
 WITH {_BIGRAM_SCORED_CTES},
 joined AS (
     SELECT d.doc_id, d.lang, s.avg_logp
@@ -1445,8 +1459,10 @@ SELECT doc_id, lang, avg_logp, bucket, bucket <> 'tail' AS keep
 FROM bucketed
 UNION ALL
 SELECT doc_id, lang, avg_logp, 'unscored' AS bucket, FALSE AS keep
-FROM joined WHERE avg_logp IS NULL""",
-)
+FROM joined WHERE avg_logp IS NULL"""
+
+
+@query("q_perplexity_buckets", oracle=_perplexity_buckets_oracle())
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's perplexity-bucket filter (Wenzek et al. 2020): score every
     doc with the corpus-trained bigram LM, then split each LANGUAGE into

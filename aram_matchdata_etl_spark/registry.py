@@ -198,6 +198,9 @@ def _load_operator_modules() -> None:
         training,
         web,
     )
+    # imported AFTER its constituents: the capstone's oracle composes
+    # text/training/dedup/similarity oracle strings at decoration time
+    from .operators import pipelines  # noqa: F401
 
 
 def _sampled_rounds() -> dict[str, tuple[int, bool, bool]]:

@@ -1,0 +1,126 @@
+"""q_corpus_prep — the end-to-end corpus-prep capstone (r12): every
+stage must filter a real, distinct subset, the keep rule must equal an
+independent rederivation from the constituent keys, and the packing
+must demonstrably run over the SURVIVOR corpus (not a filter of the
+all-corpus packing). Oracle parity itself rides test_oracle_parity.py
+like every hash-oracled key."""
+
+from __future__ import annotations
+
+from .conftest import SF_ORACLE
+
+
+def _stage_maps(spark):
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    rep = {
+        r.doc_id: r.passes_repetition
+        for r in qs["q_repetition_signals"](spark, SF_ORACLE).collect()
+    }
+    ppl = {
+        r.doc_id: r.keep
+        for r in qs["q_perplexity_buckets"](spark, SF_ORACLE).collect()
+    }
+    boiler = {
+        r.doc_id: (r.n_chunks_kept / r.n_chunks_total) >= 0.5
+        for r in qs["q_boilerplate_removal"](spark, SF_ORACLE).collect()
+    }
+    nd = {
+        r.doc_id: r.is_canonical
+        for r in qs["q_dedup_clusters_lsh"](spark, SF_ORACLE).collect()
+    }
+    sem = {
+        r.vec_id: r.is_kept
+        for r in qs["q_semdedup"](spark, SF_ORACLE).collect()
+    }
+    return rep, ppl, boiler, nd, sem
+
+
+def test_corpus_prep_keep_rule_and_stage_bindingness(spark):
+    """Independent rederivation of the survivor set from the five
+    constituent keys; every stage's fail set is non-empty, and four of
+    the five are INDIVIDUALLY binding on the sf0.01 fixture (a doc that
+    passes everything else fails exactly that stage) — near-dup
+    non-canonicals happen to correlate fully with other failures at
+    this SF (they are near-COPIES of docs sharing the same gate
+    verdicts), which is itself asserted so a fixture change that breaks
+    the correlation shows up here."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    rep, ppl, boiler, nd, sem = _stage_maps(spark)
+    docs = sorted(rep)
+    assert len(docs) == 500
+
+    fails = {
+        "rep": {d for d in docs if not rep[d]},
+        "ppl": {d for d in docs if not ppl[d]},
+        "boiler": {d for d in docs if not boiler[d]},
+        "nd": {d for d in docs if not nd[d]},
+        "sem": {d for d in docs if not sem.get(d, True)},
+    }
+    for name, f in fails.items():
+        assert f, f"stage {name} filters nothing — vacuous fixture"
+    # the stages disagree pairwise (they measure different things)
+    names = sorted(fails)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            assert fails[a] != fails[b], (a, b)
+
+    survivors = {
+        d
+        for d in docs
+        if rep[d] and ppl[d] and boiler[d] and nd[d] and sem.get(d, True)
+    }
+    assert 0 < len(survivors) < len(docs)
+
+    def only_fails(stage: str, d) -> bool:
+        return all(d in fails[s] if s == stage else d not in fails[s]
+                   for s in fails)
+
+    for stage in ("rep", "ppl", "boiler", "sem"):
+        assert any(only_fails(stage, d) for d in docs), (
+            f"stage {stage} never individually binding"
+        )
+    assert not any(only_fails("nd", d) for d in docs)  # see docstring
+
+    got = all_queries()["q_corpus_prep"](spark, SF_ORACLE)
+    packed_docs = {r.doc_id for r in got.select("doc_id").distinct().collect()}
+    assert packed_docs == survivors
+
+
+def test_corpus_prep_repacks_the_survivor_corpus(spark):
+    """The capstone must PACK the survivor corpus, not filter the
+    all-corpus packing: pack ids are running token sums per shard, so
+    dropping any earlier doc shifts later assignments. Assert at least
+    one surviving chunk carries a different (pack_id, pack_offset) than
+    it does in q_pack_sequences over the full corpus — if this ever
+    goes empty, the composition silently degenerated to a post-filter."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    cap = {
+        (r.doc_id, r.chunk_id): (r.pack_id, r.pack_offset)
+        for r in qs["q_corpus_prep"](spark, SF_ORACLE).collect()
+    }
+    full = {
+        (r.doc_id, r.chunk_id): (r.pack_id, r.pack_offset)
+        for r in qs["q_pack_sequences"](spark, SF_ORACLE).collect()
+    }
+    assert cap and set(cap) <= set(full)
+    moved = [k for k, v in cap.items() if full[k] != v]
+    assert moved, "survivor packing identical to all-corpus packing"
+
+
+def test_corpus_prep_output_is_integer_exact(spark):
+    """Driver-hash safety: every output column is integral (the same
+    exact-integer contract as q_pack_sequences)."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_corpus_prep"](spark, SF_ORACLE)
+    assert [f.name for f in df.schema.fields] == [
+        "shard", "doc_id", "chunk_id", "chunk_tokens", "pack_id",
+        "pack_offset",
+    ]
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert all(t in ("bigint", "int") for t in kinds.values()), kinds
