@@ -2024,12 +2024,34 @@ def _assign_cells_via_join(
     )
 
 
+# Hot-cell defense (the LSH AUTO_BUCKET_CAP analogue, r11 verdict
+# optional item 6): k-means adapts cell sizes on natural corpora, but a
+# planted near-duplicate BLOB — b near-identical vectors — lands in one
+# cell no matter what k is, and the within-cell self-join then emits
+# C(b, 2) pairs out of one task (b = 1M clones -> 5e11 pairs, the same
+# quadratic cliff as a degenerate LSH bucket). Under the cap, each
+# oversized cell keeps only its md5-order-first members for the PAIR
+# stage (deterministic, content-independent); uncapped members keep
+# is_kept = TRUE (no evidence against them). Recall loss is confined to
+# oversized cells, and in production EXACT dedup runs first (byte-hash
+# for text, quantized-vector hash for embeddings), which collapses the
+# identical cores such blobs are made of. C(512, 2) = 130,816 pairs is
+# the per-cell worst case under the cap — one comfortable task.
+SEMDEDUP_AUTO_CELL_CAP = 512
+# Observability for bench/tests ONLY (same contract as LSH_TELEMETRY):
+# unsynchronized, last-writer-wins per tag.
+SEMDEDUP_TELEMETRY: dict = {}
+
+
 def semdedup_frame(
     spark: SparkSession,
     sf_dir: str,
     k: int,
     rounds: int = KMEANS_ROUNDS,
     force_join_argmin: bool = False,
+    emb: DataFrame | None = None,
+    cell_cap: int | str | None = None,
+    tag: str = "default",
 ) -> DataFrame:
     """Parameterized SemDeDup (see q_semdedup): `k` cells bound the
     within-cell pair space to ~n^2/k; scale k with the corpus to hold
@@ -2038,8 +2060,19 @@ def semdedup_frame(
     plan-literal centroids to the broadcast-frame join automatically;
     ``force_join_argmin`` pins the join path regardless of k x d (the
     driver-gated twin q_semdedup_joined uses it so the 100 TB assignment
-    dataflow gets a hash verdict every round, not just a local test)."""
-    emb = embeddings_d(spark, sf_dir)
+    dataflow gets a hash verdict every round, not just a local test).
+
+    ``emb`` overrides the corpus (any (vec_id, vec, vnorm) frame — the
+    skew microbench passes a synthetic blob corpus); default is the
+    fixture embeddings table. ``cell_cap`` is the hot-cell defense (see
+    SEMDEDUP_AUTO_CELL_CAP): None = exact, oracle-identical pair set
+    (every registered key); an int caps each cell's pair-stage
+    membership at that many md5-order-first members; "auto" runs one
+    max-cell-size probe (a single count agg — skew-immune group state)
+    and engages the cap at SEMDEDUP_AUTO_CELL_CAP only when some cell
+    exceeds it, recording the verdict in SEMDEDUP_TELEMETRY[tag]."""
+    if emb is None:
+        emb = embeddings_d(spark, sf_dir)
     cents = lloyd_centroids(emb.select("vec_id", "vec"), k, rounds)
     dim = len(cents[0][1]) if cents else 0
     if force_join_argmin or k * dim > SEMDEDUP_LITERAL_ARGMIN_MAX:
@@ -2053,14 +2086,38 @@ def semdedup_frame(
             best["cid"].alias("cell"),
             best["d"].alias("cdist"),
         )
-    a = cells.select(
+    pair_cells = cells
+    if cell_cap == "auto":
+        probe = (
+            cells.groupBy("cell")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()
+        )
+        max_cell = int(probe[0]["mx"] or 0)
+        engaged = max_cell > SEMDEDUP_AUTO_CELL_CAP
+        SEMDEDUP_TELEMETRY[tag] = {
+            "max_cell": max_cell,
+            "cap_engaged": engaged,
+        }
+        cell_cap = SEMDEDUP_AUTO_CELL_CAP if engaged else None
+    if cell_cap is not None:
+        wc = Window.partitionBy("cell").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        pair_cells = (
+            cells.withColumn("crn", F.row_number().over(wc))
+            .filter(F.col("crn") <= cell_cap)
+            .drop("crn")
+        )
+    a = pair_cells.select(
         F.col("vec_id").alias("va"),
         "cell",
         F.col("vec").alias("vec_a"),
         F.col("vnorm").alias("norm_a"),
         F.col("cdist").alias("da"),
     )
-    b = cells.select(
+    b = pair_cells.select(
         F.col("vec_id").alias("vb"),
         "cell",
         F.col("vec").alias("vec_b"),

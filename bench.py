@@ -409,6 +409,72 @@ def lsh_skew_microbench(spark) -> dict:
     return out
 
 
+def semdedup_skew_microbench(spark) -> dict:
+    """Hot-CELL stress for SemDeDup (r11 verdict item 6 — the knob
+    analysis assumes roughly balanced cells, but real web embeddings
+    cluster heavily): 50k spread vectors + ONE blob of 3k near-identical
+    vectors (pairwise cosine ~ 1). k-means puts the whole blob in one
+    cell regardless of k, so the uncapped within-cell self-join emits
+    C(3k, 2) ~ 4.5M pairs out of ONE task — at 100 TB the same shape
+    with a 1M-clone cluster is 5e11 pairs from one straggler. Measures
+    wall + per-vector keep stats uncapped vs cell_cap='auto' (the
+    SEMDEDUP_AUTO_CELL_CAP md5-order cap, exact outside oversized
+    cells — tests/test_skew.py proves the semantics). In production the
+    quantized-vector exact dedup runs first, so true clone blobs
+    collapse before this stage; the cap covers the near-clone residue."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aram_matchdata_etl_spark.operators.similarity import (
+        SEMDEDUP_TELEMETRY,
+        norm,
+        semdedup_frame,
+    )
+
+    n_spread, n_hot, d, k = 50_000, 3_000, 16, 400
+    ids = spark.range(n_spread + n_hot, numPartitions=32)
+    is_hot = F.col("id") >= n_spread
+
+    def comp(j: int):
+        hot = 1.0 + F.pmod(
+            F.xxhash64(F.col("id") * 31 + F.lit(j)), F.lit(1000)
+        ).cast("double") / 1e7
+        spread = (
+            F.pmod(F.xxhash64(F.col("id") * 97 + F.lit(j)), F.lit(2000))
+            .cast("double")
+            - 1000.0
+        ) / 100.0
+        return F.when(is_hot, hot).otherwise(spread)
+
+    emb = (
+        ids.select(
+            F.col("id").alias("vec_id"),
+            F.array(*[comp(j) for j in range(d)]).alias("vec"),
+        )
+        .withColumn("vnorm", norm(F.col("vec")))
+        .localCheckpoint()
+    )
+    out: dict = {"n_vectors": n_spread + n_hot, "blob": n_hot, "k": k}
+    # force_join_argmin: k=400 as literal structs would bloat codegen;
+    # the broadcast-frame join IS the large-k production dataflow
+    for label, cap in (("uncapped", None), ("auto", "auto")):
+        frame = semdedup_frame(
+            spark, "", k, force_join_argmin=True, emb=emb,
+            cell_cap=cap, tag="bench_sd_skew",
+        )
+        frame.write.format("noop").mode("overwrite").save()  # warmup
+        t0 = _t.perf_counter()
+        dropped = frame.filter(~F.col("is_kept")).count()
+        out[label] = {
+            "sec": round(_t.perf_counter() - t0, 3),
+            "dropped": int(dropped),
+        }
+    out["auto_probe"] = SEMDEDUP_TELEMETRY.get("bench_sd_skew", {})
+    emb.unpersist()
+    return out
+
+
 def market_skew_microbench(spark) -> dict:
     """Skew-stress the market-basket pair join: within-basket pair
     generation costs sum(b_i^2), so ONE hoarder basket (~4.9k distinct
@@ -1075,6 +1141,12 @@ def main() -> None:
         telemetry["microbench"]["lsh_skew"] = lsh_skew_microbench(spark)
     except Exception as e:
         telemetry["microbench"]["lsh_skew"] = {"error": str(e)[:160]}
+    try:
+        telemetry["microbench"]["semdedup_skew"] = semdedup_skew_microbench(
+            spark
+        )
+    except Exception as e:
+        telemetry["microbench"]["semdedup_skew"] = {"error": str(e)[:160]}
 
     # 10x replicated-fixture tier: compact ratios go on the final line
     # (the judge-facing scaling factors), full seconds + build cost to

@@ -255,3 +255,126 @@ def test_lsh_bucket_cap_auto_probe(spark):
         1 for p in auto_hot if p[0] in hot_ids and p[1] in hot_ids
     )
     assert n_hot_pairs < n_hot * (n_hot - 1) // 2
+
+
+# --- semdedup hot-cell cap (r12: the LSH bucket-cap analogue) ---------------
+
+
+def _synthetic_blob_emb(spark, n_spread: int, n_hot: int, d: int = 8):
+    """(vec_id, vec, vnorm) frame: n_spread pseudo-random vectors (pair
+    cosines scattered) + one blob of n_hot NEAR-identical vectors
+    (all-ones plus ~1e-4 deterministic noise — pairwise cosine ~ 1.0,
+    the planted semantic-duplicate shape real web embeddings produce).
+    k-means puts the whole blob in ONE cell no matter what k is."""
+    from aram_matchdata_etl_spark.operators.similarity import norm
+
+    ids = spark.range(n_spread + n_hot, numPartitions=8)
+    is_hot = F.col("id") >= n_spread
+
+    def comp(j: int):
+        hot = 1.0 + F.pmod(
+            F.xxhash64(F.col("id") * 31 + F.lit(j)), F.lit(1000)
+        ).cast("double") / 1e7
+        spread = (
+            F.pmod(F.xxhash64(F.col("id") * 97 + F.lit(j)), F.lit(2000))
+            .cast("double")
+            - 1000.0
+        ) / 100.0
+        return F.when(is_hot, hot).otherwise(spread)
+
+    return ids.select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(d)]).alias("vec"),
+    ).withColumn("vnorm", norm(F.col("vec")))
+
+
+def test_semdedup_cell_cap_bounds_hot_cell_pairs(spark):
+    """A blob of b near-identical vectors puts C(b, 2) cosine pairs in
+    one cell; with cell_cap=C the hot cell's pair stage keeps only its
+    C md5-order-first members, every smaller cell is untouched, and
+    capped-out members keep is_kept=TRUE (no evidence)."""
+    from aram_matchdata_etl_spark.operators.similarity import semdedup_frame
+
+    # cap chosen ABOVE the ~20-member spread cells (only the 50-member
+    # blob cell is oversized) so the exactness-outside claim is testable
+    n_spread, n_hot, k, cap = 80, 50, 4, 32
+    emb = _synthetic_blob_emb(spark, n_spread, n_hot).localCheckpoint()
+    plain = {
+        r.vec_id: r
+        for r in semdedup_frame(spark, "", k, emb=emb).collect()
+    }
+    capped = {
+        r.vec_id: r
+        for r in semdedup_frame(spark, "", k, emb=emb, cell_cap=cap).collect()
+    }
+    assert set(plain) == set(capped) == set(range(n_spread + n_hot))
+    hot_ids = set(range(n_spread, n_spread + n_hot))
+    # uncapped: the blob is one complete near-dup graph in one cell —
+    # every member sees all the others, exactly one survivor
+    hot_cell = {plain[v].cell for v in hot_ids}
+    assert len(hot_cell) == 1
+    # >= rather than ==: spread vectors sharing the blob's cell can add
+    # extra near-dup edges on top of the complete blob graph
+    assert all(plain[v].n_neardups >= n_hot - 1 for v in hot_ids)
+    assert sum(1 for v in hot_ids if plain[v].is_kept) <= 1
+    # capped: hot-cell degrees bounded by the cap; capped-out members
+    # carry no evidence (0 neardups, kept)
+    assert all(capped[v].n_neardups <= cap - 1 for v in hot_ids)
+    assert sum(1 for v in hot_ids if capped[v].n_neardups > 0) <= cap
+    assert sum(1 for v in hot_ids if capped[v].is_kept) >= 1
+    # every vector OUTSIDE the oversized cell is bit-identical
+    oversized = hot_cell.pop()
+    for v, r in plain.items():
+        if r.cell != oversized:
+            assert tuple(r) == tuple(capped[v]), v
+
+
+def test_semdedup_cell_cap_auto_probe(spark):
+    """cell_cap='auto': one max-cell-size agg decides. Benign corpus →
+    exact output, verdict not engaged; blob past SEMDEDUP_AUTO_CELL_CAP
+    → cap engages at the threshold and equals the manual-cap output."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        SEMDEDUP_AUTO_CELL_CAP,
+        SEMDEDUP_TELEMETRY,
+        semdedup_frame,
+    )
+
+    k = 4
+    benign = _synthetic_blob_emb(spark, 120, 8).localCheckpoint()
+    exact = sorted(
+        map(tuple, semdedup_frame(spark, "", k, emb=benign).collect())
+    )
+    auto = sorted(
+        map(
+            tuple,
+            semdedup_frame(
+                spark, "", k, emb=benign, cell_cap="auto", tag="sd_benign"
+            ).collect(),
+        )
+    )
+    assert auto == exact
+    t = SEMDEDUP_TELEMETRY["sd_benign"]
+    assert t["cap_engaged"] is False
+    assert 8 <= t["max_cell"] <= SEMDEDUP_AUTO_CELL_CAP
+
+    n_hot = SEMDEDUP_AUTO_CELL_CAP + 48
+    hot = _synthetic_blob_emb(spark, 100, n_hot).localCheckpoint()
+    auto_hot = sorted(
+        map(
+            tuple,
+            semdedup_frame(
+                spark, "", k, emb=hot, cell_cap="auto", tag="sd_hot"
+            ).collect(),
+        )
+    )
+    manual_hot = sorted(
+        map(
+            tuple,
+            semdedup_frame(
+                spark, "", k, emb=hot, cell_cap=SEMDEDUP_AUTO_CELL_CAP
+            ).collect(),
+        )
+    )
+    t = SEMDEDUP_TELEMETRY["sd_hot"]
+    assert t["cap_engaged"] is True and t["max_cell"] >= n_hot
+    assert auto_hot == manual_hot
