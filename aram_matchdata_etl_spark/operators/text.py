@@ -2017,28 +2017,27 @@ FROM (
 ) t"""
 
 
-@query("q_repetition_gopher_zipf", oracle=_gopher_zipf_oracle())
-def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher repetition filters at FULL table-A1 strength (Rae et al.
-    2021): fraction of characters in the most frequent 2/3/4-gram and
-    the paper-exact UNION fraction of characters in duplicated
-    5..10-grams, each against the paper's own threshold, over a
-    deterministic Zipf-vocabulary corpus with planted repetition classes
-    (module comment above GOPHER_ZIPF_LEN) — the shape the 31-word
-    fixture cannot exercise. The pass/fail split is non-trivial by
-    construction (template duplication and keyword stuffing fail on
-    DIFFERENT thresholds; pure-Zipf docs pass with live dup2-level
-    signal) and asserted in tests/test_stats_differential.py together
-    with a pure-Python rederivation of both the generator and the
-    union metrics.
+@query("q_repetition_gopher_zipf_hof", oracle=_gopher_zipf_oracle())
+def q_repetition_gopher_zipf_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function twin of q_repetition_gopher_zipf — the r11
+    original, now the measured LOSER of the r12 twin race (SCALE.md
+    "Round-12: gopher twins": 4.31 s vs the Arrow kernel's 1.26 s at
+    1x, 27.3 s vs 6.8 s at the 10x tier — interpreted Catalyst lambda
+    evaluation is the whole gap; both plans are zero-exchange per-row
+    maps, so the constant IS the bill at 100 TB). Kept registered under
+    the same oracle per the repo's twin discipline: it is the
+    all-JVM form (no Python workers — the right plan where executors
+    cannot host them), and a second independent implementation that
+    hash-checks against the same oracle every rotation.
 
-    Scale: corpus generation AND all nine gram statistics are narrow
-    in-row expressions (transform + the shared _rl_stats fold for top-n;
-    sorted-neighbor duplicate marking + an O(dups) interval-union fold
-    for dup-n) — the whole query is one codegen'd projection chain with
-    ZERO exchanges (plan-pinned), so it partitions perfectly at any
-    corpus size. Per-doc cost is O(9 x d log d) plus one O(d^2)-char
-    offset table (d = 120 words, built once, shared by all six unions)."""
+    Semantics and output: identical to q_repetition_gopher_zipf
+    bit-for-bit (same exact integer statistics, same IEEE divisions);
+    see that key's docstring for the metric definitions.
+
+    Per-doc cost is O(9 x d log d) (transform + the shared _rl_stats
+    fold for top-n; sorted-neighbor duplicate marking + an O(dups)
+    interval-union fold for dup-n) plus one O(d^2)-char offset table
+    (d = 120 words, built once, shared by all six unions)."""
     df = zipf_corpus_words(spark, sf_dir)
     n_chars = F.length(F.concat_ws(" ", F.col("words"))).cast("bigint")
     df = df.withColumn("n_chars", n_chars).withColumn(
@@ -2060,6 +2059,157 @@ def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag = flag & (frac <= F.lit(t))
     cols.append(flag.alias("passes_gopher_repetition"))
     return df.select(*cols)
+
+
+def _gopher_stats_arrow_batches(it):
+    """numpy kernel behind q_repetition_gopher_zipf_arrow: per Arrow
+    batch, compute the INTEGER gram statistics (top-n best = max
+    count x chars; dup-n cov = exact positional interval union) for all
+    nine n simultaneously, vectorized ACROSS documents — no per-gram
+    string is ever built. Words factorize to integer codes once per
+    batch; an m-gram's identity is its (doc, code_1..code_m) row viewed
+    as one void scalar, so np.unique gives counts + first-occurrence
+    lengths exactly; the interval union is a segmented running-max
+    (groups offset by a per-doc constant larger than any document's
+    char length, so np.maximum.accumulate never leaks across docs —
+    clamping the shifted carry-in at 0 reproduces the oracle's
+    COALESCE(prev_end, 0))."""
+    import numpy as np
+    import pandas as pd
+
+    ms_top = tuple(GOPHER_TOP_MAX)
+    ms_dup = tuple(GOPHER_DUP_MAX)
+    out_cols = (
+        ["doc_id"]
+        + [f"best{m}" for m in ms_top]
+        + [f"cov{m}" for m in ms_dup]
+        + ["n_chars"]
+    )
+    for pdf in it:
+        B = len(pdf)
+        if B == 0:
+            continue
+        res: dict = {"doc_id": pdf["doc_id"].to_numpy()}
+        words_lists = [np.asarray(w, dtype=object) for w in pdf["words"]]
+        counts = np.array([len(w) for w in words_lists], dtype=np.int64)
+        total = int(counts.sum())
+        zeros = np.zeros(B, dtype=np.int64)
+        if total == 0:
+            for m in ms_top:
+                res[f"best{m}"] = zeros
+            for m in ms_dup:
+                res[f"cov{m}"] = zeros
+            res["n_chars"] = zeros
+            yield pd.DataFrame(res)[out_cols]
+            continue
+        flat = np.concatenate(words_lists)
+        codes, uniques = pd.factorize(flat)
+        ulen = np.fromiter(
+            (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+        )
+        wlen = ulen[codes]
+        docix = np.repeat(np.arange(B, dtype=np.int64), counts)
+        # char offset of token t inside its doc's single-space join:
+        # cumulative (len + 1) of the doc's preceding tokens
+        cum = np.concatenate([[0], np.cumsum(wlen + 1)])
+        doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        off = cum[:-1] - cum[doc_start][docix]
+        # joined length = sum(len) + (count - 1); empty doc clamps to 0
+        n_chars = np.maximum(cum[np.cumsum(counts)] - cum[doc_start] - 1, 0)
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_start[docix]
+        BIG = int(n_chars.max()) + 2
+        for m in ms_top + ms_dup:
+            col = f"best{m}" if m in GOPHER_TOP_MAX else f"cov{m}"
+            t = np.nonzero(pos_in_doc <= counts[docix] - m)[0]
+            if t.size == 0:
+                res[col] = zeros.copy()
+                continue
+            K = np.empty((t.size, m + 1), dtype=np.int64)
+            K[:, 0] = docix[t]
+            for j in range(m):
+                K[:, j + 1] = codes[t + j]
+            kv = np.ascontiguousarray(K).view(
+                np.dtype((np.void, K.dtype.itemsize * (m + 1)))
+            ).ravel()
+            _, first, inv, cnt = np.unique(
+                kv, return_index=True, return_inverse=True, return_counts=True
+            )
+            glen = off[t + m - 1] + wlen[t + m - 1] - off[t]
+            gdoc = docix[t]
+            if m in GOPHER_TOP_MAX:
+                best = zeros.copy()
+                np.maximum.at(best, gdoc[first], cnt * glen[first])
+                res[col] = best
+            else:
+                dup = cnt[inv] >= 2
+                cov = zeros.copy()
+                if dup.any():
+                    s = off[t[dup]]
+                    e = s + glen[dup]
+                    g = gdoc[dup]
+                    # t ascending => (g, s) ascending: already union-ready
+                    shifted = e + g * BIG
+                    prev = np.empty_like(shifted)
+                    prev[0] = -1
+                    np.maximum.accumulate(shifted[:-1], out=prev[1:])
+                    prev_end = np.maximum(prev - g * BIG, 0)
+                    np.add.at(
+                        cov, g, np.maximum(e - np.maximum(s, prev_end), 0)
+                    )
+                res[col] = cov
+        res["n_chars"] = n_chars
+        yield pd.DataFrame(res)[out_cols]
+
+
+@query("q_repetition_gopher_zipf", oracle=_gopher_zipf_oracle())
+def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters at FULL table-A1 strength (Rae et al.
+    2021): fraction of characters in the most frequent 2/3/4-gram and
+    the paper-exact UNION fraction of characters in duplicated
+    5..10-grams, each against the paper's own threshold, over a
+    deterministic Zipf-vocabulary corpus with planted repetition classes
+    (module comment above GOPHER_ZIPF_LEN) — the shape the 31-word
+    fixture cannot exercise. The pass/fail split is non-trivial by
+    construction (template duplication and keyword stuffing fail on
+    DIFFERENT thresholds; pure-Zipf docs pass with live dup2-level
+    signal) and asserted in tests/test_stats_differential.py together
+    with a pure-Python rederivation of both the generator and the
+    union metrics.
+
+    Shipped plan (r12 twin race, VERDICT r11 "what's wrong" 1): the
+    Arrow-vectorized numpy kernel (_gopher_stats_arrow_batches), which
+    beat the r11 interpreted-HOF form 1.26 s vs 4.31 s at 1x and 6.8 s
+    vs 27.3 s at the 10x tier (SCALE.md "Round-12: gopher twins"); the
+    HOF form stays registered as q_repetition_gopher_zipf_hof under the
+    same oracle, bit-equal by construction. Both plans are zero-exchange
+    per-row maps (mapInPandas is an ArrowEvalPython stage, NOT a
+    shuffle — the no-corpus-shuffle plan pin in tests/test_plans.py
+    holds for both), so the 100 TB posture is unchanged: partition
+    count is the only knob, and the race bought a ~3.4x smaller per-doc
+    constant (~0.13 ms/doc, all nine statistics)."""
+    df = zipf_corpus_words(spark, sf_dir)
+    schema = (
+        "doc_id bigint, "
+        + ", ".join(f"best{m} bigint" for m in GOPHER_TOP_MAX)
+        + ", "
+        + ", ".join(f"cov{m} bigint" for m in GOPHER_DUP_MAX)
+        + ", n_chars bigint"
+    )
+    stats = df.select("doc_id", "words").mapInPandas(
+        _gopher_stats_arrow_batches, schema
+    )
+    cols = [F.col("doc_id")]
+    flag = F.lit(True)
+    for m, thr in GOPHER_TOP_MAX.items():
+        frac = F.col(f"best{m}") / F.col("n_chars")
+        cols.append(frac.alias(f"top{m}_frac"))
+        flag = flag & (frac <= F.lit(thr))
+    for m, thr in GOPHER_DUP_MAX.items():
+        frac = F.col(f"cov{m}") / F.col("n_chars")
+        cols.append(frac.alias(f"dup{m}_frac"))
+        flag = flag & (frac <= F.lit(thr))
+    cols.append(flag.alias("passes_gopher_repetition"))
+    return stats.select(*cols)
 
 
 @query(
@@ -2142,7 +2292,8 @@ def q_zipf_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per class in tests/test_stats_differential.py.
 
     Scale shape: three independent branches over the zero-shuffle
-    corpus generator (in-row repetition, the LM's two count shuffles,
+    corpus generator (the zero-exchange Arrow repetition kernel, the
+    LM's two count shuffles,
     the chunk-frequency shuffle) joined twice on doc_id — doc-level
     rows only; document bodies cross no join. At warehouse scale the
     doc_id joins co-locate under bucketing like every other doc-keyed

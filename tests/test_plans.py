@@ -496,3 +496,14 @@ def test_gopher_zipf_no_corpus_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # r12: the shipped plan is the Arrow kernel (race winner); the HOF
+    # twin must keep the same zero-shuffle shape WITHOUT a Python stage
+    assert "MapInPandas" in plan, plan
+    plan_hof = _plan(spark, "q_repetition_gopher_zipf_hof")
+    assert "MapInPandas" not in plan_hof, plan_hof
+    assert "Exchange hashpartitioning" not in plan_hof, plan_hof
+    assert "Exchange SinglePartition" not in plan_hof, plan_hof
+    assert (
+        "SortMergeJoin" not in plan_hof
+        and "BroadcastHashJoin" not in plan_hof
+    )

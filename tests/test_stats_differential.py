@@ -2471,6 +2471,32 @@ def test_gopher_zipf_matches_python(spark):
         assert all(r.passes_gopher_repetition for r in by_cls[cls])
 
 
+def test_gopher_twins_bit_equal(spark):
+    """The r12 twin pair — the shipped Arrow numpy kernel
+    (q_repetition_gopher_zipf) and the r11 higher-order-function form
+    (q_repetition_gopher_zipf_hof) — must stay bit-identical: same
+    integer statistics, same IEEE divisions, one shared oracle string
+    (asserted too, so the twins can never silently diverge in claim)."""
+    from aram_matchdata_etl_spark.registry import all_oracles, all_queries
+
+    qs = all_queries()
+    a = sorted(
+        map(tuple, qs["q_repetition_gopher_zipf"](spark, SF_ORACLE).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            qs["q_repetition_gopher_zipf_hof"](spark, SF_ORACLE).collect(),
+        )
+    )
+    assert len(a) == 500 and a == b
+    oracles = all_oracles()
+    assert (
+        oracles["q_repetition_gopher_zipf"]
+        == oracles["q_repetition_gopher_zipf_hof"]
+    )
+
+
 def test_boilerplate_zipf_removes_exactly_the_stuffed_template(spark):
     """The Zipf boilerplate twin's fully-predicted contract: the
     keyword-stuffing class shares its first 6 ten-token chunks verbatim
