@@ -116,7 +116,15 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale AQE broadcasts the survivor id set onto the documents scan;
     at warehouse scale every join here co-locates under doc_id
     bucketing (sources/warehouse.py::write_bucketed), the same posture
-    as every doc-keyed composition in this repo."""
+    as every doc-keyed composition in this repo.
+
+    Production note: the semantic stage here is the REGISTERED
+    q_semdedup (k=8, pinned for oracle determinism). A production run
+    swaps that one call for semdedup_frame with corpus-scaled k
+    (k ~ n / SEMDEDUP_TARGET_CELL, the q_semdedup_scaled policy) — at
+    fixed k the within-cell pair space grows O(n^2/k), the measured
+    blow-up SCALE.md "semdedup cell knob" documents and the knob
+    removes."""
     from .dedup import q_dedup_clusters_lsh
     from .similarity import q_semdedup
     from .text import q_boilerplate_removal, q_repetition_signals

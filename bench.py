@@ -137,6 +137,12 @@ HEADLINE = [
     "q_boilerplate_zipf",
     "q_perplexity_zipf",
     "q_zipf_curation_pipeline",
+    # q_corpus_prep (r12) is NOT benched: it recomputes five stage
+    # graphs that are each benched above (clusters_lsh, perplexity,
+    # boilerplate, repetition, semdedup) plus the benched packing — a
+    # ~12 s suite line that re-measures already-defended plans, and the
+    # final-line budget is spoken for. Its correctness is driver-gated
+    # (hash oracle) every rotation.
     # adapted TPC-H: the shuffle/join-heavy representatives (Q1 scan-agg,
     # Q3/Q9 big joins, Q18 double agg on orderkey, Q21 decorrelated
     # exists/not-exists)
