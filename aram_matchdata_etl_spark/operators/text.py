@@ -1567,10 +1567,11 @@ def _rl_stats(g):
     return F.aggregate(F.sort_array(g), _rl_init(), _rl_merge, _rl_finish)
 
 
-# Shared by q_repetition_signals and its mega-document twin
-# q_repetition_signals_agg: both plans compute the SAME exact-integer
-# divisions, so one oracle pins both (the twin equality is also asserted
-# bit-for-bit in tests/test_stats_differential.py).
+# Shared by all three q_repetition_signals twins (Arrow kernel / HOF
+# sorted-runs / explode-rollup): every plan computes the SAME
+# exact-integer divisions, so one oracle pins all of them (the twin
+# equality is also asserted bit-for-bit in
+# tests/test_stats_differential.py).
 _REPETITION_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -1594,9 +1595,17 @@ SELECT doc_id,
 FROM g"""
 
 
-@query("q_repetition_signals", oracle=_REPETITION_ORACLE)
-def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals (Rae et al. 2021 "Scaling
+@query("q_repetition_signals_hof", oracle=_REPETITION_ORACLE)
+def q_repetition_signals_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-runs higher-order-function twin of q_repetition_signals —
+    the r10 three-plan-flip winner, demoted to second by the r12 Arrow
+    race (0.51/0.69/7.76 s vs this form's 1.64/2.34/14.67 s at
+    1x/10x/100x; SCALE.md "Round-12: repetition-signals third twin").
+    Kept registered under the same oracle as the all-JVM form and a
+    third independent implementation hash-checked every rotation.
+
+    Original description (still the metric contract):
+    Gopher-style repetition quality signals (Rae et al. 2021 "Scaling
     Language Models: ... Gopher", MassiveText filtering, table A1): per
     document, the fraction of characters covered by (a) the single most
     frequent word 2-gram / 3-gram (boilerplate headers, SEO keyword
@@ -1734,6 +1743,120 @@ def q_repetition_signals_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dup3 <= REP_DUP3_MAX)
         ).alias("passes_repetition"),
     )
+
+def _rep_stats_arrow_batches(it):
+    """numpy kernel behind q_repetition_signals (the SHIPPED plan since
+    the r12 race), built with the r12 gopher-kernel techniques (batch-wide word factorize, void-viewed (doc, codes)
+    gram keys, one exact np.unique per n per batch; see
+    _gopher_stats_arrow_batches). Simpler than the gopher kernel: the
+    2/3-gram dup statistic here is COUNT coverage (sum of count x chars
+    over grams seen >= 2 times), not the positional interval union, so
+    no offset table or segmented running-max is needed. Emits the exact
+    integer statistics; fractions stay Spark-side divisions."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["doc_id", "n_chars", "best2", "dup2", "best3", "dup3"]
+    for pdf in it:
+        B = len(pdf)
+        if B == 0:
+            continue
+        res: dict = {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "n_chars": pdf["n_chars"].to_numpy(),
+        }
+        words_lists = [np.asarray(w, dtype=object) for w in pdf["words"]]
+        counts = np.array([len(w) for w in words_lists], dtype=np.int64)
+        total = int(counts.sum())
+        zeros = np.zeros(B, dtype=np.int64)
+        if total == 0:
+            for m in (2, 3):
+                res[f"best{m}"] = zeros
+                res[f"dup{m}"] = zeros
+            yield pd.DataFrame(res)[out_cols]
+            continue
+        flat = np.concatenate(words_lists)
+        codes, uniques = pd.factorize(flat)
+        ulen = np.fromiter(
+            (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+        )
+        wlen = ulen[codes]
+        docix = np.repeat(np.arange(B, dtype=np.int64), counts)
+        doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_start[docix]
+        # gram char length = sum of word lens in window + (m - 1) spaces
+        wcum = np.concatenate([[0], np.cumsum(wlen)])
+        for m in (2, 3):
+            t = np.nonzero(pos_in_doc <= counts[docix] - m)[0]
+            if t.size == 0:
+                res[f"best{m}"] = zeros.copy()
+                res[f"dup{m}"] = zeros.copy()
+                continue
+            K = np.empty((t.size, m + 1), dtype=np.int64)
+            K[:, 0] = docix[t]
+            for j in range(m):
+                K[:, j + 1] = codes[t + j]
+            kv = np.ascontiguousarray(K).view(
+                np.dtype((np.void, K.dtype.itemsize * (m + 1)))
+            ).ravel()
+            _, first, cnt = np.unique(kv, return_index=True, return_counts=True)
+            glen = wcum[t + m] - wcum[t] + (m - 1)
+            gdoc = docix[t][first]
+            chars = cnt * glen[first]
+            best = zeros.copy()
+            np.maximum.at(best, gdoc, chars)
+            dup = zeros.copy()
+            dupmask = cnt >= 2
+            np.add.at(dup, gdoc[dupmask], chars[dupmask])
+            res[f"best{m}"] = best
+            res[f"dup{m}"] = dup
+        yield pd.DataFrame(res)[out_cols]
+
+
+@query("q_repetition_signals", oracle=_REPETITION_ORACLE)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over the fixture corpus
+    (Rae et al. 2021, the 2/3-gram top and duplicate CHARACTER-coverage
+    fractions + composite pass flag; full metric contract in the
+    q_repetition_signals_hof docstring, which this key is bit-equal
+    to). SHIPPED plan since r12: the Arrow numpy kernel — the
+    gopher-kernel playbook applied to the fixture family after the
+    measured win there — which beat the r10-flip sorted-runs HOF form
+    at every scale (0.51/0.69/7.76 s vs 1.64/2.34/14.67 s at
+    1x/10x/100x; SCALE.md "Round-12: repetition-signals third twin").
+    All THREE twins stay registered under one oracle: this kernel, the
+    sorted-runs HOF form (q_repetition_signals_hof, the all-JVM plan),
+    and the explode/rollup form (q_repetition_signals_agg, the
+    mega-document safety — a single monster doc spreads across map
+    tasks there, while both per-row forms pin it to one task). Plan
+    class: zero-exchange per-row map (MapInPandas stage), identical
+    100 TB posture to the HOF form with a ~2-3x smaller constant."""
+    df = with_words(_docs(spark, sf_dir)).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars"), "words"
+    )
+    stats = df.mapInPandas(
+        _rep_stats_arrow_batches,
+        "doc_id bigint, n_chars bigint, best2 bigint, dup2 bigint,"
+        " best3 bigint, dup3 bigint",
+    )
+    top2 = F.col("best2") / F.col("n_chars")
+    top3 = F.col("best3") / F.col("n_chars")
+    dup2 = F.col("dup2") / F.col("n_chars")
+    dup3 = F.col("dup3") / F.col("n_chars")
+    return stats.select(
+        "doc_id",
+        top2.alias("top2_char_frac"),
+        top3.alias("top3_char_frac"),
+        dup2.alias("dup2_char_frac"),
+        dup3.alias("dup3_char_frac"),
+        (
+            (top2 <= REP_TOP2_MAX)
+            & (top3 <= REP_TOP3_MAX)
+            & (dup2 <= REP_DUP2_MAX)
+            & (dup3 <= REP_DUP3_MAX)
+        ).alias("passes_repetition"),
+    )
+
 
 # ---------------------------------------------------------------------------
 # The FULL Gopher repetition rule set (Rae et al. 2021, table A1) on a

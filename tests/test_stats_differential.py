@@ -2352,22 +2352,24 @@ def test_repetition_signals_matches_python(spark):
 
 
 def test_repetition_signals_twins_bit_equal(spark):
-    """q_repetition_signals (per-row HOFs, zero shuffles) and
-    q_repetition_signals_agg (explode -> gram-count -> rollup, the
-    mega-document plan) share one oracle; their outputs must be
-    bit-identical since every value is the same exact-integer
-    division."""
+    """The three repetition twins — q_repetition_signals (Arrow numpy
+    kernel, shipped since r12), q_repetition_signals_hof (sorted-runs
+    per-row HOFs, the r10-flip winner), and q_repetition_signals_agg
+    (explode -> gram-count -> rollup, the mega-document plan) — share
+    one oracle; their outputs must be bit-identical since every value
+    is the same exact-integer division."""
     from aram_matchdata_etl_spark.registry import all_oracles, all_queries
 
     qs = all_queries()
     a = sorted(map(tuple, qs["q_repetition_signals"](spark, SF_ORACLE).collect()))
-    b = sorted(
-        map(tuple, qs["q_repetition_signals_agg"](spark, SF_ORACLE).collect())
-    )
-    assert a == b
+    for twin in ("q_repetition_signals_hof", "q_repetition_signals_agg"):
+        b = sorted(map(tuple, qs[twin](spark, SF_ORACLE).collect()))
+        assert a == b, twin
     oracles = all_oracles()
     assert (
-        oracles["q_repetition_signals"] == oracles["q_repetition_signals_agg"]
+        oracles["q_repetition_signals"]
+        == oracles["q_repetition_signals_hof"]
+        == oracles["q_repetition_signals_agg"]
     )
 
 
