@@ -268,6 +268,22 @@ _SEMANTICS_CHANGED: set[str] = set()
 # re-sampled both green, per the contract. q_chi_squared likewise after
 # CORRECTNESS_r08.)
 
+# Keys the round VERDICT asked to front into the next driver window —
+# same promotion treatment as _SEMANTICS_CHANGED, same removal contract
+# (drop once re-sampled). r13 (VERDICT r12 item 2): the two keys whose
+# Arrow mapInPandas implementations landed AFTER their latest driver
+# verdicts (the driver last hashed the forms they replaced — twins are
+# bit-equality-tested locally, but verdict discipline wants the shipped
+# code hashed), q_map_funcs (the last r4-era verdict in the repo), and
+# q_semdedup_scaled (gained cell_cap="auto" this round — rows-only key,
+# but the changed code should carry the r13 rows verdict).
+_VERDICT_REFRESH: set[str] = {
+    "q_repetition_gopher_zipf",
+    "q_repetition_signals",
+    "q_map_funcs",
+    "q_semdedup_scaled",
+}
+
 
 def _rotated(keys: list[str]) -> list[str]:
     """Previously-FAILED keys first (their fixes must be re-verified in the
@@ -283,13 +299,15 @@ def _rotated(keys: list[str]) -> list[str]:
         mod = _QUERIES[k].__module__.rsplit(".", 1)[-1]
         rnd, red, rows_only = latest.get(k, (-1, False, False))
         upgraded = rows_only and k in _ORACLES
-        promoted = rnd < 0 or upgraded or k in _SEMANTICS_CHANGED
+        fronted = upgraded or k in _SEMANTICS_CHANGED or k in _VERDICT_REFRESH
+        promoted = rnd < 0 or fronted
         bucket = 0 if red else (1 if promoted else 2)
-        # upgraded / semantics-changed keys carry NEW oracle claims —
+        # upgraded / semantics-changed / verdict-refresh keys carry NEW
+        # claims (oracle, semantics, or a changed implementation) —
         # they must reach the next 50-key window even while the
         # never-sampled backlog (rnd == -1) exceeds one window, so they
         # sort ahead of it (there are only ever a handful per round)
-        if bucket == 1 and (upgraded or k in _SEMANTICS_CHANGED):
+        if bucket == 1 and fronted:
             rnd = -2
         return bucket, rnd, _MODULE_PRIORITY.get(mod, 99)
 

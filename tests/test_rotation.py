@@ -59,6 +59,38 @@ def test_rotation_order(monkeypatch):
     assert order[4:] == ["q_green_old", "q_green_new"]
 
 
+def test_rotation_verdict_refresh_fronted(monkeypatch):
+    """A key in _VERDICT_REFRESH (implementation changed after its last
+    driver verdict, or the verdict aged out) is fronted into the next
+    window exactly like a semantics-changed key — ahead of the
+    never-sampled backlog, behind nothing but failed keys."""
+    keys = ["q_green_new", "q_never", "q_refresh", "q_red"]
+    monkeypatch.setattr(reg, "_QUERIES", _fake_queries(keys))
+    monkeypatch.setattr(reg, "_ORACLES", {k: "SELECT 1" for k in keys})
+    monkeypatch.setattr(reg, "_SEMANTICS_CHANGED", set())
+    monkeypatch.setattr(reg, "_VERDICT_REFRESH", {"q_refresh"})
+    monkeypatch.setattr(
+        reg,
+        "_sampled_rounds",
+        lambda: {
+            "q_green_new": (7, False, False),
+            "q_refresh": (11, False, False),  # recent verdict, stale code
+            "q_red": (7, True, False),
+        },
+    )
+    assert reg._rotated(list(keys)) == [
+        "q_red", "q_refresh", "q_never", "q_green_new",
+    ]
+
+
+def test_rotation_r13_window_fronts_verdict_refresh_keys():
+    """The real registry's next 50-key window must carry every
+    _VERDICT_REFRESH key (VERDICT r12 item 2)."""
+    window = list(reg.all_queries())[:50]
+    missing = reg._VERDICT_REFRESH - set(window)
+    assert not missing, missing
+
+
 def test_rotation_rows_only_without_oracle_not_promoted(monkeypatch):
     """A rows-only key that still has NO oracle is not an 'upgrade' —
     it recycles with the green bucket by staleness."""
