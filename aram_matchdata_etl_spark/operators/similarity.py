@@ -2086,8 +2086,14 @@ def semdedup_frame(
             best["cid"].alias("cell"),
             best["d"].alias("cdist"),
         )
-    pair_cells = cells
     if cell_cap == "auto":
+        # materialize the assignment ONCE before probing (ADVICE r12):
+        # the probe is an eager collect, and without this the full
+        # assignment pass — including the broadcast argmin join at
+        # production k — would run twice, once for the probe and again
+        # in the main query. localCheckpoint keeps the probe the cheap
+        # single count-agg the design claims.
+        cells = cells.localCheckpoint()
         probe = (
             cells.groupBy("cell")
             .count()
@@ -2101,6 +2107,7 @@ def semdedup_frame(
             "cap_engaged": engaged,
         }
         cell_cap = SEMDEDUP_AUTO_CELL_CAP if engaged else None
+    pair_cells = cells
     if cell_cap is not None:
         wc = Window.partitionBy("cell").orderBy(
             F.md5(F.col("vec_id").cast("string")), "vec_id"
@@ -2202,8 +2209,18 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_semdedup_joined (join argmin, same oracle); this key adds the
     sizing policy on top, invariant-checked in tests/test_northstar.py
     (cells within range, schema identical to q_semdedup, non-vacuous
-    drop set)."""
+    drop set).
+
+    r13 (VERDICT r12 item 4): the PRODUCTION entry also carries the
+    hot-cell defense — cell_cap="auto" runs the single max-cell probe
+    every round and stands down on the balanced fixture
+    (SEMDEDUP_TELEMETRY["q_semdedup_scaled"].cap_engaged is False,
+    asserted in tests/test_skew.py, output exact), so the probe the
+    100 TB run depends on is exercised by the registered key, not only
+    by the skew microbench where it engages."""
     emb = embeddings_d(spark, sf_dir)
     n = emb.count()
     k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
-    return semdedup_frame(spark, sf_dir, k)
+    return semdedup_frame(
+        spark, sf_dir, k, cell_cap="auto", tag="q_semdedup_scaled"
+    )

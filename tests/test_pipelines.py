@@ -7,6 +7,8 @@ like every hash-oracled key."""
 
 from __future__ import annotations
 
+from aram_matchdata_etl_spark.operators.pipelines import BOILER_SURVIVAL_MIN
+
 from .conftest import SF_ORACLE
 
 
@@ -23,7 +25,7 @@ def _stage_maps(spark):
         for r in qs["q_perplexity_buckets"](spark, SF_ORACLE).collect()
     }
     boiler = {
-        r.doc_id: (r.n_chunks_kept / r.n_chunks_total) >= 0.5
+        r.doc_id: (r.n_chunks_kept / r.n_chunks_total) >= BOILER_SURVIVAL_MIN
         for r in qs["q_boilerplate_removal"](spark, SF_ORACLE).collect()
     }
     nd = {
@@ -44,8 +46,8 @@ def test_corpus_prep_keep_rule_and_stage_bindingness(spark):
     passes everything else fails exactly that stage) — near-dup
     non-canonicals happen to correlate fully with other failures at
     this SF (they are near-COPIES of docs sharing the same gate
-    verdicts), which is itself asserted so a fixture change that breaks
-    the correlation shows up here."""
+    verdicts); that correlation is documented, not pinned (see the
+    comment below)."""
     from aram_matchdata_etl_spark.registry import all_queries
 
     rep, ppl, boiler, nd, sem = _stage_maps(spark)
@@ -82,7 +84,14 @@ def test_corpus_prep_keep_rule_and_stage_bindingness(spark):
         assert any(only_fails(stage, d) for d in docs), (
             f"stage {stage} never individually binding"
         )
-    assert not any(only_fails("nd", d) for d in docs)  # see docstring
+    # nd (near-dup canonicals) is deliberately NOT held to either side
+    # (ADVICE r12): on today's fixture its failures fully correlate with
+    # other gates (non-canonicals are near-COPIES of docs sharing the
+    # same gate verdicts), but a fixture or LSH-parameter change that
+    # makes nd individually binding is strictly BETTER coverage, not a
+    # regression — pinning never-binding made an improvement fail the
+    # suite. The stage's own non-vacuousness + pairwise-disagreement
+    # assertions above still cover it.
 
     got = all_queries()["q_corpus_prep"](spark, SF_ORACLE)
     packed_docs = {r.doc_id for r in got.select("doc_id").distinct().collect()}

@@ -378,3 +378,34 @@ def test_semdedup_cell_cap_auto_probe(spark):
     t = SEMDEDUP_TELEMETRY["sd_hot"]
     assert t["cap_engaged"] is True and t["max_cell"] >= n_hot
     assert auto_hot == manual_hot
+
+
+def test_semdedup_scaled_auto_cap_stands_down_on_fixture(spark):
+    """The PRODUCTION sizing key q_semdedup_scaled carries
+    cell_cap='auto' (r13, VERDICT r12 item 4): on the balanced fixture
+    the probe must STAND DOWN — cap_engaged False in
+    SEMDEDUP_TELEMETRY['q_semdedup_scaled'] — and the output must be
+    bit-identical to the uncapped frame under the same k at both probe
+    SFs, so the registered entry exercises the probe every round while
+    the skew microbench keeps the engaged path."""
+    from .conftest import SF_ORACLE, SF_SMOKE
+
+    from aram_matchdata_etl_spark.operators.similarity import (
+        SEMDEDUP_AUTO_CELL_CAP,
+        SEMDEDUP_TARGET_CELL,
+        SEMDEDUP_TELEMETRY,
+        embeddings_d,
+        semdedup_frame,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    for sf in (SF_SMOKE, SF_ORACLE):
+        got = sorted(map(tuple, qs["q_semdedup_scaled"](spark, sf).collect()))
+        t = SEMDEDUP_TELEMETRY["q_semdedup_scaled"]
+        assert t["cap_engaged"] is False
+        assert 0 < t["max_cell"] <= SEMDEDUP_AUTO_CELL_CAP
+        n = embeddings_d(spark, sf).count()
+        k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
+        exact = sorted(map(tuple, semdedup_frame(spark, sf, k).collect()))
+        assert got == exact, sf
