@@ -163,6 +163,19 @@ HEADLINE = [
 # numbers that project to 100 TB. (VERDICT r4 item 5.)
 ORACLE_BASELINES = {"q_dedup_clusters", "q_embedding_neardup"}
 
+# The six r12 suite retirements (see the HEADLINE comment): correctness
+# stays driver-gated via rotation, and from r13 their SECONDS ride the
+# telemetry sidecar every run (ADVICE r12 — with no suite slot, a large
+# perf regression in any of them would otherwise ship invisibly).
+RETIRED_WATCH = [
+    "q_text_stats",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_embedding_quantize",
+    "q_temperature_mix",
+    "q_vocab_topk",
+]
+
 
 def cc_deep_chain_microbench(spark) -> dict:
     """Time BOTH connected-components algorithms on a deep synthetic graph
@@ -813,61 +826,208 @@ def build_scale_tier_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
         json.dump(want, f)
 
 
+# --- tier band defense (r13, VERDICT r12 item 1) -----------------------------
+# BENCH_r12's tier block shipped 19.9x/15.3x for the LSH dedup family
+# when the quiet-box truth (judge-adjudicated, bench's exact protocol)
+# was 2.4x/2.0x: host-load contamination with NO band/rerun defense —
+# the exact artifact-lies class r11 fixed for HEADLINE, one block over.
+# The tier now gets the same machinery, with two structural fixes:
+#   1. the 1x denominator is measured INSIDE the tier phase (same
+#      session, same load window) instead of reusing headline numbers
+#      from minutes earlier under possibly different load;
+#   2. tier seconds get a trailing band — but tier seconds never ride
+#      the final line (the 2000-char driver tail fits ratios only), so
+#      the band's reference lives in TIER_HISTORY.jsonl at the repo
+#      root: every bench run appends its tier seconds there (committed
+#      with the round), and the band is the per-query minimum over the
+#      last TRAILING_BAND_ROUNDS entries matching (sf, k, tier version).
+# A tripped query (tier seconds out of band, OR its in-phase 1x anchor
+# far above the same run's headline number — the anchor-contamination
+# dual) re-measures BOTH arms standalone in a fresh SparkSession; the
+# compact block ships a `rerun` adjudication pair of RATIOS (the
+# judge-facing unit) and the detail block both arms' raw seconds.
+
+TIER_HISTORY_FILE = "TIER_HISTORY.jsonl"
+TIER_HISTORY_KEEP = 60  # entries retained (multiple runs per round)
+
+
+def tier_trailing_minima(
+    sf: float, k: int, version: int, root: str | None = None
+) -> dict[str, float]:
+    """Per-query minimum tier seconds over the last TRAILING_BAND_ROUNDS
+    history entries matching (sf, k, tier version) — the tier analogue
+    of trailing_minima(). Version-gated: v2-era single-row-group tier
+    layouts serialized every scan, so their seconds are not comparable
+    to v3's (see _SCALE_TIER_VERSION)."""
+    path = os.path.join(
+        root or os.path.dirname(os.path.abspath(__file__)), TIER_HISTORY_FILE
+    )
+    entries: list[dict] = []
+    try:
+        with open(path) as f:
+            for raw in f:
+                try:
+                    e = json.loads(raw)
+                except ValueError:
+                    continue
+                if (
+                    isinstance(e, dict)
+                    and abs(float(e.get("sf", -1.0)) - sf) < 1e-9
+                    and e.get("k") == k
+                    and e.get("version") == version
+                    and isinstance(e.get("sec"), dict)
+                ):
+                    entries.append(e)
+    except OSError:
+        return {}
+    out: dict[str, float] = {}
+    for e in entries[-TRAILING_BAND_ROUNDS:]:
+        for name, sec in e["sec"].items():
+            if isinstance(sec, (int, float)):
+                out[name] = min(out.get(name, float("inf")), float(sec))
+    return out
+
+
+def append_tier_history(
+    sf: float, secs: dict, anchors: dict, extra: dict | None = None,
+    root: str | None = None,
+) -> None:
+    """Append this run's tier measurements to TIER_HISTORY.jsonl,
+    trimming to the last TIER_HISTORY_KEEP entries. Quiet local runs
+    only tighten the band downward (minima), so extra entries help."""
+    path = os.path.join(
+        root or os.path.dirname(os.path.abspath(__file__)), TIER_HISTORY_FILE
+    )
+    lines: list[str] = []
+    try:
+        with open(path) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    except OSError:
+        pass
+    entry = {
+        "t": round(time.time(), 1),
+        "sf": sf,
+        "k": SCALE_TIER_K,
+        "version": _SCALE_TIER_VERSION,
+        "sec": secs,
+        "anchor": anchors,
+    }
+    if extra:
+        entry.update(extra)
+    lines.append(json.dumps(entry, separators=(",", ":")))
+    with open(path, "w") as f:
+        f.write("\n".join(lines[-TIER_HISTORY_KEEP:]) + "\n")
+
+
+def tier_suspects(
+    anchors: dict[str, float],
+    secs: dict[str, float],
+    headline: dict[str, float],
+    bands: dict[str, float],
+) -> list[str]:
+    """Queries needing the fresh-session adjudication arm: tier seconds
+    out of the trailing-history band (the r12 contamination class), or
+    the in-phase 1x anchor far above the same run's headline number —
+    a contaminated anchor UNDERSTATES the ratio, the flattering dual of
+    the tier-seconds lie, so it trips the same defense."""
+    out = set(band_outliers(secs, bands))
+    for name, a in anchors.items():
+        h = headline.get(name)
+        if h and a > max(BAND_RATIO * h, h + BAND_ABS_SLACK):
+            out.add(name)
+    return sorted(out)
+
+
 def run_scale_tier(
-    spark, queries, sf_dir: str, headline: dict[str, float]
-) -> tuple[dict, dict]:
-    """Returns (compact_block_for_final_line, detail_for_telemetry).
-    One untimed warmup + best-of-2 timed runs per query (same protocol
-    as the headline): the warmup exists because AQE picks different
-    physical plans at 10x volume, so the 10x execution pays its own
-    whole-stage-codegen JIT that the warmed headline numbers never show
-    — without it, q_bm25_topk read 15.5x while its warmed A/B was 4.9x
-    (r7 forensics, SCALE.md). Best-of-2 exists because single-shot tier
-    numbers swung up to 2.4x run-to-run on the CC-loop queries (r8: the
-    same q_dedup_clusters_lsh binary measured 5.1 s and 12.2 s in two
-    runs under different background load) — the judge compares these
-    ratios across rounds, so they must not carry that noise."""
+    spark, queries, sf_dir: str, headline: dict[str, float], sf: float
+):
+    """Returns (compact_block_for_final_line, detail_for_telemetry,
+    live_spark — the band arm may have swapped the session).
+
+    Per query: the 1x anchor at sf_dir, then the k-x tier run, both
+    under measure_query's protocol (cache clear + GC + untimed warmup +
+    best-of-2). The warmup exists because AQE picks different physical
+    plans at 10x volume, so the 10x execution pays its own
+    whole-stage-codegen JIT that warmed numbers never show — without
+    it, q_bm25_topk read 15.5x while its warmed A/B was 4.9x (r7
+    forensics, SCALE.md). Best-of-2 exists because single-shot tier
+    numbers swung up to 2.4x run-to-run on the CC-loop queries (r8).
+    Band defense + in-phase anchors: see the block comment above."""
     repo_root = os.path.dirname(os.path.abspath(__file__))
     tier_dir = os.path.join(repo_root, ".bench_scale_tier")
     t0 = time.perf_counter()
     build_scale_tier_dir(spark, sf_dir, tier_dir, SCALE_TIER_K)
     build_sec = round(time.perf_counter() - t0, 3)
+    anchors: dict[str, float] = {}
     secs: dict[str, float] = {}
-    ratios: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in SCALE_TIER:
         try:
-            spark.catalog.clearCache()
-            try:
-                spark._jvm.System.gc()
-            except Exception:
-                pass
-            queries[name](spark, tier_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()  # untimed warmup (see docstring)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                queries[name](spark, tier_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            secs[name] = round(best, 3)
-            if headline.get(name):
-                ratios[name] = round(secs[name] / headline[name], 1)
+            anchors[name] = measure_query(spark, queries[name], sf_dir)
+            secs[name] = measure_query(spark, queries[name], tier_dir)
         except Exception as e:
             errors[name] = str(e).splitlines()[0][:160]
-    compact = {"k": SCALE_TIER_K, "ratios": ratios}
+    bands = tier_trailing_minima(sf, SCALE_TIER_K, _SCALE_TIER_VERSION)
+    suspects = tier_suspects(anchors, secs, headline, bands)
+    rerun_sec: dict[str, dict] = {}
+    rerun_compact: dict[str, list] = {}
+    if suspects:
+        print(
+            f"TIER_BAND_WARN tier outliers vs {TIER_HISTORY_FILE} band or"
+            f" in-phase anchors vs headline: {suspects}; re-running each"
+            " standalone (both arms) in a fresh SparkSession",
+            flush=True,
+        )
+        spark.stop()
+        spark = get_spark(app_name="aram-etl-bench-tier-standalone")
+        for name in suspects:
+            suite_pair = [anchors.get(name), secs.get(name)]
+            try:
+                fa = measure_query(spark, queries[name], sf_dir)
+                ft = measure_query(spark, queries[name], tier_dir)
+            except Exception as e:
+                # fresh arm died: the in-suite number still ships but the
+                # rerun block records the attempt so a band-flagged ratio
+                # never ships without visible adjudication
+                rerun_sec[name] = {"suite": suite_pair, "fresh": None}
+                rerun_compact[name] = [_ratio(suite_pair), None]
+                errors[name] = str(e).splitlines()[0][:160]
+                continue
+            rerun_sec[name] = {"suite": suite_pair, "fresh": [fa, ft]}
+            rerun_compact[name] = [_ratio(suite_pair), _ratio([fa, ft])]
+            if name in anchors:
+                anchors[name] = min(anchors[name], fa)
+            if name in secs:
+                secs[name] = min(secs[name], ft)
+    ratios = {
+        n: r
+        for n in secs
+        if (r := _ratio([anchors.get(n), secs[n]])) is not None
+    }
+    compact: dict = {"k": SCALE_TIER_K, "ratios": ratios}
+    if rerun_compact:
+        compact["rerun"] = rerun_compact
     detail = {
         "k": SCALE_TIER_K,
         "build_sec": build_sec,
+        "anchor_sec": anchors,
         "sec": secs,
         "ratios": ratios,
+        "band": bands,
     }
+    if rerun_sec:
+        detail["rerun"] = rerun_sec
     if errors:
         compact["errors"] = sorted(errors)
         detail["errors"] = errors
-    return compact, detail
+    return compact, detail, spark
+
+
+def _ratio(pair) -> float | None:
+    a, t = (pair + [None, None])[:2] if isinstance(pair, list) else (None, None)
+    if not a or t is None:
+        return None
+    return round(t / a, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -1161,19 +1321,88 @@ def main() -> None:
     except Exception as e:
         telemetry["microbench"]["semdedup_skew"] = {"error": str(e)[:160]}
 
+    # retired headline queries (ADVICE r12): the six sub-0.3 s row maps
+    # that left the suite keep a telemetry-only perf record each run, so
+    # a large regression in any of them is visible in the sidecar even
+    # though the final-line budget no longer carries them
+    telemetry["retired"] = {}
+    for name in RETIRED_WATCH:
+        try:
+            telemetry["retired"][name] = measure_query(
+                spark, queries[name], sf_dir
+            )
+        except Exception as e:
+            telemetry["retired"][name] = str(e).splitlines()[0][:100]
+
     # 10x replicated-fixture tier: compact ratios go on the final line
     # (the judge-facing scaling factors), full seconds + build cost to
-    # the telemetry sidecar.
+    # the telemetry sidecar. The band arm may swap the SparkSession —
+    # run_scale_tier returns the live one.
     scale_tier_compact: dict | None = None
+    tier_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_scale_tier"
+    )
     if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0":
         try:
-            scale_tier_compact, tier_detail = run_scale_tier(
-                spark, queries, sf_dir, timings
+            scale_tier_compact, tier_detail, spark = run_scale_tier(
+                spark, queries, sf_dir, timings, sf
             )
             telemetry["scale_tier"] = tier_detail
         except Exception as e:
             scale_tier_compact = {"error": str(e)[:160]}
             telemetry["scale_tier"] = scale_tier_compact
+
+    # corpus-prep capstone (VERDICT r12 item 3): bench-invisible on the
+    # final line (it re-measures five already-benched stage plans and
+    # the budget is spoken for) but the telemetry sidecar has no such
+    # budget, and the capstone is where a composition-level plan
+    # regression (a join that stops broadcasting, a stage graph that
+    # re-executes) would surface first. Full protocol at 1x; tier arm
+    # warmup + single timed run (the capstone is the suite's most
+    # expensive composition at 10x — best-of-2 would double a cost the
+    # trailing band can absorb). Its seconds ride the tier history entry
+    # (reserved "_corpus_prep*" keys) so next round's run sees a band.
+    cp: dict = {}
+    try:
+        cp["sec"] = measure_query(spark, queries["q_corpus_prep"], sf_dir)
+        bands = tier_trailing_minima(sf, SCALE_TIER_K, _SCALE_TIER_VERSION)
+        band = {
+            k: bands[f"_corpus_prep{suffix}"]
+            for k, suffix in (("sec", ""), ("tier_sec", "_tier"))
+            if f"_corpus_prep{suffix}" in bands
+        }
+        if band:
+            cp["band"] = band
+        if os.path.exists(tier_dir) and os.environ.get(
+            "SPARK_GRAFT_CORPUS_PREP_TIER", "1"
+        ) != "0":
+            fn = queries["q_corpus_prep"]
+            fn(spark, tier_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, tier_dir).write.format("noop").mode("overwrite").save()
+            cp["tier_sec"] = round(time.perf_counter() - t0, 2)
+            if cp["sec"]:
+                cp["ratio"] = round(cp["tier_sec"] / cp["sec"], 1)
+        telemetry["microbench"]["corpus_prep"] = cp
+    except Exception as e:
+        telemetry["microbench"]["corpus_prep"] = {"error": str(e)[:160]}
+
+    # ONE history entry per run: the tier seconds/anchors plus the
+    # capstone's reserved keys (empty-run entries would displace real
+    # ones from the trailing window)
+    tier_detail = telemetry.get("scale_tier") or {}
+    if isinstance(tier_detail.get("sec"), dict) and tier_detail["sec"]:
+        hist_secs = dict(tier_detail["sec"])
+        if cp.get("sec"):
+            hist_secs["_corpus_prep"] = cp["sec"]
+        if cp.get("tier_sec"):
+            hist_secs["_corpus_prep_tier"] = cp["tier_sec"]
+        try:
+            append_tier_history(
+                sf, hist_secs, tier_detail.get("anchor_sec") or {}
+            )
+        except OSError:
+            pass
 
     from aram_matchdata_etl_spark.operators.dedup import CC_TELEMETRY
 
@@ -1214,31 +1443,75 @@ def main() -> None:
 
 
 # the driver keeps only a bounded stdout TAIL (exactly 2000 chars in all
-# eleven shipped BENCH_r* artifacts); anything that pushes the final
+# twelve shipped BENCH_r* artifacts); anything that pushes the final
 # JSON's start past it makes the whole bench unparseable (the r6
-# failure). 1950 leaves 50 chars for the trailing newline + slop.
+# failure). 1900 leaves >=100 chars of slack (ADVICE r12: 1950's 50
+# chars assumed the tail is exactly 2000 forever — a driver variant
+# with a marginally smaller tail would reintroduce the r6 class), paid
+# for by shedding the telemetry-duplicated totals earlier.
 # Enforced by tests/test_bench_contract.py.
-FINAL_LINE_BUDGET = 1950
+FINAL_LINE_BUDGET = 1900
 
 
 def compact_final_line(out: dict) -> str:
     """Render the headline JSON line, guaranteed to fit the driver's
     stdout tail: shed optional blocks (largest-expendable first) before
-    ever touching the per-query timings the gate actually records."""
+    ever touching the per-query timings the gate actually records.
+
+    Shed ladder (r13): the totals go first (they always ride the
+    TELEMETRY line/sidecar — losing them here loses nothing), then load
+    and scale_tier are STRIPPED to their adjudication cores (`rerun`
+    pairs — the r11/r13 band defenses exist so a flagged number never
+    ships without visible adjudication, so those pairs outlive the
+    blocks that carry them), then errors, then the stripped cores."""
     line = json.dumps(out, separators=(",", ":"))
-    # totals shed first: both always ride the TELEMETRY line/sidecar, so
-    # dropping them here loses nothing (load also rides telemetry);
-    # scale_tier and errors only exist on this line and go last
-    for drop in (
-        "grand_total",
-        "oracle_baseline_total",
-        "load",
-        "scale_tier",
-        "errors",
-    ):
+
+    def strip_load() -> None:
+        lb = out.get("load")
+        if isinstance(lb, dict) and lb.get("rerun"):
+            out["load"] = {"rerun": lb["rerun"]}
+        else:
+            out.pop("load", None)
+
+    def compress_tier() -> None:
+        # name->ratio dict becomes a positional array in bench.SCALE_TIER
+        # order (~1/4 the width): the ratios are the judge-facing scaling
+        # factors and exist ONLY on this line, so they compress before
+        # they ever shed. "order" documents the convention in-band.
+        st = out.get("scale_tier")
+        if (
+            isinstance(st, dict)
+            and isinstance(st.get("ratios"), dict)
+            and st["ratios"]
+            and set(st["ratios"]) <= set(SCALE_TIER)  # else lossy: skip
+        ):
+            st = dict(st)
+            st["order"] = "SCALE_TIER"
+            st["r"] = [st["ratios"].get(n) for n in SCALE_TIER]
+            del st["ratios"]
+            out["scale_tier"] = st
+
+    def strip_tier() -> None:
+        st = out.get("scale_tier")
+        if isinstance(st, dict) and st.get("rerun"):
+            out["scale_tier"] = {"k": st.get("k"), "rerun": st["rerun"]}
+        else:
+            out.pop("scale_tier", None)
+
+    steps = (
+        lambda: out.pop("grand_total", None),
+        lambda: out.pop("oracle_baseline_total", None),
+        strip_load,
+        lambda: out.pop("errors", None),
+        compress_tier,
+        strip_tier,  # tier RATIOS exist only on this line — shed late
+        lambda: out.pop("load", None),
+        lambda: out.pop("scale_tier", None),
+    )
+    for step in steps:
         if len(line) <= FINAL_LINE_BUDGET:
             break
-        out.pop(drop, None)
+        step()
         line = json.dumps(out, separators=(",", ":"))
     return line
 

@@ -48,20 +48,27 @@ def test_realistic_line_with_scale_tier_fits():
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(HEADLINE)
     # the tier ratios (the judge-facing scaling factors, which exist
-    # ONLY on this line) survive even worst-case widths; load and the
-    # totals also ride the TELEMETRY line + sidecar, so they may shed
-    # under worst-case widths (r12: the r11 family joined the suite)
-    assert "scale_tier" in parsed
+    # ONLY on this line) survive even worst-case widths — at worst they
+    # COMPRESS to the positional-array form ("r" in SCALE_TIER order);
+    # load and the totals also ride the TELEMETRY line + sidecar, so
+    # they may shed under worst-case widths
+    st = parsed["scale_tier"]
+    ratios = st.get("ratios") or dict(zip(SCALE_TIER, st.get("r", [])))
+    assert len(ratios) == len(SCALE_TIER) and all(
+        v == 99.9 for v in ratios.values()
+    )
     assert SCALE_TIER and set(SCALE_TIER) <= set(HEADLINE)
 
 
-def test_realistic_line_at_shipped_widths_keeps_everything():
-    """At the widths the suite ACTUALLY ships (r11 artifact timings plus
-    measured-scale estimates for the r12 additions), nothing sheds: the
-    final line carries queries + load + tier + both totals."""
+def test_realistic_line_at_shipped_widths_keeps_judge_blocks():
+    """At the widths the suite ACTUALLY ships (r12 artifact timings plus
+    measured-scale estimates for newer additions), the judge-facing
+    blocks survive: queries + load + tier ratios. The totals are ALLOWED
+    to shed — they ride the TELEMETRY line/sidecar verbatim, and the r13
+    budget cut (1950 -> 1900, ADVICE r12) is paid exactly there."""
     prev = json.load(open(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_r11.json")))["parsed"]
+        "BENCH_r12.json")))["parsed"]
     q = {n: float(prev["queries"].get(n, 9.99)) for n in HEADLINE}
     out = _realistic_out()
     out["queries"] = q
@@ -72,8 +79,9 @@ def test_realistic_line_at_shipped_widths_keeps_everything():
     line = compact_final_line(out)
     assert len(line) <= FINAL_LINE_BUDGET
     parsed = json.loads(line)
-    for block in ("load", "scale_tier", "grand_total", "oracle_baseline_total"):
+    for block in ("queries", "load", "scale_tier"):
         assert block in parsed, block
+    assert parsed["scale_tier"].get("ratios"), "tier ratios shed too early"
 
 
 def test_oversized_optional_blocks_shed_before_queries():
@@ -250,3 +258,170 @@ print("RESTART_ARM_OK", sec)
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "RESTART_ARM_OK" in out.stdout
+
+
+def test_tier_trailing_minima_reads_history(tmp_path):
+    """tier_trailing_minima: per-query minima over the last
+    TRAILING_BAND_ROUNDS matching (sf, k, version) entries; mismatched
+    sf/k/version entries and malformed lines are skipped, reserved
+    _corpus_prep keys ride along."""
+    from bench import (
+        SCALE_TIER_K,
+        TIER_HISTORY_FILE,
+        TRAILING_BAND_ROUNDS,
+        _SCALE_TIER_VERSION,
+        tier_trailing_minima,
+    )
+
+    assert TRAILING_BAND_ROUNDS == 3
+    ok = {"sf": 0.1, "k": SCALE_TIER_K, "version": _SCALE_TIER_VERSION}
+    rows = [
+        # outside the trailing-3 window: its global minimum must NOT win
+        {**ok, "sec": {"q_x": 0.5}},
+        {**ok, "sec": {"q_x": 9.0, "q_y": 3.0, "_corpus_prep": 11.0}},
+        # wrong sf / k / version: skipped entirely
+        {**ok, "sf": 0.01, "sec": {"q_x": 0.01}},
+        {**ok, "k": 99, "sec": {"q_x": 0.01}},
+        {**ok, "version": 1, "sec": {"q_x": 0.01}},
+        {**ok, "sec": {"q_x": 7.0, "q_y": 4.0}},
+        {**ok, "sec": {"q_x": 8.0}},
+    ]
+    lines = [json.dumps(r) for r in rows]
+    lines.insert(3, "{not json")  # malformed line: skipped, never raises
+    (tmp_path / TIER_HISTORY_FILE).write_text("\n".join(lines) + "\n")
+    bands = tier_trailing_minima(
+        0.1, SCALE_TIER_K, _SCALE_TIER_VERSION, root=str(tmp_path)
+    )
+    assert bands == {
+        "q_x": 7.0, "q_y": 3.0, "_corpus_prep": 11.0,
+    }
+    # no history file -> empty bands, defense disarmed (not an error)
+    assert tier_trailing_minima(
+        0.1, SCALE_TIER_K, _SCALE_TIER_VERSION,
+        root=str(tmp_path / "nowhere"),
+    ) == {}
+
+
+def test_tier_band_planted_load_trips(tmp_path):
+    """The r12 artifact-lies class, planted: a tier run whose seconds
+    are load-inflated far above the history band MUST be flagged for
+    the fresh-session arm; in-band drift and band-less keys must not."""
+    from bench import (
+        SCALE_TIER_K,
+        TIER_HISTORY_FILE,
+        _SCALE_TIER_VERSION,
+        tier_suspects,
+        tier_trailing_minima,
+    )
+
+    ok = {"sf": 0.1, "k": SCALE_TIER_K, "version": _SCALE_TIER_VERSION}
+    (tmp_path / TIER_HISTORY_FILE).write_text(
+        json.dumps({**ok, "sec": {"q_lsh": 4.0, "q_quiet": 2.0}}) + "\n"
+    )
+    bands = tier_trailing_minima(
+        0.1, SCALE_TIER_K, _SCALE_TIER_VERSION, root=str(tmp_path)
+    )
+    headline = {"q_lsh": 1.6, "q_quiet": 1.0, "q_new": 5.0}
+    anchors = {"q_lsh": 1.7, "q_quiet": 1.1, "q_new": 5.1}
+    # q_lsh replays BENCH_r12's contamination (19.9x-style blow-up);
+    # q_quiet drifts inside the band; q_new has no history yet
+    secs = {"q_lsh": 33.0, "q_quiet": 2.3, "q_new": 9.0}
+    assert tier_suspects(anchors, secs, headline, bands) == ["q_lsh"]
+
+
+def test_tier_anchor_contamination_trips():
+    """The flattering dual: a contaminated in-phase 1x anchor UNDERSTATES
+    the ratio, so an anchor far above the same run's headline number
+    trips the same fresh-session arm even when tier seconds are in-band."""
+    from bench import tier_suspects
+
+    headline = {"q_a": 2.0, "q_b": 2.0}
+    secs = {"q_a": 4.0, "q_b": 4.0}
+    bands = {"q_a": 3.9, "q_b": 3.9}
+    assert tier_suspects(
+        {"q_a": 4.1, "q_b": 2.1}, secs, headline, bands
+    ) == ["q_a"]
+    # boundary: exactly at the threshold does not trip
+    assert tier_suspects({"q_a": 3.0}, {}, headline, {}) == []
+    assert tier_suspects({"q_a": 3.01}, {}, headline, {}) == ["q_a"]
+
+
+def test_append_tier_history_trims(tmp_path):
+    from bench import (
+        TIER_HISTORY_FILE,
+        TIER_HISTORY_KEEP,
+        append_tier_history,
+    )
+
+    for i in range(TIER_HISTORY_KEEP + 7):
+        append_tier_history(
+            0.1, {"q_x": float(i)}, {"q_x": 1.0}, root=str(tmp_path)
+        )
+    lines = (tmp_path / TIER_HISTORY_FILE).read_text().splitlines()
+    assert len(lines) == TIER_HISTORY_KEEP
+    # oldest entries trimmed, newest kept, all parseable
+    parsed = [json.loads(ln) for ln in lines]
+    assert parsed[-1]["sec"] == {"q_x": float(TIER_HISTORY_KEEP + 6)}
+    assert parsed[0]["sec"] == {"q_x": 7.0}
+
+
+def test_shed_ladder_preserves_adjudication_cores():
+    """When the line is over budget, load and scale_tier are STRIPPED to
+    their rerun adjudication pairs before being dropped: a band-flagged
+    number must never ship without visible adjudication while anything
+    else on the line could have made room."""
+    from bench import compact_final_line
+
+    out = _realistic_out()
+    # inflate queries so every rung before strip_tier must fire (even
+    # the COMPRESSED tier ratios can't fit), but not so much that the
+    # stripped cores can't
+    out["queries"] = {f"q_{i:03d}": 123.45 for i in range(110)}
+    out["load"] = {
+        "pre": 4.0,
+        "nbr": [0.032, 0.031],
+        "rerun": {"q_media_features": [1.98, 0.28]},
+    }
+    out["scale_tier"] = {
+        "k": 10,
+        "ratios": {n: 2.0 for n in SCALE_TIER},
+        "rerun": {"q_dedup_minhash_lsh": [19.9, 2.4]},
+    }
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["load"] == {"rerun": {"q_media_features": [1.98, 0.28]}}
+    assert parsed["scale_tier"] == {
+        "k": 10, "rerun": {"q_dedup_minhash_lsh": [19.9, 2.4]},
+    }
+
+
+def test_shed_ladder_compresses_tier_before_stripping():
+    """One notch earlier on the ladder: when compression alone makes the
+    line fit, the ratios survive in positional-array form WITH the rerun
+    adjudication intact."""
+    from bench import compact_final_line
+
+    out = _realistic_out()
+    out["queries"] = {f"q_{i:03d}": 123.45 for i in range(92)}
+    out["scale_tier"] = {
+        "k": 10,
+        "ratios": {n: 2.0 for n in SCALE_TIER},
+        "rerun": {"q_dedup_minhash_lsh": [19.9, 2.4]},
+    }
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    st = parsed["scale_tier"]
+    assert st["r"] == [2.0] * len(SCALE_TIER)
+    assert st["order"] == "SCALE_TIER"
+    assert st["rerun"] == {"q_dedup_minhash_lsh": [19.9, 2.4]}
+
+
+def test_ratio_helper():
+    from bench import _ratio
+
+    assert _ratio([2.0, 5.0]) == 2.5
+    assert _ratio([None, 5.0]) is None
+    assert _ratio([0.0, 5.0]) is None  # zero anchor: no ratio, no crash
+    assert _ratio([2.0, None]) is None

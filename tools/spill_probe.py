@@ -55,6 +55,10 @@ PROBE_QUERIES = [
     "q_anomaly_zscore",
     "q_funnel",
     "q_textrank_keywords",
+    # r13: the production semdedup key localCheckpoints the cell
+    # assignment before the auto-cap probe — under a lean heap that
+    # materialization must degrade to block-manager disk, not OOM
+    "q_semdedup_scaled",
 ]
 
 ARMS = {
