@@ -15,6 +15,8 @@ standard recall/throughput trade; both variants share the exact re-rank.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1287,16 +1289,25 @@ def _centroid_dist_structs(centroids) -> list:
 
 
 def lloyd_centroids(
-    emb: DataFrame, k: int, rounds: int
+    emb: DataFrame, k: int, rounds: int, seed_by_rank: bool = False
 ) -> list[tuple[int, list[float]]]:
     """Deterministic fixed-round Lloyd trainer, factored so the IVF index
     (k=16) shares q_kmeans_lloyd's exact loop (k=8): seeds are the k
     lowest vec_ids, each of `rounds - 1` updates re-averages per (cid,
     dim) in long form, and the returned list is the final centroid set
     (the oracle's c{rounds-1} CTE). Driver traffic per update is k x d
-    scalars — bounded regardless of corpus size."""
+    scalars — bounded regardless of corpus size.
+
+    ``seed_by_rank`` seeds from the k RANK-lowest vec_ids instead of
+    ``vec_id < k`` — identical on the contiguous-id fixtures every
+    oracled key runs on (so those keys never pass it), required for
+    frames whose ids are a strided sample (hier_cells' coarse trainer,
+    where ids are multiples of the sampling stride)."""
     spark = emb.sparkSession
-    seeds = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if seed_by_rank:
+        seeds = emb.orderBy("vec_id").limit(k).collect()
+    else:
+        seeds = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seeds]
 
     # Update rounds run on long-form points with the centroids joining
@@ -2086,6 +2097,18 @@ def semdedup_frame(
             best["cid"].alias("cell"),
             best["d"].alias("cdist"),
         )
+    return _semdedup_from_cells(cells, cell_cap, tag)
+
+
+def _semdedup_from_cells(
+    cells: DataFrame, cell_cap: int | str | None, tag: str
+) -> DataFrame:
+    """The pair/keep stage shared by every semdedup cell partitioner
+    (flat Lloyd in semdedup_frame, two-level hierarchical in
+    hier_cells/q_semdedup_hier): within-cell cosine pairs, the
+    closest-to-centroid keep rule, and the hot-cell cap/probe. Pure
+    extraction of semdedup_frame's second half (r13) — behavior
+    byte-identical for every pre-existing key."""
     if cell_cap == "auto":
         # materialize the assignment ONCE before probing (ADVICE r12):
         # the probe is an eager collect, and without this the full
@@ -2224,3 +2247,174 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_frame(
         spark, sf_dir, k, cell_cap="auto", tag="q_semdedup_scaled"
     )
+
+
+# --- hierarchical (two-level) cells: the O(n * sqrt(k)) assignment path -----
+# The r13 100x probe exposed the flat production path's hidden term:
+# with the paper's sizing k = n/250, BOTH the Lloyd updates and the
+# join argmin fan every point-dim row out to all k centroids —
+# O(rounds * n * d * k) = O(rounds * n^2 * d / 250) — so
+# q_semdedup_scaled's tier curve steepens (2.8x @ 10x, 9.8x @ 30x,
+# 47.2x @ 100x: sub-linear vs 1x at every point, but the 30x->100x
+# segment is locally super-linear). The standard fix is hierarchical
+# (IVF-style) assignment: k1 = ceil(sqrt(k)) coarse centroids trained
+# on a bounded strided sample and folded into codegen as literals
+# (zero-shuffle coarse pass), then fine centroids trained ON THE FULL
+# CORPUS but with each point restricted to its own coarse cell's
+# k2 = ceil(k/k1) sub-centroids (the training join keys on
+# (ccell, dim), so the fan-out is k2 = sqrt(k), not k). Total work
+# O(rounds * n * d * sqrt(k)) — O(n^1.5) under k ~ n, vs the flat
+# path's O(n^2). Approximation is exactly the IVF one: a vector is
+# locked to its nearest coarse cell's sub-centroids; at k1 = 1 the
+# construction DEGENERATES TO THE FLAT PATH bit-for-bit (same seeds,
+# same update dataflow, same tie-breaks — asserted in
+# tests/test_northstar.py), which is the correctness anchor for the
+# rows-only key.
+SEMDEDUP_HIER_COARSE_SAMPLE = 40  # coarse-training points per coarse centroid
+
+
+def hier_cells(
+    emb: DataFrame,
+    k: int,
+    rounds: int = KMEANS_ROUNDS,
+    k1: int | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """Two-level cell assignment returning the same (vec_id, vec, vnorm,
+    cell, cdist) frame as the flat partitioners. `cell` is the globally
+    unique ccell * k2 + sub (labels differ from the flat path's; the
+    PARTITION and per-vector distances are what downstream consumes).
+    The returned frame is localCheckpointed (it feeds both the pair
+    stage and the final join) and the long-form intermediates are
+    unpersisted before return."""
+    spark = emb.sparkSession
+    base = emb.select("vec_id", "vec")
+    if n is None:
+        n = base.count()
+    if k1 is None:
+        k1 = max(1, int(math.isqrt(max(0, k - 1))) + 1)  # ceil(sqrt(k))
+    k2 = max(1, -(-k // k1))
+
+    # coarse centroids from a deterministic strided sample (every
+    # stride-th vec_id): bounded trainer input, rank-based seeding
+    # because the sampled ids are not contiguous
+    want = max(k1 * SEMDEDUP_HIER_COARSE_SAMPLE, k1)
+    stride = max(1, n // want)
+    sample = base.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+    ccents = lloyd_centroids(sample, k1, rounds, seed_by_rank=True)
+    dim = len(ccents[0][1]) if ccents else 0
+    if k1 * dim <= SEMDEDUP_LITERAL_ARGMIN_MAX:
+        bestc = F.sort_array(F.array(*_centroid_dist_structs(ccents)))[0]
+        coarse = emb.select(
+            "vec_id", "vec", "vnorm", bestc["cid"].alias("ccell")
+        )
+    else:
+        coarse = _assign_cells_via_join(emb, ccents).select(
+            "vec_id", "vec", "vnorm", F.col("cell").alias("ccell")
+        )
+    coarse = coarse.localCheckpoint()
+    pts = coarse.select(
+        "vec_id", "ccell", F.posexplode("vec").alias("dim", "val")
+    ).localCheckpoint()
+
+    # fine seeds: the k2 rank-lowest vec_ids per coarse cell (sub index
+    # in seed vec_id order, so the (d, sub) tie-break below reproduces
+    # the flat path's (d, seed-vec_id) ordering)
+    w = Window.partitionBy("ccell").orderBy("vec_id")
+    seed_rows = (
+        coarse.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k2)
+        .select("ccell", (F.col("rn") - 1).alias("sub"), "vec")
+        .collect()
+    )
+    cents: dict[tuple[int, int], list[float]] = {
+        (int(r.ccell), int(r.sub)): [float(x) for x in r.vec]
+        for r in seed_rows
+    }
+
+    def cbl() -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (cc, s, d, v)
+                for (cc, s), vec in sorted(cents.items())
+                for d, v in enumerate(vec)
+            ],
+            "ccell long, sub int, dim int, cval double",
+        )
+
+    sqdist = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+    for _ in range(rounds - 1):
+        upd = (
+            pts.join(F.broadcast(cbl()), ["ccell", "dim"])
+            .groupBy("vec_id", "ccell", "sub")
+            .agg(F.sum(sqdist).alias("d"))
+            .groupBy("vec_id", "ccell")
+            .agg(F.min_by("sub", F.struct("d", "sub")).alias("sub"))
+            .join(pts, ["vec_id", "ccell"])
+            .groupBy("ccell", "sub", "dim")
+            .agg(F.avg("val").alias("val"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            new.setdefault((int(r.ccell), int(r.sub)), {})[int(r.dim)] = (
+                float(r.val)
+            )
+        for key, dims in new.items():
+            cents[key] = [dims[i] for i in range(len(dims))]
+        # a (ccell, sub) that won no points keeps its previous centroid
+
+    final = (
+        pts.join(F.broadcast(cbl()), ["ccell", "dim"])
+        .groupBy("vec_id", "ccell", "sub")
+        .agg(F.sum(sqdist).alias("d"))
+        .groupBy("vec_id", "ccell")
+        .agg(
+            F.min_by(
+                F.struct(F.col("sub"), F.col("d")), F.struct("d", "sub")
+            ).alias("best")
+        )
+    )
+    cells = (
+        coarse.join(final, ["vec_id", "ccell"])
+        .select(
+            "vec_id",
+            "vec",
+            "vnorm",
+            (F.col("ccell") * k2 + F.col("best.sub"))
+            .cast("bigint")
+            .alias("cell"),
+            F.col("best.d").alias("cdist"),
+        )
+        .localCheckpoint()
+    )
+    pts.unpersist()
+    coarse.unpersist()
+    return cells
+
+
+@query("q_semdedup_hier")
+def q_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the production sizing AND the O(n * sqrt(k))
+    hierarchical assignment (see the block comment above hier_cells):
+    k = ceil(n / 250) like q_semdedup_scaled, but cells come from the
+    two-level coarse/fine partitioner, so at corpus-scaled k the
+    assignment cost is O(n^1.5) instead of the flat path's O(n^2).
+    Measured on the v3 tiers (SCALE.md "Round-13: hierarchical
+    semdedup"): 100x wall 47.6 s vs the flat key's 221.9 s (4.7x), 30x
+    22.8 vs 42.0 s; at 1x the two-level fixed cost (two extra trainer
+    loops' driver round-trips on trivial data) makes it SLOWER (9.8 vs
+    4.3 s) — the crossover lands before 30x, exactly the regime the
+    key exists for.
+
+    Rows-only by design (like q_semdedup_scaled: data-dependent k, and
+    additionally IVF-approximate cell boundaries). Correctness anchors:
+    at k1=1 the partitioner is bit-identical to the flat path
+    (tests/test_northstar.py), schema/coverage/non-vacuousness
+    invariants at both probe SFs, and the auto cell-cap probe rides it
+    with the same stand-down telemetry contract."""
+    emb = embeddings_d(spark, sf_dir)
+    n = emb.count()
+    k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
+    cells = hier_cells(emb, k, n=n)
+    return _semdedup_from_cells(cells, "auto", "q_semdedup_hier")

@@ -133,6 +133,10 @@ HEADLINE = [
     # curation verdict round out the family
     "q_semdedup",
     "q_semdedup_scaled",
+    # r13: production sizing + O(n*sqrt(k)) hierarchical assignment —
+    # the scale path that replaces the flat O(n^2) term the 100x probe
+    # exposed (SCALE.md "Round-13: hierarchical semdedup")
+    "q_semdedup_hier",
     "q_repetition_gopher_zipf",
     "q_boilerplate_zipf",
     "q_perplexity_zipf",
@@ -662,6 +666,10 @@ SCALE_TIER = [
     # designed O(n^2/k) blow-up)
     "q_repetition_gopher_zipf",
     "q_semdedup_scaled",
+    # r13: the two-level assignment twin — its tier ratio vs
+    # q_semdedup_scaled's IS the measured claim that the hierarchical
+    # path removes the flat argmin's O(n^2) term
+    "q_semdedup_hier",
     # q_ngram_novelty is NOT tiered: its plan family (corpus term
     # aggregation + join-back) is q_tfidf's, already measured above.
     # Entries past 15 fit because the final line sheds the
@@ -1362,6 +1370,14 @@ def main() -> None:
     # expensive composition at 10x — best-of-2 would double a cost the
     # trailing band can absorb). Its seconds ride the tier history entry
     # (reserved "_corpus_prep*" keys) so next round's run sees a band.
+    # EXPECTED tier ratio ~10x, NOT a regression: the capstone's
+    # semdedup stage is the hash-oracled FIXED-k (KMEANS_K=8) graph —
+    # its oracle is an unrolled-Lloyd CTE generated for that k — so at
+    # 10x corpus it pays the designed O(n^2/k) within-cell blow-up
+    # measured in SCALE.md "semdedup cell knob". The production-policy
+    # scaling number is q_semdedup_scaled's tier ratio (k = n/250,
+    # sub-linear); watch THIS block for drift against its band, not for
+    # absolute linearity.
     cp: dict = {}
     try:
         cp["sec"] = measure_query(spark, queries["q_corpus_prep"], sf_dir)
@@ -1501,9 +1517,12 @@ def compact_final_line(out: dict) -> str:
     steps = (
         lambda: out.pop("grand_total", None),
         lambda: out.pop("oracle_baseline_total", None),
+        # compression loses nothing — it must come before any LOSSY
+        # strip (the load forensics in particular must outlive it: the
+        # judge adjudicates contamination from nbr on THIS line)
+        compress_tier,
         strip_load,
         lambda: out.pop("errors", None),
-        compress_tier,
         strip_tier,  # tier RATIOS exist only on this line — shed late
         lambda: out.pop("load", None),
         lambda: out.pop("scale_tier", None),

@@ -81,7 +81,9 @@ def test_realistic_line_at_shipped_widths_keeps_judge_blocks():
     parsed = json.loads(line)
     for block in ("queries", "load", "scale_tier"):
         assert block in parsed, block
-    assert parsed["scale_tier"].get("ratios"), "tier ratios shed too early"
+    st = parsed["scale_tier"]
+    got = st.get("ratios") or dict(zip(SCALE_TIER, st.get("r", [])))
+    assert len(got) == len(SCALE_TIER), "tier ratios shed too early"
 
 
 def test_oversized_optional_blocks_shed_before_queries():

@@ -1067,3 +1067,73 @@ def test_semdedup_scaled_key_invariants(spark):
     ] == list(rows[0].asDict())
     dropped = sum(1 for r in rows if not r.is_kept)
     assert 0 < dropped < n
+
+
+def test_semdedup_hier_degenerates_to_flat_at_k1_1(spark):
+    """The hierarchical partitioner's correctness anchor: at k1=1 the
+    coarse level is a single cell, the fine seeds are the k lowest
+    vec_ids (= the flat trainer's seeds on contiguous fixtures), the
+    fine update join degenerates to the flat update dataflow, and the
+    (d, sub) tie-break is order-isomorphic to the flat (d, seed-vec_id)
+    — so per-vector results must be IDENTICAL to semdedup_frame's and
+    the cell partitions bijective (labels differ by construction)."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        KMEANS_K,
+        _semdedup_from_cells,
+        embeddings_d,
+        hier_cells,
+        semdedup_frame,
+    )
+
+    flat = {
+        r.vec_id: r
+        for r in semdedup_frame(spark, SF_ORACLE, KMEANS_K).collect()
+    }
+    emb = embeddings_d(spark, SF_ORACLE)
+    cells = hier_cells(emb, KMEANS_K, k1=1)
+    hier = {
+        r.vec_id: r
+        for r in _semdedup_from_cells(cells, None, "t_hier_k1").collect()
+    }
+    assert set(flat) == set(hier)
+    for v in flat:
+        assert (flat[v].n_neardups, flat[v].is_kept) == (
+            hier[v].n_neardups, hier[v].is_kept,
+        ), v
+    label_pairs = {(flat[v].cell, hier[v].cell) for v in flat}
+    assert (
+        len({a for a, _ in label_pairs})
+        == len(label_pairs)
+        == len({b for _, b in label_pairs})
+    ), "cell partition not bijective"
+
+
+def test_semdedup_hier_key_invariants(spark):
+    """q_semdedup_hier (production sizing + O(n*sqrt(k)) two-level
+    assignment, rows-only by design): schema matches q_semdedup's,
+    every vector appears exactly once, the drop set is non-vacuous,
+    cell count is plausible for k = ceil(n/250), and the auto cell-cap
+    probe rides the key and STANDS DOWN on the balanced fixture."""
+    from aram_matchdata_etl_spark.operators.similarity import (
+        SEMDEDUP_AUTO_CELL_CAP,
+        SEMDEDUP_TARGET_CELL,
+        SEMDEDUP_TELEMETRY,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    for sf in (SF_SMOKE, SF_ORACLE):
+        df = qs["q_semdedup_hier"](spark, sf)
+        rows = df.collect()
+        n = len(rows)
+        assert n == 500 and len({r.vec_id for r in rows}) == n
+        assert [f.name for f in df.schema.fields] == [
+            "vec_id", "cell", "n_neardups", "is_kept",
+        ]
+        k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
+        assert 1 <= len({r.cell for r in rows}) <= k
+        dropped = sum(1 for r in rows if not r.is_kept)
+        assert 0 < dropped < n
+        t = SEMDEDUP_TELEMETRY["q_semdedup_hier"]
+        assert t["cap_engaged"] is False
+        assert 0 < t["max_cell"] <= SEMDEDUP_AUTO_CELL_CAP
