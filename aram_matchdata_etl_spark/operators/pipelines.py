@@ -119,14 +119,32 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     as every doc-keyed composition in this repo.
 
     Production note: the semantic stage here is the REGISTERED
-    q_semdedup (k=8, pinned for oracle determinism). A production run
-    swaps that one call for semdedup_frame with corpus-scaled k
-    (k ~ n / SEMDEDUP_TARGET_CELL, the q_semdedup_scaled policy) — at
-    fixed k the within-cell pair space grows O(n^2/k), the measured
-    blow-up SCALE.md "semdedup cell knob" documents and the knob
-    removes."""
-    from .dedup import q_dedup_clusters_lsh
+    q_semdedup (k=8, pinned for oracle determinism). The production
+    swap is itself registered: q_corpus_prep_scaled runs the SAME
+    pipeline body (corpus_prep_frame) with the semantic stage replaced
+    by q_semdedup_hier (corpus-scaled k, hierarchical assignment,
+    auto hot-cell cap) — at fixed k the within-cell pair space grows
+    O(n^2/k), the measured blow-up SCALE.md "semdedup cell knob"
+    documents and the knob removes."""
     from .similarity import q_semdedup
+
+    sem = q_semdedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("is_kept").alias("sem_kept")
+    )
+    return corpus_prep_frame(spark, sf_dir, sem)
+
+
+def corpus_prep_frame(
+    spark: SparkSession, sf_dir: str, sem: DataFrame
+) -> DataFrame:
+    """The capstone pipeline body shared by q_corpus_prep and
+    q_corpus_prep_scaled: gates + near-dup canonical joins, the keep
+    rule, and the survivor repack. `sem` is any (doc_id, sem_kept)
+    semantic-keep frame; it joins LEFT so docs without an embedding
+    pass (no semantic evidence against them). Pure extraction of
+    q_corpus_prep's body (r13) — plan byte-identical for the oracled
+    key."""
+    from .dedup import q_dedup_clusters_lsh
     from .text import q_boilerplate_removal, q_repetition_signals
     from .training import (
         pack_sequences_frame,
@@ -143,9 +161,6 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chunks_kept", "n_chunks_total"
     )
     nd = q_dedup_clusters_lsh(spark, sf_dir).select("doc_id", "is_canonical")
-    sem = q_semdedup(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), F.col("is_kept").alias("sem_kept")
-    )
     frac = F.col("n_chunks_kept") * 1.0 / F.col("n_chunks_total")
     keep = (
         F.col("passes_repetition")
@@ -171,3 +186,34 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_corpus_prep.__doc__ = q_corpus_prep.__doc__.format(floor=BOILER_SURVIVAL_MIN)
+
+
+@query("q_corpus_prep_scaled")
+def q_corpus_prep_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep capstone under the PRODUCTION semantic stage:
+    the same pipeline body as q_corpus_prep (corpus_prep_frame — gates,
+    near-dup canonicals, survivor repack, all byte-shared), with the
+    semantic stage swapped from the fixed-k q_semdedup to the
+    registered q_semdedup_hier — corpus-scaled k = ceil(n / 250),
+    two-level O(n * sqrt(k)) hierarchical assignment, and the auto
+    hot-cell cap probe. This makes q_corpus_prep's "a production run
+    swaps that one call" docstring claim a registered, tier-measured
+    key instead of a promise: the capstone's 10x tier wall is dominated
+    by the fixed-k semdedup oracle graph's designed O(n^2/k) blow-up
+    (SCALE.md "corpus-prep capstone measured": ~10-15x), and this key
+    is the arm that shows the production policy removes it.
+
+    Rows-only by design, inheriting both of q_semdedup_hier's reasons
+    (data-dependent k; IVF-approximate cell boundaries). Correctness
+    anchors: the keep rule is rederived independently from the five
+    constituent keys and the packed doc set asserted equal
+    (tests/test_pipelines.py::test_corpus_prep_scaled_keep_rule), the
+    output schema/integrality contract is pinned identical to
+    q_corpus_prep's, and every upstream stage except the semantic one
+    is the SAME registered graph the hash-oracled capstone runs."""
+    from .similarity import q_semdedup_hier
+
+    sem = q_semdedup_hier(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("is_kept").alias("sem_kept")
+    )
+    return corpus_prep_frame(spark, sf_dir, sem)

@@ -1381,10 +1381,23 @@ def main() -> None:
     cp: dict = {}
     try:
         cp["sec"] = measure_query(spark, queries["q_corpus_prep"], sf_dir)
+        # the production arm (r13): same pipeline body, semantic stage
+        # swapped to q_semdedup_hier (corpus-scaled k, hierarchical
+        # assignment) — its tier ratio vs the oracled capstone's IS the
+        # measured claim that the production policy removes the fixed-k
+        # O(n^2/k) term the block comment above documents
+        cp["scaled_sec"] = measure_query(
+            spark, queries["q_corpus_prep_scaled"], sf_dir
+        )
         bands = tier_trailing_minima(sf, SCALE_TIER_K, _SCALE_TIER_VERSION)
         band = {
             k: bands[f"_corpus_prep{suffix}"]
-            for k, suffix in (("sec", ""), ("tier_sec", "_tier"))
+            for k, suffix in (
+                ("sec", ""),
+                ("tier_sec", "_tier"),
+                ("scaled_sec", "_scaled"),
+                ("scaled_tier_sec", "_scaled_tier"),
+            )
             if f"_corpus_prep{suffix}" in bands
         }
         if band:
@@ -1392,13 +1405,25 @@ def main() -> None:
         if os.path.exists(tier_dir) and os.environ.get(
             "SPARK_GRAFT_CORPUS_PREP_TIER", "1"
         ) != "0":
-            fn = queries["q_corpus_prep"]
-            fn(spark, tier_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            fn(spark, tier_dir).write.format("noop").mode("overwrite").save()
-            cp["tier_sec"] = round(time.perf_counter() - t0, 2)
+            for key, qname in (
+                ("tier_sec", "q_corpus_prep"),
+                ("scaled_tier_sec", "q_corpus_prep_scaled"),
+            ):
+                fn = queries[qname]
+                fn(spark, tier_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t0 = time.perf_counter()
+                fn(spark, tier_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                cp[key] = round(time.perf_counter() - t0, 2)
             if cp["sec"]:
                 cp["ratio"] = round(cp["tier_sec"] / cp["sec"], 1)
+            if cp["scaled_sec"]:
+                cp["scaled_ratio"] = round(
+                    cp["scaled_tier_sec"] / cp["scaled_sec"], 1
+                )
         telemetry["microbench"]["corpus_prep"] = cp
     except Exception as e:
         telemetry["microbench"]["corpus_prep"] = {"error": str(e)[:160]}
@@ -1413,6 +1438,10 @@ def main() -> None:
             hist_secs["_corpus_prep"] = cp["sec"]
         if cp.get("tier_sec"):
             hist_secs["_corpus_prep_tier"] = cp["tier_sec"]
+        if cp.get("scaled_sec"):
+            hist_secs["_corpus_prep_scaled"] = cp["scaled_sec"]
+        if cp.get("scaled_tier_sec"):
+            hist_secs["_corpus_prep_scaled_tier"] = cp["scaled_tier_sec"]
         try:
             append_tier_history(
                 sf, hist_secs, tier_detail.get("anchor_sec") or {}

@@ -133,3 +133,36 @@ def test_corpus_prep_output_is_integer_exact(spark):
     ]
     kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert all(t in ("bigint", "int") for t in kinds.values()), kinds
+
+
+def test_corpus_prep_scaled_keep_rule_and_contract(spark):
+    """q_corpus_prep_scaled (rows-only): independent rederivation of
+    the survivor set with the semantic verdicts swapped to
+    q_semdedup_hier's — the packed doc set must equal it exactly, and
+    the output schema/integrality contract must match the hash-oracled
+    capstone's. Every non-semantic stage is the same registered graph
+    q_corpus_prep runs (corpus_prep_frame is byte-shared), so this plus
+    the capstone's own driver hash covers the composition."""
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    rep, ppl, boiler, nd, _ = _stage_maps(spark)
+    sem = {
+        r.vec_id: r.is_kept
+        for r in qs["q_semdedup_hier"](spark, SF_ORACLE).collect()
+    }
+    survivors = {
+        d
+        for d in rep
+        if rep[d] and ppl[d] and boiler[d] and nd[d] and sem.get(d, True)
+    }
+    assert 0 < len(survivors) < len(rep)
+
+    got = qs["q_corpus_prep_scaled"](spark, SF_ORACLE)
+    assert [f.name for f in got.schema.fields] == [
+        "shard", "doc_id", "chunk_id", "chunk_tokens", "pack_id",
+        "pack_offset",
+    ]
+    kinds = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert all(t in ("bigint", "int") for t in kinds.values()), kinds
+    assert {r.doc_id for r in got.collect()} == survivors

@@ -59,6 +59,10 @@ PROBE_QUERIES = [
     # assignment before the auto-cap probe — under a lean heap that
     # materialization must degrade to block-manager disk, not OOM
     "q_semdedup_scaled",
+    # r13: the hierarchical twin localCheckpoints coarse + long-form
+    # point frames besides the cell assignment — three materializations
+    # that must all degrade to block-manager disk under a lean heap
+    "q_semdedup_hier",
 ]
 
 ARMS = {
