@@ -2101,14 +2101,22 @@ def semdedup_frame(
 
 
 def _semdedup_from_cells(
-    cells: DataFrame, cell_cap: int | str | None, tag: str
+    cells: DataFrame,
+    cell_cap: int | str | None,
+    tag: str,
+    cells_checkpointed: bool = False,
 ) -> DataFrame:
     """The pair/keep stage shared by every semdedup cell partitioner
     (flat Lloyd in semdedup_frame, two-level hierarchical in
     hier_cells/q_semdedup_hier): within-cell cosine pairs, the
     closest-to-centroid keep rule, and the hot-cell cap/probe. Pure
     extraction of semdedup_frame's second half (r13) — behavior
-    byte-identical for every pre-existing key."""
+    byte-identical for every pre-existing key. ``cells_checkpointed``
+    lets a caller that already localCheckpointed the assignment
+    (hier_cells does — it feeds its own final join) skip the auto
+    branch's re-materialization: without it the full
+    (vec_id, vec, vnorm, cell, cdist) frame would land in the block
+    manager TWICE per run."""
     if cell_cap == "auto":
         # materialize the assignment ONCE before probing (ADVICE r12):
         # the probe is an eager collect, and without this the full
@@ -2116,7 +2124,8 @@ def _semdedup_from_cells(
         # production k — would run twice, once for the probe and again
         # in the main query. localCheckpoint keeps the probe the cheap
         # single count-agg the design claims.
-        cells = cells.localCheckpoint()
+        if not cells_checkpointed:
+            cells = cells.localCheckpoint()
         probe = (
             cells.groupBy("cell")
             .count()
@@ -2360,9 +2369,16 @@ def hier_cells(
             new.setdefault((int(r.ccell), int(r.sub)), {})[int(r.dim)] = (
                 float(r.val)
             )
-        for key, dims in new.items():
-            cents[key] = [dims[i] for i in range(len(dims))]
-        # a (ccell, sub) that won no points keeps its previous centroid
+        # a (ccell, sub) that won no points is DROPPED, mirroring the
+        # flat trainer exactly (lloyd_centroids rebuilds cents from the
+        # update rows only) — without the mirror, a stale hier centroid
+        # would stay assignable in later rounds while the flat path's
+        # vanishes, and the k1=1 degeneracy anchor would hold only on
+        # corpora where no sub-centroid ever empties
+        cents = {
+            key: [dims[i] for i in range(len(dims))]
+            for key, dims in new.items()
+        }
 
     final = (
         pts.join(F.broadcast(cbl()), ["ccell", "dim"])
@@ -2417,4 +2433,6 @@ def q_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     k = max(2, -(-n // SEMDEDUP_TARGET_CELL))
     cells = hier_cells(emb, k, n=n)
-    return _semdedup_from_cells(cells, "auto", "q_semdedup_hier")
+    return _semdedup_from_cells(
+        cells, "auto", "q_semdedup_hier", cells_checkpointed=True
+    )

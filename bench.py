@@ -878,9 +878,16 @@ def tier_trailing_minima(
                     e = json.loads(raw)
                 except ValueError:
                     continue
+                try:
+                    e_sf = float(e.get("sf", -1.0)) if isinstance(e, dict) else None
+                except (TypeError, ValueError):
+                    # null / non-numeric sf: a malformed (hand-edited,
+                    # merge-conflicted) line must be skipped like any
+                    # other bad entry, never sink the whole tier phase
+                    continue
                 if (
-                    isinstance(e, dict)
-                    and abs(float(e.get("sf", -1.0)) - sf) < 1e-9
+                    e_sf is not None
+                    and abs(e_sf - sf) < 1e-9
                     and e.get("k") == k
                     and e.get("version") == version
                     and isinstance(e.get("sec"), dict)
@@ -1359,6 +1366,16 @@ def main() -> None:
         except Exception as e:
             scale_tier_compact = {"error": str(e)[:160]}
             telemetry["scale_tier"] = scale_tier_compact
+            # the band arm stops the suite session BEFORE spawning its
+            # fresh one — if get_spark itself threw, the local `spark`
+            # still points at the stopped context and every later block
+            # (capstone, CC/graph telemetry) would fail with swallowed
+            # "SparkContext was shut down" errors. Rebind to a live
+            # session (getOrCreate: no-op when the old one survived).
+            try:
+                spark = get_spark()
+            except Exception:
+                pass
 
     # corpus-prep capstone (VERDICT r12 item 3): bench-invisible on the
     # final line (it re-measures five already-benched stage plans and
@@ -1402,7 +1419,22 @@ def main() -> None:
         }
         if band:
             cp["band"] = band
-        if os.path.exists(tier_dir) and os.environ.get(
+        # validate the tier dir's marker against THIS run (same check
+        # build_scale_tier_dir uses): with SPARK_GRAFT_SCALE_TIER=0 the
+        # build/validate step above never ran, and a stale dir left by a
+        # different src fixture (or a partial build) would yield ratios
+        # whose numerator and denominator describe different corpora
+        marker_ok = False
+        try:
+            with open(os.path.join(tier_dir, "_SCALE_TIER.json")) as mf:
+                marker_ok = json.load(mf) == {
+                    "src": sf_dir,
+                    "k": SCALE_TIER_K,
+                    "version": _SCALE_TIER_VERSION,
+                }
+        except (OSError, ValueError):
+            pass
+        if marker_ok and os.environ.get(
             "SPARK_GRAFT_CORPUS_PREP_TIER", "1"
         ) != "0":
             for key, qname in (

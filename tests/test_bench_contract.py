@@ -283,6 +283,10 @@ def test_tier_trailing_minima_reads_history(tmp_path):
         {**ok, "sec": {"q_x": 9.0, "q_y": 3.0, "_corpus_prep": 11.0}},
         # wrong sf / k / version: skipped entirely
         {**ok, "sf": 0.01, "sec": {"q_x": 0.01}},
+        # null / non-numeric sf (hand-edited or merge-conflicted line):
+        # skipped, never a TypeError that sinks the whole tier phase
+        {**ok, "sf": None, "sec": {"q_x": 0.01}},
+        {**ok, "sf": "oops", "sec": {"q_x": 0.01}},
         {**ok, "k": 99, "sec": {"q_x": 0.01}},
         {**ok, "version": 1, "sec": {"q_x": 0.01}},
         {**ok, "sec": {"q_x": 7.0, "q_y": 4.0}},
