@@ -846,6 +846,220 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid retrieval (q_rank_fusion's "in production" claim, registered):
+# query docs retrieve over the COMMON corpus (documents with an aligned
+# embedding, vec_id = doc_id) through BOTH rankers — BM25 with the query
+# doc's own distinct terms as the lexical query (more-like-this), and
+# brute-force cosine as the dense ranker — each list cut at top
+# HYBRID_TOPK, then RRF-fused. Constants are the hybrid workload's own
+# (they happen to equal the single-ranker keys' N_QUERIES/TOPK today,
+# but the workloads are independently tunable).
+HYBRID_QUERIES = 5   # doc_id < 5 are the query documents
+HYBRID_TOPK = 10     # per-ranker list cut AND final fused cut
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS vnorm
+    FROM embeddings
+),
+emb_d AS (
+    SELECT e.* FROM emb e JOIN documents d ON e.vec_id = d.doc_id
+),
+dense AS (
+    SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS dense_rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.vec, c.vec) / (q.vnorm * c.vnorm) DESC,
+                    c.vec_id
+            ) AS rnk
+        FROM emb_d q, emb_d c
+        WHERE q.vec_id < {HYBRID_QUERIES} AND c.vec_id <> q.vec_id
+    ) t WHERE rnk <= {HYBRID_TOPK}
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tf AS (
+    SELECT doc_id, dl, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+    GROUP BY doc_id, dl, term
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+hqterms AS (
+    SELECT DISTINCT doc_id AS query_id, term
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id < {HYBRID_QUERIES})
+),
+hdf AS (
+    SELECT tf.term, COUNT(*) AS df
+    FROM tf JOIN (SELECT DISTINCT term FROM hqterms) qt ON tf.term = qt.term
+    GROUP BY tf.term
+),
+lex_scored AS (
+    SELECT q.query_id, tf.doc_id,
+        ROUND(SUM(
+            LN(1.0 + (s.n_docs - hdf.df + 0.5) / (hdf.df + 0.5))
+            * tf.tf * ({BM25_K1} + 1.0)
+            / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+        ), 6) AS score
+    FROM hqterms q
+    JOIN tf ON tf.term = q.term
+    JOIN hdf ON hdf.term = q.term
+    CROSS JOIN stats s
+    WHERE tf.doc_id <> q.query_id
+    GROUP BY q.query_id, tf.doc_id
+),
+lex AS (
+    SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS lex_rank FROM (
+        SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rnk
+        FROM lex_scored
+    ) t WHERE rnk <= {HYBRID_TOPK}
+),
+fused AS (
+    SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+        COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        l.lex_rank, d.dense_rank,
+        COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+            + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf_raw
+    FROM lex l
+    FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, lex_rank, dense_rank,
+    ROUND(rrf_raw, 6) AS rrf_score, CAST(frk AS INTEGER) AS fused_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id
+    ) AS frk
+    FROM fused
+) t WHERE frk <= {HYBRID_TOPK}"""
+
+
+@query("q_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the production
+    form q_rank_fusion's docstring promised: each query document
+    (doc_id < HYBRID_QUERIES) retrieves over the common corpus
+    (documents with an aligned embedding, vec_id = doc_id) through BOTH
+    production rankers, and the two top-HYBRID_TOPK lists are RRF-fused
+    (Cormack et al., SIGIR'09: fused = sum of 1/(RRF_K + rank) over the
+    lists that contain the candidate; absent = contributes 0).
+
+      - lexical: the q_bm25_topk scoring graph with the query doc's own
+        DISTINCT terms as the query (more-like-this retrieval) — same
+        pruned-postings shape: the broadcast left-semi term filter sits
+        between the token generator and the tf shuffle, so only query
+        terms' postings ever shuffle; ranks on the ROUNDED score
+        (doc_id tie-break), the proven cross-engine discipline;
+      - dense: the q_similarity_topk brute-force cosine graph restricted
+        to embedded documents — broadcast query block, one corpus scan,
+        per-query rank window, raw-cosine ordering (hash-proven stable).
+
+    The fusion itself is rank arithmetic on INTEGER ranks (1/(60+r):
+    bit-identical across engines), so the fused ordering carries no new
+    FP-boundary exposure; the full-outer join of two top-k lists is
+    ~queries x 2k rows — driver-free, broadcastable, trivially
+    shuffled. Scale: both ranker plans are the registered keys' (their
+    100 TB postures documented there); the fusion adds one outer join
+    and one rank window at per-query top-k grain, negligible at any
+    corpus size. A batched query workload (thousands of query docs)
+    amortizes identically — every stage is keyed on query_id."""
+    from pyspark.sql import Window
+
+    from .similarity import dot, embeddings_d
+
+    docs = _docs(spark, sf_dir)
+    doc_ids = docs.select("doc_id")
+
+    # dense ranker over the common corpus
+    emb = embeddings_d(spark, sf_dir).join(
+        F.broadcast(doc_ids.withColumnRenamed("doc_id", "vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    q = emb.filter(F.col("vec_id") < HYBRID_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    cosine = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("raw_cosine"), "doc_id")
+    dense = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cosine.alias("raw_cosine"))
+        .withColumn("dense_rank", F.row_number().over(wd).cast("int"))
+        .filter(F.col("dense_rank") <= HYBRID_TOPK)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    # lexical ranker: BM25 with the query docs' distinct terms
+    toks = F.split(F.col("text"), " ")
+    hqterms = (
+        docs.filter(F.col("doc_id") < HYBRID_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), F.explode(toks).alias("term"))
+        .distinct()
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .join(F.broadcast(hqterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hdf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    lex = (
+        F.broadcast(hqterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(hdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / norm), 6).alias("score"))
+        .withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .filter(F.col("lex_rank") <= HYBRID_TOPK)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    # RRF fusion of the two top-k lists (integer-rank arithmetic only)
+    rrf_raw = F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_raw"), "doc_id")
+    return (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf_raw", rrf_raw)
+        .withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= HYBRID_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
 @query(
     "q_zipf_fit",
     oracle="""

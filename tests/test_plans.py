@@ -507,3 +507,61 @@ def test_gopher_zipf_no_corpus_shuffle(spark):
         "SortMergeJoin" not in plan_hof
         and "BroadcastHashJoin" not in plan_hof
     )
+
+
+def test_hybrid_rrf_semantics_and_plan(spark):
+    """Hybrid retrieval fusion: per query exactly HYBRID_TOPK fused rows
+    with contiguous ranks ordered by (rrf desc, doc_id); every rrf_score
+    is EXACTLY the integer-rank arithmetic round(1/(K+lex) + 1/(K+dense))
+    with absent lists contributing 0; both single-list classes occur on
+    the fixture (the fusion is not a rename of either ranker). Plan: all
+    rank windows key on query_id (no global funnel), the ranker sides
+    broadcast; the one SortMergeJoin is the full-outer fusion of two
+    top-k-bounded lists (Spark cannot broadcast-hash a full outer), which
+    is ~queries x 2k rows at any corpus size."""
+    from aram_matchdata_etl_spark.operators.text import (
+        HYBRID_QUERIES,
+        HYBRID_TOPK,
+        RRF_K,
+    )
+    from aram_matchdata_etl_spark.registry import all_queries
+
+    df = all_queries()["q_hybrid_rrf"](spark, SF_ORACLE)
+    rows = df.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == HYBRID_QUERIES
+    for q, rs in by_q.items():
+        assert sorted(r.fused_rank for r in rs) == list(
+            range(1, HYBRID_TOPK + 1)
+        )
+        rs = sorted(rs, key=lambda r: r.fused_rank)
+        for a, b in zip(rs, rs[1:]):
+            ka = (-a.rrf_score, a.doc_id)
+            kb = (-b.rrf_score, b.doc_id)
+            assert ka < kb, (q, a, b)
+    for r in rows:
+        want = round(
+            (1.0 / (RRF_K + r.lex_rank) if r.lex_rank is not None else 0.0)
+            + (
+                1.0 / (RRF_K + r.dense_rank)
+                if r.dense_rank is not None
+                else 0.0
+            ),
+            6,
+        )
+        assert abs(r.rrf_score - want) < 1e-12, r
+        assert r.lex_rank is not None or r.dense_rank is not None
+    assert any(r.lex_rank is None for r in rows)
+    assert any(r.dense_rank is None for r in rows)
+
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the collect() above finalized this df's own AQE execution, so
+    # toString carries BOTH "== Final Plan ==" and "== Initial Plan =="
+    # sections — count nodes in the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "hashpartitioning(query_id" in plan, plan
