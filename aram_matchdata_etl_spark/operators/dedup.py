@@ -1495,9 +1495,20 @@ def q_setsim_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_setsim_prefix_join — df rollup, rare-
     token prefix self-join (near-linear candidates), candidates-only
     verify. The generator itself is one crossJoin of the doc list with a
-    broadcast 40-row position frame: no corpus-scale shuffle."""
+    broadcast 40-row position frame: no corpus-scale shuffle.
+
+    r13 optimization: the generated token-set frame is materialized
+    once (localCheckpoint inside the timed query) — setsim_prefix_pairs
+    reads its input relation five times (sizes, dfreq, the prefix
+    projection, and both verify-scan sides), and the un-shared plan
+    re-ran the crossJoin + md5 generator + DISTINCT per reference (20
+    parquet scans / 39 exchanges; guide §2.4). Deterministic generator,
+    integer counts -> identical output; the fixture-corpus twin
+    q_setsim_prefix_join (driver-gated, not benched) keeps its original
+    plan."""
     return setsim_prefix_pairs(
-        zipf_token_sets(spark, sf_dir), SETSIM_ZIPF_THRESHOLD
+        zipf_token_sets(spark, sf_dir).localCheckpoint(),
+        SETSIM_ZIPF_THRESHOLD,
     )
 
 

@@ -2282,6 +2282,45 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_HIER_COARSE_SAMPLE = 40  # coarse-training points per coarse centroid
 
 
+def _lloyd_centroids_driver(
+    pts_rows, k: int, rounds: int
+) -> list[tuple[int, list[float]]]:
+    """numpy mirror of lloyd_centroids for a BOUNDED collected sample
+    (r13 optimization round): same seeding (the k rank-lowest vec_ids),
+    same per-round update (assign by min (d, cid) — argmin over
+    cid-sorted rows breaks ties to the lowest cid exactly like the
+    struct ordering — then re-mean per centroid, dropping empty ones),
+    same (cid, vec) return shape. Exists because hier_cells' coarse
+    trainer input is bounded by construction (~k1 x
+    SEMDEDUP_HIER_COARSE_SAMPLE rows), so the distributed trainer's
+    per-round collect queries were pure fixed cost: one collect job
+    replaces four driver round-trips. FP sums differ from the
+    distributed AVG only in association order (~1e-15 relative, far
+    under the asserted 1e-9 argmin margins); the coarse boundary is
+    IVF-approximate by design (q_semdedup_hier is rows-only)."""
+    import numpy as np
+
+    pts_rows = sorted(pts_rows, key=lambda r: int(r.vec_id))
+    if not pts_rows:
+        return []
+    X = np.array(
+        [[float(x) for x in r.vec] for r in pts_rows], dtype=np.float64
+    )
+    ids = [int(r.vec_id) for r in pts_rows]
+    cents = {ids[i]: X[i].copy() for i in range(min(k, len(ids)))}
+    for _ in range(rounds - 1):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        cents = {
+            cids[j]: X[assign == j].mean(axis=0) for j in np.unique(assign)
+        }
+    return [
+        (cid, [float(v) for v in vec]) for cid, vec in sorted(cents.items())
+    ]
+
+
 def hier_cells(
     emb: DataFrame,
     k: int,
@@ -2306,11 +2345,16 @@ def hier_cells(
 
     # coarse centroids from a deterministic strided sample (every
     # stride-th vec_id): bounded trainer input, rank-based seeding
-    # because the sampled ids are not contiguous
+    # because the sampled ids are not contiguous. The sample is bounded
+    # by construction (~k1 x SEMDEDUP_HIER_COARSE_SAMPLE rows), so the
+    # trainer runs driver-side on the collected sample (r13: one
+    # collect job instead of the distributed trainer's four driver
+    # round-trips on trivially small data; _lloyd_centroids_driver
+    # mirrors lloyd_centroids' seeding/update/tie-break exactly)
     want = max(k1 * SEMDEDUP_HIER_COARSE_SAMPLE, k1)
     stride = max(1, n // want)
     sample = base.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
-    ccents = lloyd_centroids(sample, k1, rounds, seed_by_rank=True)
+    ccents = _lloyd_centroids_driver(sample.collect(), k1, rounds)
     dim = len(ccents[0][1]) if ccents else 0
     if k1 * dim <= SEMDEDUP_LITERAL_ARGMIN_MAX:
         bestc = F.sort_array(F.array(*_centroid_dist_structs(ccents)))[0]
@@ -2322,9 +2366,16 @@ def hier_cells(
             "vec_id", "vec", "vnorm", F.col("cell").alias("ccell")
         )
     coarse = coarse.localCheckpoint()
+    # long-form points derive lazily from the checkpointed coarse frame
+    # (r13): re-running the posexplode projection per consumer is a few
+    # ms of codegen work inside jobs that already exist, where the old
+    # eager second localCheckpoint materialized n x d rows in their own
+    # job — pure fixed cost at 1x and redundant block-manager residency
+    # (the checkpointed coarse blocks already hold the vectors) at any
+    # scale
     pts = coarse.select(
         "vec_id", "ccell", F.posexplode("vec").alias("dim", "val")
-    ).localCheckpoint()
+    )
 
     # fine seeds: the k2 rank-lowest vec_ids per coarse cell (sub index
     # in seed vec_id order, so the (d, sub) tie-break below reproduces
@@ -2404,7 +2455,6 @@ def hier_cells(
         )
         .localCheckpoint()
     )
-    pts.unpersist()
     coarse.unpersist()
     return cells
 

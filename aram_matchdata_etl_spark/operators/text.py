@@ -2498,6 +2498,38 @@ def _gopher_stats_arrow_batches(it):
         yield pd.DataFrame(res)[out_cols]
 
 
+def gopher_zipf_flags(df: DataFrame) -> DataFrame:
+    """The Arrow gopher-stats kernel + table-A1 threshold flags over any
+    (doc_id, words) corpus frame — q_repetition_gopher_zipf's body,
+    factored (r13 optimization round) so q_zipf_curation_pipeline can
+    feed all three gate branches from ONE materialized corpus instead
+    of re-generating it per branch. Expression graph unchanged: the
+    registered key calls this with the default in-row generator and its
+    plan stays byte-identical."""
+    schema = (
+        "doc_id bigint, "
+        + ", ".join(f"best{m} bigint" for m in GOPHER_TOP_MAX)
+        + ", "
+        + ", ".join(f"cov{m} bigint" for m in GOPHER_DUP_MAX)
+        + ", n_chars bigint"
+    )
+    stats = df.select("doc_id", "words").mapInPandas(
+        _gopher_stats_arrow_batches, schema
+    )
+    cols = [F.col("doc_id")]
+    flag = F.lit(True)
+    for m, thr in GOPHER_TOP_MAX.items():
+        frac = F.col(f"best{m}") / F.col("n_chars")
+        cols.append(frac.alias(f"top{m}_frac"))
+        flag = flag & (frac <= F.lit(thr))
+    for m, thr in GOPHER_DUP_MAX.items():
+        frac = F.col(f"cov{m}") / F.col("n_chars")
+        cols.append(frac.alias(f"dup{m}_frac"))
+        flag = flag & (frac <= F.lit(thr))
+    cols.append(flag.alias("passes_gopher_repetition"))
+    return stats.select(*cols)
+
+
 @query("q_repetition_gopher_zipf", oracle=_gopher_zipf_oracle())
 def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters at FULL table-A1 strength (Rae et al.
@@ -2524,29 +2556,7 @@ def q_repetition_gopher_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds for both), so the 100 TB posture is unchanged: partition
     count is the only knob, and the race bought a ~3.4x smaller per-doc
     constant (~0.13 ms/doc, all nine statistics)."""
-    df = zipf_corpus_words(spark, sf_dir)
-    schema = (
-        "doc_id bigint, "
-        + ", ".join(f"best{m} bigint" for m in GOPHER_TOP_MAX)
-        + ", "
-        + ", ".join(f"cov{m} bigint" for m in GOPHER_DUP_MAX)
-        + ", n_chars bigint"
-    )
-    stats = df.select("doc_id", "words").mapInPandas(
-        _gopher_stats_arrow_batches, schema
-    )
-    cols = [F.col("doc_id")]
-    flag = F.lit(True)
-    for m, thr in GOPHER_TOP_MAX.items():
-        frac = F.col(f"best{m}") / F.col("n_chars")
-        cols.append(frac.alias(f"top{m}_frac"))
-        flag = flag & (frac <= F.lit(thr))
-    for m, thr in GOPHER_DUP_MAX.items():
-        frac = F.col(f"cov{m}") / F.col("n_chars")
-        cols.append(frac.alias(f"dup{m}_frac"))
-        flag = flag & (frac <= F.lit(thr))
-    cols.append(flag.alias("passes_gopher_repetition"))
-    return stats.select(*cols)
+    return gopher_zipf_flags(zipf_corpus_words(spark, sf_dir))
 
 
 @query(
@@ -2572,10 +2582,16 @@ def q_boilerplate_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle on realistic df shape (asserted chunk-for-chunk in
     tests/test_stats_differential.py). Same SHIPPED expression graph as
     the fixture key (boilerplate_removal core); same plan shape on top
-    of the zero-shuffle corpus generator."""
+    of the zero-shuffle corpus generator.
+
+    r13 optimization: the generated corpus is materialized once
+    (localCheckpoint inside the timed query) — boilerplate_removal
+    reads its docs relation twice (chunk explode, final join-back) and
+    re-derives the chunk array in the final projection, so the
+    generator ran three times in the un-shared plan (guide §2.4)."""
     zd = zipf_corpus_words(spark, sf_dir).select(
         "doc_id", F.concat_ws(" ", F.col("words")).alias("text")
-    )
+    ).localCheckpoint()
     return boilerplate_removal(zd)
 
 
@@ -2634,16 +2650,31 @@ def q_zipf_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunk-frequency shuffle) joined twice on doc_id — doc-level
     rows only; document bodies cross no join. At warehouse scale the
     doc_id joins co-locate under bucketing like every other doc-keyed
-    composition here."""
-    rep = q_repetition_gopher_zipf(spark, sf_dir).select(
+    composition here.
+
+    r13 optimization: the three gate branches consume ONE materialized
+    corpus (localCheckpoint inside the timed query) instead of each
+    re-running the generator projection — the un-shared plan carried 14
+    parquet scans / 30 exchanges with the generator + its concat/split
+    re-derived per branch reference (guide §2.4/§3.3: dedupe repeated
+    subtrees, truncate enormous plans). Values are unchanged: the
+    corpus is deterministic and every branch reads the same rows the
+    per-branch generators produced; the three registered gate keys keep
+    their original self-generating plans."""
+    from .training import perplexity_zipf_frame, zipf_lang_col
+
+    zc = (
+        zipf_corpus_words(spark, sf_dir)
+        .withColumn("text", F.concat_ws(" ", F.col("words")))
+        .localCheckpoint()
+    )
+    rep = gopher_zipf_flags(zc.select("doc_id", "words")).select(
         "doc_id", "passes_gopher_repetition"
     )
-    from .training import q_perplexity_zipf
-
-    ppl = q_perplexity_zipf(spark, sf_dir).select(
-        "doc_id", "lang", F.col("keep").alias("ppl_keep")
-    )
-    boiler = q_boilerplate_zipf(spark, sf_dir).select(
+    ppl = perplexity_zipf_frame(
+        spark, sf_dir, zd=zc.select("doc_id", "text", zipf_lang_col())
+    ).select("doc_id", "lang", F.col("keep").alias("ppl_keep"))
+    boiler = boilerplate_removal(zc.select("doc_id", "text")).select(
         "doc_id", "n_chunks_kept", "n_chunks_total"
     )
     frac = F.col("n_chunks_kept") * 1.0 / F.col("n_chunks_total")

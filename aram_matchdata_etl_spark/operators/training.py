@@ -23,7 +23,7 @@ Scale notes, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1849,17 +1849,42 @@ def q_perplexity_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) on top of the zero-shuffle in-row corpus generator; the lang
     windows inherit the 30/10/60 class mix, the same bounded skew the
     fixture key documents."""
-    from .text import zipf_corpus_words
+    return perplexity_zipf_frame(spark, sf_dir)
 
+
+def zipf_lang_col() -> Column:
+    """The planted-class "language" of a Zipf-corpus doc_id (rep / stuff
+    / nat) — shared by q_perplexity_zipf and the curation pipeline's
+    materialized-corpus path so both derive the identical column."""
     did = F.col("doc_id")
-    zd = zipf_corpus_words(spark, sf_dir).select(
-        "doc_id",
-        F.concat_ws(" ", F.col("words")).alias("text"),
+    return (
         F.when(did % 10 <= 2, "rep")
         .when(did % 10 == 3, "stuff")
         .otherwise("nat")
-        .alias("lang"),
+        .alias("lang")
     )
+
+
+def perplexity_zipf_frame(
+    spark: SparkSession, sf_dir: str, zd: DataFrame | None = None
+) -> DataFrame:
+    """q_perplexity_zipf's body, factored (r13 optimization round) so
+    q_zipf_curation_pipeline can feed it a MATERIALIZED (doc_id, text,
+    lang) corpus frame instead of re-generating the Zipf corpus per
+    reference (bigram_lm_scores reads its docs relation three times).
+    Expression graph unchanged for the registered key (zd=None)."""
+    if zd is None:
+        from .text import zipf_corpus_words
+
+        # materialized once (r13): bigram_lm_scores reads its docs
+        # relation three times (bigram explode, vocabulary explode,
+        # null-safety join-back) and the un-materialized plan re-ran
+        # the generator per reference (10 parquet scans / 23 exchanges)
+        zd = zipf_corpus_words(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.col("words")).alias("text"),
+            zipf_lang_col(),
+        ).localCheckpoint()
     joined = bigram_lm_scores(spark, sf_dir, keep=("lang",), docs=zd).select(
         "doc_id", "lang", "avg_logp"
     )

@@ -58,9 +58,25 @@ _TUNING_CONFS = (
 )
 
 
+import weakref
+
+_SESSION_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defensive dynamic configs for FOREIGN sessions (the driver hands us
-    its own SparkSession). All are runtime-settable SQL confs."""
+    its own SparkSession). All are runtime-settable SQL confs.
+
+    Memoized per live session object (r13 optimization round):
+    load_table runs this on every call and each conf set+verify is a
+    py4j round-trip — measurable fixed cost on constructions that load
+    several tables. A WeakSet keys on the session object itself (no
+    id-reuse aliasing: the entry dies with the session), and a cloned
+    newSession() — separate SQLConf — is a different object, so it
+    still gets the full set+verify on its first load. Valid because
+    nothing in this repo unsets these confs mid-session."""
+    if spark in _SESSION_CONFS_APPLIED:
+        return
     for k, v in _CORRECTNESS_CONFS:
         spark.conf.set(k, v)
         got = spark.conf.get(k)
@@ -73,6 +89,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+    _SESSION_CONFS_APPLIED.add(spark)
 
 
 # Schema-drift guard: expected dtype (simpleString) per critical column.
