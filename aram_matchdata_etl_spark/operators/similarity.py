@@ -1312,12 +1312,28 @@ def lloyd_centroids(
 
     # Update rounds run on long-form points with the centroids joining
     # in as broadcast DATA (the oracle's own dataflow: per-(vec, cid)
-    # summed squared distance, min_by argmin, (cid, dim) AVG): folding
+    # summed squared distance, argmin, per-(cid, dim) mean): folding
     # the centroids in as plan literals recompiled a k x d zip_with
     # projection per round (~4 s of codegen each at k=16, measured on
     # q_ann_ivf). The FINAL argmin consumed by callers stays the
     # literal-folded in-row form (_centroid_dist_structs) — one compile,
     # zero shuffle, plan-pinned in tests/test_plans.py.
+    #
+    # r13 optimization (guide §2.4): each update round now runs THREE
+    # exchanges instead of four — the per-(vec, cid) distance sums pivot
+    # into k columns of ONE vec_id-keyed aggregation (the old plan paid
+    # a second exchange re-keying the (vec_id, cid) distance rows to
+    # vec_id for the min_by) and the argmin is an in-row struct
+    # array_min over the pivot columns (same (d, cid) lexicographic
+    # tie-break). The per-(cid, dim) mean and the checkpointed
+    # long-form frame are unchanged — an attempt to also drop the
+    # checkpoint and aggregate per-dim sums from the vector frame
+    # measured SLOWER (the emb scan + spread repartition re-ran per
+    # round; A/B in OPTIMIZATION_r13.md). Same addends, same seeding,
+    # same drop-empty semantics; FP association order shifts ~1e-16,
+    # far under the asserted 1e-9 argmin margin floors.
+    if not cents:
+        return cents
     pts = emb.select(
         "vec_id", F.posexplode("vec").alias("dim", "val")
     ).localCheckpoint()
@@ -1327,18 +1343,34 @@ def lloyd_centroids(
                 [(cid, d, v) for cid, vec in cents for d, v in enumerate(vec)],
                 "cid int, dim int, cval double",
             )
-            rows = (
+            cids = sorted(cid for cid, _ in cents)
+            dist_cols = F.array(
+                *[
+                    F.struct(
+                        F.col(f"d{c}").alias("d"),
+                        F.lit(c).cast("int").alias("cid"),
+                    )
+                    for c in cids
+                ]
+            )
+            assign = (
                 pts.join(F.broadcast(cbl), "dim")
-                .groupBy("vec_id", "cid")
+                .groupBy("vec_id")
+                .pivot("cid", cids)
                 .agg(
                     F.sum(
                         (F.col("val") - F.col("cval"))
                         * (F.col("val") - F.col("cval"))
-                    ).alias("d")
+                    )
                 )
-                .groupBy("vec_id")
-                .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
-                .join(pts, "vec_id")
+                .select(
+                    "vec_id",
+                    *[F.col(str(c)).alias(f"d{c}") for c in cids],
+                )
+                .select("vec_id", F.array_min(dist_cols)["cid"].alias("cid"))
+            )
+            rows = (
+                assign.join(pts, "vec_id")
                 .groupBy("cid", "dim")
                 .agg(F.avg("val").alias("val"))
                 .collect()
@@ -1351,8 +1383,8 @@ def lloyd_centroids(
                 for cid, dims in sorted(by_cid.items())
             ]
     finally:
-        # finally: a failed mid-training collect must not leak the
-        # checkpointed blocks for the session lifetime (r8 advisory)
+        # a failed mid-training collect must not leak the checkpointed
+        # blocks for the session lifetime (r8 advisory)
         pts.unpersist()
     return cents
 
@@ -2403,23 +2435,55 @@ def hier_cells(
         )
 
     sqdist = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-    for _ in range(rounds - 1):
-        upd = (
+
+    # r13 optimization (mirrors lloyd_centroids' restructure, guide
+    # §2.3/§2.4): the per-(vec, ccell, sub) distance sums pivot into sub
+    # columns of ONE (vec_id, ccell)-keyed aggregation, the argmin is an
+    # in-row array_min with the same (d, sub) tie-break (NULL columns —
+    # subs another coarse cell owns, or dropped-empty subs — are
+    # filtered before the min; every surviving ccell keeps >= 1 sub, so
+    # the filtered array is never empty), and the centroid update joins
+    # the n assignment rows back to the VECTOR frame for per-dim sums +
+    # counts instead of re-shuffling the n x d long-form points. Two
+    # exchanges per round instead of four; drop-empty semantics
+    # unchanged (only (ccell, sub) groups that won points return).
+    def sub_argmin() -> DataFrame:
+        subs = sorted({s for (_, s) in cents})
+        structs = F.array(
+            *[
+                F.struct(
+                    F.col(f"_d{s}").alias("d"),
+                    F.lit(s).cast("int").alias("sub"),
+                )
+                for s in subs
+            ]
+        )
+        present = F.filter(structs, lambda st: st["d"].isNotNull())
+        return (
             pts.join(F.broadcast(cbl()), ["ccell", "dim"])
-            .groupBy("vec_id", "ccell", "sub")
-            .agg(F.sum(sqdist).alias("d"))
             .groupBy("vec_id", "ccell")
-            .agg(F.min_by("sub", F.struct("d", "sub")).alias("sub"))
-            .join(pts, ["vec_id", "ccell"])
-            .groupBy("ccell", "sub", "dim")
-            .agg(F.avg("val").alias("val"))
+            .pivot("sub", subs)
+            .agg(F.sum(sqdist))
+            .select(
+                "vec_id",
+                "ccell",
+                *[F.col(str(s)).alias(f"_d{s}") for s in subs],
+            )
+            .select("vec_id", "ccell", F.array_min(present).alias("best"))
+        )
+
+    for _ in range(rounds - 1):
+        rows = (
+            sub_argmin()
+            .select("vec_id", "ccell", F.col("best")["sub"].alias("sub"))
+            .join(coarse.select("vec_id", "vec"), "vec_id")
+            .groupBy("ccell", "sub")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)],
+            )
             .collect()
         )
-        new: dict[tuple[int, int], dict[int, float]] = {}
-        for r in upd:
-            new.setdefault((int(r.ccell), int(r.sub)), {})[int(r.dim)] = (
-                float(r.val)
-            )
         # a (ccell, sub) that won no points is DROPPED, mirroring the
         # flat trainer exactly (lloyd_centroids rebuilds cents from the
         # update rows only) — without the mirror, a stale hier centroid
@@ -2427,31 +2491,23 @@ def hier_cells(
         # vanishes, and the k1=1 degeneracy anchor would hold only on
         # corpora where no sub-centroid ever empties
         cents = {
-            key: [dims[i] for i in range(len(dims))]
-            for key, dims in new.items()
+            (int(r.ccell), int(r.sub)): [
+                float(r[f"s{i}"]) / int(r.n) for i in range(dim)
+            ]
+            for r in rows
         }
 
-    final = (
-        pts.join(F.broadcast(cbl()), ["ccell", "dim"])
-        .groupBy("vec_id", "ccell", "sub")
-        .agg(F.sum(sqdist).alias("d"))
-        .groupBy("vec_id", "ccell")
-        .agg(
-            F.min_by(
-                F.struct(F.col("sub"), F.col("d")), F.struct("d", "sub")
-            ).alias("best")
-        )
-    )
+    final = sub_argmin()
     cells = (
         coarse.join(final, ["vec_id", "ccell"])
         .select(
             "vec_id",
             "vec",
             "vnorm",
-            (F.col("ccell") * k2 + F.col("best.sub"))
+            (F.col("ccell") * k2 + F.col("best")["sub"])
             .cast("bigint")
             .alias("cell"),
-            F.col("best.d").alias("cdist"),
+            F.col("best")["d"].alias("cdist"),
         )
         .localCheckpoint()
     )
