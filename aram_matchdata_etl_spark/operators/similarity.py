@@ -1319,55 +1319,58 @@ def lloyd_centroids(
     # literal-folded in-row form (_centroid_dist_structs) — one compile,
     # zero shuffle, plan-pinned in tests/test_plans.py.
     #
-    # r13 optimization (guide §2.4): each update round now runs THREE
-    # exchanges instead of four — the per-(vec, cid) distance sums pivot
-    # into k columns of ONE vec_id-keyed aggregation (the old plan paid
-    # a second exchange re-keying the (vec_id, cid) distance rows to
-    # vec_id for the min_by) and the argmin is an in-row struct
-    # array_min over the pivot columns (same (d, cid) lexicographic
-    # tie-break). The per-(cid, dim) mean and the checkpointed
-    # long-form frame are unchanged — an attempt to also drop the
-    # checkpoint and aggregate per-dim sums from the vector frame
+    # r13 optimization (guide §2.3/§2.4): each update round now runs
+    # THREE narrow exchanges instead of four. The first r13 attempt
+    # pivoted the per-(vec, cid) distance sums into k columns of one
+    # vec_id-keyed aggregation — that removed the re-key exchange but
+    # made every long-form row evaluate all k conditional-sum branches,
+    # O(n * d * k^2) compute that collapsed q_semdedup_scaled's 10x tier
+    # point (k grows with the corpus under the production sizing: 61.5 s
+    # vs the 12.7 s band, fresh-session-confirmed). The shipped form
+    # keeps the single assignment exchange but computes each (vec, cid)
+    # distance IN-ROW: the k centroids broadcast as (cid, cvec) array
+    # rows, a broadcast nested-loop join fans each vector to k rows, and
+    # a sequential zip_with/aggregate fold computes the squared distance
+    # — O(n * d * k) compute, codegen size O(1) in k (the literal-folded
+    # form recompiles a k x d projection per round, ~4 s at k=16), and
+    # the exchange carries n pre-aggregated rows (map-side min(struct)
+    # collapses each vector's k candidates before the shuffle). FP is
+    # bit-identical to the r12 long-form sum: the fold adds the same
+    # per-dim addends in the same dim order the posexplode rows
+    # accumulated in, and min(struct(d, cid)) keeps the (d, cid)
+    # lexicographic tie-break. The per-(cid, dim) mean is unchanged —
+    # an attempt to aggregate per-dim sums from the vector frame
     # measured SLOWER (the emb scan + spread repartition re-ran per
     # round; A/B in OPTIMIZATION_r13.md). Same addends, same seeding,
-    # same drop-empty semantics; FP association order shifts ~1e-16,
-    # far under the asserted 1e-9 argmin margin floors.
+    # same drop-empty semantics.
     if not cents:
         return cents
-    pts = emb.select(
-        "vec_id", F.posexplode("vec").alias("dim", "val")
-    ).localCheckpoint()
+    vecs = emb.select("vec_id", "vec").localCheckpoint()
+    # long-form points derive lazily from the checkpointed vector frame
+    # (the mean pass is their only consumer; re-running posexplode over
+    # checkpoint blocks is a few ms per round vs materializing n x d
+    # rows in their own job)
+    pts = vecs.select("vec_id", F.posexplode("vec").alias("dim", "val"))
     try:
         for _ in range(rounds - 1):
-            cbl = spark.createDataFrame(
-                [(cid, d, v) for cid, vec in cents for d, v in enumerate(vec)],
-                "cid int, dim int, cval double",
+            carr = spark.createDataFrame(
+                [(cid, vec) for cid, vec in cents],
+                "cid int, cvec array<double>",
             )
-            cids = sorted(cid for cid, _ in cents)
-            dist_cols = F.array(
-                *[
-                    F.struct(
-                        F.col(f"d{c}").alias("d"),
-                        F.lit(c).cast("int").alias("cid"),
-                    )
-                    for c in cids
-                ]
+            sq = F.aggregate(
+                F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
             )
             assign = (
-                pts.join(F.broadcast(cbl), "dim")
-                .groupBy("vec_id")
-                .pivot("cid", cids)
-                .agg(
-                    F.sum(
-                        (F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval"))
-                    )
-                )
+                vecs.join(F.broadcast(carr), how="cross")
                 .select(
                     "vec_id",
-                    *[F.col(str(c)).alias(f"d{c}") for c in cids],
+                    F.struct(sq.alias("d"), F.col("cid")).alias("dc"),
                 )
-                .select("vec_id", F.array_min(dist_cols)["cid"].alias("cid"))
+                .groupBy("vec_id")
+                .agg(F.min("dc").alias("dc"))
+                .select("vec_id", F.col("dc")["cid"].alias("cid"))
             )
             rows = (
                 assign.join(pts, "vec_id")
@@ -1385,7 +1388,7 @@ def lloyd_centroids(
     finally:
         # a failed mid-training collect must not leak the checkpointed
         # blocks for the session lifetime (r8 advisory)
-        pts.unpersist()
+        vecs.unpersist()
     return cents
 
 
@@ -2398,16 +2401,6 @@ def hier_cells(
             "vec_id", "vec", "vnorm", F.col("cell").alias("ccell")
         )
     coarse = coarse.localCheckpoint()
-    # long-form points derive lazily from the checkpointed coarse frame
-    # (r13): re-running the posexplode projection per consumer is a few
-    # ms of codegen work inside jobs that already exist, where the old
-    # eager second localCheckpoint materialized n x d rows in their own
-    # job — pure fixed cost at 1x and redundant block-manager residency
-    # (the checkpointed coarse blocks already hold the vectors) at any
-    # scale
-    pts = coarse.select(
-        "vec_id", "ccell", F.posexplode("vec").alias("dim", "val")
-    )
 
     # fine seeds: the k2 rank-lowest vec_ids per coarse cell (sub index
     # in seed vec_id order, so the (d, sub) tie-break below reproduces
@@ -2427,49 +2420,45 @@ def hier_cells(
     def cbl() -> DataFrame:
         return spark.createDataFrame(
             [
-                (cc, s, d, v)
+                (cc, s, vec)
                 for (cc, s), vec in sorted(cents.items())
-                for d, v in enumerate(vec)
             ],
-            "ccell long, sub int, dim int, cval double",
+            "ccell long, sub int, cvec array<double>",
         )
-
-    sqdist = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
 
     # r13 optimization (mirrors lloyd_centroids' restructure, guide
-    # §2.3/§2.4): the per-(vec, ccell, sub) distance sums pivot into sub
-    # columns of ONE (vec_id, ccell)-keyed aggregation, the argmin is an
-    # in-row array_min with the same (d, sub) tie-break (NULL columns —
-    # subs another coarse cell owns, or dropped-empty subs — are
-    # filtered before the min; every surviving ccell keeps >= 1 sub, so
-    # the filtered array is never empty), and the centroid update joins
-    # the n assignment rows back to the VECTOR frame for per-dim sums +
-    # counts instead of re-shuffling the n x d long-form points. Two
-    # exchanges per round instead of four; drop-empty semantics
-    # unchanged (only (ccell, sub) groups that won points return).
+    # §2.3/§2.4): each (vec, sub) squared distance is computed IN-ROW —
+    # the sub-centroids broadcast as (ccell, sub, cvec) array rows, the
+    # ccell equi-join fans each vector to its own coarse cell's <= k2
+    # subs only, and a sequential zip_with/aggregate fold replaces the
+    # long-form per-dim sum (same addends, same dim order, bit-identical
+    # FP; min(struct) keeps the (d, sub) lexicographic tie-break). The
+    # first r13 attempt pivoted the sums into k2 columns — that form
+    # pays O(n * d * k2^2) conditional-sum branches, which the flat
+    # trainer's tier collapse showed is the wrong shape once the column
+    # count grows with the corpus (k2 = sqrt(k) ~ n^0.5 under the
+    # production sizing). The centroid update joins the n assignment
+    # rows back to the VECTOR frame for per-dim sums + counts instead
+    # of re-shuffling the n x d long-form points. Two exchanges per
+    # round instead of four; drop-empty semantics unchanged (a vector
+    # whose coarse cell lost every sub drops from the join exactly as
+    # its pivot-NULL columns dropped from the filtered array).
     def sub_argmin() -> DataFrame:
-        subs = sorted({s for (_, s) in cents})
-        structs = F.array(
-            *[
-                F.struct(
-                    F.col(f"_d{s}").alias("d"),
-                    F.lit(s).cast("int").alias("sub"),
-                )
-                for s in subs
-            ]
+        sq = F.aggregate(
+            F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        present = F.filter(structs, lambda st: st["d"].isNotNull())
         return (
-            pts.join(F.broadcast(cbl()), ["ccell", "dim"])
-            .groupBy("vec_id", "ccell")
-            .pivot("sub", subs)
-            .agg(F.sum(sqdist))
+            coarse.select("vec_id", "ccell", "vec")
+            .join(F.broadcast(cbl()), "ccell")
             .select(
                 "vec_id",
                 "ccell",
-                *[F.col(str(s)).alias(f"_d{s}") for s in subs],
+                F.struct(sq.alias("d"), F.col("sub")).alias("dc"),
             )
-            .select("vec_id", "ccell", F.array_min(present).alias("best"))
+            .groupBy("vec_id", "ccell")
+            .agg(F.min("dc").alias("best"))
         )
 
     for _ in range(rounds - 1):
