@@ -68,21 +68,28 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over distinct shingle sets via shingle equi-join.
-    Exact; quadratic on hot shingles — see module docstring."""
+    Exact; quadratic on hot shingles — see module docstring.
+
+    r13 (guide §2.3): each shingle row carries its document's set size
+    into the self-join, so the per-pair sizes ride the aggregation key
+    and the intersection counts need NO post-aggregation size joins —
+    the old form re-joined the sizes frame twice against the full
+    candidate-pair output (10.3M rows at sf0.1 for 256 survivors).
+    Same integer arithmetic, bit-identical jaccard."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    swn = sh.join(sizes, "doc_id")
+    a = swn.alias("a")
+    b = swn.alias("b")
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -210,7 +217,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair input here is the exact bigram-Jaccard operator (SQL-expressible
     → full oracle); the 100 TB path feeds the identical loop from
     lsh_candidate_pairs + exact verification (same (doc_a, doc_b)
-    schema)."""
+    schema). r13 A/B note (OPTIMIZATION_r13.md): swapping the pair
+    stage for the lossless AllPairs prefix join measured 7x SLOWER on
+    this fixture — its small bigram vocabulary leaves even the
+    rarest-half prefixes hot (16.5M raw prefix matches vs the naive
+    join's 10.3M aggregated candidates), so the naive direct-aggregation
+    form is the right shape here and prefix filtering stays the
+    rare-token-corpus tool (q_setsim_*)."""
     pairs = exact_jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
     return connected_components(
         load_table(spark, sf_dir, "documents"), pairs, tag="exact"
@@ -1310,8 +1323,15 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates-only verify join keyed on doc_id. No corpus-wide
     quadratic stage exists; skew on the join key is capped because a
     prefix token with document frequency d contributes at most d^2/2
-    candidates and the prefix targets the SMALLEST d."""
-    return setsim_prefix_pairs(shingles(spark, sf_dir), SETSIM_THRESHOLD)
+    candidates and the prefix targets the SMALLEST d.
+
+    r13: the shingle set is materialized once inside the timed query
+    (the q_setsim_zipf discipline) — setsim_prefix_pairs reads its
+    input relation three times and each reference re-ran the
+    scan + explode + DISTINCT subtree."""
+    return setsim_prefix_pairs(
+        shingles(spark, sf_dir).localCheckpoint(), SETSIM_THRESHOLD
+    )
 
 
 def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -1322,7 +1342,19 @@ def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     from pyspark.sql import Window
 
     t = threshold
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r13 (guide §2.4/§5): one doc-grain aggregation feeds BOTH the
+    # per-doc sizes and the verify stage's shingle arrays (the old form
+    # aggregated sh separately for each), and the two frames every
+    # stage re-reads — the per-doc sets and the prefix projection (the
+    # self-join consumes it twice) — are localCheckpointed so the
+    # dfreq-join + window subtree runs once per invocation instead of
+    # once per plan reference.
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sset"))
+        .localCheckpoint()
+    )
+    sizes = sets.select("doc_id", F.size("sset").alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     # global total order (df, shingle); prefix = n - ceil(t*n) + 1
     pos_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -1335,8 +1367,15 @@ def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + F.lit(1)
         )
         .select("doc_id", "shingle", "n")
+        .localCheckpoint()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # r13 (guide §2.3): the candidate pairs keep both prefix rows' set
+    # sizes, so the sizes ride the verify aggregation's key and the old
+    # post-aggregation sa/sb size joins disappear ((na, nb) is
+    # functionally determined by (doc_a, doc_b) — the distinct's
+    # cardinality is unchanged). Same integer arithmetic, bit-identical
+    # jaccard.
     cand = (
         a.join(
             b,
@@ -1350,26 +1389,47 @@ def setsim_prefix_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
+    # r13 verify stage (guide §2.3): intersection sizes come from an
+    # IN-ROW array_intersect over per-doc shingle arrays instead of the
+    # old double shingle join — that join exploded every candidate pair
+    # into |set| rows and re-shuffled the explosion on (doc_b, shingle)
+    # (280M rows at sf0.1 where the corpus's hot shingles leave ~5.5M
+    # candidates; 68s -> ~8s measured). Two |cand|-row joins attach the
+    # arrays; size(array_intersect) over distinct sets is exactly the
+    # old per-shingle-match count (every cand pair shares >= 1 prefix
+    # token, so the old inner join never dropped a pair either), and
+    # the jaccard arithmetic is unchanged.
     inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a")
+            ),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= t)
+        inter.filter(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
