@@ -230,7 +230,18 @@ def pagerank(
             telemetry["l1_per_round"].append(l1)
             lc.swap(merged)
             ranks = merged.select("doc_id", "rank", "dangling")
-            if l1 < tol:
+            # l1 == 0.0 is a BIT-EXACT fixed point: the round update is
+            # a deterministic function of (ranks, dangling_mass), so
+            # every remaining round would reproduce ranks unchanged —
+            # skipping them cannot move any output (r13, guide §1.2
+            # "don't compute things you throw away"; the hash-oracled
+            # unrolled-CTE keys stay bit-identical by construction, and
+            # their driver gates double as the proof). tol=0.0 callers
+            # (the unrolled-oracle keys) still never exit on a merely
+            # SMALL delta. q_textrank_keywords' near-complete word graph
+            # reaches the exact fixed point after round 2 at every
+            # fixture SF — 10 of its 12 rounds were identity re-runs.
+            if l1 < tol or l1 == 0.0:
                 break
         return ranks.select("doc_id", "rank")
 
