@@ -762,37 +762,61 @@ def _pq_lloyd_codebooks(
         ]
         for sm in range(m)
     }
-    # long-form points, reused every round (absolute dims; sm = dim div
-    # sub — the oracle's pts CTE verbatim). Centroids enter as broadcast
-    # DATA, not plan literals: a literal-folded argmin (the first r8
-    # cut's 8-subspace CASE over 128 zip_with folds) recompiled ~10 s of
-    # codegen per round because each round's literals are a new plan.
-    pts = base.select(
+    # Centroids enter as broadcast DATA, not plan literals: a
+    # literal-folded argmin (the first r8 cut's 8-subspace CASE over 128
+    # zip_with folds) recompiled ~10 s of codegen per round because each
+    # round's literals are a new plan.
+    #
+    # r13 (the lloyd_centroids restructure applied per subspace, guide
+    # §2.3/§2.4): the per-(vec, sm, cid) distance is computed IN-ROW —
+    # the m*k codebook rows broadcast as (sm, cid, cvec) sub-arrays, a
+    # broadcast nested-loop join fans each vector to its m*k candidates,
+    # and a sequential zip_with fold over slice(vec, sm*sub+1, sub)
+    # yields the squared distance. The old long-form dataflow ground
+    # n*d*k join rows through a two-phase aggregation plus a re-key
+    # exchange (~5 s of small-stage fixed cost per round at sf0.1 for
+    # arithmetic a single core does in milliseconds); this form runs one
+    # n*m-row argmin exchange (map-side min(struct) collapses the k
+    # candidates per (vec, sm) before the shuffle). Same addends in the
+    # same dim order (bit-identical FP), same (d, cid) tie-break. The
+    # per-(sm, cid, dim) mean keeps the oracle's long-form AVG dataflow,
+    # with pts derived lazily from the checkpointed vector frame.
+    vecs = base.localCheckpoint()
+    pts = vecs.select(
         "vec_id", F.posexplode("vec").alias("dim", "val")
-    ).withColumn("sm", (F.col("dim") / sub).cast("int")).localCheckpoint()
+    ).withColumn("sm", (F.col("dim") / sub).cast("int"))
     try:
         for _ in range(rounds - 1):
-            cbl = spark.createDataFrame(
+            carr = spark.createDataFrame(
                 [
-                    (sm, cid, sm * sub + d, v)
+                    (sm, cid, vec)
                     for sm, lst in cents.items()
                     for cid, vec in lst
-                    for d, v in enumerate(vec)
                 ],
-                "sm int, cid int, dim int, cval double",
-            ).drop("sm")  # dim is absolute, so the subspace is implied
-            rows = (
-                pts.join(F.broadcast(cbl), "dim")
-                .groupBy("vec_id", "sm", "cid")
-                .agg(
-                    F.sum(
-                        (F.col("val") - F.col("cval"))
-                        * (F.col("val") - F.col("cval"))
-                    ).alias("d")
+                "sm int, cid int, cvec array<double>",
+            )
+            sq = F.aggregate(
+                F.zip_with(
+                    F.slice("vec", F.col("sm") * sub + 1, sub),
+                    "cvec",
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            assign = (
+                vecs.join(F.broadcast(carr), how="cross")
+                .select(
+                    "vec_id",
+                    "sm",
+                    F.struct(sq.alias("d"), F.col("cid")).alias("dc"),
                 )
                 .groupBy("vec_id", "sm")
-                .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
-                .join(pts, ["vec_id", "sm"])
+                .agg(F.min("dc").alias("dc"))
+                .select("vec_id", "sm", F.col("dc")["cid"].alias("cid"))
+            )
+            rows = (
+                assign.join(pts, ["vec_id", "sm"])
                 .groupBy("sm", "cid", "dim")
                 .agg(F.avg("val").alias("val"))
                 .collect()
@@ -813,7 +837,7 @@ def _pq_lloyd_codebooks(
     finally:
         # finally: a failed mid-training collect must not leak the
         # checkpointed blocks for the session lifetime (r8 advisory)
-        pts.unpersist()
+        vecs.unpersist()
     return cents
 
 
