@@ -2463,56 +2463,60 @@ def hier_cells(
         for r in seed_rows
     }
 
-    def cbl() -> DataFrame:
+    # r13 optimization, second cut (guide §2.3/§2.4): the sub-centroid
+    # argmin is computed fully IN-ROW. The first r13 form broadcast the
+    # sub-centroids as (ccell, sub, cvec) rows, fanned each vector to
+    # its own coarse cell's <= k2 subs via the ccell equi-join, and
+    # collapsed the fan-out with a groupBy(vec_id, ccell) min — one
+    # exchange per argmin, plus a vec_id join to re-attach vectors for
+    # the update sums (and a final vec_id join for the assignment).
+    # But the fan-out/collapse pair is avoidable outright: broadcasting
+    # ONE ROW PER COARSE CELL carrying the sub list as an
+    # array<struct<sub, cvec>> turns the argmin into
+    # array_min(transform(...)) over that array — same zip_with fold
+    # per (vec, sub) pair (same addends, same dim order, bit-identical
+    # FP), same (d, sub) lexicographic tie-break (array_min on
+    # struct(d, sub) orders exactly like min(struct(d, sub))) — and the
+    # row never leaves its scan partition: ZERO exchanges per argmin,
+    # and the vector/vnorm columns stay in-row so neither the update
+    # nor the final assignment needs a join-back. Per update round the
+    # only exchange left is the (ccell, sub) partial-agg shuffle of the
+    # per-dim sums. The pivoted-columns form stays rejected (O(n * d *
+    # k2^2) conditional-sum branches — the flat trainer's tier
+    # collapse). Drop-empty semantics unchanged: a coarse cell that
+    # lost every sub has no row in the broadcast list, so its vectors
+    # drop from the inner join exactly as before.
+    def cblg() -> DataFrame:
+        by_cc: dict[int, list[tuple[int, list[float]]]] = {}
+        for (cc, s), vec in sorted(cents.items()):
+            by_cc.setdefault(cc, []).append((s, vec))
         return spark.createDataFrame(
-            [
-                (cc, s, vec)
-                for (cc, s), vec in sorted(cents.items())
-            ],
-            "ccell long, sub int, cvec array<double>",
+            [(cc, subs) for cc, subs in sorted(by_cc.items())],
+            "ccell long, subs array<struct<sub: int, cvec: array<double>>>",
         )
 
-    # r13 optimization (mirrors lloyd_centroids' restructure, guide
-    # §2.3/§2.4): each (vec, sub) squared distance is computed IN-ROW —
-    # the sub-centroids broadcast as (ccell, sub, cvec) array rows, the
-    # ccell equi-join fans each vector to its own coarse cell's <= k2
-    # subs only, and a sequential zip_with/aggregate fold replaces the
-    # long-form per-dim sum (same addends, same dim order, bit-identical
-    # FP; min(struct) keeps the (d, sub) lexicographic tie-break). The
-    # first r13 attempt pivoted the sums into k2 columns — that form
-    # pays O(n * d * k2^2) conditional-sum branches, which the flat
-    # trainer's tier collapse showed is the wrong shape once the column
-    # count grows with the corpus (k2 = sqrt(k) ~ n^0.5 under the
-    # production sizing). The centroid update joins the n assignment
-    # rows back to the VECTOR frame for per-dim sums + counts instead
-    # of re-shuffling the n x d long-form points. Two exchanges per
-    # round instead of four; drop-empty semantics unchanged (a vector
-    # whose coarse cell lost every sub drops from the join exactly as
-    # its pivot-NULL columns dropped from the filtered array).
-    def sub_argmin() -> DataFrame:
-        sq = F.aggregate(
-            F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+    def with_best(cols: DataFrame) -> DataFrame:
+        sq = lambda cvec: F.aggregate(  # noqa: E731
+            F.zip_with("vec", cvec, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        return (
-            coarse.select("vec_id", "ccell", "vec")
-            .join(F.broadcast(cbl()), "ccell")
-            .select(
-                "vec_id",
-                "ccell",
-                F.struct(sq.alias("d"), F.col("sub")).alias("dc"),
+        best = F.array_min(
+            F.transform(
+                "subs",
+                lambda s: F.struct(
+                    sq(s["cvec"]).alias("d"), s["sub"].alias("sub")
+                ),
             )
-            .groupBy("vec_id", "ccell")
-            .agg(F.min("dc").alias("best"))
+        )
+        return cols.join(F.broadcast(cblg()), "ccell").withColumn(
+            "best", best
         )
 
     for _ in range(rounds - 1):
         rows = (
-            sub_argmin()
-            .select("vec_id", "ccell", F.col("best")["sub"].alias("sub"))
-            .join(coarse.select("vec_id", "vec"), "vec_id")
-            .groupBy("ccell", "sub")
+            with_best(coarse.select("ccell", "vec"))
+            .groupBy("ccell", F.col("best")["sub"].alias("sub"))
             .agg(
                 F.count("*").alias("n"),
                 *[F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)],
@@ -2532,9 +2536,14 @@ def hier_cells(
             for r in rows
         }
 
-    final = sub_argmin()
+    # the struct column is checkpointed WHOLE and its fields projected
+    # after: projecting cell/cdist pre-checkpoint lets CollapseProject
+    # inline `best` into both field accesses, re-evaluating the k2-way
+    # argmin twice per vector (measured +2 s on the assignment pass)
     cells = (
-        coarse.join(final, ["vec_id", "ccell"])
+        with_best(coarse)
+        .select("vec_id", "vec", "vnorm", "ccell", "best")
+        .localCheckpoint()
         .select(
             "vec_id",
             "vec",
@@ -2544,7 +2553,6 @@ def hier_cells(
             .alias("cell"),
             F.col("best")["d"].alias("cdist"),
         )
-        .localCheckpoint()
     )
     coarse.unpersist()
     return cells
