@@ -453,20 +453,38 @@ def _cc_min_label(docs, pairs, max_rounds: int, telemetry: dict):
 
         converged = False
         for _ in range(max_rounds):
-            nbr = (
-                edges.join(labels.withColumnRenamed("u", "v"), "v")
-                .groupBy("u")
-                .agg(F.min("label").alias("nbr_min"))
+            # r13 (guide §2.4, same fusion as the PageRank round): the
+            # old round ran groupBy(u) over the neighbor labels and then
+            # a SECOND keyed op (labels left-join nbr) to merge — two
+            # AQE stages where one suffices. Fused: each node's own
+            # label rides the union as one more candidate row, so a
+            # single groupBy(u) computes min(candidates) — exactly
+            # least(label, min(nbr)) — and re-attaches the old label
+            # (max over one non-null). Integer min: bit-exact, no FP
+            # order concerns. A u absent from the docs universe
+            # aggregates to a NULL own-label row and is filtered — the
+            # old left join's semantics.
+            edge_l = edges.join(labels.withColumnRenamed("u", "v"), "v").select(
+                "u",
+                F.col("label").alias("cand"),
+                F.lit(None).cast(labels.schema["label"].dataType).alias("own"),
+            )
+            self_l = labels.select(
+                "u", F.col("label").alias("cand"), F.col("label").alias("own")
             )
             # one job per round: checkpoint the merged labels, then count
             # changed rows off the checkpointed result (no recompute)
-            merged = labels.join(nbr, "u", "left").select(
-                "u",
-                "label",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("new_label"),
-            ).localCheckpoint()
+            merged = (
+                edge_l.unionByName(self_l)
+                .groupBy("u")
+                .agg(
+                    F.min("cand").alias("new_label"),
+                    F.max("own").alias("label"),
+                )
+                .filter(F.col("label").isNotNull())
+                .select("u", "label", "new_label")
+                .localCheckpoint()
+            )
             changed = merged.filter(F.col("new_label") != F.col("label")).count()
             telemetry["rounds"] += 1
             telemetry["changed_per_round"].append(changed)

@@ -199,20 +199,49 @@ def pagerank(
         ranks = lc.swap(ranks)
         for _ in range(rounds):
             base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
-            contribs = (
-                wedges.join(ranks, wedges.src == ranks.doc_id)
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            # r13 (guide §2.4, measured 107 jobs -> the round's fixed
+            # overhead dominated sf0.1 wall): the old round ran TWO keyed
+            # operations — groupBy(dst) for the contributions, then a
+            # second join of ranks against that aggregate — each
+            # materialized as its own AQE stage. Fused form: the edge
+            # contributions and one zero-contribution self row per node
+            # union into a SINGLE groupBy(doc_id), which computes the
+            # contribution sum AND re-attaches (old_rank, dangling) in
+            # one exchange (exactly one non-null old_rank per group). A
+            # dst absent from `ranks` aggregates to a NULL old_rank row
+            # and is filtered — the old left join's semantics. FP: the
+            # contribution addends are identical with one extra +0.0
+            # (all contributions are finite and non-negative, so
+            # x + 0.0 == x bit-exactly); summation order was never
+            # pinned — ROUND(9) absorbs it, as the oracle already
+            # argues for the shuffle's own merge order.
+            edge_c = wedges.join(ranks, wedges.src == ranks.doc_id).select(
+                F.col("dst").alias("doc_id"),
+                (F.col("rank") * F.col("w")).alias("c"),
+                F.lit(None).cast("double").alias("old_rank"),
+                F.lit(None).cast("boolean").alias("dangling"),
+            )
+            self_c = ranks.select(
+                "doc_id",
+                F.lit(0.0).alias("c"),
+                F.col("rank").alias("old_rank"),
+                "dangling",
             )
             merged = (
-                ranks.join(contribs, ranks.doc_id == contribs.dst, "left")
+                edge_c.unionByName(self_c)
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("c").alias("contrib"),
+                    F.max("old_rank").alias("old_rank"),
+                    F.max("dangling").alias("dangling"),
+                )
+                .filter(F.col("old_rank").isNotNull())
                 .select(
                     "doc_id",
-                    F.col("rank").alias("old_rank"),
-                    (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    ).alias("rank"),
+                    "old_rank",
+                    (F.lit(base) + F.lit(damping) * F.col("contrib")).alias(
+                        "rank"
+                    ),
                     "dangling",
                 )
                 # lazy checkpoint: the agg below materializes the blocks in
