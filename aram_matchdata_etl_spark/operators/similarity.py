@@ -1334,80 +1334,78 @@ def lloyd_centroids(
         seeds = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), [float(x) for x in r.vec]) for r in seeds]
 
-    # Update rounds run on long-form points with the centroids joining
-    # in as broadcast DATA (the oracle's own dataflow: per-(vec, cid)
-    # summed squared distance, argmin, per-(cid, dim) mean): folding
-    # the centroids in as plan literals recompiled a k x d zip_with
+    # Update rounds broadcast the centroids as DATA, never as plan
+    # literals: folding them in as literals recompiled a k x d zip_with
     # projection per round (~4 s of codegen each at k=16, measured on
     # q_ann_ivf). The FINAL argmin consumed by callers stays the
     # literal-folded in-row form (_centroid_dist_structs) — one compile,
-    # zero shuffle, plan-pinned in tests/test_plans.py.
-    #
-    # r13 optimization (guide §2.3/§2.4): each update round now runs
-    # THREE narrow exchanges instead of four. The first r13 attempt
-    # pivoted the per-(vec, cid) distance sums into k columns of one
-    # vec_id-keyed aggregation — that removed the re-key exchange but
-    # made every long-form row evaluate all k conditional-sum branches,
-    # O(n * d * k^2) compute that collapsed q_semdedup_scaled's 10x tier
-    # point (k grows with the corpus under the production sizing: 61.5 s
-    # vs the 12.7 s band, fresh-session-confirmed). The shipped form
-    # keeps the single assignment exchange but computes each (vec, cid)
-    # distance IN-ROW: the k centroids broadcast as (cid, cvec) array
-    # rows, a broadcast nested-loop join fans each vector to k rows, and
-    # a sequential zip_with/aggregate fold computes the squared distance
-    # — O(n * d * k) compute, codegen size O(1) in k (the literal-folded
-    # form recompiles a k x d projection per round, ~4 s at k=16), and
-    # the exchange carries n pre-aggregated rows (map-side min(struct)
-    # collapses each vector's k candidates before the shuffle). FP is
-    # bit-identical to the r12 long-form sum: the fold adds the same
-    # per-dim addends in the same dim order the posexplode rows
-    # accumulated in, and min(struct(d, cid)) keeps the (d, cid)
-    # lexicographic tie-break. The per-(cid, dim) mean is unchanged —
-    # an attempt to aggregate per-dim sums from the vector frame
-    # measured SLOWER (the emb scan + spread repartition re-ran per
-    # round; A/B in OPTIMIZATION_r13.md). Same addends, same seeding,
-    # same drop-empty semantics.
+    # zero shuffle, plan-pinned in tests/test_plans.py. A rejected r13
+    # attempt pivoted the per-(vec, cid) distance sums into k columns —
+    # O(n * d * k^2) conditional-sum branches that collapsed
+    # q_semdedup_scaled's 10x tier point (61.5 s vs the 12.7 s band,
+    # fresh-session-confirmed); the in-row argmin below is O(n * d * k).
+    # An earlier per-dim-sums-from-the-vector-frame attempt that KEPT
+    # the groupBy(vec_id) argmin and joined it back measured slower
+    # (A/B in OPTIMIZATION_r13.md); the current form removes that join
+    # and the argmin exchange together, which is where the win is.
     if not cents:
         return cents
     vecs = emb.select("vec_id", "vec").localCheckpoint()
-    # long-form points derive lazily from the checkpointed vector frame
-    # (the mean pass is their only consumer; re-running posexplode over
-    # checkpoint blocks is a few ms per round vs materializing n x d
-    # rows in their own job)
-    pts = vecs.select("vec_id", F.posexplode("vec").alias("dim", "val"))
+    dim = len(cents[0][1])
     try:
         for _ in range(rounds - 1):
+            # r13, third cut (guide §2.4; mirrors the hier trainer): the
+            # k centroids broadcast as ONE row carrying the whole
+            # (cid, cvec) list, so the argmin is an in-row
+            # array_min(transform(...)) — same zip_with fold per
+            # (vec, cid) pair (same addends, same dim order), same
+            # (d, cid) lexicographic tie-break as min(struct(d, cid)) —
+            # and the groupBy(vec_id) collapse plus the long-form
+            # points join both disappear. The per-round update is ONE
+            # map-side-combined exchange keyed by cid: per-dim sums +
+            # count, divided driver-side — arithmetically the same
+            # sum/count the old per-(cid, dim) AVG computed, with only
+            # the unpinned partial-aggregation order moved (the
+            # unrolled-Lloyd oracles compare the trajectory at ROUND
+            # precision with >= 1e-9 argmin margins; re-proven at all
+            # three SFs for every oracled consumer). Drop-empty
+            # semantics unchanged: cents rebuilds from the update rows
+            # only.
             carr = spark.createDataFrame(
-                [(cid, vec) for cid, vec in cents],
-                "cid int, cvec array<double>",
+                [([(cid, vec) for cid, vec in sorted(cents)],)],
+                "cents array<struct<cid: int, cvec: array<double>>>",
             )
-            sq = F.aggregate(
-                F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+            sq = lambda cvec: F.aggregate(  # noqa: E731
+                F.zip_with("vec", cvec, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
                 lambda a, x: a + x,
             )
-            assign = (
-                vecs.join(F.broadcast(carr), how="cross")
-                .select(
-                    "vec_id",
-                    F.struct(sq.alias("d"), F.col("cid")).alias("dc"),
+            best = F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        sq(c["cvec"]).alias("d"), c["cid"].alias("cid")
+                    ),
                 )
-                .groupBy("vec_id")
-                .agg(F.min("dc").alias("dc"))
-                .select("vec_id", F.col("dc")["cid"].alias("cid"))
             )
             rows = (
-                assign.join(pts, "vec_id")
-                .groupBy("cid", "dim")
-                .agg(F.avg("val").alias("val"))
+                vecs.join(F.broadcast(carr), how="cross")
+                .groupBy(best["cid"].alias("cid"))
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col("vec")[i]).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
                 .collect()
             )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in rows:
-                by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.val)
             cents = [
-                (cid, [dims[i] for i in range(len(dims))])
-                for cid, dims in sorted(by_cid.items())
+                (
+                    int(r.cid),
+                    [float(r[f"s{i}"]) / int(r.n) for i in range(dim)],
+                )
+                for r in sorted(rows, key=lambda r: int(r.cid))
             ]
     finally:
         # a failed mid-training collect must not leak the checkpointed

@@ -1208,13 +1208,19 @@ def trailing_minima(sf: float, root: str | None = None) -> dict[str, float]:
 def band_outliers(
     timings: dict[str, float], bands: dict[str, float]
 ) -> list[str]:
-    """Scale-path queries whose in-suite best-of-2 exceeds the trailing
-    band — candidates for the fresh-session standalone arm."""
+    """Queries whose in-suite best-of-2 exceeds the trailing band —
+    candidates for the fresh-session standalone arm. r13 measurement
+    fix: the ORACLE_BASELINES lane is no longer exempt — its seconds
+    ship in the same per-query map, and excluding it let BENCH r13's
+    baseline run ship q_embedding_neardup at 11.57 s (13x its trailing
+    band; standalone truth 1.53 s) with no adjudication pair — the
+    exact artifact-lies class the headline and tier defenses exist
+    for. The two baseline entries stay out of the headline `value`
+    either way; this only buys their rows the same honesty."""
     return [
         n
         for n, t in timings.items()
-        if n not in ORACLE_BASELINES
-        and n in bands
+        if n in bands
         and t > max(BAND_RATIO * bands[n], bands[n] + BAND_ABS_SLACK)
     ]
 

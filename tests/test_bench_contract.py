@@ -140,19 +140,21 @@ def test_headline_and_baselines_disjoint_and_registered():
 
 
 def test_band_outlier_trigger():
-    """The r11 in-suite pressure defense: a scale-path query far above
-    its trailing-artifact band triggers; baselines, unknown keys, and
-    noise-level drift do not."""
+    """The r11 in-suite pressure defense: a query far above its
+    trailing-artifact band triggers; unknown keys and noise-level drift
+    do not. r13: the ORACLE_BASELINES lane is covered too — its
+    exemption let a 13x-contaminated q_embedding_neardup row ship
+    unadjudicated in the r13 baseline run."""
     from bench import BAND_ABS_SLACK, BAND_RATIO, band_outliers
 
     bands = {"q_a": 2.5, "q_b": 0.1, "q_dedup_clusters": 10.0}
     timings = {
         "q_a": 4.4,  # 1.76x and +1.9s over the band -> triggers
         "q_b": 0.3,  # 3x but inside the absolute slack -> no trigger
-        "q_dedup_clusters": 99.0,  # oracle baseline -> exempt
+        "q_dedup_clusters": 99.0,  # oracle baseline: no longer exempt
         "q_new": 50.0,  # no trailing artifact -> no band to compare
     }
-    assert band_outliers(timings, bands) == ["q_a"]
+    assert band_outliers(timings, bands) == ["q_a", "q_dedup_clusters"]
     # boundary: exactly at the threshold does not trigger
     t = max(BAND_RATIO * 2.5, 2.5 + BAND_ABS_SLACK)
     assert band_outliers({"q_a": t}, bands) == []
