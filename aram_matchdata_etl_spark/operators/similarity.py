@@ -2179,11 +2179,67 @@ def semdedup_frame(
     return _semdedup_from_cells(cells, cell_cap, tag)
 
 
+_SEMDEDUP_PAIR_CHUNK = 4096  # kernel row-block: memory O(chunk * cell)
+
+
+def _semdedup_cell_kernel(pdf):
+    """Within-cell pair stage for ONE cell as a numpy kernel (r13,
+    guide §4.2 — hand the whole block to BLAS instead of evaluating a
+    zip_with fold per pair): the cosine matrix is one GEMM over the
+    cell's vector block, the near-dup degree a row-sum of the
+    thresholded mask, and the keep rule a row-any over the beaten mask.
+    Exactly the self-join's semantics: directed pairs va != vb,
+    cos >= SEMDEDUP_COSINE, beaten = (db > da) | (db == da & vb < va),
+    kept = beaten-count 0. Output is all-integer/boolean; the only FP
+    difference vs the join form is dot-product summation order
+    (pairwise/SIMD vs sequential fold), and every registered fixture
+    holds >= 1e-9 margins on both comparisons
+    (test_semdedup_oracle_margin_floor), 6+ orders above that noise.
+    Row blocks of _SEMDEDUP_PAIR_CHUNK bound memory at O(chunk * cell)
+    so an adversarial giant cell degrades like the join (spill-shaped,
+    not OOM); the hot-cell cap upstream remains the real defense."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+    norms = pdf["vnorm"].to_numpy(dtype=np.float64)[order]
+    dist = pdf["cdist"].to_numpy(dtype=np.float64)[order]
+    n = ids.shape[0]
+    n_neardups = np.zeros(n, dtype=np.int64)
+    beaten = np.zeros(n, dtype=bool)
+    for lo in range(0, n, _SEMDEDUP_PAIR_CHUNK):
+        hi = min(lo + _SEMDEDUP_PAIR_CHUNK, n)
+        cos = (X[lo:hi] @ X.T) / np.outer(norms[lo:hi], norms)
+        m = cos >= SEMDEDUP_COSINE
+        m[:, lo:hi][np.eye(hi - lo, dtype=bool)] = False
+        n_neardups[lo:hi] = m.sum(axis=1)
+        beat = m & (
+            (dist[None, :] > dist[lo:hi, None])
+            | (
+                (dist[None, :] == dist[lo:hi, None])
+                & (ids[None, :] < ids[lo:hi, None])
+            )
+        )
+        beaten[lo:hi] = beat.any(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cell": pdf["cell"].to_numpy(dtype=np.int64)[order],
+            "n_neardups": n_neardups,
+            "is_kept": ~beaten,
+        }
+    )
+
+
 def _semdedup_from_cells(
     cells: DataFrame,
     cell_cap: int | str | None,
     tag: str,
     cells_checkpointed: bool = False,
+    pair_impl: str = "kernel",
 ) -> DataFrame:
     """The pair/keep stage shared by every semdedup cell partitioner
     (flat Lloyd in semdedup_frame, two-level hierarchical in
@@ -2227,6 +2283,38 @@ def _semdedup_from_cells(
             cells.withColumn("crn", F.row_number().over(wc))
             .filter(F.col("crn") <= cell_cap)
             .drop("crn")
+        )
+    if pair_impl == "kernel":
+        # r13 primary path (guide §4.2): ONE exchange keyed by cell,
+        # then the whole pair stage runs as a per-cell numpy kernel —
+        # the join form shuffled the vector payload TWICE (both self-
+        # join sides) and evaluated a d-wide zip_with fold per directed
+        # pair (~n * cell_size HOF evaluations); the kernel moves each
+        # vector once and hands the cell block to one GEMM. When no cap
+        # filtered anything the kernel output already covers every
+        # vector, so the join-back disappears too. The join form stays
+        # selectable (pair_impl="join") and output-identity between the
+        # two is asserted per run in tests/test_northstar.py.
+        scored = pair_cells.select(
+            "vec_id", "cell", "vec", "vnorm", "cdist"
+        ).groupBy("cell").applyInPandas(
+            _semdedup_cell_kernel,
+            schema="vec_id long, cell long, n_neardups long, is_kept boolean",
+        )
+        if cell_cap is None:
+            return scored
+        return (
+            cells.select("vec_id", "cell")
+            .join(scored.select("vec_id", "n_neardups", "is_kept"),
+                  "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell",
+                F.coalesce(
+                    F.col("n_neardups"), F.lit(0).cast("bigint")
+                ).alias("n_neardups"),
+                F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
+            )
         )
     a = pair_cells.select(
         F.col("vec_id").alias("va"),

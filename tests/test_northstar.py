@@ -1019,6 +1019,35 @@ def test_semdedup_join_argmin_matches_literal_path(spark):
     assert lit_rows  # literal-path frame is non-empty (sanity)
 
 
+def test_semdedup_pair_kernel_matches_join_form(spark):
+    """The r13 numpy pair kernel (one exchange + per-cell GEMM) must be
+    output-identical to the self-join pair stage it replaced — capped
+    and uncapped — on the oracle fixture. The only FP divergence is
+    dot-product summation order, and test_semdedup_oracle_margin_floor
+    pins >= 1e-9 margins on both threshold comparisons, so any mismatch
+    here is a semantics bug, not noise."""
+    from aram_matchdata_etl_spark.operators import similarity as sim
+
+    emb = sim.embeddings_d(spark, SF_ORACLE)
+    cents = sim.lloyd_centroids(
+        emb.select("vec_id", "vec"), sim.KMEANS_K, sim.KMEANS_ROUNDS
+    )
+    best = F.sort_array(F.array(*sim._centroid_dist_structs(cents)))[0]
+    cells = emb.select(
+        "vec_id", "vec", "vnorm",
+        best["cid"].alias("cell"), best["d"].alias("cdist"),
+    ).localCheckpoint()
+    for cap in (None, 100):
+        kern = sorted(map(tuple, sim._semdedup_from_cells(
+            cells, cap, "t_kern", cells_checkpointed=True
+        ).collect()))
+        join = sorted(map(tuple, sim._semdedup_from_cells(
+            cells, cap, "t_join", cells_checkpointed=True, pair_impl="join"
+        ).collect()))
+        assert kern == join, f"kernel/join divergence at cap={cap}"
+        assert kern  # non-vacuous
+
+
 def test_semdedup_joined_key_output_and_plan(spark):
     """q_semdedup_joined (the driver-gated join-argmin twin) must (a)
     produce EXACTLY q_semdedup's rows — they share one hash oracle, so
