@@ -486,10 +486,18 @@ def kcore(edges: DataFrame, k: int = KCORE_K, tag: str = "default") -> DataFrame
         while True:
             deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
             keep = deg.filter(F.col("deg") >= k).select("a")
+            # r13 (guide §2.4): both endpoint filters semi-join the SAME
+            # keep frame keyed on the SAME column — swapping (a, b)
+            # between the joins instead of renaming keep's column makes
+            # the two broadcast subplans byte-identical, so ReuseExchange
+            # builds keep once per round instead of twice (one fewer AQE
+            # stage per peel round; output identical — set intersection
+            # is symmetric)
             pruned = (
                 sym.join(keep, "a", "left_semi")
-                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-                .select("a", "b")
+                .select(F.col("b").alias("a"), F.col("a").alias("b"))
+                .join(keep, "a", "left_semi")
+                .select(F.col("b").alias("a"), F.col("a").alias("b"))
                 .localCheckpoint(eager=False)
             )
             n_now = pruned.count()
