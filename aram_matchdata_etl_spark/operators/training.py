@@ -618,7 +618,20 @@ def bigram_lm_scores(
         docs = spread_input(_docs(spark, sf_dir))
     toks = F.split(F.col("text"), " ")
     big = docs.select("doc_id", F.explode(bigram_col(toks)).alias("bg"))
-    bgc = big.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    # r13 (guide §2.4; the plan had THREE explode branches): bgc feeds
+    # both the probability join (its own counts) and the prefix rollup,
+    # and unshared those two references re-ran the corpus scan + spread
+    # repartition + explode + count each — the measured plan carried
+    # big's subtree three times (scored, bgc, pfx-via-bgc) with four
+    # corpus exchanges. The bigram-count table is distinct-bigram-scale
+    # (orders of magnitude below the corpus — the same bound the join
+    # design already relies on) and all-integer, so materializing it
+    # once is value-exact and 100 TB-safe; big itself stays lazy (the
+    # two remaining passes — count and score — are the fundamental
+    # minimum).
+    bgc = (
+        big.groupBy("bg").agg(F.count("*").alias("c_bg")).localCheckpoint()
+    )
     pfx = bgc.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
         F.sum("c_bg").alias("c_prefix")
     )
