@@ -169,14 +169,23 @@ def test_bigram_lm_no_cartesian_and_broadcast_vocab(spark):
     """Bigram LM scoring: V is a 1-row broadcast (nested-loop join on a
     single-row side is the broadcast scalar pattern, not a data cartesian)
     and the count-table joins are hash joins, never sort-merge on the
-    fixture."""
+    fixture. r13: assert on the FINAL adaptive plan of an executed
+    query — the r13 bgc localCheckpoint gives the count table
+    LogicalRDD's pessimistic size estimate, so the INITIAL plan now
+    conservatively picks sort-merge for the doc_id join-back (the
+    correct choice at corpus scale, where both sides are doc-grain) and
+    AQE demotes it to broadcast from the observed fixture size at
+    runtime; AdaptiveSparkPlan.toString appends that initial plan after
+    the final one, which the old whole-string match tripped over."""
     from aram_matchdata_etl_spark.registry import all_queries
 
     df = all_queries()["q_bigram_lm_score"](spark, SF_ORACLE)
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()  # the dataset's OWN QueryExecution must finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("Initial Plan")[0]
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastExchange" in final or "BroadcastHashJoin" in final, final
 
 
 def test_pq_adc_codebooks_broadcast(spark):
