@@ -2167,6 +2167,7 @@ def semdedup_frame(
     dim = len(cents[0][1]) if cents else 0
     if force_join_argmin or k * dim > SEMDEDUP_LITERAL_ARGMIN_MAX:
         cells = _assign_cells_via_join(emb, cents)
+        cells_cheap = False
     else:
         best = F.sort_array(F.array(*_centroid_dist_structs(cents)))[0]
         cells = emb.select(
@@ -2176,7 +2177,11 @@ def semdedup_frame(
             best["cid"].alias("cell"),
             best["d"].alias("cdist"),
         )
-    return _semdedup_from_cells(cells, cell_cap, tag)
+        # literal argmin = zero-exchange codegen over the scan: cheap to
+        # recompute, so the auto probe must not pay a full-payload
+        # localCheckpoint for it (r14, VERDICT r13 item 1)
+        cells_cheap = True
+    return _semdedup_from_cells(cells, cell_cap, tag, cells_cheap=cells_cheap)
 
 
 _SEMDEDUP_PAIR_CHUNK = 4096  # kernel row-block: memory O(chunk * cell)
@@ -2240,6 +2245,7 @@ def _semdedup_from_cells(
     tag: str,
     cells_checkpointed: bool = False,
     pair_impl: str = "kernel",
+    cells_cheap: bool = False,
 ) -> DataFrame:
     """The pair/keep stage shared by every semdedup cell partitioner
     (flat Lloyd in semdedup_frame, two-level hierarchical in
@@ -2252,17 +2258,32 @@ def _semdedup_from_cells(
     branch's re-materialization: without it the full
     (vec_id, vec, vnorm, cell, cdist) frame would land in the block
     manager TWICE per run."""
+    # `cell` is bigint on EVERY branch (ADVICE r13): the kernel's
+    # applyInPandas schema already declares long, but the capped
+    # join-back and the join form used to pass the input frame's
+    # original type through — a registered query's schema could flip
+    # with whether the auto cap engaged. The cast is a no-op on the
+    # hier path (already bigint) and on fixture outputs (no registered
+    # key engages the cap; the kernel branch shipped long all along).
+    cells = cells.withColumn("cell", F.col("cell").cast("bigint"))
     if cell_cap == "auto":
-        # materialize the assignment ONCE before probing (ADVICE r12):
-        # the probe is an eager collect, and without this the full
-        # assignment pass — including the broadcast argmin join at
-        # production k — would run twice, once for the probe and again
-        # in the main query. localCheckpoint keeps the probe the cheap
-        # single count-agg the design claims.
-        if not cells_checkpointed:
+        # materialize the assignment ONCE before probing (ADVICE r12)
+        # when recomputing it is expensive: the probe is an eager
+        # collect, and without this the full assignment pass — the
+        # broadcast argmin JOIN at production k — would run twice, once
+        # for the probe and again in the main query. The LITERAL-argmin
+        # path (cells_cheap, r14 / VERDICT r13 item 1) skips the
+        # checkpoint instead: its assignment is zero-exchange codegen
+        # over the scan, and materializing the full (vec, vnorm)
+        # payload just to count cells cost the 1x lane ~1.8 s in the
+        # driver's r13 bench (5.36 s vs 3.59); the probe below prunes
+        # to `cell` so the payload never leaves the scan stage.
+        if not cells_checkpointed and not cells_cheap:
             cells = cells.localCheckpoint()
+            cells_checkpointed = True
         probe = (
-            cells.groupBy("cell")
+            cells.select("cell")
+            .groupBy("cell")
             .count()
             .agg(F.max("count").alias("mx"))
             .collect()
@@ -2274,6 +2295,11 @@ def _semdedup_from_cells(
             "cap_engaged": engaged,
         }
         cell_cap = SEMDEDUP_AUTO_CELL_CAP if engaged else None
+        if cell_cap is not None and not cells_checkpointed:
+            # the cap path reads `cells` twice (window + kernel
+            # join-back): keep the r13 single-materialization posture
+            cells = cells.localCheckpoint()
+            cells_checkpointed = True
     pair_cells = cells
     if cell_cap is not None:
         wc = Window.partitionBy("cell").orderBy(
@@ -2330,9 +2356,16 @@ def _semdedup_from_cells(
         F.col("vnorm").alias("norm_b"),
         F.col("cdist").alias("db"),
     )
-    cos = dot(F.col("vec_a"), F.col("vec_b")) / (
-        F.col("norm_a") * F.col("norm_b")
-    )
+    # zero-norm guard (ADVICE r13): a zero-norm pair's cos is 0/0 —
+    # NaN in numpy (mask False => no-match) but, under this session's
+    # ANSI mode, a DIVIDE_BY_ZERO *error* here. The when-guard makes
+    # the degenerate input a no-match in BOTH pair impls (NULL fails
+    # the >= filter) while leaving every non-degenerate cosine the
+    # bit-identical division it always was. Fixture embeddings have no
+    # zero vectors (the >= 1e-9 margin-floor test implies
+    # non-degenerate cosines), so no registered output moves.
+    nrm = F.col("norm_a") * F.col("norm_b")
+    cos = F.when(nrm > 0, dot(F.col("vec_a"), F.col("vec_b")) / nrm)
     pairs = (
         a.join(b, "cell")
         .filter(F.col("va") != F.col("vb"))

@@ -1048,6 +1048,53 @@ def test_semdedup_pair_kernel_matches_join_form(spark):
         assert kern  # non-vacuous
 
 
+def test_semdedup_zero_norm_and_cell_schema_invariant(spark):
+    """ADVICE r13 pair: (a) two zero-norm vectors in a cell give
+    cos = 0/0 — NaN in the numpy kernel (mask False, a no-match) but a
+    hard ANSI DIVIDE_BY_ZERO error in the unguarded join form, so the
+    join form carries a when-guard on the norm product and BOTH
+    pair_impls must call the degenerate pair a NO-match; (b) `cell` is
+    bigint on every branch (capped join-back included), so cap
+    engagement or pair_impl can never flip a consumer's schema."""
+    import math
+
+    from aram_matchdata_etl_spark.operators import similarity as sim
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero-norm pair: cos is NaN
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # true near-dup pair
+        (3, [1.0, 1e-6, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, math.sqrt(sum(x * x for x in v))) for i, v in rows],
+        "vec_id long, vec array<double>, vnorm double",
+    )
+    cells = emb.select(
+        "vec_id", "vec", "vnorm",
+        F.lit(0).alias("cell"), F.lit(0.0).alias("cdist"),
+    ).localCheckpoint()
+    for cap in (None, 3):
+        kern = sim._semdedup_from_cells(
+            cells, cap, "t_nan_k", cells_checkpointed=True
+        )
+        join = sim._semdedup_from_cells(
+            cells, cap, "t_nan_j", cells_checkpointed=True, pair_impl="join"
+        )
+        assert dict(kern.dtypes)["cell"] == "bigint", cap
+        assert dict(join.dtypes)["cell"] == "bigint", cap
+        kr = sorted(map(tuple, kern.collect()))
+        jr = sorted(map(tuple, join.collect()))
+        assert kr == jr, f"kernel/join NaN divergence at cap={cap}"
+        by_id = {r[0]: r for r in kr}
+        # the NaN pair is a no-match: zero near-dups, both kept
+        assert by_id[0][2] == 0 and by_id[0][3]
+        assert by_id[1][2] == 0 and by_id[1][3]
+        if cap is None:
+            # the real near-dup pair still registers (non-vacuous)
+            assert by_id[2][2] == 1 and by_id[3][2] == 1
+
+
 def test_semdedup_joined_key_output_and_plan(spark):
     """q_semdedup_joined (the driver-gated join-argmin twin) must (a)
     produce EXACTLY q_semdedup's rows — they share one hash oracle, so
