@@ -597,6 +597,53 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(spark, sf_dir)
 
 
+# The bgc materialization (below) trades ONE eager job for eliminating
+# the duplicate corpus-subtree evaluations feeding pfx and the
+# probability join. That trade has a crossover (r14, VERDICT r13 item
+# 4): at small inputs the duplicated subtrees evaluate in parallel
+# inside the one consuming job for less than the serialized
+# materialization job's fixed cost (driver r13: q_bigram_lm_score
+# 1.22 -> 1.47 s, q_perplexity_buckets 1.40 -> 1.76 s at sf0.1), while
+# from the 10x tier up the shared table wins (4.2/4.6 -> 3.6/3.7 s).
+# Gate on the documents input's on-disk bytes — free to read, and the
+# same corpus-vs-distinct-bigram size bound the join design relies on.
+# Local default separates the measured crossover (sf0.1 = 0.6 MiB pays,
+# 10x tier = 7 MiB wins); any production corpus is orders of magnitude
+# past it. Env-tunable for other deployments.
+BGC_SHARE_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _table_input_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a fixture table (parquet file or directory) —
+    a zero-job proxy for corpus scale, used only to pick between two
+    value-identical plans."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            try:
+                total += os.path.getsize(os.path.join(root, name))
+            except OSError:
+                pass
+    return total
+
+
+def _bgc_share_engaged(sf_dir: str) -> bool:
+    import os
+
+    try:
+        floor = int(
+            os.environ.get("ARAM_BGC_SHARE_MIN_BYTES", BGC_SHARE_MIN_BYTES)
+        )
+    except ValueError:
+        floor = BGC_SHARE_MIN_BYTES
+    return _table_input_bytes(sf_dir, "documents") >= floor
+
+
 def bigram_lm_scores(
     spark: SparkSession,
     sf_dir: str,
@@ -628,10 +675,13 @@ def bigram_lm_scores(
     # design already relies on) and all-integer, so materializing it
     # once is value-exact and 100 TB-safe; big itself stays lazy (the
     # two remaining passes — count and score — are the fundamental
-    # minimum).
-    bgc = (
-        big.groupBy("bg").agg(F.count("*").alias("c_bg")).localCheckpoint()
-    )
+    # minimum). r14: the materialization is SIZE-GATED (see
+    # BGC_SHARE_MIN_BYTES) — below the crossover the eager job costs
+    # more than the duplicate subtrees it removes, and the two plans
+    # are value-identical either way.
+    bgc = big.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    if _bgc_share_engaged(sf_dir):
+        bgc = bgc.localCheckpoint()
     pfx = bgc.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
         F.sum("c_bg").alias("c_prefix")
     )
