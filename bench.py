@@ -1536,31 +1536,60 @@ def main() -> None:
 FINAL_LINE_BUDGET = 1900
 
 
+def _pair_discrepancy(pair) -> float:
+    """How much a rerun adjudication pair's two arms disagree — the trim
+    rungs keep the most-disagreeing pairs (the ones that carry actual
+    adjudication information). A failed fresh arm (None) sorts first:
+    a flagged number whose defense died must stay visible."""
+    if not isinstance(pair, list) or len(pair) < 2:
+        return float("inf")
+    a, b = pair[0], pair[1]
+    if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+        return float("inf")
+    return abs(a - b)
+
+
+def _trim_rerun(block: dict, keep: int, pinned: set[str]) -> None:
+    """Trim ``block['rerun']`` to the ``pinned`` keys plus the ``keep``
+    most-discrepant others, recording the dropped count in-band as
+    ``rerun_shed`` (the full pairs always ride the telemetry sidecar —
+    the marker keeps the shed visible on the driver-parsed line so a
+    trimmed defense can never be mistaken for a quiet run)."""
+    rr = block.get("rerun")
+    if not isinstance(rr, dict):
+        return
+    rest = sorted(
+        (n for n in rr if n not in pinned),
+        key=lambda n: -_pair_discrepancy(rr[n]),
+    )
+    kept = {n: rr[n] for n in rr if n in pinned or n in rest[:keep]}
+    if len(kept) < len(rr):
+        block["rerun_shed"] = len(rr) - len(kept)
+        block["rerun"] = kept
+
+
 def compact_final_line(out: dict) -> str:
     """Render the headline JSON line, guaranteed to fit the driver's
     stdout tail: shed optional blocks (largest-expendable first) before
     ever touching the per-query timings the gate actually records.
 
-    Shed ladder (r13): the totals go first (they always ride the
-    TELEMETRY line/sidecar — losing them here loses nothing), then load
-    and scale_tier are STRIPPED to their adjudication cores (`rerun`
-    pairs — the r11/r13 band defenses exist so a flagged number never
-    ships without visible adjudication, so those pairs outlive the
-    blocks that carry them), then errors, then the stripped cores."""
-    line = json.dumps(out, separators=(",", ":"))
-
-    def strip_load() -> None:
-        lb = out.get("load")
-        if isinstance(lb, dict) and lb.get("rerun"):
-            out["load"] = {"rerun": lb["rerun"]}
-        else:
-            out.pop("load", None)
+    r14 rework (VERDICT r13 item 2: the 62-query driver line overflowed
+    and the old ladder went straight from whole blocks to bare cores,
+    losing the tier ratios and the load forensics in one run):
+      - the positional-array compression of the tier ratios is LOSSLESS
+        and now applies unconditionally, before the budget is measured;
+      - rerun blocks TRIM to their most-disagreeing pairs with an
+        in-band ``rerun_shed`` count before anything drops whole, and
+        the ORACLE_BASELINES keys are pinned in the load block (the
+        judge adjudicates the baseline lane from THIS line);
+      - the tier ratios exist only on this line, so they outlive
+        everything except the adjudication cores themselves (a flagged
+        number must never ship looking clean — r11 contract)."""
 
     def compress_tier() -> None:
         # name->ratio dict becomes a positional array in bench.SCALE_TIER
-        # order (~1/4 the width): the ratios are the judge-facing scaling
-        # factors and exist ONLY on this line, so they compress before
-        # they ever shed. "order" documents the convention in-band.
+        # order (~1/4 the width): "order" documents the convention
+        # in-band. Lossless — applied before the budget is ever checked.
         st = out.get("scale_tier")
         if (
             isinstance(st, dict)
@@ -1574,23 +1603,56 @@ def compact_final_line(out: dict) -> str:
             del st["ratios"]
             out["scale_tier"] = st
 
+    def drop_load_pre() -> None:
+        lb = out.get("load")
+        if isinstance(lb, dict):
+            lb.pop("pre", None)
+
+    def trim_tier_rerun() -> None:
+        st = out.get("scale_tier")
+        if isinstance(st, dict):
+            _trim_rerun(st, keep=3, pinned=set())
+
+    def strip_load() -> None:
+        lb = out.get("load")
+        if isinstance(lb, dict) and lb.get("rerun"):
+            out["load"] = {
+                k: lb[k] for k in ("rerun", "rerun_shed") if k in lb
+            }
+        else:
+            out.pop("load", None)
+
+    def trim_load_rerun() -> None:
+        lb = out.get("load")
+        if isinstance(lb, dict):
+            _trim_rerun(lb, keep=1, pinned=ORACLE_BASELINES)
+
     def strip_tier() -> None:
+        # the deep-pressure rung: adjudication pairs outlive the ratios
+        # (honesty before information richness)
         st = out.get("scale_tier")
         if isinstance(st, dict) and st.get("rerun"):
-            out["scale_tier"] = {"k": st.get("k"), "rerun": st["rerun"]}
+            out["scale_tier"] = {
+                k: st[k]
+                for k in ("k", "rerun", "rerun_shed")
+                if k in st
+            }
         else:
             out.pop("scale_tier", None)
 
+    compress_tier()
+    line = json.dumps(out, separators=(",", ":"))
     steps = (
+        # the totals always ride the TELEMETRY line/sidecar — losing
+        # them here loses nothing
         lambda: out.pop("grand_total", None),
         lambda: out.pop("oracle_baseline_total", None),
-        # compression loses nothing — it must come before any LOSSY
-        # strip (the load forensics in particular must outlive it: the
-        # judge adjudicates contamination from nbr on THIS line)
-        compress_tier,
-        strip_load,
+        drop_load_pre,
         lambda: out.pop("errors", None),
-        strip_tier,  # tier RATIOS exist only on this line — shed late
+        trim_tier_rerun,
+        strip_load,
+        trim_load_rerun,
+        strip_tier,  # ratios die here, after every trim rung above
         lambda: out.pop("load", None),
         lambda: out.pop("scale_tier", None),
     )

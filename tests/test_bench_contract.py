@@ -433,3 +433,85 @@ def test_ratio_helper():
     assert _ratio([None, 5.0]) is None
     assert _ratio([0.0, 5.0]) is None  # zero anchor: no ratio, no crash
     assert _ratio([2.0, None]) is None
+
+
+def test_r13_driver_width_keeps_ratios_and_baseline_pairs():
+    """The r14 regression pin (VERDICT r13 item 2): at the exact widths
+    the r13 DRIVER run shipped — 62 queries, 5 tier rerun pairs, both
+    ORACLE_BASELINES adjudication pairs in the load block — the final
+    line must keep the tier ratios (compressed form counts) AND the
+    baseline-lane rerun pairs. The r13 artifact lost both."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = json.load(open(os.path.join(repo, "BENCH_r13.json")))["parsed"]
+    out = _realistic_out()
+    out["queries"] = dict(prev["queries"])
+    out["load"] = {
+        "pre": 18.2,
+        "nbr": [0.019, 0.018],
+        "rerun": {
+            "q_embedding_neardup": [2.14, 2.48],
+            "q_dedup_clusters": [28.43, 25.5],
+        },
+    }
+    out["scale_tier"] = {
+        "k": 10,
+        "ratios": {n: 47.2 for n in SCALE_TIER},  # worst realistic width
+        "rerun": {
+            n: [19.9, 2.4]
+            for n in (
+                "q_anomaly_zscore", "q_bigram_lm_score",
+                "q_dedup_clusters_lsh", "q_dedup_minhash_lsh", "q_kcore",
+            )
+        },
+    }
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    st = parsed["scale_tier"]
+    ratios = st.get("ratios") or dict(zip(SCALE_TIER, st.get("r", [])))
+    assert len(ratios) == len(SCALE_TIER), "tier ratios shed at r13 widths"
+    load_rerun = (parsed.get("load") or {}).get("rerun") or {}
+    for name in ORACLE_BASELINES:
+        assert name in load_rerun, f"baseline pair {name} shed"
+
+
+def test_rerun_trim_pins_baselines_and_marks_shed():
+    """Under heavier pressure the rerun blocks TRIM instead of dropping
+    whole: ORACLE_BASELINES pairs are pinned in the load block, the
+    most-disagreeing others survive, and an in-band rerun_shed count
+    keeps the trim visible (a trimmed defense must never read as a
+    quiet run)."""
+    out = _realistic_out()
+    # fat queries so the ladder runs deep, but cores still fit
+    out["queries"] = {f"q_{i:03d}": 123.45 for i in range(100)}
+    out["load"] = {
+        "pre": 4.0,
+        "nbr": [0.2],
+        "rerun": {
+            "q_dedup_clusters": [28.4, 25.5],      # pinned (baseline lane)
+            "q_embedding_neardup": [2.1, 2.4],     # pinned
+            "q_small_a": [1.0, 0.9],               # low discrepancy: trims
+            "q_small_b": [9.9, 1.1],               # high discrepancy: kept
+        },
+    }
+    out["scale_tier"] = {
+        "k": 10,
+        "ratios": {n: 2.0 for n in SCALE_TIER},
+        "rerun": {f"q_tier_{i}": [10.0 + i, 2.0] for i in range(6)},
+    }
+    line = compact_final_line(out)
+    assert len(line) <= FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    load = parsed.get("load") or {}
+    rr = load.get("rerun") or {}
+    for name in ORACLE_BASELINES:
+        assert name in rr, f"baseline pair {name} shed under pressure"
+    if load.get("rerun_shed"):
+        # the trimmed pair is the LOW-discrepancy one
+        assert "q_small_b" in rr and "q_small_a" not in rr
+        assert load["rerun_shed"] == 1
+    st = parsed.get("scale_tier") or {}
+    if st.get("rerun_shed"):
+        # tier rerun trimmed to the 3 most-discrepant pairs
+        assert st["rerun_shed"] == 3
+        assert set(st["rerun"]) == {"q_tier_5", "q_tier_4", "q_tier_3"}

@@ -9,7 +9,7 @@ For each named query:
     warmup + best-of-2) for the comparable number;
   - counts jobs/stages/tasks attributed to the query via the UI REST API
     (the session here enables the UI, unlike bench);
-  - writes `.explain("formatted")` to plans/r13/<query>_<label>.txt.
+  - writes `.explain("formatted")` to plans/r14/<query>_<label>.txt.
 
 Usage:
   python tools/perf_probe.py [--label before] [--no-plans] q_a q_b ...
@@ -69,7 +69,7 @@ def main() -> int:
     ui = "http://localhost:4040/api/v1"
     app_id = spark.sparkContext.applicationId
     queries = all_queries()
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict = {}
