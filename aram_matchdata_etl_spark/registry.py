@@ -270,18 +270,26 @@ _SEMANTICS_CHANGED: set[str] = set()
 
 # Keys the round VERDICT asked to front into the next driver window —
 # same promotion treatment as _SEMANTICS_CHANGED, same removal contract
-# (drop once re-sampled). r13 (VERDICT r12 item 2): the two keys whose
-# Arrow mapInPandas implementations landed AFTER their latest driver
-# verdicts (the driver last hashed the forms they replaced — twins are
-# bit-equality-tested locally, but verdict discipline wants the shipped
-# code hashed), q_map_funcs (the last r4-era verdict in the repo), and
-# q_semdedup_scaled (gained cell_cap="auto" this round — rows-only key,
-# but the changed code should carry the r13 rows verdict).
+# (drop once re-sampled). r13's four entries (q_repetition_gopher_zipf,
+# q_repetition_signals, q_map_funcs, q_semdedup_scaled) were all
+# re-sampled green in CORRECTNESS_r13 and are removed per the contract.
+# r14: every key whose dataflow this optimization round touched — the
+# semdedup family (probe restructure, uniform bigint cell, zero-norm
+# guard) and the bigram-LM chain (size-gated bgc materialization) —
+# fronted so the shipped forms carry THIS round's driver verdicts, not
+# last round's.
 _VERDICT_REFRESH: set[str] = {
-    "q_repetition_gopher_zipf",
-    "q_repetition_signals",
-    "q_map_funcs",
+    "q_semdedup",
+    "q_semdedup_joined",
     "q_semdedup_scaled",
+    "q_semdedup_hier",
+    "q_bigram_lm_score",
+    "q_perplexity_buckets",
+    "q_perplexity_zipf",
+    "q_perplexity_filter_approx",
+    "q_zipf_curation_pipeline",
+    "q_corpus_prep",
+    "q_corpus_prep_scaled",
 }
 
 

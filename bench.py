@@ -1205,6 +1205,39 @@ def trailing_minima(sf: float, root: str | None = None) -> dict[str, float]:
     return out
 
 
+# --- worst-N offender defense (r14, VERDICT r13 item 6) ---------------------
+# The hard band trigger (1.5x + 0.5 s slack) deliberately ignores
+# sub-second noise, so a loaded box can ship 20-30 small-query
+# "regressions" per run with no adjudication (r13: 29 regressed rows,
+# load.pre 18.2, none flagged). Extension: the N worst offenders vs the
+# trailing band ABOVE a soft floor also get the fresh-session arm. N is
+# capped so the added wall is bounded (each rerun is one standalone
+# best-of-2 on a sub-second query); the pairs ship in the same
+# load.rerun block, so PERF_r{N} compares defended numbers.
+WORST_N_RERUN = 6
+WORST_N_MIN_RATIO = 1.2
+WORST_N_MIN_ABS = 0.05  # seconds over band — keeps 10 ms jitter out
+
+
+def worst_offenders(
+    timings: dict[str, float],
+    bands: dict[str, float],
+    exclude: set[str],
+    n: int = WORST_N_RERUN,
+) -> list[str]:
+    """The n queries with the largest in-suite/band ratio that exceed the
+    soft floor and aren't already hard-flagged — the sub-threshold noise
+    the r13 PERF counted as 29 regressions."""
+    scored = [
+        (t / bands[name], name)
+        for name, t in timings.items()
+        if name not in exclude
+        and bands.get(name)
+        and t > max(WORST_N_MIN_RATIO * bands[name], bands[name] + WORST_N_MIN_ABS)
+    ]
+    return [name for _, name in sorted(scored, reverse=True)[:n]]
+
+
 def band_outliers(
     timings: dict[str, float], bands: dict[str, float]
 ) -> list[str]:
@@ -1258,16 +1291,19 @@ def main() -> None:
     # in-suite pressure arm: band-flagged queries re-measure in a fresh
     # session; both arms ship in the load block (see trailing_minima)
     rerun_block: dict[str, list[float]] = {}
-    suspects = band_outliers(timings, trailing_minima(sf))
-    if suspects:
+    bands = trailing_minima(sf)
+    suspects = band_outliers(timings, bands)
+    extras = worst_offenders(timings, bands, exclude=set(suspects))
+    if suspects or extras:
         print(
             f"BAND_WARN in-suite outliers vs trailing artifacts: {suspects};"
+            f" worst-N soft offenders: {extras};"
             " re-running each standalone in a fresh SparkSession",
             flush=True,
         )
         spark.stop()
         spark = get_spark(app_name="aram-etl-bench-standalone")
-        for name in suspects:
+        for name in suspects + extras:
             try:
                 standalone = measure_query(spark, queries[name], sf_dir)
             except Exception as e:

@@ -4,6 +4,8 @@ the version they read from until the new one is fully swapped in."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -20,6 +22,7 @@ def test_read_before_first_commit_is_none(spark, tmp_path):
     assert read_current(spark, str(tmp_path / "nowhere")) is None
 
 
+@pytest.mark.slow
 def test_commit_then_read_roundtrip(spark, tmp_path):
     base = str(tmp_path / "tbl")
     df = spark.range(10).withColumn("x", F.col("id") * 2)
@@ -29,6 +32,7 @@ def test_commit_then_read_roundtrip(spark, tmp_path):
     assert {r.x for r in got.collect()} == {i * 2 for i in range(10)}
 
 
+@pytest.mark.slow
 def test_half_written_version_is_invisible_and_pruned(spark, tmp_path):
     """Simulate a crash AFTER writing a new version dir but BEFORE the
     pointer swap: readers still see the old version; the orphan dir is
@@ -89,6 +93,7 @@ def test_time_travel_retention(spark, tmp_path):
     assert read_version(spark, base, 2) is None  # pruned by retention
 
 
+@pytest.mark.slow
 def test_merge_upsert_dispatch_and_semantics(spark, tmp_path):
     """lakehouse.merge_upsert: in this image (no delta package) it must
     take the versioned-parquet fallback, with last-writer-wins semantics

@@ -6,6 +6,8 @@ These tests pin the shed guard and the realistic line size."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import sys
 import os
@@ -228,6 +230,7 @@ def test_realistic_line_with_rerun_block_fits():
     assert set(parsed["queries"]) == set(HEADLINE)
 
 
+@pytest.mark.slow
 def test_fresh_session_rerun_arm_survives_restart():
     """The band defense's riskiest step is the mid-run SparkSession
     restart (spark.stop() then get_spark()): if the rebuilt session were
@@ -515,3 +518,27 @@ def test_rerun_trim_pins_baselines_and_marks_shed():
         # tier rerun trimmed to the 3 most-discrepant pairs
         assert st["rerun_shed"] == 3
         assert set(st["rerun"]) == {"q_tier_5", "q_tier_4", "q_tier_3"}
+
+
+def test_worst_offenders_soft_trigger():
+    """r14 (VERDICT r13 item 6): the N worst sub-threshold offenders vs
+    the trailing band get the fresh-session arm too — capped at N, hard
+    flags excluded, below-floor jitter ignored."""
+    from bench import WORST_N_RERUN, band_outliers, worst_offenders
+
+    bands = {f"q_{i}": 0.30 for i in range(12)}
+    bands["q_big"] = 4.0
+    timings = {f"q_{i}": 0.30 + 0.03 * i for i in range(12)}  # up to 1.6x
+    timings["q_big"] = 9.0  # hard-flagged (1.5x + slack)
+    hard = band_outliers(timings, bands)
+    assert hard == ["q_big"]
+    soft = worst_offenders(timings, bands, exclude=set(hard))
+    assert len(soft) == WORST_N_RERUN
+    assert "q_big" not in soft
+    # worst ratios first: q_11 (1.6x) ... and nothing at/below the floor
+    assert soft[0] == "q_11"
+    assert all(
+        timings[n] > max(1.2 * bands[n], bands[n] + 0.05) for n in soft
+    )
+    # a query 10 ms over a 100 ms band stays out
+    assert worst_offenders({"q_t": 0.11}, {"q_t": 0.10}, set()) == []

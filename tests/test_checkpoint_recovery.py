@@ -54,6 +54,7 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     assert dupes.count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_countmin_state_survives_restart(spark, tmp_path):
     """The stateful count-min grid must survive a stream restart: two
     SEPARATE stream runs over one checkpoint (second run adds new files)
@@ -218,6 +219,7 @@ def test_session_window_state_survives_restart(spark, tmp_path):
     assert q2.lastProgress["numInputRows"] <= len(ev[ev.ts >= cut])
 
 
+@pytest.mark.slow
 def test_stream_join_state_survives_restart(spark, tmp_path):
     """Kill-and-restart across the watermarked stream-stream join
     (q_stream_join_live's attribution_join): slice 1 holds PURCHASES

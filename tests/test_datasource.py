@@ -3,6 +3,8 @@ determinism, and streaming offset/rate-limit/replay semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import time
 
 
@@ -12,6 +14,7 @@ def _register(spark):
     spark.dataSource.register(RiotMatchDataSource)
 
 
+@pytest.mark.slow
 def test_batch_read_schema_and_partitioning(spark):
     from aram_matchdata_etl_spark.sources.crawl_api import MATCHES_PER_USER
 
@@ -93,6 +96,7 @@ def test_stream_rate_limit_and_replay(spark, tmp_path):
     assert {r.user_id for r in out} == set(range(12))
 
 
+@pytest.mark.slow
 def test_stream_source_to_bronze_upsert(spark, tmp_path):
     """EP2 end-to-end on the custom source: stream riot_matches → parse
     detail JSON against the bronze schema → ARAM filter → idempotent

@@ -38,6 +38,7 @@ def _numpy_pagerank(node_ids, edge_list, rounds, damping):
     return {node: r[idx[node]] for node in node_ids}
 
 
+@pytest.mark.slow
 def test_pagerank_matches_numpy(spark):
     docs = load_table(spark, SF, "documents")
     edges_df = link_graph(docs)
@@ -67,6 +68,7 @@ def test_pagerank_mass_conserved_and_positive(spark):
     assert l1[-1] < l1[0]
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_nodes_keep_base_rank(spark):
     """A 2-node graph a->b: b is a sink; its mass recycles uniformly.
     Closed form fixed point (with dangling redistribution):
@@ -146,6 +148,7 @@ def test_kcore_matches_python_peeling(spark):
     assert got, "fixture graph should retain a 4-core"
 
 
+@pytest.mark.slow
 def test_hits_matches_numpy(spark):
     """HITS differential: same edge set, numpy power iteration with the
     same update order (a <- A^T h; h <- A a; L2 normalize), same round
@@ -383,6 +386,7 @@ def test_assortativity_matches_numpy(spark):
     )
 
 
+@pytest.mark.slow
 def test_textrank_word_graph_matches_python(spark):
     """The co-occurrence edge set and rank ordering re-derived in pure
     Python + numpy power iteration on the same fixture corpus."""
@@ -432,6 +436,7 @@ def test_textrank_word_graph_matches_python(spark):
         assert abs(got[w] - r[i]) < 1e-8, (w, got[w], r[i])
 
 
+@pytest.mark.slow
 def test_modularity_matches_python(spark):
     """Q re-derived in pure Python over the same LPA labels: sum of
     per-community contributions equals the textbook double-sum form, and
@@ -475,6 +480,7 @@ def test_modularity_matches_python(spark):
     assert -1.0 <= q_total <= 1.0
 
 
+@pytest.mark.slow
 def test_betweenness_matches_textbook_brandes(spark):
     """Third implementation of q_betweenness_sampled: the literal
     Brandes (2001) single-source algorithm — queue/stack BFS with

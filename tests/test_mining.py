@@ -5,6 +5,8 @@ split-conformal intervals."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import math
 from collections import Counter, defaultdict
@@ -20,6 +22,7 @@ def _duck(sql):
     return duckdb_df(sql, SF_ORACLE)
 
 
+@pytest.mark.slow
 def test_itemset_triples_match_and_prune_is_lossless(spark):
     from aram_matchdata_etl_spark.operators.market import TRIPLE_SUP
     from aram_matchdata_etl_spark.registry import all_queries
@@ -300,6 +303,7 @@ def test_eigen_centrality_matches_numpy_power_iteration(spark):
         assert abs(got[d] - v[i]) < 1e-8, d
 
 
+@pytest.mark.slow
 def test_pca_power_matches_numpy(spark):
     from aram_matchdata_etl_spark.operators.similarity import (
         PCA_DIM,

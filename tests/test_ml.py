@@ -80,6 +80,7 @@ def test_split_is_leak_free(spark, silver):
     assert sizes.count() == 0
 
 
+@pytest.mark.slow
 def test_ensemble_trains_and_ranks(ensemble_and_eval):
     ens, pred, metrics = ensemble_and_eval
     # five models from five DISTINCT estimator families, mirroring the
@@ -112,6 +113,7 @@ def test_ensemble_trains_and_ranks(ensemble_and_eval):
     assert metrics["rank_acc_2"] > 0.3
 
 
+@pytest.mark.slow
 def test_feature_importances(ensemble_and_eval):
     """modeling.py:215-243 analogue: per-feature cross-model importance
     matrix with mean/std; tree importances are a distribution."""
@@ -125,6 +127,7 @@ def test_feature_importances(ensemble_and_eval):
     assert fi["mean_importance"].iloc[0] >= fi["mean_importance"].iloc[-1]
 
 
+@pytest.mark.slow
 def test_save_load_parity(spark, tmp_path, ensemble_and_eval, silver):
     """S13: persisted ensemble reproduces predictions exactly
     (test_result.txt:321 'max diff = 0.0000000000')."""

@@ -16,6 +16,7 @@ def silver(spark):
     return silver_with_derived(spark, SF_SMOKE).cache()
 
 
+@pytest.mark.slow
 def test_cross_validator_picks_a_model(spark, silver):
     from aram_matchdata_etl_spark.ml.ranking import cross_validate_linear
 
@@ -62,6 +63,7 @@ def test_cross_validator_fold_fits_actually_overlap(spark, silver):
     )
 
 
+@pytest.mark.slow
 def test_pandas_udf_inference_matches_spark_ml(spark, silver):
     """The Arrow-vectorized UDF scorer reproduces PipelineModel.transform
     on the SAME features to float tolerance (summation-order only)."""
@@ -89,6 +91,7 @@ def test_pandas_udf_inference_matches_spark_ml(spark, silver):
     assert diff < 1e-9, diff
 
 
+@pytest.mark.slow
 def test_parallel_ensemble_matches_sequential(spark, silver):
     """train_ensemble(parallelism=N) submits the member fits from driver
     threads so their stages interleave across executor slots (the
@@ -139,6 +142,7 @@ def test_parallel_ensemble_matches_sequential(spark, silver):
     assert sa == pytest.approx(pb, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_rank_accuracy_ordering(spark, silver):
     """BASELINE.md ML parity target: rank-accuracy ordering
     exact <= within-1 <= within-2 (and all well-defined)."""

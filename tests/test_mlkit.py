@@ -5,6 +5,8 @@ formula wrong the same way in both SQL dialects still fails."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter, defaultdict
 
@@ -236,6 +238,7 @@ def test_logreg_cv_matches_numpy(spark):
         assert abs(gb[3] - vloss) < 1e-6, f
 
 
+@pytest.mark.slow
 def test_feature_ablation_matches_numpy(spark):
     """The zeroed-column trick must equal a TRUE lower-dimensional ridge
     fit: compare the drop_x1/drop_x2 rows against 2-column numpy IRLS
@@ -270,6 +273,7 @@ def test_feature_ablation_matches_numpy(spark):
         assert b[4] >= -1e-9, model  # ablation can't beat the full fit
 
 
+@pytest.mark.slow
 def test_poisson_glm_matches_numpy(spark):
     from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE, LR_ROUNDS
     from aram_matchdata_etl_spark.registry import all_queries
@@ -309,6 +313,7 @@ def test_poisson_glm_matches_numpy(spark):
     assert got["mean_deviance"] > 0
 
 
+@pytest.mark.slow
 def test_ridge_ols_matches_numpy(spark):
     from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE
     from aram_matchdata_etl_spark.registry import all_queries
@@ -341,6 +346,7 @@ def test_ridge_ols_matches_numpy(spark):
     assert 0.0 <= got["r2"] < 1.0
 
 
+@pytest.mark.slow
 def test_chi2_feature_selection_matches_pure_python(spark):
     from aram_matchdata_etl_spark.operators.mlkit import CHI2_TOPK
     from aram_matchdata_etl_spark.registry import all_queries
@@ -383,6 +389,7 @@ def test_chi2_feature_selection_matches_pure_python(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_shapley_attribution_matches_numpy_and_is_efficient(spark):
     from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE, LR_ROUNDS
     from aram_matchdata_etl_spark.registry import all_queries
@@ -410,6 +417,7 @@ def test_shapley_attribution_matches_numpy_and_is_efficient(spark):
     assert abs((got["x1"] + got["x2"]) - (l0 - l3)) < 2e-6
 
 
+@pytest.mark.slow
 def test_stump_boost_matches_numpy(spark):
     from aram_matchdata_etl_spark.operators.mlkit import (
         BOOST_NU,
@@ -510,6 +518,7 @@ def _causal_np():
     return t, y, X, u["outcome"].to_numpy()
 
 
+@pytest.mark.slow
 def test_uplift_tlearner_matches_numpy(spark):
     from aram_matchdata_etl_spark.operators.mlkit import LR_RIDGE, LR_ROUNDS
     from aram_matchdata_etl_spark.registry import all_queries

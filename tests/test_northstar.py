@@ -133,6 +133,7 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.7, f"IVF recall@10 too low: {recall:.2f}"
 
 
+@pytest.mark.slow
 def test_ann_ivf_recall_monotone_in_assignment(spark):
     """Indexing each vector into more cells ⇒ recall can only grow
     (candidate sets nest in the assignment factor), and full probe stays
@@ -160,6 +161,7 @@ def test_ann_ivf_recall_monotone_in_assignment(spark):
     assert full == exact  # full probe == brute force even with 2x index
 
 
+@pytest.mark.slow
 def test_ann_ivf_recall_monotone_in_probes(spark):
     """More probed cells ⇒ recall can only grow (candidate sets nest);
     probing ALL cells must equal brute force exactly."""
@@ -327,6 +329,7 @@ def test_dedup_clusters_invariants(spark):
     clusters.unpersist()
 
 
+@pytest.mark.slow
 def test_connected_components_frees_superseded_checkpoints(spark):
     """Each propagation round localCheckpoint()s the labels; superseded
     rounds' blocks must actually leave the block manager (plain

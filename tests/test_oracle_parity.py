@@ -10,9 +10,26 @@ from .conftest import SF_ORACLE
 
 
 def _keys():
-    from aram_matchdata_etl_spark.registry import all_oracles
+    """All oracled keys; keys OUTSIDE the fast set carry the `slow`
+    marker (r14, VERDICT r13 item 3): the default (driver-window) run
+    checks exactly what the round driver will — its 50-key rotation
+    window — plus every benched key; the full registry still runs in
+    the slow tier each round (and via tools/parity_sweep.py)."""
+    import bench
 
-    return sorted(all_oracles())
+    from aram_matchdata_etl_spark.registry import all_oracles, all_queries
+
+    fast = (
+        set(list(all_queries())[:50])
+        | set(bench.HEADLINE)
+        | set(bench.SCALE_TIER)
+        | set(bench.ORACLE_BASELINES)
+        | set(bench.RETIRED_WATCH)
+    )
+    return [
+        n if n in fast else pytest.param(n, marks=pytest.mark.slow)
+        for n in sorted(all_oracles())
+    ]
 
 
 @pytest.mark.parametrize("name", _keys())

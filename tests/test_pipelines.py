@@ -7,6 +7,8 @@ like every hash-oracled key."""
 
 from __future__ import annotations
 
+import pytest
+
 from aram_matchdata_etl_spark.operators.pipelines import BOILER_SURVIVAL_MIN
 
 from .conftest import SF_ORACLE
@@ -135,6 +137,7 @@ def test_corpus_prep_output_is_integer_exact(spark):
     assert all(t in ("bigint", "int") for t in kinds.values()), kinds
 
 
+@pytest.mark.slow
 def test_corpus_prep_scaled_keep_rule_and_contract(spark):
     """q_corpus_prep_scaled (rows-only): independent rederivation of
     the survivor set with the semantic verdicts swapped to

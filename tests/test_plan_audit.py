@@ -8,6 +8,8 @@ story — plus the flagship."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import re
 import sys
@@ -16,6 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
+@pytest.mark.slow
 def test_no_hard_flags_in_scale_tier_plans(spark):
     from plan_audit import HARD_FLAGS, SF
 
@@ -37,6 +40,7 @@ def test_committed_audit_reports_no_hard_flags():
     assert m.group(1).strip() == "none", m.group(0)
 
 
+@pytest.mark.slow
 def test_global_windows_are_allowlisted(spark):
     """Soft-flag gate (r9 verdict item 6): every unpartitioned WindowExec
     must belong to a documented rollup-bounded operator. Live-checked on

@@ -78,6 +78,7 @@ def test_whole_stage_codegen_covers_flagship(spark):
     assert "*(" in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_in_registry_except_intended(spark):
     """Guardrail: nothing plans an accidental CartesianProduct. The
     intended brute-force similarity scans use broadcast nested-loop (small

@@ -41,6 +41,7 @@ scores_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(events=events_strategy)
+@pytest.mark.slow
 def test_ttl_dedup_matches_python_reference(spark, events):
     """First-event-per-(user, TTL-bucket) — the q_dedup_ttl semantics —
     equals a dict-based Python simulation of the Redis SETEX dedup."""
@@ -77,6 +78,7 @@ def test_ttl_dedup_matches_python_reference(spark, events):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(scores=scores_strategy)
+@pytest.mark.slow
 def test_rank_semantics_match_pandas(spark, scores):
     """W1/W2 duality on tied data: Spark RANK == pandas rank(method='min',
     ascending=False); ROW_NUMBER is a strict 1..n permutation refining it."""
@@ -129,6 +131,7 @@ def test_rank_semantics_match_pandas(spark, scores):
         max_size=25,
     ),
 )
+@pytest.mark.slow
 def test_asof_join_matches_python_reference(spark, left, right):
     """The union+window as-of composition == a bisect-based Python as-of:
     for each left (key, t), the value of the greatest right t' <= t."""
@@ -199,6 +202,7 @@ def test_asof_join_null_in_latest_right_row_surfaces(spark):
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_exact_jaccard_matches_python(spark, texts):
     """q_dedup_ngram_jaccard's join-based set algebra == a direct Python
     set computation on arbitrary (tiny-alphabet, tie-heavy) corpora."""
@@ -247,6 +251,7 @@ def test_exact_jaccard_matches_python(spark, texts):
     ),
     width=st.sampled_from([1, 7, 13, 1000]),
 )
+@pytest.mark.slow
 def test_asof_bucketed_matches_plain(spark, left, right, width):
     """The skew-robust time-bucketed as-of must equal the per-key-window
     composition for every bucket width — width 1 forces a carry-in for
@@ -308,6 +313,7 @@ corpus_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(token_lists=corpus_strategy)
+@pytest.mark.slow
 def test_substring_spans_match_python(spark, token_lists):
     """q_substring_spans core vs a pure-Python reference: rolling W-gram
     corpus frequency, flag starts of repeated grams, merge flagged starts
@@ -367,6 +373,7 @@ graph_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=graph_strategy)
+@pytest.mark.slow
 def test_connected_components_both_algorithms_match_union_find(spark, edges):
     """min-label AND large-star/small-star vs a Python union-find on random
     graphs (self-loops, duplicates, singletons included): all three must
@@ -410,6 +417,7 @@ def test_connected_components_both_algorithms_match_union_find(spark, edges):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(token_lists=corpus_strategy)
+@pytest.mark.slow
 def test_boilerplate_removal_matches_python(spark, token_lists):
     """Boilerplate chunk removal vs a pure-Python reference: chunk each doc
     into fixed 2-token pseudo-lines, drop chunks whose exact text appears
@@ -541,6 +549,7 @@ def test_embedding_quantize_matches_numpy(spark, vectors):
         unique_by=lambda t: t[0],
     )
 )
+@pytest.mark.slow
 def test_bpe_merges_match_python_reference(spark, words):
     """bpe_train vs a pure-Python reference BPE (Sennrich et al. 2016):
     same greedy argmax (count desc, then lexicographic pair), same
@@ -597,6 +606,7 @@ def test_bpe_merges_match_python_reference(spark, words):
         unique_by=lambda t: t[0],
     )
 )
+@pytest.mark.slow
 def test_bpe_encode_matches_python_reference(spark, words):
     """bpe_encode_words vs the same pure-Python reference, applying the
     learned merges in rank order with left-to-right greedy semantics:
@@ -647,6 +657,7 @@ _pii_text = st.text(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=st.lists(_pii_text, min_size=1, max_size=12))
+@pytest.mark.slow
 def test_pii_redact_matches_python_re(spark, texts):
     """The Spark regexp chain equals Python's re with the same patterns
     (Java regex, RE2, and Python re agree on this pattern subset by
@@ -710,6 +721,7 @@ _url_part = st.text(alphabet="AbC9.-_", min_size=1, max_size=8)
     ),
     frag=st.sampled_from(["", "#f", "#utm_z"]),
 )
+@pytest.mark.slow
 def test_canonicalize_url_matches_python(spark, hosts, path, params, frag):
     from pyspark.sql import functions as F
 
@@ -741,6 +753,7 @@ _funnel_events = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(events=_funnel_events)
+@pytest.mark.slow
 def test_funnel_matches_python_brute_force(spark, events):
     """First-touch cascade counts equal a per-user brute-force walk.
     Tie-heavy timestamps included deliberately: the cascade is defined on
@@ -792,6 +805,7 @@ def test_funnel_matches_python_brute_force(spark, events):
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.8]),
 )
+@pytest.mark.slow
 def test_setsim_prefix_join_is_lossless(spark, texts, threshold):
     """Prefix filtering (q_setsim_prefix_join) returns EXACTLY the
     all-shingle-join answer on arbitrary tie-heavy corpora — the
@@ -834,6 +848,7 @@ days_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(days=days_strategy)
+@pytest.mark.slow
 def test_streaks_match_python_reference(spark, days):
     """The gaps-and-islands kernel (dayno - row_number grouping) against
     a brute-force consecutive-run scan over the sorted distinct day
@@ -892,6 +907,7 @@ def test_streaks_match_python_reference(spark, days):
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.8]),
 )
+@pytest.mark.slow
 def test_containment_prefix_join_is_lossless(spark, texts, threshold):
     """The directed containment prefix filter
     (q_dedup_containment_prefix) returns EXACTLY the all-shingle-join

@@ -7,6 +7,8 @@ and compare."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from .conftest import SF_ORACLE
@@ -189,6 +191,7 @@ def _md5_52(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
 
 
+@pytest.mark.slow
 def test_bootstrap_ci_matches_pure_python(spark):
     """Re-derive the Poisson-bootstrap CI from first principles: python
     hashlib md5 weights, numpy replicate means, manual percentile ranks.
@@ -446,6 +449,7 @@ def test_calibration_brier_matches_numpy(spark):
         assert abs(r.brier - brier) < 1e-5
 
 
+@pytest.mark.slow
 def test_lift_deciles_matches_numpy(spark):
     from aram_matchdata_etl_spark.operators.stats import AUC_POS, LIFT_DECILES
     from aram_matchdata_etl_spark.registry import all_queries
